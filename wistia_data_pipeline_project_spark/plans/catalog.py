@@ -1,0 +1,442 @@
+"""Query catalog — the driver contract behind ``__spark_entry__.py``.
+
+Every operator family from SURVEY.md §2 gets at least one named query
+here, implemented Spark-first (DataFrame API, Catalyst-optimizable) and
+paired with an ANSI-SQL oracle that DuckDB executes over the same
+parquet tables. The driver hash-compares both at sf0.01.
+
+Cross-engine determinism rules used throughout (this is why results
+hash-match bit-for-bit):
+
+- **Money/metric sums go through DECIMAL.** Double summation order
+  differs between engines; decimal arithmetic is exact and associative.
+  Pattern: cast each operand to a small-precision decimal, do the
+  arithmetic in decimal, ``CAST(... AS DOUBLE)`` only at the very end
+  (one deterministic conversion).
+- **Order-sensitive "first/last" aggregates get a total order.** The
+  reference relied on file-iteration order (SURVEY §2 A5/A6); here
+  every first/last is ordered by ``(ts, unique_key)``. Spark side uses
+  the lexicographic min/max of a struct (JVM-native, no UDF); the
+  oracle uses a ``row_number()`` subquery.
+- **No ROUND on doubles** (half-up vs half-even ambiguity); rounding
+  only after decimal arithmetic, or via integer math.
+- **Top-K always tie-breaks on a unique key.**
+
+Spark-side scale notes are on each query (broadcast choices, shuffle
+keys, AQE reliance) — see also SCALE.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    """Exact decimal view of a 2-decimal double column."""
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def one() -> F.Column:
+    """Literal 1 as a small decimal (built lazily — F.lit needs a live session)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (SURVEY §2.5 A1-A3, A8-A10) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style wide hash aggregation (A1 grain agg + A9 ratios).
+
+    Scale: single shuffle on the 2-value grouping key; partial
+    aggregation (map-side combine) does almost all the work, so the
+    shuffle carries ~|groups|×partitions rows. Filter + 7-column
+    projection push into the parquet scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    qty, price, disc, tax = (
+        dec("l_quantity"),
+        dec("l_extendedprice"),
+        dec("l_discount", 4, 2),
+        dec("l_tax", 4, 2),
+    )
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one() - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one() - disc) * (one() + tax)).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / n).alias("avg_qty"),
+        (F.sum(price).cast("double") / n).alias("avg_price"),
+        (F.sum(disc).cast("double") / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 25
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style scan-filter-aggregate; the pushdown showcase.
+
+    Scale: no shuffle at all (global agg = partials + single reduce);
+    all four predicates land in PushedFilters on the parquet scan.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25)
+    )
+    return f.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", 4, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "rollup_returnflag_status",
+    oracle="""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS returnflag,
+      COALESCE(l_linestatus, 'ALL') AS linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (A10 family — grouping sets).
+
+    The driver data has no NULL keys, so subtotal rows are identified by
+    COALESCE to a sentinel (portable across engines, no grouping_id()).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_lines",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (SURVEY §2.4 J1-J3, §2.3 P3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_top_orders",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      o.o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style 3-way join + agg + deterministic top-K.
+
+    Scale: customer (filtered to one segment) is broadcast — the
+    orders->lineitem join is the only shuffle, on the natural key
+    l_orderkey. Tie-break on l_orderkey keeps LIMIT deterministic
+    because revenue is decimal-exact in both engines.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = l.join(
+        o, l.l_orderkey == o.o_orderkey, "inner"
+    ).join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one() - dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style star join: dims broadcast, fact shuffles once.
+
+    Scale: region/nation/customer are dimension-sized → broadcast
+    chain; lineitem->orders is the single big shuffle join on
+    l_orderkey. Catalyst prunes lineitem to 3 columns at scan.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(dec("l_extendedprice") * (one() - dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J2/P3: EXISTS-style filter) + agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events family — the Wistia-surface operators on the driver's events
+# table (user_id↔visitor, event_id↔event_key, ts↔received_at,
+# event_type↔name, value↔percent-ish metric)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_daily_engagement",
+    oracle="""
+    WITH e AS (
+      -- ts is TIMESTAMP_NS in the parquet; truncate to microseconds to
+      -- match Spark's TimestampType exactly
+      SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    agg AS (
+      SELECT
+        user_id,
+        date_trunc('day', ts) AS event_date,
+        COUNT(*) AS n_events,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        COUNT(DISTINCT event_type) AS n_event_types,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        MAX(value) AS max_value,
+        MIN(ts) AS first_ts
+      FROM e GROUP BY 1, 2
+    ),
+    fst AS (
+      SELECT user_id, date_trunc('day', ts) AS event_date, event_type AS first_event_type,
+             row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM e
+    )
+    SELECT agg.user_id, agg.event_date, agg.n_events, agg.n_purchases,
+           agg.n_event_types, agg.total_value, agg.max_value, agg.first_ts,
+           fst.first_event_type
+    FROM agg
+    JOIN fst ON agg.user_id = fst.user_id AND agg.event_date = fst.event_date
+            AND fst.rn = 1
+    """,
+)
+def events_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: daily per-user engagement rollup.
+
+    Re-expression of the reference's fact aggregation
+    (``/root/reference/process_wistia_data_v2.py:350-531``): null-key
+    filter (P4), dedup by unique event key (late/duplicate guard,
+    §2.10), group at (user, day) grain (A1), conditional count (A2),
+    max metric (A3), first-event timestamp (A4), and a deterministic
+    order-sensitive "first value" (A5) expressed as the lexicographic
+    MIN of a (ts, event_id, event_type) struct — JVM-native, no UDF,
+    and exactly one shuffle shared by all aggregates.
+
+    Scale: one hash-aggregate shuffle on (user_id, date); all
+    aggregates including the struct-min fold map-side. The date grain
+    bounds group cardinality; a hot user on one day is AQE-skew-split.
+    """
+    e = load_table(spark, sf_dir, "events")
+    e = e.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).dropDuplicates(["event_id"])
+    return e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(dec("value", 18, 2)).cast("double").alias("total_value"),
+        F.max("value").alias("max_value"),
+        F.min("ts").alias("first_ts"),
+        F.min(F.struct("ts", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("first_event_type"),
+    )
+
+
+@query(
+    "events_high_water_mark",
+    oracle="""
+    SELECT MAX(CAST(ts AS TIMESTAMP)) AS high_water_mark
+    FROM events WHERE ts IS NOT NULL
+    """,
+)
+def events_high_water_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's single declarative query (SURVEY §2.12/A7):
+    incremental-load high-water mark."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("ts").isNotNull()).agg(
+        F.max("ts").alias("high_water_mark")
+    )
+
+
+@query(
+    "events_latest_per_user",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type
+    FROM (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-key (S5/W3 latest-run discovery, generalized).
+
+    Implemented as a lexicographic struct MAX — a full agg with
+    map-side combine, which at 100 TB beats the window row_number
+    formulation (no per-key sort, no skew cliff on hot keys).
+    """
+    e = load_table(spark, sf_dir, "events")
+    top = F.max(F.struct("ts", "event_id", "event_type")).alias("top")
+    return e.groupBy("user_id").agg(top).select(
+        "user_id",
+        F.col("top.ts").alias("last_ts"),
+        F.col("top.event_type").alias("last_event_type"),
+    )

@@ -1,0 +1,95 @@
+"""File sources (S3/S5 in SURVEY.md §2.1) and the driver-table loader.
+
+Reference behaviors re-expressed:
+
+- JSON-array staging files (``/root/reference/ingest_wistia.py:330-337``
+  writes ``json.dump`` arrays; read back whole-file at
+  ``process_wistia_data_v2.py:170-186``) → ``spark.read.json`` with
+  ``multiLine=True`` and a declared schema.
+- Latest-run discovery (``process_wistia_data_v2.py:192-237`` regexes
+  ``_(\\d{8}_\\d{6})\\.json$`` out of filenames and keeps the max) →
+  ``input_file_name()`` + ``regexp_extract`` + a top-1 window, executed
+  on the file listing, not the data.
+
+Scale notes (100 TB): parquet scans here rely on Catalyst pushing
+filters/projections into the scan (verified via ``explain`` in
+tests/bench). Driver tables are read with declared schemas so the
+vectorized parquet reader never pays an inference pass.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import DRIVER_TABLE_SCHEMAS, WISTIA_EVENT_SCHEMA, WISTIA_MEDIA_SCHEMA
+
+RUN_TS_RE = r"_(\d{8}_\d{6})\.json$"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-generated parquet table with its declared schema.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) in the driver parquet,
+    which Spark's vectorized reader rejects; it is read as raw nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and floored to a
+    microsecond TimestampType with integer arithmetic (``div`` — a
+    double division would lose precision at 1e18 nanos).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType())
+                for f in DRIVER_TABLE_SCHEMAS["events"].fields
+            ]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    schema = DRIVER_TABLE_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_wistia_events_json(spark: SparkSession, path: str) -> DataFrame:
+    """Raw viewing events: JSON *array* files → multiLine read, fixed schema."""
+    return spark.read.schema(WISTIA_EVENT_SCHEMA).json(path, multiLine=True)
+
+
+def read_wistia_media_json(spark: SparkSession, path: str) -> DataFrame:
+    """Raw media catalog: JSON array files → multiLine read, fixed schema."""
+    return spark.read.schema(WISTIA_MEDIA_SCHEMA).json(path, multiLine=True)
+
+
+def latest_run_ts(filenames: list[str]) -> str | None:
+    """Max run-timestamp across staged filenames (S5, top-1 over metadata)."""
+    stamps = [m.group(1) for f in filenames if (m := re.search(RUN_TS_RE, f))]
+    return max(stamps) if stamps else None
+
+
+def latest_run_files(directory: str, prefix: str) -> list[str]:
+    """Select the files belonging to the most recent run.
+
+    Mirrors ``process_wistia_data_v2.py:192-237``: extract the run
+    timestamp from each filename, keep files carrying the max stamp.
+    Pure file-listing metadata operation — no data scan.
+    """
+    names = [f for f in os.listdir(directory) if f.startswith(prefix)]
+    ts = latest_run_ts(names)
+    if ts is None:
+        return []
+    return sorted(os.path.join(directory, f) for f in names if ts in f)
+
+
+def with_run_ts_column(df: DataFrame) -> DataFrame:
+    """Attach the run timestamp parsed from each row's source file (F6)."""
+    return df.withColumn(
+        "run_ts", F.regexp_extract(F.input_file_name(), RUN_TS_RE, 1)
+    )
