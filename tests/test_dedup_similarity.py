@@ -1,0 +1,59 @@
+"""Quality assertions for the probabilistic dedup/ANN operators that
+the driver only rows-checks (no SQL oracle): MinHash-LSH, SimHash, IVF.
+
+Measured baselines at sf0.001/sf0.01 (documents has 25 planted
+near-dup pairs at J≈0.99):
+- MinHash(64)+LSH(16×4) → exact-verify: equals exact all-pairs Jaccard.
+- SimHash-64 @ Hamming≤3 with 4-block pigeonhole: recall ≈ 0.6
+  (few-bit flips from ~1-token edits can exceed 3), precision high.
+- IVF (probe 2/8): recall 10/10 at sf0.01 on the vec_id=0 query.
+"""
+
+from __future__ import annotations
+
+from wistia_data_pipeline_project_spark.operators import dedup as D
+from wistia_data_pipeline_project_spark.plans import QUERIES
+from wistia_data_pipeline_project_spark.sources.io import load_table
+
+
+def pairs(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_minhash_equals_exact_jaccard(spark, sf_dir):
+    exact = pairs(QUERIES["docs_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b")
+    mh = pairs(QUERIES["docs_minhash_near_dup"](spark, sf_dir), "doc_a", "doc_b")
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert mh == exact
+
+
+def test_simhash_recall_on_planted_pairs(spark, sf_dir):
+    exact = pairs(QUERIES["docs_ngram_jaccard"](spark, sf_dir), "doc_a", "doc_b")
+    sh = pairs(QUERIES["docs_simhash_near_dup"](spark, sf_dir), "doc_a", "doc_b")
+    assert exact
+    recall = len(sh & exact) / len(exact)
+    assert recall >= 0.5, f"simhash recall {recall} below floor"
+
+
+def test_simhash_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.simhash) for r in D.simhash_fingerprints(docs).collect()}
+    b = {(r.doc_id, r.simhash) for r in D.simhash_fingerprints(docs).collect()}
+    assert a == b
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    once = D.exact_dedup(doubled)
+    twice = D.exact_dedup(once)
+    assert once.count() == docs.select("text").distinct().count()
+    assert twice.count() == once.count()
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    exact = pairs(QUERIES["emb_topk_cosine"](spark, sf_dir), "vec_id")
+    ivf = pairs(QUERIES["emb_ivf_topk"](spark, sf_dir), "vec_id")
+    assert len(ivf) == 10
+    # probe 2/8 partitions: require at least half the true top-10
+    assert len(exact & ivf) >= 5

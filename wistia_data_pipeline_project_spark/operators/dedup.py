@@ -1,0 +1,303 @@
+"""Deduplication operators (north_star): exact, n-gram-Jaccard near-dup,
+MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- **Exact** (`exact_dedup`): group on a 128-bit fingerprint, keep the
+  min-key row. Shuffles 16-byte keys, not documents.
+- **n-gram Jaccard** (`ngram_jaccard_pairs`): exact pairwise similarity
+  via a shingle-equi-join. With w-token shingles (w≥8) random docs
+  share almost nothing, so the join fan-out is ~|true near-dup pairs|,
+  not |docs|² — this is the *verification* stage of a dedup pipeline
+  and the oracle for the probabilistic variants.
+- **MinHash+LSH** (`minhash_lsh_candidates`): k independent min-hashes
+  per doc (one explode + groupBy, no UDF), banded into b buckets; only
+  docs sharing a band-bucket meet in the join. At 100 TB the band
+  buckets are the shuffle key and the candidate set is near-linear.
+- **SimHash** (`simhash_fingerprints`): 64-bit weighted-projection
+  fingerprint; near-dups differ in few bits. Hamming-ball join done by
+  4×16-bit block keys (pigeonhole: ≤3 differing bits → ≥1 identical
+  block).
+
+All hashing uses Spark's built-in xxhash64/hash with fixed seeds —
+deterministic across runs and executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text: the min-key row (deterministic
+    first-wins, the engine-wide replacement for the reference's
+    iteration-order dedup, SURVEY §2 A6)."""
+    fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("_fp").agg(F.min(key_col).alias(key_col))
+    return (
+        fp.join(keep, [key_col, "_fp"], "left_semi")
+        # exact copies share (key, fp); keep a single physical row
+        .dropDuplicates([key_col])
+        .drop("_fp")
+    )
+
+
+def shingles(text_col: str, width: int = 8) -> F.Column:
+    """Distinct w-token shingles of a document as an array column."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - width + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, width), " "))
+    )
+
+
+def shingle_table(df: DataFrame, key_col: str = "doc_id", text_col: str = "text", width: int = 8) -> DataFrame:
+    """(key, shingle) exploded table, one row per distinct shingle."""
+    return df.select(
+        F.col(key_col), F.explode(shingles(text_col, width)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    intersection via shingle equi-join; union = |A|+|B|-∩. The single
+    double division keeps the value deterministic for the oracle.
+    """
+    sh = shingle_table(df, key_col, text_col, width)
+    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .groupBy(
+            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "n_inter", "jaccard"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    width: int = 8,
+) -> DataFrame:
+    """k min-hash values per document, computed JVM-side.
+
+    One xxhash64 per (shingle, seed) via a seed-array transform +
+    aggregate-min over the shingle array — no explode, no UDF; the
+    whole signature builds inside codegen per row.
+    """
+    sh = shingles(text_col, width)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, s))
+        ),
+    )
+    return df.select(F.col(key_col), sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    width: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ≥1 LSH band.
+
+    bands=16 × rows=4 over k=64: P(candidate) = 1-(1-J^4)^16 — ≈1 for
+    J≥0.8, ≈0.04 for J=0.2. The band hash is the shuffle key; no
+    pairwise work outside a bucket.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, key_col, text_col, num_hashes, width)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        key_col,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(key_col, "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    width: int = 8,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
+
+    Output equals exact all-pairs Jaccard≥threshold (up to LSH recall,
+    ≈1-(1-t^4)^16 ≥ 0.9996 at t=0.8), at candidate-set cost.
+    """
+    cands = minhash_lsh_candidates(df, key_col, text_col, num_hashes, bands, width)
+    sh = shingle_table(df, key_col, text_col, width)
+    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    # intersection: shingle self-join restricted (semi-join) to candidates
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .groupBy(
+            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+    )
+    sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_inter", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    bit_i(doc) = sign(Σ_tokens ±1 on hash bit i). Computed as 64
+    aggregate-sums over the token array, JVM-side. Near-dup docs have
+    small Hamming distance between fingerprints.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # 64 aggregate-sum expressions with literal bit positions (shift
+    # amounts must be Python ints for shiftright); all stay in codegen
+    def bit_vote(i: int):
+        # closure factory: F.aggregate lambdas must take exactly 2 args
+        # (PySpark introspects arity), so bind i here
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1),
+        )
+
+    simhash = F.lit(0).cast("long")
+    for i in range(64):
+        # 1<<63 overflows signed long; its bit pattern is long MIN_VALUE
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        simhash = simhash.bitwiseOR(
+            F.when(bit_vote(i) > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.select(F.col(key_col), simhash.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into 4×16-bit
+    blocks; pairs within distance 3 share at least one block, so the
+    join key is (block_idx, block_value) — linear candidate generation,
+    then exact popcount verify.
+    """
+    fps = simhash_fingerprints(df, key_col, text_col)
+    blocks = fps.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(key_col, "simhash", "b.block_idx", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .select(
+            F.col(f"a.{key_col}").alias("doc_a"),
+            F.col(f"b.{key_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

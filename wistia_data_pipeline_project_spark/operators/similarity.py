@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (north_star): brute-force
+cosine top-k as the exact baseline, and an IVF-style
+centroid-partitioned variant as the 100 TB scale path.
+
+All vector math runs JVM-side on ``array<double>`` columns via
+higher-order functions (zip_with + aggregate) — sequential left-fold,
+bit-deterministic, no Python in the loop. A Pandas-UDF BLAS path is a
+possible future optimization for very wide vectors; at dim=64 the
+codegen'd fold wins by avoiding Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to a query vector.
+
+    Scale: one scan, no shuffle until the final top-k (TakeOrdered —
+    per-partition heaps, driver merges k·partitions rows). The query
+    vector is a literal folded into codegen, not a join.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(as_double(F.col(vec_col)), q).alias("cosine_sim")
+    return (
+        df.select(key_col, sim)
+        .orderBy(F.desc("cosine_sim"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+def centroid_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    centroid_key: str = "centroid_id",
+    centroid_vec: str = "cv",
+) -> DataFrame:
+    """IVF building block: assign each vector to its nearest centroid.
+
+    Broadcast the (small) centroid table, cross-join, argmax-by-struct
+    — an aggregation, not a window, so it map-side combines. At scale
+    the assignment becomes the partition key for bucketed ANN search
+    (probe only the query's nearest centroid partitions).
+    """
+    sim = cosine(as_double(F.col(vec_col)), as_double(F.col(centroid_vec)))
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        key_col,
+        F.col(centroid_key),
+        sim.alias("sim"),
+    )
+    # max over (sim, -centroid_id): highest similarity, ties -> lowest id
+    best = F.max(
+        F.struct(F.col("sim"), (-F.col(centroid_key)).alias("neg_id"))
+    ).alias("best")
+    return scored.groupBy(key_col).agg(best).select(
+        key_col,
+        (-F.col("best.neg_id")).cast("integer").alias(centroid_key),
+        F.col("best.sim").alias("sim"),
+    )
+
+
+def ivf_topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe_centroids: int = 2,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: search only the partitions of the query's nearest
+    centroids (IVF-style). Approximate — recall depends on n_probe.
+
+    At 100 TB: vectors are stored partitioned by assigned centroid;
+    a query prunes to n_probe partitions (partition pruning on the
+    centroid column), turning a full scan into a targeted read.
+    """
+    if centroids is None:
+        raise ValueError("centroids DataFrame required (centroid_key, cv)")
+    assigned = centroid_assign(df.select(key_col, vec_col), centroids, vec_col, key_col)
+    data = df.join(assigned.select(key_col, "centroid_id"), key_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    csim = cosine(as_double(F.col("cv")), q)
+    probe = (
+        centroids.select("centroid_id", csim.alias("qsim"))
+        .orderBy(F.desc("qsim"), F.asc("centroid_id"))
+        .limit(n_probe_centroids)
+        .select("centroid_id")
+    )
+    pruned = data.join(F.broadcast(probe), "centroid_id", "left_semi")
+    sim = cosine(as_double(F.col(vec_col)), q).alias("cosine_sim")
+    return (
+        pruned.select(key_col, sim)
+        .orderBy(F.desc("cosine_sim"), F.asc(key_col))
+        .limit(k)
+    )

