@@ -1,0 +1,98 @@
+"""Incremental pipeline semantics: HWM monotonicity, re-run
+idempotence via event_key dedup, append/overwrite modes, date
+partitioning (SURVEY §2.10 / §5 item 4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wistia_data_pipeline_project_spark.operators.incremental import (
+    dedup_events,
+    filter_increment,
+    read_high_water_mark,
+    run_incremental_pipeline,
+)
+from wistia_data_pipeline_project_spark.schemas import (
+    WISTIA_EVENT_SCHEMA,
+    WISTIA_MEDIA_SCHEMA,
+    nullable_copy,
+)
+
+from tests.wistia_fixtures import RUN_TS, make_events, make_media
+
+MEDIA = make_media()
+EVENTS = make_events(MEDIA)
+CUT = dt.datetime(2025, 5, 6, tzinfo=dt.timezone.utc)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+def _dfs(spark):
+    ev = spark.createDataFrame(EVENTS, nullable_copy(WISTIA_EVENT_SCHEMA))
+    md = spark.createDataFrame(MEDIA, nullable_copy(WISTIA_MEDIA_SCHEMA))
+    return ev, md
+
+
+def test_first_run_then_increment(spark, out_dir):
+    ev, md = _dfs(spark)
+    batch1 = ev.filter(
+        (F.col("received_at") < F.lit(CUT)) | F.col("received_at").isNull()
+    )
+    counts1 = run_incremental_pipeline(spark, batch1, md, out_dir, RUN_TS)
+    assert counts1["fact_appended"] > 0
+
+    hwm1 = read_high_water_mark(
+        spark, os.path.join(out_dir, "fact_media_engagement")
+    )
+    assert hwm1 is not None
+
+    counts2 = run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    fact = spark.read.parquet(os.path.join(out_dir, "fact_media_engagement"))
+    # second run only appended groups strictly past the HWM
+    assert counts2["fact_appended"] > 0
+    hwm2 = read_high_water_mark(
+        spark, os.path.join(out_dir, "fact_media_engagement")
+    )
+    assert hwm2 >= hwm1  # HWM monotone
+    # date partitioning materialized on disk
+    parts = [d for d in os.listdir(os.path.join(out_dir, "fact_media_engagement")) if d.startswith("date=")]
+    assert parts
+
+
+def test_rerun_appends_nothing_new(spark, out_dir):
+    ev, md = _dfs(spark)
+    run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    counts = run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    assert counts["fact_appended"] == 0  # all events <= HWM filtered
+
+
+def test_dedup_events_removes_overlap(spark):
+    ev, _ = _dfs(spark)
+    n_all = ev.count()
+    n_dedup = dedup_events(ev).count()
+    n_distinct = ev.select("event_key").distinct().count()
+    assert n_dedup == n_distinct < n_all  # fixture plants a dup key
+
+
+def test_filter_increment_strictness(spark):
+    ev, _ = _dfs(spark)
+    hwm = CUT.replace(tzinfo=None)
+    inc = filter_increment(ev, hwm)
+    assert inc.filter(F.col("received_at") <= F.lit(hwm)).count() == 0
+
+
+def test_dim_overwrite_not_append(spark, out_dir):
+    ev, md = _dfs(spark)
+    run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    n1 = spark.read.parquet(os.path.join(out_dir, "dim_media")).count()
+    run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    n2 = spark.read.parquet(os.path.join(out_dir, "dim_media")).count()
+    assert n1 == n2 == len(MEDIA)

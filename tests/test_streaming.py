@@ -1,0 +1,102 @@
+"""Structured Streaming smoke tests (SURVEY §2.10).
+
+Feeds the Wistia-shaped event fixtures through a file stream and
+checks the streaming daily-engagement rollup emits the same groups as
+the batch fact pipeline's non-stateful aggregates, and that
+session windows close correctly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.wistia_fixtures import make_events, make_media
+from wistia_data_pipeline_project_spark.schemas import WISTIA_EVENT_SCHEMA
+from wistia_data_pipeline_project_spark.streaming.pipeline import (
+    run_stream_to_memory,
+    streaming_daily_engagement,
+    streaming_session_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def events_jsonl_dir(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("events_stream")
+    events = make_events(make_media())
+    # two micro-batch files so the file stream sees >1 batch of input
+    half = len(events) // 2
+    for i, chunk in enumerate((events[:half], events[half:])):
+        with open(os.path.join(path, f"events_{i}.jsonl"), "w") as f:
+            for e in chunk:
+                f.write(json.dumps(e, default=lambda o: o.isoformat()) + "\n")
+    return str(path)
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema(WISTIA_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def test_streaming_daily_engagement_matches_batch(spark, events_jsonl_dir):
+    stream = _read_stream(spark, events_jsonl_dir)
+    q = run_stream_to_memory(
+        streaming_daily_engagement(stream), "daily_engagement_stream"
+    )
+    try:
+        got = {
+            (r["media_id"], r["visitor_id"], str(r["date"])): r["n_events"]
+            for r in spark.table("daily_engagement_stream").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.schema(WISTIA_EVENT_SCHEMA)
+        .json(events_jsonl_dir)
+        .withColumn("received_at", F.to_timestamp("received_at"))
+        .filter(
+            F.col("media_id").isNotNull()
+            & F.col("visitor_key").isNotNull()
+            & F.col("received_at").isNotNull()
+        )
+        .dropDuplicates(["event_key"])
+        .groupBy(
+            "media_id",
+            "visitor_key",
+            F.to_date("received_at").alias("date"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {
+        (r["media_id"], r["visitor_key"], str(r["date"])): r["n_events"]
+        for r in batch.collect()
+    }
+    # append mode only emits windows closed under the watermark; every
+    # emitted group must match the batch answer exactly, and at least
+    # the earliest day must have closed.
+    assert got, "streaming query emitted no closed windows"
+    for key, n in got.items():
+        assert want.get(key) == n, f"group {key}: stream={n} batch={want.get(key)}"
+
+
+def test_streaming_session_windows(spark, events_jsonl_dir):
+    stream = _read_stream(spark, events_jsonl_dir)
+    q = run_stream_to_memory(
+        streaming_session_windows(stream, gap="30 minutes"),
+        "session_stream",
+    )
+    try:
+        rows = spark.table("session_stream").collect()
+    finally:
+        q.stop()
+    assert rows, "no session windows closed"
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1

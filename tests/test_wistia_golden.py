@@ -1,0 +1,177 @@
+"""Golden tests for the Wistia-surface transforms: Spark outputs vs an
+independent plain-Python implementation of the reference semantics
+(SURVEY.md §5 strategy items 2-4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wistia_data_pipeline_project_spark.operators.dims import (
+    filter_media_by_ids,
+    transform_media_data,
+    transform_visitor_data,
+)
+from wistia_data_pipeline_project_spark.operators.fact import (
+    fact_media_engagement,
+    fact_media_engagement_fold,
+)
+from wistia_data_pipeline_project_spark.schemas import (
+    WISTIA_EVENT_SCHEMA,
+    WISTIA_MEDIA_SCHEMA,
+    nullable_copy,
+)
+
+from tests.wistia_fixtures import RUN_TS, golden_fact, make_events, make_media
+
+MEDIA = make_media()
+EVENTS = make_events(MEDIA)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    return spark.createDataFrame(MEDIA, nullable_copy(WISTIA_MEDIA_SCHEMA))
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.createDataFrame(EVENTS, nullable_copy(WISTIA_EVENT_SCHEMA))
+
+
+@pytest.fixture(scope="module")
+def dim_media(media_df):
+    return transform_media_data(media_df, RUN_TS)
+
+
+def test_dim_media_projection_and_channel(dim_media):
+    rows = {r.media_id: r for r in dim_media.collect()}
+    assert len(rows) == len(MEDIA)
+    for m in MEDIA:
+        r = rows[m["hashed_id"]]
+        assert r.wistia_id == m["id"]
+        assert r.title == m["name"]
+        assert r.project_id == m["project"]["id"]
+        name = m["name"]
+        if "Facebook" in name or "FB" in name:
+            assert r.channel == "Facebook"
+        elif "Youtube" in name or "YT" in name:
+            assert r.channel == "YouTube"
+        else:
+            assert r.channel is None
+
+
+def test_media_in_list_filter(spark, media_df):
+    ids = ["med000", "med003"]
+    got = {r.hashed_id for r in filter_media_by_ids(media_df, ids).collect()}
+    assert got == set(ids)
+
+
+def test_dim_visitor_first_wins(spark, events_df):
+    dim = transform_visitor_data(events_df, RUN_TS)
+    rows = {r.visitor_id: r for r in dim.collect()}
+    # golden: earliest (received_at, event_key) per visitor
+    best: dict[str, dict] = {}
+    for e in EVENTS:
+        if e["visitor_key"] is None or e["received_at"] is None:
+            continue
+        k = e["visitor_key"]
+        cur = best.get(k)
+        if cur is None or (e["received_at"], e["event_key"]) < (
+            cur["received_at"],
+            cur["event_key"],
+        ):
+            best[k] = e
+    assert set(rows) == set(best)
+    for k, e in best.items():
+        assert rows[k].first_seen_at == e["received_at"].replace(tzinfo=None)
+        assert rows[k].ip == e["ip"]
+        assert rows[k].browser == e["user_agent_details"]["browser"]
+    # grain: one row per visitor
+    assert dim.count() == dim.select("visitor_id").distinct().count()
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_fact_fold_matches_golden(spark, events_df, dim_media, legacy):
+    fact = fact_media_engagement_fold(events_df, dim_media, RUN_TS, legacy)
+    got = {(r.media_id, r.visitor_id, r.date): r for r in fact.collect()}
+    want = golden_fact(EVENTS, MEDIA, RUN_TS, legacy)
+    want = {
+        (m, v, d): r for (m, v, d), r in want.items()
+    }
+    assert set(got) == set(want)
+    for key, w in want.items():
+        g = got[key]
+        assert g.play_count == w["play_count"], key
+        assert g.total_watch_time == pytest.approx(w["total_watch_time"], abs=1e-9), key
+        assert g.max_percent_viewed == pytest.approx(w["max_percent_viewed"]), key
+        assert g.play_rate == pytest.approx(w["play_rate"], abs=1e-9), key
+        assert g.event_timestamp == w["event_timestamp"].replace(tzinfo=None), key
+        assert g.ip == w["ip"], key
+        assert g.country == w["country"], key
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_fact_window_matches_fold(spark, events_df, dim_media, legacy):
+    """Dual-implementation cross-check (SURVEY §5 item 3): the native
+    window formulation must agree with the sequential fold."""
+    wdf = fact_media_engagement(events_df, dim_media, RUN_TS, legacy)
+    fdf = fact_media_engagement_fold(events_df, dim_media, RUN_TS, legacy)
+    w = {(r.media_id, r.visitor_id, r.date): r for r in wdf.collect()}
+    f = {(r.media_id, r.visitor_id, r.date): r for r in fdf.collect()}
+    assert set(w) == set(f)
+    for key in f:
+        a, b = w[key], f[key]
+        assert a.play_count == b.play_count, key
+        # rounding mode differs (HALF_UP vs banker's): tolerance 0.011
+        assert a.total_watch_time == pytest.approx(
+            b.total_watch_time, abs=0.011
+        ), key
+        assert a.play_rate == pytest.approx(b.play_rate, abs=0.011), key
+        assert a.max_percent_viewed == pytest.approx(b.max_percent_viewed), key
+        assert a.event_timestamp == b.event_timestamp, key
+        assert a.last_event_timestamp == b.last_event_timestamp, key
+        assert a.ip == b.ip, key
+        assert a.country == b.country, key
+
+
+def test_fact_properties(spark, events_df, dim_media):
+    """Property checks (SURVEY §5 item 4)."""
+    fact = fact_media_engagement(events_df, dim_media, RUN_TS)
+    rows = fact.collect()
+    durations = {m["hashed_id"]: m["duration"] for m in MEDIA}
+    assert fact.count() == fact.select("media_id", "visitor_id", "date").distinct().count()
+    for r in rows:
+        d = durations.get(r.media_id)
+        assert r.total_watch_time >= 0
+        if d is not None:
+            assert r.total_watch_time <= d + 1e-6
+        assert 0.0 <= r.play_rate <= 1.0 + 1e-9
+        assert r.play_count >= 0
+        if r.play_count == 0:
+            assert r.total_watch_time == 0.0
+            assert r.play_rate == 0.0
+
+
+def test_null_key_rows_dropped(spark, events_df, dim_media):
+    fact = fact_media_engagement(events_df, dim_media, RUN_TS)
+    assert (
+        fact.filter(
+            F.col("media_id").isNull()
+            | F.col("visitor_id").isNull()
+            | F.col("date").isNull()
+        ).count()
+        == 0
+    )
+
+
+def test_unknown_media_no_watch_time(spark, events_df, dim_media):
+    fact = fact_media_engagement(events_df, dim_media, RUN_TS)
+    unk = fact.filter(F.col("media_id") == "unknown_med").collect()
+    assert unk, "unknown-media group should still aggregate"
+    for r in unk:
+        assert r.total_watch_time == 0.0
+        assert r.play_rate == 0.0
+        assert r.play_count == 1  # progress fallback

@@ -1,0 +1,102 @@
+"""Dimension transforms (SURVEY §2.3 P1-P6, §2.5 A6).
+
+Spark re-expression of the reference's dim builders:
+- ``transform_media_data`` ← /root/reference/process_wistia_data_v2.py:244-311
+  (select/rename 12 columns, nested project.* extraction, channel
+  inference from title substrings, ingestion timestamp stamp)
+- ``transform_visitor_data`` ← /root/reference/process_wistia_data_v2.py:314-344
+  (unique visitors, first-occurrence-wins). The reference's "first"
+  is file-iteration order; here it is deterministic:
+  (received_at, event_key) ascending — SURVEY §7 hard-part 2.
+
+Every column is a native expression; the ingestion timestamp is a
+run-level literal (P6): ``current_timestamp()`` per-row would make
+re-runs non-reproducible and break the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def infer_channel(title: F.Column) -> F.Column:
+    """Channel from title substrings (process_wistia_data_v2.py:274-278):
+    Facebook/FB → 'Facebook'; Youtube/YT → 'YouTube'; else NULL."""
+    return (
+        F.when(
+            title.contains("Facebook") | title.contains("FB"), F.lit("Facebook")
+        )
+        .when(title.contains("Youtube") | title.contains("YT"), F.lit("YouTube"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def transform_media_data(media: DataFrame, run_ts: dt.datetime) -> DataFrame:
+    """media catalog → dim_media: projection + rename + nested struct
+    extraction + derived channel + audit stamp."""
+    return media.select(
+        F.col("hashed_id").alias("media_id"),
+        F.col("id").alias("wistia_id"),
+        F.col("name").alias("title"),
+        F.col("type").alias("media_type"),
+        F.col("created").alias("created_at"),
+        F.col("updated").alias("updated_at"),
+        F.col("duration").cast("double").alias("duration"),
+        F.col("description"),
+        F.col("project.id").alias("project_id"),
+        F.col("project.name").alias("project_name"),
+        infer_channel(F.col("name")).alias("channel"),
+        F.lit(run_ts).cast("timestamp").alias("ingestion_timestamp"),
+    )
+
+
+def filter_media_by_ids(media: DataFrame, hashed_ids: list[str]) -> DataFrame:
+    """IN-list media filter (P3; process_wistia_data.py:149-161). For a
+    literal list Catalyst folds `isin` into the parquet scan; a dynamic
+    list would become a broadcast left-semi join."""
+    if not hashed_ids:
+        return media
+    return media.filter(F.col("hashed_id").isin(hashed_ids))
+
+
+def transform_visitor_data(events: DataFrame, run_ts: dt.datetime) -> DataFrame:
+    """events → dim_visitor: one row per visitor_key, attributes from
+    that visitor's earliest event (deterministic first-wins).
+
+    Implemented as a lexicographic struct-min aggregation: one shuffle
+    on visitor_key, map-side combinable — no window sort. At 100 TB
+    visitor cardinality is huge but each group is small; the hash agg
+    spills gracefully and AQE coalesces the output.
+    """
+    first = F.min(
+        F.struct(
+            "received_at",
+            "event_key",
+            "ip",
+            "country",
+            F.col("user_agent_details.browser").alias("browser"),
+            F.col("user_agent_details.platform").alias("platform"),
+            F.col("user_agent_details.mobile").alias("mobile"),
+        )
+    ).alias("f")
+    return (
+        # received_at null would sort before every real timestamp in the
+        # struct-min and poison first_seen_at — such rows are invalid
+        # for an ordering defined by (received_at, event_key)
+        events.filter(F.col("visitor_key").isNotNull() & F.col("received_at").isNotNull())
+        .groupBy(F.col("visitor_key").alias("visitor_id"))
+        .agg(first)
+        .select(
+            "visitor_id",
+            F.col("f.received_at").alias("first_seen_at"),
+            F.col("f.ip").alias("ip"),
+            F.col("f.country").alias("country"),
+            F.col("f.browser").alias("browser"),
+            F.col("f.platform").alias("platform"),
+            F.col("f.mobile").alias("mobile"),
+            F.lit(run_ts).cast("timestamp").alias("ingestion_timestamp"),
+        )
+    )

@@ -1,0 +1,316 @@
+"""Fact transform: media-engagement rollup at (media_id, visitor_id,
+date) grain, including the reference's stateful watch-time operator.
+
+Behavioral source (what to compute, not how):
+``/root/reference/process_wistia_data_v2.py:350-531`` —
+grouping/null-key filter (:360-389), play count with progress fallback
+(:397-400), the sequential watch-time fold (:402-465), duration clamp
+(:467-469), play-rate ratio + zero-forcing (:472-481, :526-530), first
+event timestamp (:484-492), max percent (:495-497), first non-null
+ip/country (:499-513).
+
+Two implementations, cross-checked in tests:
+
+1. **Window formulation** (`fact_media_engagement`, default) — fully
+   native: the fold's state is lag-1 once tracking starts, so interval
+   credit is a gated expression over ``lag``; everything else is one
+   hash aggregate of struct-min/max. Exact when timestamps are
+   strictly increasing within a group after tracking start (equal
+   timestamps: the reference's anchor freezes while lag-1 does not —
+   divergence bounded by the duplicate-ts credit, asserted ≈0 in
+   tests).
+2. **`applyInPandas` fold** (`fact_media_engagement_fold`) — the
+   bit-exact sequential port, used as the oracle for (1) and for the
+   golden tests. Arrow-batched; state never leaves a group.
+
+Quirk resolution (SURVEY §2.6, engine defaults vs `legacy` flag):
+
+- Q1: events carry no ``name`` in observed data; all ``name`` logic is
+  null-safe (play_count falls back to "any progress → 1").
+- Q2: ``percent_viewed`` is a 0-1 fraction, but the reference divides
+  the delta by 100 again. Default: credit ``Δpct × duration``.
+  ``legacy_percent_semantics=True`` reproduces ``Δpct/100 × duration``
+  for byte-compat with the reference.
+
+Determinism: per-group ordering is (received_at, event_key) — the
+reference relied on file order (SURVEY §7 hard-part 2). The
+first-non-null ip/country fallback is the sorted-first event, not the
+unsorted-first (documented deviation; the reference's fallback order is
+irreproducible by design).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+FACT_OUTPUT_SCHEMA = (
+    "media_id string, visitor_id string, date date, play_count bigint, "
+    "total_watch_time double, max_percent_viewed double, play_rate double, "
+    "event_timestamp timestamp, last_event_timestamp timestamp, "
+    "ip string, country string, ingestion_timestamp timestamp"
+)
+
+
+def _valid_events(events: DataFrame) -> DataFrame:
+    """P4 null-key filter (process_wistia_data_v2.py:374)."""
+    return events.filter(
+        F.col("media_id").isNotNull()
+        & F.col("visitor_key").isNotNull()
+        & F.col("received_at").isNotNull()
+    )
+
+
+def _with_duration(events: DataFrame, dim_media: DataFrame) -> DataFrame:
+    """J1 broadcast duration lookup (process_wistia_data_v2.py:721-728)."""
+    dur = dim_media.select("media_id", "duration")
+    return events.join(F.broadcast(dur), "media_id", "left")
+
+
+def fact_media_engagement(
+    events: DataFrame,
+    dim_media: DataFrame,
+    run_ts: dt.datetime,
+    legacy_percent_semantics: bool = False,
+) -> DataFrame:
+    """Window-native fact rollup (the 100 TB path).
+
+    Plan shape: one shuffle on (media_id, visitor_key) for the window
+    sort, then one hash aggregate on (media_id, visitor_key, date).
+    The dim join is broadcast. No Python in the hot path.
+    """
+    e = _with_duration(_valid_events(events), dim_media).select(
+        "media_id",
+        F.col("visitor_key").alias("visitor_id"),
+        F.to_date("received_at").alias("date"),
+        "received_at",
+        "event_key",
+        F.col("percent_viewed").cast("double").alias("pct"),
+        F.col("name").alias("event_name"),
+        "ip",
+        "country",
+        F.col("duration").cast("double").alias("duration"),
+    )
+
+    keys = ["media_id", "visitor_id", "date"]
+    w_ord = W.partitionBy(*keys).orderBy("received_at", "event_key")
+    w_all = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+
+    # tracking starts at the first event with progress or an explicit
+    # play (null-safe on name — Q1)
+    is_start_candidate = (F.col("pct") > 0) | (F.col("event_name") == "play")
+    start_marker = F.min(
+        F.when(is_start_candidate, F.struct("received_at", "event_key"))
+    ).over(w_all)
+    cur_marker = F.struct("received_at", "event_key")
+
+    e = e.withColumn("_start", start_marker)
+    tracked = F.col("_start").isNotNull() & (cur_marker >= F.col("_start"))
+    e = e.withColumn("_tracked", tracked)
+
+    # lag-1 within the tracked suffix of each group
+    t = e.filter(F.col("_tracked"))
+    prev_ts = F.lag("received_at").over(w_ord)
+    prev_pct = F.lag("pct").over(w_ord)
+    dt_s = (
+        (F.unix_micros(F.col("received_at")) - F.unix_micros(prev_ts)).cast("double")
+        / 1000000.0
+    )
+    dpct = F.col("pct") - prev_pct
+    scale = (dpct / 100.0) if legacy_percent_semantics else dpct
+    credit = F.when(
+        prev_ts.isNotNull()
+        & (dt_s > 0)
+        & (F.col("pct") > prev_pct)
+        & (F.col("duration").isNotNull())
+        & (F.col("duration") > 0)
+        & (~F.coalesce(F.col("event_name").isin("pause", "end"), F.lit(False))),
+        F.least(dt_s, scale * F.col("duration")),
+    ).otherwise(F.lit(0.0))
+    t = t.select(*keys, credit.alias("credit")).groupBy(*keys).agg(
+        F.sum("credit").alias("raw_watch_time")
+    )
+
+    first_truthy = lambda c: F.min(  # noqa: E731
+        F.when(
+            F.col(c).isNotNull() & (F.col(c) != ""),
+            F.struct("received_at", "event_key", F.col(c).alias("v")),
+        )
+    )
+    g = e.groupBy(*keys).agg(
+        F.count(F.when(F.col("event_name") == "play", 1)).alias("n_play_events"),
+        F.max(F.when(F.col("pct") > 0, True)).alias("any_progress"),
+        F.max("pct").alias("max_percent_viewed"),
+        F.min(F.struct("received_at", "event_key")).getField("received_at").alias(
+            "event_timestamp"
+        ),
+        F.max("received_at").alias("last_event_timestamp"),
+        first_truthy("ip").getField("v").alias("ip"),
+        first_truthy("country").getField("v").alias("country"),
+        F.first("duration").alias("duration"),
+    )
+
+    out = g.join(t, keys, "left").withColumn(
+        "raw_watch_time", F.coalesce("raw_watch_time", F.lit(0.0))
+    )
+    play_count = F.when(F.col("n_play_events") > 0, F.col("n_play_events")).otherwise(
+        F.when(F.coalesce(F.col("any_progress"), F.lit(False)), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    )
+    clamped = F.when(
+        F.col("duration").isNotNull(),
+        F.least(F.col("raw_watch_time"), F.col("duration")),
+    ).otherwise(F.col("raw_watch_time"))
+    out = (
+        out.withColumn("play_count", play_count.cast("bigint"))
+        .withColumn("_wt", F.when(F.col("play_count") > 0, clamped).otherwise(F.lit(0.0)))
+        .withColumn("total_watch_time", F.round(F.col("_wt"), 2))
+        .withColumn(
+            "play_rate",
+            F.when(
+                (F.col("play_count") > 0)
+                & (F.col("duration").isNotNull())
+                & (F.col("duration") > 0)
+                & (F.col("_wt") > 0),
+                F.round(F.col("_wt") / F.col("duration"), 2),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("ingestion_timestamp", F.lit(run_ts).cast("timestamp"))
+    )
+    return out.select(
+        "media_id",
+        "visitor_id",
+        "date",
+        "play_count",
+        "total_watch_time",
+        "max_percent_viewed",
+        "play_rate",
+        "event_timestamp",
+        "last_event_timestamp",
+        "ip",
+        "country",
+        "ingestion_timestamp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas fold — bit-exact sequential oracle
+# ---------------------------------------------------------------------------
+
+
+def _fold_group(
+    pdf: pd.DataFrame, run_ts: dt.datetime, legacy: bool
+) -> dict:
+    pdf = pdf.sort_values(["received_at", "event_key"], kind="mergesort")
+    duration = pdf["duration"].iloc[0]
+    has_duration = pd.notna(duration)
+    duration = float(duration) if has_duration else None
+
+    names = pdf["event_name"]
+    pcts = pdf["pct"]
+    n_play = int((names == "play").sum())
+    any_progress = bool((pcts > 0).any())
+    play_count = n_play if n_play > 0 else (1 if any_progress else 0)
+
+    total = 0.0
+    last_time = None
+    last_pct = 0.0
+    if has_duration and duration > 0:
+        for ts, pct, name in zip(pdf["received_at"], pcts, names):
+            if pd.isna(ts) or pd.isna(pct):
+                continue
+            pct = float(pct)
+            if last_time is None and (pct > 0 or name == "play"):
+                last_time = ts
+                last_pct = pct
+            elif last_time is not None:
+                elapsed = (ts - last_time).total_seconds()
+                if elapsed > 0 and pct > last_pct:
+                    if name not in ("pause", "end"):
+                        change = pct - last_pct
+                        expected = (change / 100.0 if legacy else change) * duration
+                        total += min(elapsed, expected)
+                    last_pct = pct
+                    last_time = ts
+                elif pct > last_pct + 0.01:
+                    last_pct = pct
+                    last_time = ts
+                elif elapsed > 0 and pct <= last_pct:
+                    last_pct = pct
+                    last_time = ts
+    if has_duration:
+        total = min(total, duration)
+
+    play_rate = 0.0
+    if has_duration and duration > 0 and total > 0:
+        play_rate = round(total / duration, 2)
+    if play_count == 0:
+        total = 0.0
+        play_rate = 0.0
+
+    ip = None
+    country = None
+    for i_, c_ in zip(pdf["ip"], pdf["country"]):
+        if ip is None and isinstance(i_, str) and i_:
+            ip = i_
+        if country is None and isinstance(c_, str) and c_:
+            country = c_
+        if ip is not None and country is not None:
+            break
+
+    return {
+        "media_id": pdf["media_id"].iloc[0],
+        "visitor_id": pdf["visitor_id"].iloc[0],
+        "date": pdf["date"].iloc[0],
+        "play_count": play_count,
+        "total_watch_time": round(total, 2),
+        "max_percent_viewed": float(pcts.max()) if len(pcts) else 0.0,
+        "play_rate": play_rate,
+        "event_timestamp": pdf["received_at"].iloc[0],
+        "last_event_timestamp": pdf["received_at"].iloc[-1],
+        "ip": ip,
+        "country": country,
+        "ingestion_timestamp": run_ts,
+    }
+
+
+def fact_media_engagement_fold(
+    events: DataFrame,
+    dim_media: DataFrame,
+    run_ts: dt.datetime,
+    legacy_percent_semantics: bool = False,
+) -> DataFrame:
+    """Sequential-fold implementation via grouped-map applyInPandas.
+
+    One Arrow batch per (media, visitor, date) group; the state machine
+    is the reference's, verbatim in semantics. Used as the correctness
+    oracle for the window formulation and for golden tests; also the
+    fallback if a future semantics change stops being lag-1.
+    """
+    e = _with_duration(_valid_events(events), dim_media).select(
+        "media_id",
+        F.col("visitor_key").alias("visitor_id"),
+        F.to_date("received_at").alias("date"),
+        "received_at",
+        "event_key",
+        F.col("percent_viewed").cast("double").alias("pct"),
+        F.col("name").alias("event_name"),
+        "ip",
+        "country",
+        F.col("duration").cast("double").alias("duration"),
+    )
+
+    legacy = legacy_percent_semantics
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([_fold_group(pdf, run_ts, legacy)])
+
+    return e.groupBy("media_id", "visitor_id", "date").applyInPandas(
+        fold, FACT_OUTPUT_SCHEMA
+    )

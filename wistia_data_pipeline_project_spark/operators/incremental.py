@@ -1,0 +1,114 @@
+"""Incremental load semantics (SURVEY §2.2 K1-K5, §2.10): the
+reference's hand-rolled streaming-by-scheduler pipeline, re-expressed
+on partitioned Parquet tables.
+
+Reference behaviors:
+- High-water mark: ``SELECT MAX(event_timestamp) FROM fact`` before
+  fetching (process_wistia_data_v2.py:132-166); +1 s overlap buffer
+  (process_wistia_data.py:413-416).
+- Fact loads WRITE_APPEND (process_wistia_data.py:528); dims
+  WRITE_TRUNCATE (:515).
+- Duplicates on re-run acknowledged but unhandled
+  (process_wistia_data.py:207-208) — the engine closes that gap with
+  ``event_key`` dedup before aggregation, making re-runs idempotent.
+- Date partitioning exists only as dead commented-out DDL
+  (process_wistia_data_v2.py:81-83) — realized here as
+  ``partitionBy("date")``.
+
+Scale: the fact table partitions by date so the HWM probe reads one
+partition's footer stats, increments append only new date partitions,
+and downstream date-range queries prune. Dims are small and
+overwritten whole.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+HWM_BUFFER = "INTERVAL 1 SECOND"
+
+
+def read_high_water_mark(
+    spark: SparkSession, fact_path: str, ts_col: str = "last_event_timestamp"
+) -> dt.datetime | None:
+    """Max event timestamp in the sink, or None on first run
+    (first-run fallback: process_wistia_data_v2.py:614-619).
+
+    Engine improvement over the reference: the fact carries
+    ``last_event_timestamp`` (max raw event ts per group), so the HWM
+    covers every ingested event — reading the reference's
+    ``event_timestamp`` (the group's FIRST event) would re-ingest the
+    tail events of the newest groups on every run (the duplicate
+    wrinkle acknowledged at process_wistia_data.py:207-208)."""
+    if not os.path.exists(fact_path):
+        return None
+    row = (
+        spark.read.parquet(fact_path)
+        .filter(F.col(ts_col).isNotNull())
+        .agg(F.max(ts_col).alias("hwm"))
+        .head()
+    )
+    return row["hwm"] if row else None
+
+
+def filter_increment(
+    events: DataFrame, hwm: dt.datetime | None, ts_col: str = "received_at"
+) -> DataFrame:
+    """Keep events strictly past the HWM. The source fetch already
+    applies `since = hwm + 1s` (S2 pushdown); re-filtering in the plan
+    keeps correctness independent of source behavior."""
+    if hwm is None:
+        return events
+    return events.filter(F.col(ts_col) > F.lit(hwm))
+
+
+def dedup_events(events: DataFrame, key_col: str = "event_key") -> DataFrame:
+    """Idempotence guard: one row per event key (the +1 s overlap
+    re-fetches boundary events; unique event_key makes re-runs safe)."""
+    return events.dropDuplicates([key_col])
+
+
+def write_dim(df: DataFrame, path: str) -> None:
+    """WRITE_TRUNCATE → full-refresh overwrite."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def write_fact_append(df: DataFrame, path: str) -> None:
+    """WRITE_APPEND with date partitioning (realizing the reference's
+    commented-out partition DDL)."""
+    df.write.mode("append").partitionBy("date").parquet(path)
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    events: DataFrame,
+    media: DataFrame,
+    out_dir: str,
+    run_ts: dt.datetime,
+) -> dict[str, int]:
+    """One scheduled run, end-to-end (entry point 1 shape,
+    process_wistia_data.py:364-542): HWM → increment filter → dedup →
+    dims overwrite → fact append. Returns row counts per table."""
+    from .dims import transform_media_data, transform_visitor_data
+    from .fact import fact_media_engagement
+
+    fact_path = os.path.join(out_dir, "fact_media_engagement")
+    hwm = read_high_water_mark(spark, fact_path)
+    inc = dedup_events(filter_increment(events, hwm))
+
+    dim_media = transform_media_data(media, run_ts)
+    dim_visitor = transform_visitor_data(inc, run_ts)
+    fact = fact_media_engagement(inc, dim_media, run_ts)
+
+    write_dim(dim_media, os.path.join(out_dir, "dim_media"))
+    write_dim(dim_visitor, os.path.join(out_dir, "dim_visitor"))
+    write_fact_append(fact, fact_path)
+    return {
+        "dim_media": dim_media.count(),
+        "dim_visitor": dim_visitor.count(),
+        "fact_appended": fact.count(),
+    }

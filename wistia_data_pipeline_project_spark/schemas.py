@@ -16,6 +16,16 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+
+def nullable_copy(schema: T.StructType) -> T.StructType:
+    """All-nullable variant of a schema: raw feeds may violate the
+    declared REQUIRED modes (the reference drops such rows at transform
+    time, process_wistia_data_v2.py:374 — so the ingest schema must
+    admit them)."""
+    return T.StructType(
+        [T.StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+
 # ---------------------------------------------------------------------------
 # Raw Wistia shapes (source of truth: raw_data/events_*.json /
 # all_media_metadata_*.json; field-by-field provenance in SURVEY.md §1.3)
