@@ -111,19 +111,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hash values per document, computed JVM-side.
 
-    One xxhash64 per (shingle, seed) via a seed-array transform +
-    aggregate-min over the shingle array — no explode, no UDF; the
-    whole signature builds inside codegen per row.
+    Shape: explode shingles → hash once per shingle → explode k seeds
+    → xxhash64(h, seed) remix → min per (doc, seed) → assemble the
+    k-array per doc. Everything before the groupBy is plain codegen'd
+    expressions over generated rows — deliberately NOT nested
+    higher-order-function lambdas over arrays, which fall back to
+    interpreted evaluation (measured 20 s vs <1 s at sf0.01 for the
+    same 1.5M hash evaluations). The k-fold row blowup collapses in
+    the map-side partial min before the exchange, so the shuffle
+    carries k rows per document, not k×|shingles|.
     """
-    sh = shingles(text_col, width)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(sh, lambda g: F.xxhash64(g, s))
-        ),
+    sh_tab = df.select(
+        F.col(key_col), F.explode(shingles(text_col, width)).alias("_g")
     )
-    return df.select(F.col(key_col), sig.alias("signature"))
+    seeded = sh_tab.select(
+        key_col,
+        F.xxhash64("_g").alias("_h"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed"),
+    )
+    minh = seeded.groupBy(key_col, "_seed").agg(
+        F.min(F.xxhash64("_h", "_seed")).alias("_mh")
+    )
+    return minh.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_seed", "_mh"))),
+            lambda s: s["_mh"],
+        ).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -139,6 +153,15 @@ def minhash_lsh_candidates(
     bands=16 × rows=4 over k=64: P(candidate) = 1-(1-J^4)^16 — ≈1 for
     J≥0.8, ≈0.04 for J=0.2. The band hash is the shuffle key; no
     pairwise work outside a bucket.
+
+    Pairs are emitted bucket-locally via groupBy(band, bucket) +
+    collect_list, NOT a self-join: a self-join would inline the whole
+    signature expression tree into both sides (measured 39 s vs 0.4 s
+    at sf0.01 from plan/codegen blowup alone) and at scale would scan
+    and hash the corpus twice. Bucket membership lists are tiny by
+    construction (only near-dups collide); `max_bucket` caps the
+    pathological hot bucket (a stop-shingle band) so one skewed key
+    cannot produce a quadratic task.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, width)
@@ -163,13 +186,39 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(key_col, "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    return bucket_pairs(banded, key_col, ["band", "bucket"])
+
+
+def bucket_pairs(
+    df: DataFrame, key_col: str, bucket_cols: list[str], max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs of keys sharing a bucket.
+
+    groupBy + collect_list + array-comprehension pair expansion — one
+    pass over the input, bucket as the only shuffle key. Buckets over
+    ``max_bucket`` members are dropped (degenerate hot keys: quadratic
+    output carries no dedup signal and would skew one task).
+    """
+    buckets = (
+        df.groupBy(*bucket_cols)
+        .agg(F.collect_list(key_col).alias("_members"))
+        .filter((F.size("_members") > 1) & (F.size("_members") <= max_bucket))
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_members"),
+                lambda x: F.transform(
+                    F.col("_members"),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        .select(
-            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -262,13 +311,17 @@ def simhash_near_dup_pairs(
 
     Pigeonhole blocking: split the 64-bit fingerprint into 4×16-bit
     blocks; pairs within distance 3 share at least one block, so the
-    join key is (block_idx, block_value) — linear candidate generation,
-    then exact popcount verify.
+    bucket key is (block_idx, block_value) — linear candidate
+    generation, then exact popcount verify. Pair expansion happens
+    bucket-locally (collect_list of (key, simhash) structs, see
+    ``bucket_pairs`` rationale) so the fingerprint expression is
+    evaluated once per doc and no self-join duplicates the plan.
     """
     fps = simhash_fingerprints(df, key_col, text_col)
     blocks = fps.select(
-        key_col,
-        "simhash",
+        F.struct(F.col(key_col).alias("key"), F.col("simhash").alias("sh")).alias(
+            "_member"
+        ),
         F.explode(
             F.array(
                 *[
@@ -282,17 +335,32 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("b"),
-    ).select(key_col, "simhash", "b.block_idx", "b.block_val")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    ).select("_member", "b.block_idx", "b.block_val")
+    buckets = (
+        blocks.groupBy("block_idx", "block_val")
+        .agg(F.collect_list("_member").alias("_members"))
+        .filter((F.size("_members") > 1) & (F.size("_members") <= 1000))
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_members"),
+                lambda x: F.transform(
+                    F.col("_members"),
+                    lambda y: F.struct(
+                        x["key"].alias("doc_a"),
+                        y["key"].alias("doc_b"),
+                        x["sh"].alias("sh_a"),
+                        y["sh"].alias("sh_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     cand = (
-        a.join(b, ["block_idx", "block_val"])
-        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        .select(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
