@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract).
+
+Runs every catalog query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "catalog_total_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
+
+Per-query time = logical-plan build + full execution to a count-style
+action that forces every output column (``collect`` on small results,
+agg-probe on large ones would hide compute, so collect everywhere —
+catalog results at sf0.1 are all <1M rows). A warmup query runs first
+so JVM/codegen startup isn't billed to the first catalog entry.
+
+Usage: ``python bench.py [query ...]`` (no args = all queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wistia_data_pipeline_project_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    names = sys.argv[1:] or list(qs)
+
+    spark = get_spark(app_name="wistia-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer reads + codegen paths, not billed
+    qs["events_high_water_mark"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
