@@ -1,0 +1,94 @@
+"""Multimodal operator tests: decode contract, resize math, frame
+sampling, Arrow batch plumbing, determinism across partitionings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_data_pipeline_project_spark.operators import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} " + "lorem ipsum " * (i % 5 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    return M.attach_fake_assets(docs).cache()
+
+
+def test_fake_decode_shape_and_determinism():
+    a1 = M.fake_decode(b"hello world", 10, 6, 3)
+    a2 = M.fake_decode(b"hello world", 10, 6, 3)
+    assert a1.shape == (6, 10, 3)
+    assert a1.dtype == np.uint8
+    assert (a1 == a2).all()
+    # tiling: first bytes are the payload itself
+    assert bytes(a1.ravel()[:11]) == b"hello world"
+
+
+def test_fake_decode_empty_payload():
+    a = M.fake_decode(b"", 4, 4, 3)
+    assert a.shape == (4, 4, 3) and (a == 0).all()
+
+
+def test_decode_payload_rejects_audio():
+    with pytest.raises(NotImplementedError):
+        M.decode_payload(b"x", {"media_type": "audio"})
+
+
+def test_nearest_resize_known_values():
+    arr = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = M._nearest_resize(arr, 2, 2)
+    # rows 0,2 / cols 0,2 of the source
+    assert out.shape == (2, 2, 1)
+    assert out.ravel().tolist() == [0, 2, 8, 10]
+
+
+def test_image_features_schema_and_rows(assets):
+    feats = M.image_features(assets)
+    rows = {r["asset_id"]: r for r in feats.collect()}
+    want_images = {
+        r["asset_id"]
+        for r in assets.select("asset_id", "meta.media_type").collect()
+        if r["media_type"] == "image"
+    }
+    assert set(rows) == want_images
+    for r in rows.values():
+        assert r["width"] == r["asset_id"] % 32 + 8
+        assert r["height"] == r["asset_id"] % 24 + 8
+        assert 0 <= r["mean_pixel"] <= 255
+        assert len(r["histogram"]) == 8
+        assert sum(r["histogram"]) == r["width"] * r["height"] * 3
+
+
+def test_image_features_partitioning_invariant(assets):
+    one = M.image_features(assets.coalesce(1)).orderBy("asset_id").collect()
+    many = M.image_features(assets.repartition(7)).orderBy("asset_id").collect()
+    assert one == many
+
+
+def test_resize_images_payload_size(assets):
+    out = M.resize_images(assets, 8, 8).collect()
+    assert out, "no images resized"
+    for r in out:
+        assert len(r["payload"]) == 8 * 8 * 3
+
+
+def test_sample_frames_indices(assets):
+    frames = M.sample_frames(assets, every_k=2)
+    got = frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_idx").alias("max_idx")
+    )
+    metas = {
+        r["asset_id"]: r["n_frames"]
+        for r in assets.select("asset_id", "meta.n_frames", "meta.media_type").collect()
+        if r["media_type"] == "video"
+    }
+    rows = {r["asset_id"]: r for r in got.collect()}
+    assert set(rows) == set(metas)
+    for aid, n_frames in metas.items():
+        assert rows[aid]["n"] == -(-n_frames // 2)  # ceil(n/2)
+        assert rows[aid]["max_idx"] == (n_frames - 1) // 2 * 2

@@ -1,0 +1,251 @@
+"""Multimodal columns (north_star): image/audio/video as opaque
+``binary`` payloads with typed metadata, plus decode / feature-extract
+/ resize / frame-sample implemented as Arrow-batched ``mapInPandas``
+transforms.
+
+The reference stores media *descriptions* (thumbnail/asset URL structs,
+``/root/reference/cloud-run-job/media_stats_schema.json:75-109``) and
+never touches pixel data; this module supplies the pixel-level operator
+surface a training-data pipeline needs on top of that shape.
+
+Codec boundary: this container has no image/audio libraries, so
+``decode_payload`` tries Pillow and falls back to a **deterministic
+fake raster** (documented below) — the Spark-side contract (schemas,
+Arrow batch shapes, partitioning) is identical either way, and every
+transform downstream of decode is real NumPy.
+
+Scale design (100 TB of media):
+- payloads stay opaque bytes end-to-end; nothing shuffles decoded
+  pixels. Decode happens inside ``mapInPandas`` per input split and
+  its outputs are small typed columns (features, dims, sampled-frame
+  summaries), so shuffle volume is metadata-sized.
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch memory:
+  with ~1 MB payloads the default 10k-row batch would hold ~10 GB —
+  callers set it to O(64) for real media. (Tested: the transforms
+  respect whatever batch size Arrow hands them.)
+- feature extraction is embarrassingly parallel — no skew risk keyed
+  on content; partition count follows the input splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # codec boundary: absent in this container, real in production
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+# typed metadata carried alongside every payload
+ASSET_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio only
+        T.StructField("n_frames", T.IntegerType()),  # video only
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", ASSET_META),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("std_pixel", T.DoubleType()),
+        T.StructField("histogram", T.ArrayType(T.LongType())),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def attach_fake_assets(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Derive a deterministic multimodal asset table from a text table
+    (test/demo source: the container ships no media files).
+
+    payload = utf-8 bytes of the text; media_type cycles by key;
+    declared dims derive from the key. Deterministic in BOTH engines —
+    the DuckDB oracle rebuilds the same table with encode()/octet_length.
+    """
+    k = F.col(key_col)
+    mt = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (k % 3 + 1).cast("int"),
+    )
+    return df.select(
+        k.alias("asset_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            mt.alias("media_type"),
+            F.lit("fake").alias("format"),
+            (k % 32 + 8).cast("int").alias("width"),
+            (k % 24 + 8).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("n_channels"),
+            F.when(mt == "audio", F.lit(16000)).cast("int").alias("sample_rate"),
+            F.when(mt == "video", (k % 10 + 2)).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def fake_decode(payload: bytes, width: int, height: int, n_channels: int = 3) -> np.ndarray:
+    """Deterministic fake raster: payload bytes tiled into (h, w, c)
+    uint8. Stands in for a codec; same contract (HWC uint8 array)."""
+    size = height * width * n_channels
+    buf = np.frombuffer(payload or b"\0", dtype=np.uint8)
+    reps = -(-size // max(len(buf), 1))  # ceil-div
+    return np.tile(buf, reps)[:size].reshape(height, width, n_channels)
+
+
+def decode_payload(payload: bytes, meta: dict) -> np.ndarray:
+    """Codec entry point. Pillow when available; deterministic fake
+    raster otherwise. Raises for modalities with no decoder."""
+    if meta.get("media_type") not in ("image", "video"):
+        raise NotImplementedError(
+            f"no decoder for media_type={meta.get('media_type')!r} in this build"
+        )
+    if HAVE_PIL and meta.get("format") != "fake":
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    return fake_decode(
+        payload, int(meta["width"]), int(meta["height"]), int(meta.get("n_channels") or 3)
+    )
+
+
+def _nearest_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure NumPy (index gather, no codec)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Per-image statistics via Arrow-batched decode.
+
+    Output is metadata-sized (stats + an ``n_bins`` histogram), so the
+    binary column never leaves the scan stage.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                if meta["media_type"] != "image":
+                    continue
+                arr = decode_payload(r["payload"], meta)
+                hist = np.bincount(arr.ravel() >> 5, minlength=n_bins)[:n_bins]
+                rows.append(
+                    {
+                        "asset_id": r["asset_id"],
+                        "n_bytes": len(r["payload"] or b""),
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "n_channels": arr.shape[2],
+                        "mean_pixel": float(arr.mean()),
+                        "std_pixel": float(arr.std()),
+                        "histogram": hist.tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (raw HWC bytes).
+
+    The one multimodal operator whose output IS pixels; emits fixed
+    ``out_w × out_h × c`` payloads, so output size is bounded per row
+    regardless of input size.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                if meta["media_type"] != "image":
+                    continue
+                arr = decode_payload(r["payload"], meta)
+                out = _nearest_resize(arr, out_w, out_h)
+                rows.append(
+                    {
+                        "asset_id": r["asset_id"],
+                        "width": out_w,
+                        "height": out_h,
+                        "payload": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return assets.mapInPandas(work, RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: decode the fake frame stack
+    (n_frames × h × w × c from the same byte-tiling codec), keep every
+    k-th frame, emit per-frame summaries (one output row per kept
+    frame — a mapInPandas that *generates* rows)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                if meta["media_type"] != "video" or not meta["n_frames"]:
+                    continue
+                w, h, c = int(meta["width"]), int(meta["height"]), int(meta["n_channels"] or 3)
+                n = int(meta["n_frames"])
+                stack = fake_decode(r["payload"], w, h * n, c).reshape(n, h, w, c)
+                for i in range(0, n, every_k):
+                    rows.append(
+                        {
+                            "asset_id": r["asset_id"],
+                            "frame_idx": i,
+                            "mean_pixel": float(stack[i].mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return assets.mapInPandas(work, FRAME_SCHEMA)

@@ -1,0 +1,116 @@
+"""Multimodal-column queries (north_star): binary payloads + typed
+metadata derived deterministically from ``documents``, driven through
+the real Arrow/mapInPandas decode plumbing.
+
+Oracle notes: the fake-asset derivation is reproducible in SQL
+(encode/octet_length + arithmetic on doc_id), so the *structural*
+outputs of the decode path — dimensions, byte counts, sampled frame
+indices — are fully oracle-checked even though the codec itself is a
+Python-side stub. Pixel statistics (mean/std/histogram) have no SQL
+equivalent and ride in rows-only entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ..sources.io import load_table
+from .catalog import query
+
+# media_type expression shared by every oracle: doc_id % 3 cycles
+# image/audio/video, matching attach_fake_assets.
+MT_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.attach_fake_assets(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "mm_asset_inventory",
+    oracle=f"""
+    SELECT {MT_SQL} AS media_type,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(doc_id % 32 + 8) AS BIGINT) AS sum_width,
+           CAST(SUM(doc_id % 24 + 8) AS BIGINT) AS sum_height
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def mm_asset_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the opaque payload column: the
+    binary bytes are counted, never decoded — the plan is a narrow
+    projection + one shuffle on a 3-value key."""
+    return _assets(spark, sf_dir).groupBy(F.col("meta.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.sum("meta.width").alias("sum_width"),
+        F.sum("meta.height").alias("sum_height"),
+    )
+
+
+@query(
+    "mm_image_decode_dims",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS n_bytes,
+           doc_id % 32 + 8 AS width,
+           doc_id % 24 + 8 AS height,
+           3 AS n_channels
+    FROM documents
+    WHERE {MT_SQL} = 'image'
+    """,
+)
+def mm_image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural slice of the decode output — goes through the real
+    mapInPandas decode (Arrow batches, fake codec) and must reproduce
+    the declared geometry exactly; SQL-checkable proof the plumbing
+    preserves schema and row identity."""
+    return M.image_features(_assets(spark, sf_dir)).select(
+        "asset_id", "n_bytes", "width", "height", "n_channels"
+    )
+
+
+@query("mm_image_features")
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel-statistics extraction (mean/std/histogram). Pixel
+    values come from the deterministic fake raster; rows-only check
+    (no SQL codec), row count pinned by the image subset size."""
+    return M.image_features(_assets(spark, sf_dir)).select(
+        "asset_id", "mean_pixel", "std_pixel", "histogram"
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT asset_id, CAST(f AS INTEGER) AS frame_idx
+    FROM (
+      SELECT doc_id AS asset_id,
+             unnest(generate_series(0, (doc_id % 10 + 2) - 1, 2)) AS f
+      FROM documents
+      WHERE {MT_SQL} = 'video'
+    )
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over video payloads: one output row
+    per kept frame, generated inside mapInPandas. Frame indices are
+    oracle-checked; per-frame pixel means ride in mm_image_features'
+    rows-only regime."""
+    return M.sample_frames(_assets(spark, sf_dir), every_k=2).select(
+        "asset_id", "frame_idx"
+    )
+
+
+@query("mm_resize_checksum")
+def mm_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize to 8×8 and checksum the raw payload — proves the
+    decode→resize→re-encode path is deterministic across runs and
+    partitionings (md5 over bytes; rows-only check)."""
+    return M.resize_images(_assets(spark, sf_dir), 8, 8).select(
+        "asset_id", "width", "height", F.md5("payload").alias("payload_md5")
+    )
