@@ -1,0 +1,91 @@
+"""Paginated REST source tests: early-exit pagination, predicate
+pushdown params, per-media failure isolation, staging round-trip, and
+the partition-parallel Spark DataSource."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.fake_api import TOTAL_ROWS, make_transport
+from wistia_data_pipeline_project_spark.sources import rest
+
+
+def recording_transport(inner):
+    calls = []
+
+    def fetch(endpoint, params):
+        calls.append((endpoint, dict(params)))
+        return inner(endpoint, params)
+
+    return fetch, calls
+
+
+def test_paginate_early_exit():
+    fetch, calls = recording_transport(make_transport())
+    rows = list(rest.paginate(fetch, "stats/events.json"))
+    assert len(rows) == TOTAL_ROWS
+    # short page 3 stops the loop — page 4 never requested
+    assert [c[1]["page"] for c in calls] == [1, 2, 3]
+
+
+def test_fetch_events_pushdown_params():
+    fetch, calls = recording_transport(make_transport())
+    rest.fetch_events(fetch, media_id="m1", since="2025-05-01T00:00:00Z")
+    assert calls[0][1]["media_id"] == "m1"
+    assert calls[0][1]["since"] == "2025-05-01T00:00:00Z"
+    assert "start_date" not in calls[0][1]
+
+
+def test_failure_isolation():
+    rows, errors = rest.fetch_events_per_media(
+        make_transport(), ["m0", "m_broken", "m1"]
+    )
+    assert set(errors) == {"m_broken"}
+    assert len(rows) == 50 + 100  # m0 + m1 shards still fetched
+
+
+def test_stage_json_roundtrip(tmp_path):
+    rows = [{"a": 1}, {"a": 2}]
+    path = rest.stage_json(rows, str(tmp_path), "events_m0", "20250520_120000")
+    assert path.endswith("events_m0_20250520_120000.json")
+    assert json.load(open(path)) == rows
+
+
+SCHEMA = "event_key string, media_id string, visitor_key string, percent_viewed double"
+
+
+@pytest.fixture()
+def registered(spark):
+    rest.register(spark)
+    return spark
+
+
+def test_datasource_page_partitions(registered):
+    df = (
+        registered.read.format("paginated_rest")
+        .schema(SCHEMA)
+        .option("transport", "tests.fake_api:make_transport")
+        .option("endpoint", "stats/events.json")
+        .option("num_partitions", "3")
+        .option("pages_per_partition", "1")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    got = df.collect()
+    assert len(got) == TOTAL_ROWS
+    assert {r["event_key"] for r in got} == {f"ev_all_{i}" for i in range(TOTAL_ROWS)}
+
+
+def test_datasource_media_shards(registered):
+    df = (
+        registered.read.format("paginated_rest")
+        .schema(SCHEMA)
+        .option("transport", "tests.fake_api:make_transport")
+        .option("endpoint", "stats/events.json")
+        .option("media_ids", json.dumps(["m0", "m1", "m2"]))
+        .load()
+    )
+    counts = {r["media_id"]: r["n"] for r in df.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {"m0": 50, "m1": 100, "m2": 150}
