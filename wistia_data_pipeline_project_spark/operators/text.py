@@ -108,18 +108,13 @@ def language_scores(text: Column) -> Column:
 
 
 def predicted_language(text: Column) -> Column:
-    """argmax over the profile scores (ties → lexicographically first
-    language, deterministic)."""
+    """argmax over the profile scores (ties → lexicographically LAST
+    language code — array_max on (hits, lang) structs; deterministic)."""
     scores = language_scores(text)
     best = F.array_max(
         F.transform(
             scores,
-            lambda s: F.struct(
-                s["hits"].alias("hits"),
-                # invert lang ordering so max prefers 'de' over 'zh' on ties:
-                # use negative of nothing — instead order by (hits, reversed lang)
-                s["lang"].alias("lang"),
-            ),
+            lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")),
         )
     )
     return best["lang"]

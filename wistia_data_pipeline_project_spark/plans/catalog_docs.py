@@ -197,9 +197,34 @@ def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_language_id")
+def _language_id_oracle() -> str:
+    """DuckDB replica of the trigram-profile classifier, generated from
+    the SAME profile table (single source of truth) — hits via
+    contains(), argmax with the array_max tie-break (hits DESC, lang
+    DESC)."""
+    structs = ", ".join(
+        "{'plang': '%s', 'hits': %s}"
+        % (
+            lang,
+            " + ".join(
+                "CAST(contains(lower(text), '%s') AS INTEGER)" % g for g in grams
+            ),
+        )
+        for lang, grams in X._LANG_PROFILES.items()
+    )
+    return f"""
+    SELECT doc_id, lang, plang AS predicted_lang FROM (
+      SELECT doc_id, lang, s.plang, s.hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s.hits DESC, s.plang DESC) AS rn
+      FROM (SELECT doc_id, lang, unnest([{structs}]) AS s FROM documents)
+    ) WHERE rn = 1
+    """
+
+
+@query("docs_language_id", oracle=_language_id_oracle())
 def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-profile language ID (north_star). Rows-only driver check;
-    the classifier itself is exercised in tests on synthetic text."""
+    """n-gram-profile language ID (north_star), Cavnar–Trenkle-style
+    hit counting over per-language trigram profiles, all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     return X.with_language_id(docs).select("doc_id", "lang", "predicted_lang")

@@ -97,6 +97,26 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_cosine_near_dup",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.45
+    """,
+)
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup north-star): exact
+    block-nested-loop via broadcast matrix + per-batch float64 BLAS
+    matmul in mapInPandas. Pair keys only — membership is stable to
+    float64 rounding on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold=0.45)
+
+
 @query("emb_ivf_topk")
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-10 (probe 2 of 8 centroid partitions).

@@ -189,3 +189,83 @@ def media_channel_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").alias("list_price"),
         F.col("p_size").alias("size_units"),
     )
+
+
+@query(
+    "events_cube_day_type",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregate (A10 cube): all (day, type) grouping
+    levels in ONE shuffle — Spark expands grouping sets map-side, so
+    the cube costs one pass, not four."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    return (
+        e.cube(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "parts_price_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 930.0),
+             ('mid', 930.0, 970.0),
+             ('premium', 970.0, 1e9)
+    )
+    SELECT b.band, COUNT(*) AS n_parts,
+           CAST(MIN(p.p_retailprice) AS DOUBLE) AS min_price,
+           CAST(MAX(p.p_retailprice) AS DOUBLE) AS max_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join J3: non-equi predicate against a tiny band
+    table — planned as broadcast-nested-loop, the right physical
+    strategy when one side is a handful of rows; min/max aggregates
+    are exact on doubles (no summation-order dependence)."""
+    p = load_table(spark, sf_dir, "part")
+    bands = p.sparkSession.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    joined = p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@query("events_approx_distinct")
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch (approx_count_distinct) next to the exact count —
+    the sketch is mergeable, so at 100 TB the distinct-visitor count
+    is one map-side-combinable pass instead of a global shuffle of
+    every key. Rows-only check (sketch estimates are engine-specific);
+    the exact twin is oracle-checked in docs_lang_stats/n_sources."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
