@@ -27,6 +27,13 @@ from wistia_data_pipeline_project_spark.streaming.pipeline import (
 def events_jsonl_dir(spark, tmp_path_factory):
     path = tmp_path_factory.mktemp("events_stream")
     events = make_events(make_media())
+    # time-ordered across files: the stateful fold assumes arrival
+    # order == event order per key (same contract as the reference's
+    # incremental refetch); nulls sort first (filtered by the stream)
+    events = sorted(
+        events,
+        key=lambda e: (e["received_at"] is not None, e["received_at"], e["event_key"]),
+    )
     # two micro-batch files so the file stream sees >1 batch of input
     half = len(events) // 2
     for i, chunk in enumerate((events[:half], events[half:])):
@@ -84,6 +91,62 @@ def test_streaming_daily_engagement_matches_batch(spark, events_jsonl_dir):
     assert got, "streaming query emitted no closed windows"
     for key, n in got.items():
         assert want.get(key) == n, f"group {key}: stream={n} batch={want.get(key)}"
+
+
+def test_streaming_watch_time_matches_batch_fold(spark, events_jsonl_dir):
+    """The stateful streaming fold must converge to the batch
+    applyInPandas fold: per key, the LAST update-mode emission equals
+    the batch row (events are time-ordered across the stream files)."""
+    import datetime as dt
+
+    from tests.wistia_fixtures import make_media
+    from wistia_data_pipeline_project_spark.operators.dims import (
+        transform_media_data,
+    )
+    from wistia_data_pipeline_project_spark.operators.fact import (
+        fact_media_engagement_fold,
+    )
+    from wistia_data_pipeline_project_spark.schemas import (
+        WISTIA_MEDIA_SCHEMA,
+        nullable_copy,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        streaming_watch_time,
+    )
+
+    media = spark.createDataFrame(make_media(), nullable_copy(WISTIA_MEDIA_SCHEMA))
+    dim = transform_media_data(media, dt.datetime(2025, 5, 20, 12, tzinfo=dt.timezone.utc))
+
+    stream = _read_stream(spark, events_jsonl_dir)
+    q = run_stream_to_memory(
+        streaming_watch_time(stream, dim), "watch_time_stream", output_mode="update"
+    )
+    try:
+        # keep only each key's final emission (update mode re-emits)
+        updates = spark.table("watch_time_stream").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in updates:  # memory sink appends updates in batch order
+        final[(r["media_id"], r["visitor_id"], str(r["date"]))] = r
+
+    batch_events = (
+        spark.read.schema(WISTIA_EVENT_SCHEMA).json(events_jsonl_dir)
+    )
+    want = {
+        (r["media_id"], r["visitor_id"], str(r["date"])): r
+        for r in fact_media_engagement_fold(
+            batch_events, dim, dt.datetime(2025, 5, 20, 12, tzinfo=dt.timezone.utc)
+        ).collect()
+    }
+    assert set(final) == set(want)
+    for k, got in final.items():
+        exp = want[k]
+        assert got["play_count"] == exp["play_count"], k
+        assert got["total_watch_time"] == pytest.approx(exp["total_watch_time"], abs=0.01), k
+        assert got["max_percent_viewed"] == pytest.approx(exp["max_percent_viewed"]), k
+        assert got["event_timestamp"] == exp["event_timestamp"], k
+        assert got["last_event_timestamp"] == exp["last_event_timestamp"], k
 
 
 def test_streaming_session_windows(spark, events_jsonl_dir):

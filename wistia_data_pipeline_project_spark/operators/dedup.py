@@ -34,14 +34,24 @@ from .text import fingerprint, tokens
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct text: the min-key row (deterministic
     first-wins, the engine-wide replacement for the reference's
-    iteration-order dedup, SURVEY §2 A6)."""
-    fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
-    keep = fp.groupBy("_fp").agg(F.min(key_col).alias(key_col))
+    iteration-order dedup, SURVEY §2 A6).
+
+    One window over the 128-bit fingerprint — a single full-row
+    shuffle keyed on the fingerprint. (The groupBy-min + semi-join
+    formulation shuffles the rows twice more and planned 13 exchanges
+    vs 2 for this.) Skew note: at 100 TB a pathological fingerprint
+    (empty text) is one hot key; AQE skew handling splits it, and the
+    row_number only needs the min, so a pre-aggregating min_by variant
+    is the escape hatch if a single key ever dominates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_fp").orderBy(F.col(key_col).asc())
     return (
-        fp.join(keep, [key_col, "_fp"], "left_semi")
-        # exact copies share (key, fp); keep a single physical row
-        .dropDuplicates([key_col])
-        .drop("_fp")
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
     )
 
 
