@@ -1,0 +1,171 @@
+"""Property tests (SURVEY §5 item 4, hypothesis): invariants of the
+fact rollup and dedup operators over randomized event streams.
+
+Each example generates one multi-group event set (many groups per
+Spark round-trip — Spark jobs are the expensive unit, so examples are
+few and fat; deadline disabled accordingly).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.wistia_fixtures import RUN_TS
+from wistia_data_pipeline_project_spark.operators.dedup import exact_dedup
+from wistia_data_pipeline_project_spark.operators.fact import (
+    fact_media_engagement,
+    fact_media_engagement_fold,
+)
+from wistia_data_pipeline_project_spark.schemas import (
+    WISTIA_EVENT_SCHEMA,
+    WISTIA_MEDIA_SCHEMA,
+    nullable_copy,
+)
+
+UTC = dt.timezone.utc
+BASE = dt.datetime(2025, 5, 1, tzinfo=UTC)
+
+MEDIA_IDS = ["mA", "mB"]
+DURATIONS = {"mA": 120.0, "mB": 45.5}
+
+
+def _media_rows():
+    return [
+        {
+            "id": 1,
+            "name": "A",
+            "type": "Video",
+            "archived": False,
+            "created": BASE,
+            "updated": BASE,
+            "duration": DURATIONS["mA"],
+            "hashed_id": "mA",
+            "description": None,
+            "progress": 1.0,
+            "status": "ready",
+            "section": None,
+        },
+        {
+            "id": 2,
+            "name": "B",
+            "type": "Video",
+            "archived": False,
+            "created": BASE,
+            "updated": BASE,
+            "duration": DURATIONS["mB"],
+            "hashed_id": "mB",
+            "description": None,
+            "progress": 1.0,
+            "status": "ready",
+            "section": None,
+        },
+    ]
+
+
+event_strategy = st.fixed_dictionaries(
+    {
+        "media_id": st.sampled_from(MEDIA_IDS),
+        "visitor_key": st.sampled_from(["v1", "v2", "v3"]),
+        "offset_s": st.integers(min_value=0, max_value=3 * 86400),
+        "percent_viewed": st.floats(
+            min_value=0.0, max_value=1.0, allow_nan=False, width=32
+        ),
+        "name": st.sampled_from([None, "play", "pause", "end"]),
+    }
+)
+
+
+def _to_event(i: int, e: dict) -> dict:
+    return {
+        "received_at": BASE + dt.timedelta(seconds=e["offset_s"]),
+        "event_key": f"ek{i:05d}",
+        "media_id": e["media_id"],
+        "visitor_key": e["visitor_key"],
+        "percent_viewed": float(e["percent_viewed"]),
+        "name": e["name"],
+        "ip": f"10.0.0.{i % 7}",
+        "country": "US",
+    }
+
+
+@pytest.fixture(scope="module")
+def dims(spark):
+    from wistia_data_pipeline_project_spark.operators.dims import (
+        transform_media_data,
+    )
+
+    media = spark.createDataFrame(_media_rows(), nullable_copy(WISTIA_MEDIA_SCHEMA))
+    return transform_media_data(media, RUN_TS)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(event_strategy, min_size=1, max_size=60))
+def test_fact_invariants_and_window_fold_agreement(spark, dims, raw):
+    events = spark.createDataFrame(
+        [_to_event(i, e) for i, e in enumerate(raw)],
+        nullable_copy(WISTIA_EVENT_SCHEMA),
+    )
+    win = fact_media_engagement(events, dims, RUN_TS).collect()
+    fold = {
+        (r["media_id"], r["visitor_id"], r["date"]): r
+        for r in fact_media_engagement_fold(events, dims, RUN_TS).collect()
+    }
+
+    # grain uniqueness
+    keys = [(r["media_id"], r["visitor_id"], r["date"]) for r in win]
+    assert len(keys) == len(set(keys))
+    assert set(keys) == set(fold)
+
+    for r in win:
+        k = (r["media_id"], r["visitor_id"], r["date"])
+        f = fold[k]
+        dur = DURATIONS[r["media_id"]]
+        # bounded watch time and play rate
+        assert 0.0 <= r["total_watch_time"] <= dur + 1e-9
+        assert 0.0 <= r["play_rate"] <= 1.0 + 1e-9
+        assert r["play_count"] >= 0
+        # window formulation ≡ sequential fold
+        assert r["play_count"] == f["play_count"], k
+        assert r["total_watch_time"] == pytest.approx(
+            f["total_watch_time"], abs=0.011
+        ), k
+        assert r["max_percent_viewed"] == pytest.approx(f["max_percent_viewed"]), k
+        assert r["event_timestamp"] == f["event_timestamp"], k
+        assert r["last_event_timestamp"] == f["last_event_timestamp"], k
+        assert r["ip"] == f["ip"], k
+        assert r["country"] == f["country"], k
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=30
+    )
+)
+def test_exact_dedup_idempotent_and_canonical(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = exact_dedup(df)
+    rows1 = sorted(once.collect())
+    rows2 = sorted(exact_dedup(once).collect())
+    # idempotence
+    assert rows1 == rows2
+    # one survivor per normalized text, and it's the min doc_id
+    by_norm: dict[str, int] = {}
+    for i, t in enumerate(texts):
+        n = t.strip().lower()
+        by_norm.setdefault(n, i)
+    assert {r["doc_id"] for r in rows1} == set(by_norm.values())
