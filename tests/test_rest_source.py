@@ -89,3 +89,25 @@ def test_datasource_media_shards(registered):
     )
     counts = {r["media_id"]: r["n"] for r in df.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
     assert counts == {"m0": 50, "m1": 100, "m2": 150}
+
+
+def test_latest_run_discovery(tmp_path, spark):
+    """S5: run-timestamp file discovery + per-row run_ts column (F6)."""
+    from wistia_data_pipeline_project_spark.sources.io import (
+        latest_run_files,
+        latest_run_ts,
+        with_run_ts_column,
+    )
+
+    for ts in ("20250511_090000", "20250512_114519"):
+        for name in ("events_m0", "events_m1"):
+            rest.stage_json([{"a": 1}], str(tmp_path), name, ts)
+    rest.stage_json([{"a": 1}], str(tmp_path), "media", "20250510_000000")
+
+    names = [f for f in __import__("os").listdir(tmp_path)]
+    assert latest_run_ts(names) == "20250512_114519"
+    files = latest_run_files(str(tmp_path), "events_")
+    assert len(files) == 2 and all("20250512_114519" in f for f in files)
+
+    df = with_run_ts_column(spark.read.json(files))
+    assert {r["run_ts"] for r in df.collect()} == {"20250512_114519"}
