@@ -34,9 +34,30 @@ def test_fake_decode_empty_payload():
     assert a.shape == (4, 4, 3) and (a == 0).all()
 
 
-def test_decode_payload_rejects_audio():
+def test_decode_payload_rejects_unknown_modality():
     with pytest.raises(NotImplementedError):
-        M.decode_payload(b"x", {"media_type": "audio"})
+        M.decode_payload(b"x", {"media_type": "hologram"})
+
+
+def test_fake_decode_audio_samples():
+    wave = M.fake_decode_audio(b"\x01\x00\xff\xff\x00\x80\x07")  # odd byte dropped
+    assert wave.tolist() == [1, -1, -32768]
+
+
+def test_audio_features(spark, assets):
+    feats = {r["asset_id"]: r for r in M.audio_features(assets).collect()}
+    metas = {
+        r["asset_id"]: r
+        for r in assets.select(
+            "asset_id", "meta.media_type", F.length("payload").alias("n_bytes")
+        ).collect()
+        if r["media_type"] == "audio"
+    }
+    assert set(feats) == set(metas)
+    for aid, f in feats.items():
+        assert f["n_samples"] == metas[aid]["n_bytes"] // 2
+        assert f["duration_s"] == pytest.approx(f["n_samples"] / 16000.0)
+        assert f["rms"] >= 0.0
 
 
 def test_nearest_resize_known_values():

@@ -95,6 +95,16 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
 
 def attach_fake_assets(df: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Derive a deterministic multimodal asset table from a text table
@@ -133,9 +143,19 @@ def fake_decode(payload: bytes, width: int, height: int, n_channels: int = 3) ->
     return np.tile(buf, reps)[:size].reshape(height, width, n_channels)
 
 
+def fake_decode_audio(payload: bytes) -> np.ndarray:
+    """Deterministic fake PCM decode: payload bytes as little-endian
+    int16 samples (odd trailing byte dropped). Stands in for an audio
+    codec; same contract (1-D int16 waveform)."""
+    buf = payload or b""
+    return np.frombuffer(buf[: len(buf) // 2 * 2], dtype="<i2")
+
+
 def decode_payload(payload: bytes, meta: dict) -> np.ndarray:
     """Codec entry point. Pillow when available; deterministic fake
     raster otherwise. Raises for modalities with no decoder."""
+    if meta.get("media_type") == "audio":
+        return fake_decode_audio(payload)
     if meta.get("media_type") not in ("image", "video"):
         raise NotImplementedError(
             f"no decoder for media_type={meta.get('media_type')!r} in this build"
@@ -220,6 +240,37 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
     return assets.mapInPandas(work, RESIZED_SCHEMA)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Per-clip waveform statistics (duration, RMS, zero crossings)
+    via the fake PCM decode — metadata-sized output, same Arrow-batch
+    plumbing as the image path."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                meta = r["meta"]
+                if meta["media_type"] != "audio":
+                    continue
+                wave = decode_payload(r["payload"], meta).astype(np.float64)
+                sr = int(meta["sample_rate"] or 16000)
+                n = len(wave)
+                rows.append(
+                    {
+                        "asset_id": r["asset_id"],
+                        "n_samples": n,
+                        "duration_s": n / sr,
+                        "rms": float(np.sqrt(np.mean(wave**2))) if n else 0.0,
+                        "zero_crossings": int(np.sum(np.diff(np.signbit(wave)))) if n else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return assets.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:

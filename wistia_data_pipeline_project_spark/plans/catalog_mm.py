@@ -106,6 +106,27 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_audio_stats",
+    oracle=f"""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
+           CAST(octet_length(encode(text)) // 2 AS DOUBLE) / 16000.0
+             AS duration_s
+    FROM documents
+    WHERE {MT_SQL} = 'audio'
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform decode structural slice: sample count and duration go
+    through the real PCM-decode mapInPandas and must match the SQL
+    byte arithmetic; RMS/zero-crossings are pytest-checked (no SQL
+    codec)."""
+    return M.audio_features(_assets(spark, sf_dir)).select(
+        "asset_id", "n_samples", "duration_s"
+    )
+
+
 @query("mm_resize_checksum")
 def mm_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize to 8×8 and checksum the raw payload — proves the

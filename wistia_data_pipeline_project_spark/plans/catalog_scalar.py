@@ -240,11 +240,32 @@ def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) join J3: non-equi predicate against a tiny band
     table — planned as broadcast-nested-loop, the right physical
     strategy when one side is a handful of rows; min/max aggregates
-    are exact on doubles (no summation-order dependence)."""
+    are exact on doubles (no summation-order dependence).
+
+    The band table is a JVM-side inline literal (explode of a struct
+    array), NOT createDataFrame — 3 local rows through the Python RDD
+    path spin up Python workers on every core (measured +7 s cold)."""
     p = load_table(spark, sf_dir, "part")
-    bands = p.sparkSession.createDataFrame(
-        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e9)],
-        "band string, lo double, hi double",
+
+    def band(name: str, lo: float, hi: float):
+        return F.struct(
+            F.lit(name).alias("band"),
+            F.lit(lo).alias("lo"),
+            F.lit(hi).alias("hi"),
+        )
+
+    bands = (
+        p.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    band("budget", 0.0, 930.0),
+                    band("mid", 930.0, 970.0),
+                    band("premium", 970.0, 1e9),
+                )
+            ).alias("b")
+        )
+        .select("b.band", "b.lo", "b.hi")
     )
     joined = p.join(
         F.broadcast(bands),
