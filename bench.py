@@ -7,11 +7,11 @@ JSON line::
     {"metric": "catalog_total_sec", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": s, ...}, "sf": 0.1}
 
-Per-query time = logical-plan build + full execution to a count-style
-action that forces every output column (``collect`` on small results,
-agg-probe on large ones would hide compute, so collect everywhere —
-catalog results at sf0.1 are all <1M rows). A warmup query runs first
-so JVM/codegen startup isn't billed to the first catalog entry.
+Per-query time = logical-plan build + full execution into the noop
+sink (computes every output column and row, no driver transfer — a
+``collect`` would bill Python deserialization of 100k-row results to
+the engine). A warmup query runs first so JVM/codegen startup isn't
+billed to the first catalog entry.
 
 Usage: ``python bench.py [query ...]`` (no args = all queries).
 """
@@ -40,13 +40,16 @@ def main() -> None:
     spark = get_spark(app_name="wistia-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def run(name: str) -> None:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warmup: JVM + parquet footer reads + codegen paths, not billed
-    qs["events_high_water_mark"](spark, sf_dir).collect()
+    run("events_high_water_mark")
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
