@@ -169,3 +169,53 @@ def test_exact_dedup_idempotent_and_canonical(spark, texts):
         n = t.strip().lower()
         by_norm.setdefault(n, i)
     assert {r["doc_id"] for r in rows1} == set(by_norm.values())
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # skewed key space
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_salted_agg_equals_plain_groupby(spark, rows):
+    from pyspark.sql import functions as F
+
+    from wistia_data_pipeline_project_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "id long, k long, v long"
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            aggs={
+                "total": ("sum", F.col("v")),
+                "n": ("count", F.lit(1)),
+                "mx": ("max", F.col("v")),
+            },
+            spread_col=F.col("id"),
+            buckets=4,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -290,3 +290,41 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@query(
+    "events_salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage salted aggregation (operators/skew.py)
+    — must equal the plain one-stage groupBy exactly (decimal sums are
+    order-insensitive, so salting cannot change the answer; that IS
+    the oracle check)."""
+    from ..operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        keys=["user_id"],
+        aggs={
+            "total_value": ("sum", F.col("value").cast("decimal(18,2)")),
+            "n_events": ("count", F.lit(1)),
+            "max_value": ("max", F.col("value")),
+        },
+        spread_col=F.col("event_id"),
+        buckets=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("total_value").cast("double").alias("total_value"),
+        "n_events",
+        F.col("max_value").cast("double").alias("max_value"),
+    )
