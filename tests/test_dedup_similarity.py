@@ -57,3 +57,35 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(ivf) == 10
     # probe 2/8 partitions: require at least half the true top-10
     assert len(exact & ivf) >= 5
+
+
+def test_blocked_near_dup_recall_vs_exact(spark):
+    """IVF-blocked near-dup (the 100 TB path) must reproduce the exact
+    broadcast kernel's pairs. n_assign=4 probes reach recall 1.0 here
+    because the 0.45 threshold sits far below the true near-dup regime
+    (uniform-ish vectors: threshold pairs hug cell boundaries); real
+    near-dups (cosine ≥0.9) co-locate with 2 probes."""
+    from pyspark.sql import functions as F
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        cosine_near_dup_blocked,
+        cosine_near_dup_pairs,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    blocked = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_near_dup_blocked(
+            emb, centroids, threshold=0.45, n_assign=4
+        ).collect()
+    }
+    assert blocked == exact  # exact verify + full recall at 4 probes
