@@ -163,3 +163,70 @@ def test_streaming_session_windows(spark, events_jsonl_dir):
     for r in rows:
         assert r["session_start"] <= r["session_end"]
         assert r["n_events"] >= 1
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: a checkpointed stream with
+    watermarked key-dedup is stopped, new files (overlapping the old
+    ones) arrive, and the restarted query must emit only the genuinely
+    new keys — checkpointed offsets skip old files, checkpointed dedup
+    state drops cross-run duplicates."""
+    import json as _json
+    import os as _os
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    events = make_events(make_media())
+    events = sorted(
+        events,
+        key=lambda e: (e["received_at"] is not None, e["received_at"], e["event_key"]),
+    )
+    half = len(events) // 2
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for e in rows:
+                f.write(_json.dumps(e, default=lambda o: o.isoformat()) + "\n")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(WISTIA_EVENT_SCHEMA)
+            .json(str(src))
+            .filter(F.col("received_at").isNotNull())
+            .withWatermark("received_at", "30 days")
+            .dropDuplicatesWithinWatermark(["event_key"])
+            .select("event_key", "media_id", "received_at")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_file("batch0.jsonl", events[:half])
+    run_once()
+    n_first = spark.read.parquet(str(sink)).count()
+    keys_first = {
+        r["event_key"] for r in spark.read.parquet(str(sink)).collect()
+    }
+
+    # second run: re-deliver the tail of batch0 (duplicates) + the rest
+    write_file("batch1.jsonl", events[half - 20 :])
+    run_once()
+    out = spark.read.parquet(str(sink))
+    keys_all = {r["event_key"] for r in out.collect()}
+
+    valid = [e for e in events if e["received_at"] is not None]
+    expected_keys = {e["event_key"] for e in valid}
+    assert keys_first < expected_keys
+    assert keys_all == expected_keys
+    # exactly-once: no key written twice despite the 20-event overlap
+    assert out.count() == len(expected_keys)
+    assert n_first < out.count()

@@ -228,3 +228,48 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit counting over per-language trigram profiles, all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     return X.with_language_id(docs).select("doc_id", "lang", "predicted_lang")
+
+
+@query(
+    "training_data_assembly",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, text, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq
+      FROM t
+    ),
+    q AS (
+      SELECT * FROM s
+      WHERE n_tokens BETWEEN 20 AND 1000
+        AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.2
+    ),
+    d AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT d.doc_id, d.lang, d.n_tokens, d.n_uniq AS n_uniq_tokens,
+           e.label, len(e.embedding) AS dim
+    FROM d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.rn = 1
+    """,
+)
+def training_data_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone pipeline query — the LLM-training-data shape end to
+    end: quality filter (token-count band + lexical diversity) →
+    exact dedup (min-key survivor per fingerprint) → join document
+    embeddings → emit the training-record projection. One window
+    shuffle for dedup + one join shuffle; the text column is dropped
+    before the join so the shuffle carries metadata only."""
+    docs = X.with_quality_score(load_table(spark, sf_dir, "documents"))
+    good = docs.filter(F.col("quality_flag") == "good")
+    kept = D.exact_dedup(good).select("doc_id", "lang", "n_tokens", "n_uniq_tokens")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label", F.size("embedding").alias("dim")
+    )
+    return kept.join(emb, "doc_id")
