@@ -51,9 +51,23 @@ def spread(df: DataFrame) -> DataFrame:
     just adds task overhead (measured 2-3× slower on the sf0.1 joins).
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if _scan_partitions(df) < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
+
+
+_SCAN_PARTS: dict[str, int] = {}
+
+
+def _scan_partitions(df: DataFrame, cache_key: str | None = None) -> int:
+    """Partition count of a scan, cached per source path — the
+    DataFrame→RDD conversion behind getNumPartitions costs ~130 ms per
+    call, which multiplies across a 45-query bench; split counts only
+    depend on the file layout and session confs, both fixed per run."""
+    key = cache_key or ",".join(df.inputFiles())
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    return _SCAN_PARTS[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
