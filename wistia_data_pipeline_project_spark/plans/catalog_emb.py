@@ -133,3 +133,35 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_cosine(
         emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=2, centroids=centroids
     )
+
+
+@query(
+    "emb_ivf_topk_fullprobe",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing ALL cells: must equal the exact brute-force
+    top-k (same oracle as emb_topk_cosine) — turns the ANN machinery's
+    correctness into an exact, oracle-checked statement; the 2-probe
+    entry then only adds the recall/latency trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").cast("integer").alias("centroid_id"), F.col("embedding").alias("cv"))
+    )
+    q = _query_vec(spark, sf_dir, 0)
+    return S.ivf_topk_cosine(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=8, centroids=centroids
+    )

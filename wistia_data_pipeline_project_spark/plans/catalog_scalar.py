@@ -328,3 +328,34 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+@query(
+    "events_grouping_sets",
+    oracle="""
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((day, event_type), (week), (event_type))
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A10): three grouping levels —
+    (day, type), (week), (type) — expanded map-side into ONE shuffle,
+    the multi-granularity rollup a hypertable would materialize."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_events_gs")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS day,
+               date_trunc('week', ts) AS week,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM _events_gs
+        GROUP BY GROUPING SETS ((day, event_type), (week), (event_type))
+        """
+    )
