@@ -246,26 +246,39 @@ def minhash_near_dup_pairs(
 
     Output equals exact all-pairs Jaccard≥threshold (up to LSH recall,
     ≈1-(1-t^4)^16 ≥ 0.9996 at t=0.8), at candidate-set cost.
+
+    The verify stage touches ONLY candidate docs: doc ids appearing in
+    some candidate pair are semi-joined against the corpus first, then
+    each candidate pair is joined to the two docs' distinct-shingle
+    ARRAYS and the intersection is computed in place with
+    ``array_intersect`` (whole-stage codegen) — no shingle-exploded
+    self-join anywhere. At 100 TB the pre-LSH verify cost is therefore
+    O(|candidate docs|) rows shuffled, not O(|corpus shingles|²)
+    join fan-in: LSH actually bounds the verify cost instead of just
+    filtering its output.
     """
     cands = minhash_lsh_candidates(df, key_col, text_col, num_hashes, bands, width)
-    sh = shingle_table(df, key_col, text_col, width)
-    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    # intersection: shingle self-join restricted (semi-join) to candidates
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        .groupBy(
-            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(cands, ["doc_a", "doc_b"], "left_semi")
+    cand_ids = (
+        cands.select(F.col("doc_a").alias(key_col))
+        .union(cands.select(F.col("doc_b").alias(key_col)))
+        .distinct()
     )
-    sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    # distinct shingles per candidate doc, as an array (no explode)
+    dws = (
+        df.join(cand_ids, key_col, "left_semi")
+        .select(F.col(key_col), shingles(text_col, width).alias("_sh"))
+        .withColumn("_n", F.size("_sh"))
+    )
+    a = dws.select(
+        F.col(key_col).alias("doc_a"), F.col("_sh").alias("_sh_a"), F.col("_n").alias("n_a")
+    )
+    b = dws.select(
+        F.col(key_col).alias("doc_b"), F.col("_sh").alias("_sh_b"), F.col("_n").alias("n_b")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long"))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

@@ -154,10 +154,11 @@ def cosine_near_dup_blocked(
     corpus. Exact cosine verifies every candidate, so output ⊆ the
     exact all-pairs result with recall set by n_assign (asserted
     against ``cosine_near_dup_pairs`` in tests at recall 1.0 for this
-    data). Per-cell pair expansion reuses the same
-    collect_list/array-comprehension shape as LSH ``bucket_pairs`` —
-    the cell is the only shuffle key and a hot cell caps at the
-    collect_list guard.
+    data). Cells are delivered via ``groupBy(cell).applyInPandas`` —
+    the grouped-map path guarantees each centroid cell arrives as ONE
+    whole pandas frame (unlike mapInPandas, whose Arrow batching may
+    split a cell at an arbitrary row boundary and silently drop the
+    cross-half pairs). The cell id is the only shuffle key.
     """
     import numpy as np
     import pandas as pd
@@ -175,27 +176,19 @@ def cosine_near_dup_blocked(
         .select("centroid_id", key_col, vec_col)
     )
 
-    def verify(pdfs):
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            out = []
-            for _, grp in pdf.groupby("centroid_id"):
-                ids = grp[key_col].to_numpy(dtype=np.int64)
-                mat = np.array(list(grp[vec_col]), dtype=np.float64)
-                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-                sims = mat @ mat.T
-                ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-                if len(ai):
-                    out.append(pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]}))
-            yield (
-                pd.concat(out, ignore_index=True)
-                if out
-                else pd.DataFrame({"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")})
-            )
+    def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[key_col].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
 
-    cells = assigned.repartition("centroid_id").sortWithinPartitions("centroid_id")
-    return cells.mapInPandas(verify, "vec_a long, vec_b long").distinct()
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(verify, "vec_a long, vec_b long")
+        .distinct()
+    )
 
 
 def ivf_topk_cosine(

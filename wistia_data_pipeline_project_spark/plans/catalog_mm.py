@@ -78,9 +78,15 @@ def mm_image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pixel-statistics extraction (mean/std/histogram). Pixel
     values come from the deterministic fake raster; rows-only check
-    (no SQL codec), row count pinned by the image subset size."""
+    (no SQL codec), row count pinned by the image subset size. The
+    histogram array is JSON-serialized so the driver's row
+    canonicalizer (pandas sort/hash) can handle it — array cells are
+    unhashable."""
     return M.image_features(_assets(spark, sf_dir)).select(
-        "asset_id", "mean_pixel", "std_pixel", "histogram"
+        "asset_id",
+        "mean_pixel",
+        "std_pixel",
+        F.to_json("histogram").alias("histogram_json"),
     )
 
 
