@@ -164,6 +164,88 @@ def make_events(media: list[dict], seed: int = 11) -> list[dict]:
     return rows
 
 
+def make_nested_events(media: list[dict], seed: int = 13) -> list[dict]:
+    """v0 stats-API nested shape (SURVEY §1.3 alternate mapping):
+    occurred_at ISO string, media.hashed_id, visitor.key, type."""
+    rng = random.Random(seed)
+    media_ids = [m["hashed_id"] for m in media]
+    types = ["play", "percent:0", "percent:25", "percent:50", "percent:75", "percent:100"]
+    rows: list[dict] = []
+    for i in range(300):
+        ts = BASE + dt.timedelta(days=rng.randrange(0, 10), seconds=rng.randrange(0, 86400))
+        iso = ts.isoformat().replace("+00:00", "Z") if i % 2 else ts.isoformat()
+        rows.append(
+            {
+                "occurred_at": iso,
+                "type": rng.choice(types),
+                "engagement": round(rng.uniform(0, 1), 4),
+                "media": {
+                    "id": 1000 + media_ids.index(rng.choice(media_ids)),
+                    "hashed_id": rng.choice(media_ids + ["ghost_med"]),
+                    "name": None,
+                },
+                "visitor": {"key": rng.choice([f"vis{v:03d}" for v in range(25)] + [None])},
+                "ip": rng.choice([None, "10.1.2.3"]),
+                "country": rng.choice([None, "US", "FR"]),
+            }
+        )
+    # degenerate rows the reference skips/warns on
+    rows.append({**rows[0], "occurred_at": None})
+    rows.append({**rows[1], "occurred_at": "not-a-timestamp"})
+    rows.append({**rows[2], "media": {"id": None, "hashed_id": None, "name": None}})
+    rows.append({**rows[3], "media": None})
+    rows.append({**rows[4], "visitor": None})
+    # percent:100 on null- and zero-duration media (no watch-time credit
+    # for the null one; 0.0 credit for the zero one)
+    rows.append(
+        {
+            "occurred_at": (BASE + dt.timedelta(days=4)).isoformat(),
+            "type": "percent:100",
+            "engagement": 1.0,
+            "media": {"id": None, "hashed_id": media_ids[-1], "name": None},
+            "visitor": {"key": "vis001"},
+            "ip": None,
+            "country": None,
+        }
+    )
+    rows.append({**rows[-1], "media": {"id": None, "hashed_id": media_ids[-2], "name": None}})
+    return rows
+
+
+def golden_fact_v0(events: list[dict], media: list[dict]) -> list[dict]:
+    """Independent plain-Python v0 semantics (one fact row per event;
+    percent:100 credits the full duration) re-derived from the
+    behavior notes in SURVEY §2.6 / VERDICT r01 missing-item 2."""
+    durations = {m["hashed_id"]: m["duration"] for m in media}
+    out: list[dict] = []
+    for ev in events:
+        mid = (ev.get("media") or {}).get("hashed_id")
+        vis = (ev.get("visitor") or {}).get("key")
+        etype = ev.get("type")
+        ts = None
+        if ev.get("occurred_at"):
+            try:
+                ts = dt.datetime.fromisoformat(ev["occurred_at"].replace("Z", "+00:00"))
+            except ValueError:
+                ts = None
+        if ts is None or mid is None:
+            continue
+        watch = None
+        if etype == "percent:100" and mid in durations and durations[mid] is not None:
+            watch = float(durations[mid])
+        out.append(
+            {
+                "media_hashed_id": mid,
+                "event_timestamp": ts,
+                "visitor_id": vis,
+                "play_count": 1 if etype == "play" else None,
+                "play_rate": None,
+                "total_watch_time": watch,
+            }
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Independent golden (plain dicts → fact rows), same semantics spec
 # ---------------------------------------------------------------------------
