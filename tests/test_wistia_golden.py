@@ -11,6 +11,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from wistia_data_pipeline_project_spark.operators.dims import (
+    asset_inventory,
+    explode_media_assets,
     filter_media_by_ids,
     transform_media_data,
     transform_visitor_data,
@@ -91,6 +93,36 @@ def test_dim_visitor_first_wins(spark, events_df):
         assert rows[k].browser == e["user_agent_details"]["browser"]
     # grain: one row per visitor
     assert dim.count() == dim.select("visitor_id").distinct().count()
+
+
+def test_explode_media_assets_golden(spark, media_df):
+    """media.assets explode (media_stats_schema.json:96-109): one row
+    per asset, NULL-asset placeholder for asset-less media."""
+    rows = explode_media_assets(media_df).collect()
+    want = []
+    for m in MEDIA:
+        if m["assets"]:
+            for a in m["assets"]:
+                want.append((m["hashed_id"], a["url"], a["fileSize"], a["contentType"], a["type"]))
+        else:
+            want.append((m["hashed_id"], None, None, None, None))
+    got = sorted((r.media_id, r.url, r.file_size, r.content_type, r.asset_type) for r in rows)
+    assert got == sorted(want)
+
+
+def test_asset_inventory_golden(spark, media_df):
+    inv = {r.content_type: r for r in asset_inventory(media_df).collect()}
+    per_ct: dict[str, list] = {}
+    for m in MEDIA:
+        for a in m["assets"] or []:
+            per_ct.setdefault(a["contentType"], []).append((m["hashed_id"], a))
+    assert set(inv) == set(per_ct)
+    for ct, pairs in per_ct.items():
+        r = inv[ct]
+        assert r.n_assets == len(pairs)
+        assert r.total_bytes == sum(a["fileSize"] for _, a in pairs)
+        assert r.n_media == len({mid for mid, _ in pairs})
+        assert r.max_width == max(a["width"] for _, a in pairs)
 
 
 @pytest.mark.parametrize("legacy", [False, True])

@@ -62,6 +62,46 @@ def filter_media_by_ids(media: DataFrame, hashed_ids: list[str]) -> DataFrame:
     return media.filter(F.col("hashed_id").isin(hashed_ids))
 
 
+def explode_media_assets(media: DataFrame) -> DataFrame:
+    """``media.assets`` array → one row per asset (P2 nested extraction
+    over the reference's only true multimodal column:
+    cloud-run-job/media_stats_schema.json:96-109).
+
+    ``explode_outer`` keeps asset-less media visible as a NULL-asset
+    row (the raw feed has media with ``assets: null``). Scale: explode
+    is a narrow per-row generator — no shuffle; the asset structs are
+    column-pruned at the scan when downstream selects a subset.
+    """
+    return media.select(
+        F.col("hashed_id").alias("media_id"),
+        F.explode_outer("assets").alias("asset"),
+    ).select(
+        "media_id",
+        F.col("asset.url").alias("url"),
+        F.col("asset.width").alias("width"),
+        F.col("asset.height").alias("height"),
+        F.col("asset.fileSize").alias("file_size"),
+        F.col("asset.contentType").alias("content_type"),
+        F.col("asset.type").alias("asset_type"),
+    )
+
+
+def asset_inventory(media: DataFrame) -> DataFrame:
+    """Per-contentType asset rollup (counts / bytes / max geometry)
+    over the exploded ``media.assets``. One shuffle on the low-
+    cardinality content_type key; map-side combine does the heavy
+    lifting. ``n_assets`` counts real assets; ``n_rows`` additionally
+    counts the NULL-asset placeholder rows so asset-less media stay
+    auditable."""
+    return explode_media_assets(media).groupBy("content_type").agg(
+        F.count("file_size").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("media_id").alias("n_media"),
+        F.sum("file_size").alias("total_bytes"),
+        F.max("width").alias("max_width"),
+    )
+
+
 def transform_visitor_data(events: DataFrame, run_ts: dt.datetime) -> DataFrame:
     """events → dim_visitor: one row per visitor_key, attributes from
     that visitor's earliest event (deterministic first-wins).

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import multimodal as M
+from ..operators.dims import asset_inventory
 from ..sources.io import load_table
 from .catalog import query
 
@@ -87,6 +88,78 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_pixel",
         "std_pixel",
         F.to_json("histogram").alias("histogram_json"),
+    )
+
+
+def _fake_wistia_media(docs: DataFrame) -> DataFrame:
+    """Wistia-media-shaped rows (hashed_id + assets array<struct>)
+    derived deterministically from ``documents`` so the REAL
+    ``media.assets`` explode path (schemas.ASSET_STRUCT, mirroring
+    media_stats_schema.json:96-109) is exercised against a closed-form
+    SQL oracle: doc i carries ``doc_id % 3 + 1`` assets (asset j:
+    fileSize ``n_chars*(j+1)``, width ``160*(j+1)``, contentType
+    cycling on ``(doc_id + j) % 3``) and every 7th doc has NULL
+    assets. All JVM-side expressions — a single-level ``transform``
+    over a ≤3-element ``sequence`` stays in codegen."""
+    ctypes = F.array(
+        F.lit("video/mp4"), F.lit("image/png"), F.lit("application/x-mpegURL")
+    )
+    atypes = F.array(
+        F.lit("OriginalFile"), F.lit("Mp4VideoFile"), F.lit("HlsVideoFile")
+    )
+    mk = lambda j: F.struct(  # noqa: E731
+        F.format_string("http://assets/%d/%d", F.col("doc_id"), j).alias("url"),
+        (160 * (j + 1)).cast("long").alias("width"),
+        (90 * (j + 1)).cast("long").alias("height"),
+        (F.col("n_chars") * (j + 1)).cast("long").alias("fileSize"),
+        F.element_at(ctypes, ((F.col("doc_id") + j) % 3 + 1).cast("int")).alias(
+            "contentType"
+        ),
+        F.element_at(atypes, (j + 1).cast("int")).alias("type"),
+    )
+    return docs.select(
+        F.format_string("doc%d", F.col("doc_id")).alias("hashed_id"),
+        F.when(
+            F.col("doc_id") % 7 != 0,
+            F.transform(F.sequence(F.lit(0), F.col("doc_id") % 3), mk),
+        ).alias("assets"),
+    )
+
+
+@query(
+    "media_assets_inventory",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, n_chars,
+             unnest(generate_series(0, CAST(doc_id % 3 AS INTEGER))) AS j
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    assets AS (
+      SELECT (['video/mp4','image/png','application/x-mpegURL'])
+               [(doc_id + j) % 3 + 1] AS content_type,
+             doc_id,
+             n_chars * (j + 1) AS file_size,
+             160 * (j + 1) AS width
+      FROM ex
+      UNION ALL
+      SELECT NULL, doc_id, NULL, NULL FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT content_type,
+           COUNT(file_size) AS n_assets,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_media,
+           CAST(SUM(file_size) AS BIGINT) AS total_bytes,
+           CAST(MAX(width) AS BIGINT) AS max_width
+    FROM assets GROUP BY 1
+    """,
+)
+def media_assets_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's true multimodal column end-to-end: build media
+    rows with a real ``assets array<struct>`` column, explode via
+    ``dims.explode_media_assets`` (explode_outer keeps NULL-assets
+    media), roll up per contentType. VERDICT r01 missing item 3."""
+    return asset_inventory(
+        _fake_wistia_media(load_table(spark, sf_dir, "documents"))
     )
 
 
