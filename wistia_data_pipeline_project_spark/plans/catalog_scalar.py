@@ -48,6 +48,59 @@ def events_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_conversion_map",
+    oracle="""
+    SELECT event_type AS conv_type,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1
+    """,
+)
+def events_conversion_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``conversion_data`` map-column round trip (F11 + SURVEY §1.2's
+    one remaining unexercised type: the reference's event
+    ``conversion_data`` is a free-form string map,
+    media_stats_schema — VERDICT r01 missing item 5 / next-round 9).
+
+    Builds the map JVM-side (``create_map`` → ``to_json``), then
+    consumes it the way a warehouse query would: ``from_json`` back to
+    ``map<string,string>``, element access, cast, aggregate. The whole
+    pipeline is codegen'd column expressions — no UDF, one shuffle on
+    the 2-value conv_type key; the oracle checks the round trip
+    preserved both keys and values."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    staged = ev.select(
+        F.to_json(
+            F.create_map(
+                F.lit("conv_type"),
+                F.col("event_type"),
+                F.lit("k"),
+                F.get_json_object("props", "$.k"),
+            )
+        ).alias("conversion_data")
+    )
+    m = staged.select(
+        F.from_json("conversion_data", "map<string,string>").alias("m")
+    )
+    return (
+        m.select(
+            F.col("m").getItem("conv_type").alias("conv_type"),
+            F.col("m").getItem("k").cast("bigint").alias("k"),
+        )
+        .groupBy("conv_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+@query(
     "events_scalar_showcase",
     oracle="""
     SELECT event_id,
@@ -278,17 +331,34 @@ def parts_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("events_approx_distinct")
+@query(
+    "events_approx_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events GROUP BY 1
+    """,
+)
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch (approx_count_distinct) next to the exact count —
     the sketch is mergeable, so at 100 TB the distinct-visitor count
     is one map-side-combinable pass instead of a global shuffle of
-    every key. Rows-only check (sketch estimates are engine-specific);
-    the exact twin is oracle-checked in docs_lang_stats/n_sources."""
+    every key. The sketch estimate itself is engine-specific, so the
+    oracle-checked statement is STRUCTURAL (VERDICT r01 next-round 8):
+    per event_type, the exact count matches SQL and the estimate sits
+    within 3·rsd of it (TRUE on both engines or the hash differs)."""
     e = load_table(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 3 * 0.02 * F.col("exact_users")
+        ).alias("within_3rsd"),
     )
 
 
