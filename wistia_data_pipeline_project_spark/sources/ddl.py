@@ -1,0 +1,77 @@
+"""Warehouse provisioning (SURVEY §2.2 K5): idempotent database +
+table creation, the Spark-catalog re-expression of the reference's
+``create_bigquery_tables`` (``process_wistia_data_v2.py:88-128``,
+``ingest_wistia.py:95-124``): create the dataset, then each warehouse
+table from its declared schema, treating "already exists" as a benign
+no-op (the reference catches ``Conflict`` per object).
+
+Re-expression notes:
+- BigQuery dataset → Spark database; BigQuery table + explicit
+  SchemaField list → ``CREATE TABLE IF NOT EXISTS`` with the DDL
+  rendered from ``schemas.py`` StructTypes (never inferred).
+- The reference's commented-out date partitioning + clustering on the
+  fact (``process_wistia_data_v2.py:107-112``) is realized for real:
+  the fact table is ``PARTITIONED BY (date)`` so incremental appends
+  create new partitions and date-range queries prune.
+- At scale the catalog is Hive-metastore/Unity-alike; everything here
+  is plain ANSI DDL through ``spark.sql`` so it works on any catalog
+  implementation (tests run on the in-memory catalog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from ..schemas import (
+    DIM_MEDIA_SCHEMA,
+    DIM_VISITOR_SCHEMA,
+    FACT_MEDIA_ENGAGEMENT_SCHEMA,
+)
+
+WAREHOUSE_TABLES: dict[str, tuple[T.StructType, tuple[str, ...]]] = {
+    "dim_media": (DIM_MEDIA_SCHEMA, ()),
+    "dim_visitor": (DIM_VISITOR_SCHEMA, ()),
+    "fact_media_engagement": (FACT_MEDIA_ENGAGEMENT_SCHEMA, ("date",)),
+}
+
+
+def schema_to_ddl(schema: T.StructType) -> str:
+    """Column-list DDL from a declared StructType (NOT NULL modes are
+    intentionally dropped: the write path enforces validity — the
+    reference likewise drops REQUIRED violations at transform time,
+    not at the table boundary)."""
+    return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def provision_warehouse(
+    spark: SparkSession,
+    database: str = "wistia",
+    location: str | None = None,
+) -> dict[str, bool]:
+    """Create the database and the three warehouse tables if absent.
+
+    Returns ``{object_name: created}`` — ``False`` means it already
+    existed (the reference's ``Conflict`` → info-log branch). Safe to
+    call on every scheduled run; a second call is a complete no-op and
+    never touches existing data.
+    """
+    created: dict[str, bool] = {}
+
+    created[database] = not spark.catalog.databaseExists(database)
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`{loc}")
+
+    for name, (schema, partition_cols) in WAREHOUSE_TABLES.items():
+        fq = f"`{database}`.`{name}`"
+        created[name] = not spark.catalog.tableExists(f"{database}.{name}")
+        part = (
+            " PARTITIONED BY (" + ", ".join(f"`{c}`" for c in partition_cols) + ")"
+            if partition_cols
+            else ""
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {fq} ({schema_to_ddl(schema)}) "
+            f"USING PARQUET{part}"
+        )
+    return created
