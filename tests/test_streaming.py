@@ -149,6 +149,77 @@ def test_streaming_watch_time_matches_batch_fold(spark, events_jsonl_dir):
         assert got["last_event_timestamp"] == exp["last_event_timestamp"], k
 
 
+def test_streaming_watch_time_out_of_order_arrival(spark, tmp_path):
+    """Out-of-order cross-batch arrival (VERDICT r01 item 6): events
+    shuffled randomly across micro-batch files must still converge to
+    the batch fold — the state buffers rows until the watermark
+    finalizes their order."""
+    import datetime as dt
+    import json as _json
+    import random
+
+    from wistia_data_pipeline_project_spark.operators.dims import (
+        transform_media_data,
+    )
+    from wistia_data_pipeline_project_spark.operators.fact import (
+        fact_media_engagement_fold,
+    )
+    from wistia_data_pipeline_project_spark.schemas import (
+        WISTIA_MEDIA_SCHEMA,
+        nullable_copy,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        streaming_watch_time,
+    )
+
+    path = tmp_path / "shuffled"
+    path.mkdir()
+    events = make_events(make_media())
+    random.Random(99).shuffle(events)  # adversarial arrival order
+    n = len(events)
+    for i in range(4):
+        with open(path / f"events_{i}.jsonl", "w") as f:
+            for e in events[i * n // 4 : (i + 1) * n // 4]:
+                f.write(_json.dumps(e, default=lambda o: o.isoformat()) + "\n")
+
+    media = spark.createDataFrame(make_media(), nullable_copy(WISTIA_MEDIA_SCHEMA))
+    run_ts = dt.datetime(2025, 5, 20, 12, tzinfo=dt.timezone.utc)
+    dim = transform_media_data(media, run_ts)
+
+    stream = _read_stream(spark, str(path))
+    # watermark wide enough that the shuffle never drops late rows:
+    # every row stays pending and the provisional fold must equal the
+    # batch fold regardless of arrival order
+    q = run_stream_to_memory(
+        streaming_watch_time(stream, dim, watermark="30 days"),
+        "watch_time_ooo_stream",
+        output_mode="update",
+    )
+    try:
+        updates = spark.table("watch_time_ooo_stream").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in updates:
+        final[(r["media_id"], r["visitor_id"], str(r["date"]))] = r
+
+    batch_events = spark.read.schema(WISTIA_EVENT_SCHEMA).json(str(path))
+    want = {
+        (r["media_id"], r["visitor_id"], str(r["date"])): r
+        for r in fact_media_engagement_fold(batch_events, dim, run_ts).collect()
+    }
+    assert set(final) == set(want)
+    for k, got in final.items():
+        exp = want[k]
+        assert got["play_count"] == exp["play_count"], k
+        assert got["total_watch_time"] == pytest.approx(
+            exp["total_watch_time"], abs=0.01
+        ), k
+        assert got["max_percent_viewed"] == pytest.approx(exp["max_percent_viewed"]), k
+        assert got["event_timestamp"] == exp["event_timestamp"], k
+        assert got["last_event_timestamp"] == exp["last_event_timestamp"], k
+
+
 def test_streaming_session_windows(spark, events_jsonl_dir):
     stream = _read_stream(spark, events_jsonl_dir)
     q = run_stream_to_memory(

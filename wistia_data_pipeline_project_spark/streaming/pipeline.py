@@ -102,9 +102,11 @@ def streaming_session_windows(
 # ---------------------------------------------------------------------------
 
 WATCH_STATE_SCHEMA = (
-    "last_time timestamp, last_pct double, total double, n_play bigint, "
-    "any_progress boolean, max_pct double, first_ts timestamp, "
-    "last_ts timestamp, duration double"
+    "last_time_us long, last_pct double, total double, n_play bigint, "
+    "any_progress boolean, max_pct double, first_ts_us long, "
+    "last_ts_us long, duration double, "
+    "buf_ts_us array<long>, buf_key array<string>, buf_pct array<double>, "
+    "buf_name array<string>"
 )
 
 WATCH_OUTPUT_SCHEMA = (
@@ -125,16 +127,22 @@ def streaming_watch_time(
     (anchor timestamp + last percent + running credit) across
     micro-batches.
 
-    Semantics match ``fact.fact_media_engagement_fold`` when events
-    arrive time-ordered per key (each batch is sorted; cross-batch
-    order is the stream's arrival order — the same assumption the
-    reference's incremental refetch makes). Emits the updated
-    aggregate for every key touched by a batch (update mode); state
-    evicts via event-time timeout once the watermark passes the key's
-    day + 1, bounding the store to ~2 days of active keys.
+    Semantics match ``fact.fact_media_engagement_fold`` for ANY
+    arrival order within the watermark: the order-sensitive lag-1
+    fold only COMMITS events once the watermark has passed them (no
+    earlier event can still arrive), so cross-batch disorder cannot
+    corrupt the anchor state. Still-pending rows (ts > watermark) are
+    buffered in state and folded PROVISIONALLY — each update-mode
+    emission reflects all data seen so far in event-time order, and
+    the final emission (at the eviction timeout) equals the batch
+    fold. Order-insensitive stats (play counts, max percent,
+    first/last ts) update on arrival.
 
-    Scale: state is one fixed-width row per (media, visitor, day) —
-    the same key space as the batch shuffle — and the stream-static
+    Scale: state per (media, visitor, day) is one fixed-width row
+    plus the pending buffer, which the watermark bounds to ≤ the
+    allowed lateness window of that key's events (a day-grain key
+    stops receiving on-time events after ~1 day + lateness, and the
+    eviction timeout reclaims it at day + 2). The stream-static
     duration join is broadcast per micro-batch.
     """
     e = (
@@ -162,83 +170,136 @@ def streaming_watch_time(
     )
     legacy = legacy_percent_semantics
 
-    def step(
-        key: tuple,
-        pdfs: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            state.remove()
-            return
-        if state.exists:
-            (last_time, last_pct, total, n_play, any_progress, max_pct,
-             first_ts, last_ts, duration) = state.get
-        else:
-            last_time, last_pct, total = None, 0.0, 0.0
-            n_play, any_progress, max_pct = 0, False, 0.0
-            first_ts, last_ts, duration = None, None, None
-
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["received_at", "event_key"], kind="mergesort")
-        for ts, pct, name, dur in zip(
-            rows["received_at"], rows["pct"], rows["event_name"], rows["duration"]
-        ):
-            if pd.isna(ts) or pd.isna(pct):
-                continue
-            pct = float(pct)
-            if duration is None and pd.notna(dur):
-                duration = float(dur)
-            if name == "play":
-                n_play += 1
-            if pct > 0:
-                any_progress = True
-            max_pct = max(max_pct, pct)
-            first_ts = ts if first_ts is None else min(first_ts, ts)
-            last_ts = ts if last_ts is None else max(last_ts, ts)
-            if duration is None or duration <= 0:
-                continue
-            if last_time is None and (pct > 0 or name == "play"):
-                last_time, last_pct = ts, pct
-            elif last_time is not None:
-                elapsed = (ts - last_time).total_seconds()
+    def fold(events, last_time_us, last_pct, total, duration):
+        """The reference's lag-1 state machine over (ts_us, key, pct,
+        name) tuples ALREADY sorted by event time."""
+        if not (duration and duration > 0):
+            return last_time_us, last_pct, total
+        for ts_us, _k, pct, name in events:
+            if last_time_us is None and (pct > 0 or name == "play"):
+                last_time_us, last_pct = ts_us, pct
+            elif last_time_us is not None:
+                elapsed = (ts_us - last_time_us) / 1e6
                 if elapsed > 0 and pct > last_pct:
                     if name not in ("pause", "end"):
                         change = pct - last_pct
                         expected = (change / 100.0 if legacy else change) * duration
                         total += min(elapsed, expected)
-                    last_pct, last_time = pct, ts
+                    last_pct, last_time_us = pct, ts_us
                 elif pct > last_pct + 0.01:
-                    last_pct, last_time = pct, ts
+                    last_pct, last_time_us = pct, ts_us
                 elif elapsed > 0 and pct <= last_pct:
-                    last_pct, last_time = pct, ts
+                    last_pct, last_time_us = pct, ts_us
+        return last_time_us, last_pct, total
 
-        state.update(
-            (last_time, last_pct, total, n_play, any_progress, max_pct,
-             first_ts, last_ts, duration)
-        )
-        # evict when the watermark passes the key's day + 2 days
-        day = key[2]
-        evict_at = dt.datetime.combine(day, dt.time()) + dt.timedelta(days=2)
-        state.setTimeoutTimestamp(int(evict_at.timestamp() * 1000))
-
+    def emit(key, n_play, any_progress, max_pct, first_ts_us, last_ts_us,
+             duration, total):
         play_count = n_play if n_play > 0 else (1 if any_progress else 0)
         capped = min(total, duration) if duration is not None else total
         if play_count == 0:
             capped = 0.0
-        yield pd.DataFrame(
+        to_ts = lambda us: None if us is None else pd.to_datetime(us, unit="us")  # noqa: E731
+        return pd.DataFrame(
             [
                 {
                     "media_id": key[0],
                     "visitor_id": key[1],
-                    "date": day,
+                    "date": key[2],
                     "play_count": play_count,
                     "total_watch_time": round(capped, 2),
                     "max_percent_viewed": max_pct,
-                    "event_timestamp": first_ts,
-                    "last_event_timestamp": last_ts,
+                    "event_timestamp": to_ts(first_ts_us),
+                    "last_event_timestamp": to_ts(last_ts_us),
                 }
             ]
         )
+
+    def step(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (last_time_us, last_pct, total, n_play, any_progress, max_pct,
+             first_ts_us, last_ts_us, duration,
+             buf_ts, buf_key, buf_pct, buf_name) = state.get
+            pending = list(zip(buf_ts, buf_key, buf_pct, buf_name))
+        else:
+            last_time_us, last_pct, total = None, 0.0, 0.0
+            n_play, any_progress, max_pct = 0, False, 0.0
+            first_ts_us, last_ts_us, duration = None, None, None
+            pending = []
+
+        if state.hasTimedOut:
+            # the watermark passed the whole day + lateness: everything
+            # left pending is final — fold it and emit the closing row
+            pending.sort(key=lambda r: (r[0], r[1]))
+            last_time_us, last_pct, total = fold(
+                pending, last_time_us, last_pct, total, duration
+            )
+            state.remove()
+            yield emit(key, n_play, any_progress, max_pct, first_ts_us,
+                       last_ts_us, duration, total)
+            return
+
+        for rows in pdfs:
+            for ts, ekey, pct, name, dur in zip(
+                rows["received_at"], rows["event_key"], rows["pct"],
+                rows["event_name"], rows["duration"],
+            ):
+                if pd.isna(ts) or pd.isna(pct):
+                    continue
+                pct = float(pct)
+                ts_us = int(ts.value // 1000)
+                if duration is None and pd.notna(dur):
+                    duration = float(dur)
+                if name == "play":
+                    n_play += 1
+                if pct > 0:
+                    any_progress = True
+                max_pct = max(max_pct, pct)
+                first_ts_us = ts_us if first_ts_us is None else min(first_ts_us, ts_us)
+                last_ts_us = ts_us if last_ts_us is None else max(last_ts_us, ts_us)
+                pending.append(
+                    (ts_us, ekey, pct, None if pd.isna(name) else name)
+                )
+
+        # COMMIT the prefix the watermark has passed: no earlier event
+        # can arrive anymore, so its fold order is final. Later rows
+        # stay buffered (they may still be preceded by in-flight data).
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pending.sort(key=lambda r: (r[0], r[1]))
+        n_final = 0
+        while n_final < len(pending) and pending[n_final][0] <= wm_us:
+            n_final += 1
+        last_time_us, last_pct, total = fold(
+            pending[:n_final], last_time_us, last_pct, total, duration
+        )
+        pending = pending[n_final:]
+
+        state.update(
+            (last_time_us, last_pct, total, n_play, any_progress, max_pct,
+             first_ts_us, last_ts_us, duration,
+             [p[0] for p in pending], [p[1] for p in pending],
+             [p[2] for p in pending], [p[3] for p in pending])
+        )
+        # evict when the watermark passes the key's day + 2 (built in
+        # UTC explicitly: naive datetime.timestamp() would shift by the
+        # host TZ); the timeout must sit strictly past the watermark
+        day = key[2]
+        evict_at = (
+            dt.datetime.combine(day, dt.time(), tzinfo=dt.timezone.utc)
+            + dt.timedelta(days=2)
+        )
+        state.setTimeoutTimestamp(
+            max(int(evict_at.timestamp() * 1000), state.getCurrentWatermarkMs() + 1)
+        )
+
+        # provisional view: committed fold state + pending folded on a
+        # copy (event-time order), so every emission reflects all data
+        _, _, prov_total = fold(pending, last_time_us, last_pct, total, duration)
+        yield emit(key, n_play, any_progress, max_pct, first_ts_us,
+                   last_ts_us, duration, prov_total)
 
     return e.groupBy("media_id", "visitor_id", "date").applyInPandasWithState(
         step,
