@@ -42,6 +42,23 @@ def test_simhash_is_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_simhash_oversize_doc_guard(spark):
+    """Docs past the 32767-token lane-packing limit must fail loudly
+    (default) or be droppable (skip) — never silently corrupt."""
+    import pytest
+
+    big = "tok " * (D.SIMHASH_MAX_TOKENS + 1)
+    docs = spark.createDataFrame(
+        [(1, "small doc"), (2, big)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="lane-packing limit"):
+        D.simhash_fingerprints(docs).collect()
+    kept = D.simhash_fingerprints(docs, oversize="skip").collect()
+    assert [r.doc_id for r in kept] == [1]
+    with pytest.raises(ValueError):
+        D.simhash_fingerprints(docs, oversize="chunk")
+
+
 def test_exact_dedup_idempotent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     doubled = docs.unionByName(docs)

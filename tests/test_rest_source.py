@@ -78,6 +78,24 @@ def test_datasource_page_partitions(registered):
     assert {r["event_key"] for r in got} == {f"ev_all_{i}" for i in range(TOTAL_ROWS)}
 
 
+def test_datasource_overflow_feed_not_truncated(registered):
+    """A feed longer than num_partitions*pages_per_partition pages must
+    still be read completely: the last partition is unbounded and
+    keeps paginating to the short-page stop."""
+    df = (
+        registered.read.format("paginated_rest")
+        .schema(SCHEMA)
+        .option("transport", "tests.fake_api:make_transport")
+        .option("endpoint", "stats/events.json")
+        .option("num_partitions", "2")
+        .option("pages_per_partition", "1")  # planned space: 2 of 3 pages
+        .load()
+    )
+    got = df.collect()
+    assert len(got) == TOTAL_ROWS
+    assert {r["event_key"] for r in got} == {f"ev_all_{i}" for i in range(TOTAL_ROWS)}
+
+
 def test_datasource_media_shards(registered):
     df = (
         registered.read.format("paginated_rest")

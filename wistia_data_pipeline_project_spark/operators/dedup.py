@@ -289,8 +289,17 @@ def minhash_near_dup_pairs(
     )
 
 
+# Lane-packing capacity: 4 per-bit counters share one long in 16-bit
+# lanes; beyond this token count a lane can carry into its neighbor
+# and silently corrupt the fingerprint, so the regime is ENFORCED.
+SIMHASH_MAX_TOKENS = 32767
+
+
 def simhash_fingerprints(
-    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    oversize: str = "error",
 ) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
@@ -301,10 +310,38 @@ def simhash_fingerprints(
     doc. (The per-array ``F.aggregate`` HOF formulation evaluates
     interpreted and was ~10× slower.) ``explode_outer`` keeps empty
     docs (simhash 0), matching aggregate-over-empty-array semantics.
+
+    Docs beyond ``SIMHASH_MAX_TOKENS`` would overflow the packed
+    lanes; ``oversize`` picks the policy: ``"error"`` (default) fails
+    the job naming the doc, ``"skip"`` drops such docs from the
+    output (callers should pre-chunk them instead).
     """
-    tok = df.select(
-        F.col(key_col), F.explode_outer(tokens(F.col(text_col))).alias("_t")
-    )
+    if oversize not in ("error", "skip"):
+        raise ValueError(f"oversize must be 'error' or 'skip', got {oversize!r}")
+    # the guard must run BEFORE the aggregate (an oversized doc can
+    # overflow a packed lane inside the sum itself), so it gates on the
+    # token-array size in the scan projection — no extra pass
+    toks = df.select(F.col(key_col), tokens(F.col(text_col)).alias("_toks"))
+    over = F.size("_toks") > SIMHASH_MAX_TOKENS
+    if oversize == "skip":
+        toks = toks.filter(~over)
+    else:
+        toks = toks.withColumn(
+            "_toks",
+            F.when(
+                over,
+                F.raise_error(
+                    F.format_string(
+                        "simhash lane-packing limit exceeded: doc %s has %s "
+                        "tokens (max 32767); pre-chunk it or pass "
+                        "oversize='skip'",
+                        F.col(key_col).cast("string"),
+                        F.size("_toks").cast("string"),
+                    )
+                ).cast("array<string>"),
+            ).otherwise(F.col("_toks")),
+        )
+    tok = toks.select(F.col(key_col), F.explode_outer("_toks").alias("_t"))
     hashed = tok.select(
         key_col,
         F.when(F.col("_t").isNotNull(), F.xxhash64("_t")).alias("_h"),

@@ -45,6 +45,7 @@ log = logging.getLogger(__name__)
 Transport = Callable[[str, dict], list[dict]]
 
 DEFAULT_PER_PAGE = 100  # Wistia default page size (ingest_wistia.py:190)
+UNBOUNDED_PAGE = 1 << 30  # page loop relies on the short-page stop
 
 
 def http_transport(base_url: str, token: str, timeout: int = 60) -> Transport:
@@ -172,12 +173,20 @@ class RestReader(DataSourceReader):
         if self.media_ids:
             # key-sharded: one partition per media id, unbounded pages
             return [
-                PageRange(1, 1 << 30, {"media_id": m}) for m in self.media_ids
+                PageRange(1, UNBOUNDED_PAGE, {"media_id": m}) for m in self.media_ids
             ]
+        # The LAST partition is unbounded: a feed longer than the
+        # planned num_partitions*pages_per_partition page space must
+        # not be silently truncated — the tail partition keeps
+        # paginating until the short-page stop condition. (Cost model:
+        # overflow serializes into one task; raise num_partitions /
+        # pages_per_partition when a feed routinely overflows.)
         return [
             PageRange(
                 i * self.pages_per_partition + 1,
-                (i + 1) * self.pages_per_partition,
+                (i + 1) * self.pages_per_partition
+                if i < self.num_partitions - 1
+                else UNBOUNDED_PAGE,
             )
             for i in range(self.num_partitions)
         ]
