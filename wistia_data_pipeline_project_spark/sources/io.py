@@ -81,6 +81,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # session-level legacy conf (no per-read option exists for it);
+        # get_spark() sets it at build time — this set covers vanilla
+        # sessions (the driver's) and is a no-op on engine sessions.
+        # Caveat: on a session shared with non-engine workloads this
+        # changes how THEIR nanos-parquet scans read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = T.StructType(
             [
