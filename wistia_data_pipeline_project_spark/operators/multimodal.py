@@ -29,6 +29,7 @@ Scale design (100 TB of media):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -193,6 +194,18 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
                     continue
                 arr = decode_payload(r["payload"], meta)
                 hist = np.bincount(arr.ravel() >> 5, minlength=n_bins)[:n_bins]
+                # canonical moment formula over EXACT integer sums
+                # (pixel sums fit in int64), evaluated with the same
+                # IEEE expression the SQL oracle uses — bit-identical
+                # cross-engine, unlike np.std's mean-of-deviations
+                flat = arr.astype(np.int64).ravel()
+                n = flat.size
+                s = int(flat.sum())
+                sq = int((flat * flat).sum())
+                mean = s / n
+                # math.sqrt is correctly rounded; ** 0.5 is pow() and
+                # can differ from SQL sqrt by an ulp
+                std = math.sqrt(max(sq / n - mean * mean, 0.0))
                 rows.append(
                     {
                         "asset_id": r["asset_id"],
@@ -200,8 +213,8 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
                         "width": arr.shape[1],
                         "height": arr.shape[0],
                         "n_channels": arr.shape[2],
-                        "mean_pixel": float(arr.mean()),
-                        "std_pixel": float(arr.std()),
+                        "mean_pixel": mean,
+                        "std_pixel": std,
                         "histogram": hist.tolist(),
                     }
                 )

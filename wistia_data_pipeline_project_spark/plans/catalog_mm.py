@@ -75,14 +75,58 @@ def mm_image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_features")
+@query(
+    "mm_image_features",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS len,
+             (doc_id % 32 + 8) * (doc_id % 24 + 8) * 3 AS size
+      FROM documents WHERE {MT_SQL} = 'image'
+    ),
+    chars AS (
+      SELECT doc_id, size,
+             ascii(substr(text, j + 1, 1)) AS v,
+             size // len + CASE WHEN j < size % len THEN 1 ELSE 0 END AS reps
+      FROM img, unnest(generate_series(0, len - 1)) AS t(j)
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(SUM(v * reps) AS DOUBLE) / MAX(size) AS mean_pixel,
+             sqrt(greatest(
+               CAST(SUM(v * v * reps) AS DOUBLE) / MAX(size)
+               - (CAST(SUM(v * reps) AS DOUBLE) / MAX(size))
+                 * (CAST(SUM(v * reps) AS DOUBLE) / MAX(size)), 0)) AS std_pixel
+      FROM chars GROUP BY doc_id
+    ),
+    bin_counts AS (
+      SELECT doc_id, v // 32 AS bin, CAST(SUM(reps) AS BIGINT) AS cnt
+      FROM chars GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT i.doc_id, b.bin
+      FROM img i CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bin) b
+    ),
+    hist AS (
+      SELECT g.doc_id,
+             to_json(list(COALESCE(bc.cnt, 0) ORDER BY g.bin))
+               AS histogram_json
+      FROM grid g LEFT JOIN bin_counts bc USING (doc_id, bin)
+      GROUP BY g.doc_id
+    )
+    SELECT s.doc_id AS asset_id, s.mean_pixel, s.std_pixel,
+           h.histogram_json
+    FROM stats s JOIN hist h ON s.doc_id = h.doc_id
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pixel-statistics extraction (mean/std/histogram). Pixel
-    values come from the deterministic fake raster; rows-only check
-    (no SQL codec), row count pinned by the image subset size. The
-    histogram array is JSON-serialized so the driver's row
-    canonicalizer (pandas sort/hash) can handle it — array cells are
-    unhashable."""
+    """Full pixel-statistics extraction (mean/std/histogram) through
+    the real Arrow decode path. The fake raster is the payload's utf-8
+    bytes tiled to h×w×3, so the statistics are SQL-reproducible: the
+    oracle rebuilds them from per-character values × tiling
+    multiplicities. Moments use exact integer sums + one shared IEEE
+    expression on both engines (see image_features), so even the
+    doubles hash-match. The histogram array is JSON-serialized — the
+    driver's row canonicalizer can't hash array cells."""
     return M.image_features(_assets(spark, sf_dir)).select(
         "asset_id",
         "mean_pixel",
@@ -206,11 +250,37 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_resize_checksum")
+@query(
+    "mm_resize_checksum",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS len,
+             doc_id % 32 + 8 AS w, doc_id % 24 + 8 AS h
+      FROM documents WHERE {MT_SQL} = 'image'
+    ),
+    px AS (
+      SELECT doc_id, yi, xi, c,
+             substr(text,
+                    ((((yi * h) // 8) * w + ((xi * w) // 8)) * 3 + c)
+                      % len + 1, 1) AS ch
+      FROM img,
+           unnest(generate_series(0, 7)) AS ty(yi),
+           unnest(generate_series(0, 7)) AS tx(xi),
+           unnest(generate_series(0, 2)) AS tc(c)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           md5(string_agg(ch, '' ORDER BY yi, xi, c)) AS payload_md5
+    FROM px GROUP BY doc_id
+    """,
+)
 def mm_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize to 8×8 and checksum the raw payload — proves the
-    decode→resize→re-encode path is deterministic across runs and
-    partitionings (md5 over bytes; rows-only check)."""
+    """Resize to 8×8 (nearest-neighbor index gather) and checksum the
+    re-encoded payload. The gather indices are pure integer arithmetic
+    on (doc_id-derived) geometry and the source bytes are the tiled
+    ascii payload, so the oracle reconstructs the exact 192-byte
+    output per image in SQL and md5s it — the decode→resize→re-encode
+    path is proven byte-identical, not just deterministic."""
     return M.resize_images(_assets(spark, sf_dir), 8, 8).select(
         "asset_id", "width", "height", F.md5("payload").alias("payload_md5")
     )
