@@ -188,11 +188,14 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            # zip over the batch columns: iterrows() builds a
+            # Series per row and was the Python-side bottleneck
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
                 if meta["media_type"] != "image":
                     continue
-                arr = decode_payload(r["payload"], meta)
+                arr = decode_payload(payload, meta)
                 hist = np.bincount(arr.ravel() >> 5, minlength=n_bins)[:n_bins]
                 # canonical moment formula over EXACT integer sums
                 # (pixel sums fit in int64), evaluated with the same
@@ -208,8 +211,8 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
                 std = math.sqrt(max(sq / n - mean * mean, 0.0))
                 rows.append(
                     {
-                        "asset_id": r["asset_id"],
-                        "n_bytes": len(r["payload"] or b""),
+                        "asset_id": asset_id,
+                        "n_bytes": len(payload or b""),
                         "width": arr.shape[1],
                         "height": arr.shape[0],
                         "n_channels": arr.shape[2],
@@ -236,15 +239,16 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
                 if meta["media_type"] != "image":
                     continue
-                arr = decode_payload(r["payload"], meta)
+                arr = decode_payload(payload, meta)
                 out = _nearest_resize(arr, out_w, out_h)
                 rows.append(
                     {
-                        "asset_id": r["asset_id"],
+                        "asset_id": asset_id,
                         "width": out_w,
                         "height": out_h,
                         "payload": out.tobytes(),
@@ -263,16 +267,17 @@ def audio_features(assets: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
                 if meta["media_type"] != "audio":
                     continue
-                wave = decode_payload(r["payload"], meta).astype(np.float64)
+                wave = decode_payload(payload, meta).astype(np.float64)
                 sr = int(meta["sample_rate"] or 16000)
                 n = len(wave)
                 rows.append(
                     {
-                        "asset_id": r["asset_id"],
+                        "asset_id": asset_id,
                         "n_samples": n,
                         "duration_s": n / sr,
                         "rms": float(np.sqrt(np.mean(wave**2))) if n else 0.0,
@@ -295,17 +300,18 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                meta = r["meta"]
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
                 if meta["media_type"] != "video" or not meta["n_frames"]:
                     continue
                 w, h, c = int(meta["width"]), int(meta["height"]), int(meta["n_channels"] or 3)
                 n = int(meta["n_frames"])
-                stack = fake_decode(r["payload"], w, h * n, c).reshape(n, h, w, c)
+                stack = fake_decode(payload, w, h * n, c).reshape(n, h, w, c)
                 for i in range(0, n, every_k):
                     rows.append(
                         {
-                            "asset_id": r["asset_id"],
+                            "asset_id": asset_id,
                             "frame_idx": i,
                             "mean_pixel": float(stack[i].mean()),
                         }
