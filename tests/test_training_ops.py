@@ -1,0 +1,62 @@
+"""Training-data assembly operators: deterministic split, token
+packing, contamination detection (north_star extension surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wistia_data_pipeline_project_spark.operators import training as TR
+from wistia_data_pipeline_project_spark.sources.io import load_table
+
+
+def test_split_is_deterministic_and_stable_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split for r in TR.split_assign(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in TR.split_assign(docs.repartition(13)).collect()
+    }
+    assert a == b
+    # every doc assigned, fractions roughly honored (md5 is uniform)
+    n = len(a)
+    frac_train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.8 < frac_train < 0.97
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_split_rejects_bad_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        TR.split_assign(docs, train=0.9, val=0.2)
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    packed = TR.pack_documents(docs, budget=512).collect()
+    assert len(packed) == docs.count()
+    by_shard: dict[str, list] = {}
+    for r in packed:
+        by_shard.setdefault(r.source, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # pack ids are non-decreasing in doc order and start at 0
+        assert rows[0].pack_id == 0
+        cum = 0
+        for r in rows:
+            assert r.pack_id == cum // 512
+            cum += r.n_tokens
+
+
+def test_contamination_finds_planted_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "completely different words nothing shared here at all now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0).select("doc_id")
+    got = {r.doc_id for r in TR.contamination(docs, bench).collect()}
+    assert got == {1}  # shares the 8-token shingle; doc 2 clean

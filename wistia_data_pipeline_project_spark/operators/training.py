@@ -1,0 +1,115 @@
+"""Training-data assembly operators (north_star extension, beyond the
+reference's surface): deterministic dataset splitting, token-budget
+packing, and benchmark-contamination detection — the ops that sit
+between "deduped corpus" and "training shards" in an LLM data
+pipeline.
+
+All three are pure DataFrame compositions (no UDFs) with exact DuckDB
+oracles:
+
+- **split_assign**: md5-bucketed train/val/test assignment. The hash
+  is content-addressed on the KEY, so membership is stable across
+  runs, cluster sizes, and partitionings — re-ingesting the corpus
+  never migrates a doc between splits (the property random() splits
+  lack). 256 lexicographic hex buckets give 1/256 granularity.
+- **pack_documents**: offset-based packing of docs into fixed token
+  budgets, per source shard. A doc belongs to the pack where its
+  cumulative token offset starts; packing is windowed WITHIN each
+  source so the sort parallelizes across shards (a global order would
+  serialize into one partition at 100 TB — deliberately avoided).
+- **contamination**: train docs sharing ≥1 w-token shingle with any
+  benchmark doc. Shingle equi-join (same bounded fan-out argument as
+  n-gram Jaccard dedup: width-8 shingles are near-unique outside real
+  overlap) + two semi-joins; no pairwise expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import shingle_table
+from .text import tokens
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic content-addressed split: bucket = first 2 hex
+    chars of md5(key) (256 buckets, compared lexicographically — hex
+    order == numeric order), thresholds at ``int(frac*256)``. The
+    identical expression runs in any SQL engine, so split membership
+    is portable across the whole stack."""
+    if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
+        raise ValueError(f"bad split fractions: train={train}, val={val}")
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+    t_cut, v_cut = format(int(train * 256), "02x"), format(int((train + val) * 256), "02x")
+    return df.withColumn(
+        split_col,
+        F.when(bucket < F.lit(t_cut), F.lit("train"))
+        .when(bucket < F.lit(v_cut), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each doc to a token-budget pack within its shard.
+
+    ``pack_id = floor(tokens_before_this_doc / budget)`` under
+    (shard, key) order — offset packing: a doc straddling a boundary
+    belongs to the pack where it STARTS, and a doc longer than the
+    budget still gets exactly one pack. One shuffle on the shard key;
+    the running sum is a per-shard window, map-parallel across shards.
+    """
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(key_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_tok = F.size(tokens(F.col(text_col)))
+    prev = F.coalesce(F.sum(n_tok).over(w), F.lit(0))
+    return df.select(
+        F.col(shard_col),
+        F.col(key_col),
+        n_tok.alias("n_tokens"),
+        F.floor(prev / budget).cast("long").alias("pack_id"),
+    )
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Train docs whose text shares at least one ``width``-token
+    shingle with any benchmark doc (the standard n-gram decontamination
+    test). ``bench`` holds the benchmark keys (one column, same name).
+
+    Plan: shingle both sides once, semi-join train shingles against
+    the (distinct) benchmark shingle set, distinct on the train key.
+    The benchmark side is typically tiny → its distinct shingle set
+    broadcasts; the train side never self-joins or pair-expands.
+    """
+    bench_keys = bench.select(key_col)
+    sh = shingle_table(df, key_col, text_col, width)
+    bench_sh = (
+        sh.join(bench_keys, key_col, "left_semi").select("shingle").distinct()
+    )
+    return (
+        sh.join(bench_keys, key_col, "left_anti")
+        .join(bench_sh, "shingle", "left_semi")
+        .select(key_col)
+        .distinct()
+    )

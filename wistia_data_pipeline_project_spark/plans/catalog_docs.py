@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as X
+from ..operators import training as TR
 from ..sources.io import load_table
 from .catalog import query
 
@@ -256,6 +257,102 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit counting over per-language trigram profiles, all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     return X.with_language_id(docs).select("doc_id", "lang", "predicted_lang")
+
+
+@query(
+    "docs_train_split",
+    oracle="""
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                AS BIGINT) AS total_tokens
+    FROM (
+      SELECT text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+)
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/val/test split (90/5/5):
+    md5-hex bucket on doc_id, portable to any engine — the oracle
+    reproduces the assignment bit-for-bit. Narrow projection + one
+    3-key shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TR.split_assign(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(X.tokens(F.col("text")))).alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "docs_token_packing",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t
+    )
+    SELECT source, CAST(prev // 2048 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def docs_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (2048/pack) per source shard: offset-based
+    pack assignment via a per-shard running sum — parallel across
+    shards, no global sort (the 100 TB constraint). Emits per-pack
+    doc and token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        TR.pack_documents(docs, budget=2048)
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+@query(
+    "docs_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents)
+    )
+    SELECT DISTINCT a.doc_id
+    FROM sh a JOIN sh b ON a.shingle = b.shingle
+    WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    """,
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: train docs sharing an 8-token
+    shingle with the (synthetic) benchmark subset ``doc_id % 50 = 0``.
+    The benchmark shingle set is distinct-small → broadcast semi-join;
+    the corpus side never pair-expands."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    return TR.contamination(docs, bench)
 
 
 @query(
