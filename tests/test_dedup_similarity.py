@@ -42,6 +42,32 @@ def test_simhash_is_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_kmeans_monotone_objective_and_recall(spark, sf_dir):
+    """Lloyd's objective is non-decreasing, clusters stay populated,
+    and IVF search over LEARNED centroids keeps exact top-k recall at
+    full probe."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, hist = S.kmeans_fit(emb, k=8, max_iter=4)
+    assert len(hist) == 4
+    for a, b in zip(hist, hist[1:]):
+        assert b >= a - 1e-9, f"objective degraded: {hist}"
+    rows = centroids.collect()
+    assert len(rows) == 8
+    assert all(len(r.cv) == 64 for r in rows)
+    # learned centroids plug into the same IVF path; full probe = exact
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = {r.vec_id for r in S.topk_cosine(emb.filter("vec_id <> 0"), q, k=5).collect()}
+    ivf = {
+        r.vec_id
+        for r in S.ivf_topk_cosine(
+            emb.filter("vec_id <> 0"), q, k=5, n_probe_centroids=8, centroids=centroids
+        ).collect()
+    }
+    assert ivf == exact
+
+
 def test_simhash_oversize_doc_guard(spark):
     """Docs past the 32767-token lane-packing limit must fail loudly
     (default) or be droppable (skip) — never silently corrupt."""

@@ -226,3 +226,95 @@ def ivf_topk_cosine(
         .orderBy(F.desc("cosine_sim"), F.asc(key_col))
         .limit(k)
     )
+
+
+def mean_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean vector per group, fully JVM-side: posexplode
+    dims → (group, pos) hash aggregate → re-assemble via struct-sorted
+    collect_list. The explode blowup (rows × dim) collapses in the
+    map-side partial aggregate, so the shuffle carries |groups|·dim
+    doubles — the same pattern that beat the interpreted HOF fold in
+    the SimHash aggregate."""
+    ex = df.select(group_col, F.posexplode(as_double(F.col(vec_col))))
+    per_dim = ex.groupBy(group_col, "pos").agg(F.avg("col").alias("v"))
+    return per_dim.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s["v"],
+        ).alias("cv")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    track_history: bool = True,
+) -> tuple[DataFrame, list[float]]:
+    """Spherical k-means (Lloyd's, cosine assignment) for IVF centroid
+    training. Seeds = the first ``k`` vectors by key (deterministic).
+
+    Each iteration is one broadcast-assign (``centroid_assign``: the
+    centroid table is tiny) plus one mean-update (``mean_vectors``:
+    map-side combinable) — at 100 TB that is two scans' worth of work
+    per iteration with shuffles of only |k|·dim state. The per-
+    iteration mean assignment similarity (the spherical objective) is
+    collected driver-side — model state, not data — and returned as
+    the convergence history.
+
+    Returns ``(centroids, history)``: centroids as (centroid_id, cv)
+    ready for ``centroid_assign`` / ``ivf_topk_cosine``; history of
+    mean cosine per iteration (non-decreasing up to fp noise — Lloyd's
+    monotonicity, asserted in tests).
+
+    The centroid model is MATERIALIZED between iterations with
+    ``localCheckpoint`` (k rows of model state, not data): leaving it
+    lazy chains every prior iteration into the next plan (plan size
+    doubles per iteration — measured 17.8 s for 4 iterations at
+    sf0.01), and inlining the floats as literals forces a fresh
+    codegen compile per iteration. Checkpointing keeps every
+    iteration's plan SHAPE identical, so generated code is reused.
+
+    ``track_history=False`` computes the objective only for the first
+    and last iteration (2 extra jobs instead of ``max_iter``) — the
+    convergence statement most callers need.
+    """
+    centroids = (
+        df.orderBy(key_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(key_col)) - 1)
+            .cast("integer")
+            .alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    history: list[float] = []
+
+    def objective(assigned: DataFrame) -> float:
+        return float(assigned.agg(F.avg("sim").alias("m")).head()["m"])
+
+    for it in range(max_iter):
+        assigned = centroid_assign(df, centroids, vec_col, key_col)
+        if track_history or it in (0, max_iter - 1):
+            history.append(objective(assigned))
+        if it == max_iter - 1:
+            break
+        joined = df.select(key_col, vec_col).join(
+            assigned.select(key_col, "centroid_id"), key_col
+        )
+        centroids = (
+            mean_vectors(joined, "centroid_id", vec_col)
+            .select(
+                F.col("centroid_id").cast("integer").alias("centroid_id"), "cv"
+            )
+            .localCheckpoint()
+        )
+    return centroids, history

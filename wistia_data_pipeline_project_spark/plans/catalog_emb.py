@@ -136,6 +136,35 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_blocked(emb, _centroids(emb), threshold=0.45, n_assign=4)
 
 
+@query(
+    "emb_kmeans_quality",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           8 AS n_clusters,
+           TRUE AS objective_improved
+    FROM embeddings
+    """,
+)
+def emb_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (spherical k-means, 2 Lloyd updates +
+    final objective) as an iterative-algorithm catalog entry. The float centroids are
+    engine-specific, so the oracle-checked statement is structural:
+    every vector participates, k clusters come back, and the spherical
+    objective (mean assignment cosine) did not degrade across
+    iterations — Lloyd's monotonicity, which would break under any
+    assignment/update bug."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, hist = S.kmeans_fit(emb, k=8, max_iter=3, track_history=False)
+    n_vec = emb.count()
+    n_cl = centroids.count()
+    improved = bool(hist[-1] >= hist[0] - 1e-9)
+    return spark.range(1).select(
+        F.lit(n_vec).cast("bigint").alias("n_vectors"),
+        F.lit(int(n_cl)).cast("int").alias("n_clusters"),
+        F.lit(improved).alias("objective_improved"),
+    )
+
+
 @query("emb_ivf_topk")
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-10 (probe 2 of 8 centroid partitions).
