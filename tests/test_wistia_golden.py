@@ -95,6 +95,28 @@ def test_dim_visitor_first_wins(spark, events_df):
     assert dim.count() == dim.select("visitor_id").distinct().count()
 
 
+def test_media_stats_nested_roundtrip(spark, media_df, tmp_path):
+    """v0 media_stats: nested thumbnail/project/assets survive to the
+    sink; summary columns match plain-Python."""
+    from wistia_data_pipeline_project_spark.operators.dims import (
+        transform_media_stats,
+    )
+
+    ms = transform_media_stats(media_df, RUN_TS)
+    path = str(tmp_path / "media_stats")
+    ms.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    rows = {r.hashed_id: r for r in back.collect()}
+    assert len(rows) == len(MEDIA)
+    for m in MEDIA:
+        r = rows[m["hashed_id"]]
+        assert r.project["id"] == m["project"]["id"]  # nested struct intact
+        assets = m["assets"] or []
+        assert r.n_assets == len(assets)
+        assert r.total_asset_bytes == sum(a["fileSize"] or 0 for a in assets)
+        assert [a["url"] for a in (r.assets or [])] == [a["url"] for a in assets]
+
+
 def test_explode_media_assets_golden(spark, media_df):
     """media.assets explode (media_stats_schema.json:96-109): one row
     per asset, NULL-asset placeholder for asset-less media."""

@@ -62,6 +62,47 @@ def filter_media_by_ids(media: DataFrame, hashed_ids: list[str]) -> DataFrame:
     return media.filter(F.col("hashed_id").isin(hashed_ids))
 
 
+def transform_media_stats(media: DataFrame, run_ts: dt.datetime) -> DataFrame:
+    """v0 ``media_stats`` warehouse shape
+    (cloud-run-job/media_stats_schema.json:1-110): the raw nested
+    media record persisted nested — the thumbnail/project structs and
+    the repeated ``assets`` array survive into the sink unchanged
+    (parquet stores them natively; BigQuery did the same with RECORD/
+    REPEATED) — plus per-row asset summaries and the audit stamp.
+
+    Scale: pure narrow projection; the per-row asset fold runs over
+    arrays of a handful of elements, so the interpreted-HOF penalty is
+    irrelevant here (unlike corpus-wide folds)."""
+    asset_bytes = F.coalesce(
+        F.aggregate(
+            "assets",
+            F.lit(0).cast("bigint"),
+            lambda acc, a: acc + F.coalesce(a["fileSize"], F.lit(0)),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return media.select(
+        "id",
+        "name",
+        "type",
+        "archived",
+        "created",
+        "updated",
+        F.col("duration").cast("double").alias("duration"),
+        "hashed_id",
+        "section",
+        "description",
+        "progress",
+        "status",
+        "thumbnail",
+        "project",
+        "assets",
+        F.coalesce(F.size("assets"), F.lit(0)).alias("n_assets"),
+        asset_bytes.alias("total_asset_bytes"),
+        F.lit(run_ts).cast("timestamp").alias("ingestion_timestamp"),
+    )
+
+
 def explode_media_assets(media: DataFrame) -> DataFrame:
     """``media.assets`` array → one row per asset (P2 nested extraction
     over the reference's only true multimodal column:
