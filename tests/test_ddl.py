@@ -9,6 +9,7 @@ from wistia_data_pipeline_project_spark.sources.ddl import (
     WAREHOUSE_TABLES,
     provision_warehouse,
     schema_to_ddl,
+    write_bucketed,
 )
 from wistia_data_pipeline_project_spark.schemas import DIM_MEDIA_SCHEMA
 
@@ -65,3 +66,49 @@ def test_fact_table_is_date_partitioned(spark, warehouse):
     for name, (schema, _) in WAREHOUSE_TABLES.items():
         cols = {f.name for f in spark.table(f"{DB}.{name}").schema.fields}
         assert cols == {f.name for f in schema.fields}
+
+
+def test_bucketed_join_elides_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join with
+    ZERO exchanges (and zero sorts when sorted on the key) — the
+    co-located join that replaces the dominant shuffle at scale."""
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders")
+    lineitem = load_table(spark, sf, "lineitem")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt_test LOCATION '{tmp_path}/wh'")
+    try:
+        write_bucketed(orders, "bkt_test.orders_b", "o_orderkey", 8,
+                       sort_cols="o_orderkey")
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "bkt_test.lineitem_b", "o_orderkey", 8, sort_cols="o_orderkey",
+        )
+        o = spark.table("bkt_test.orders_b")
+        l = spark.table("bkt_test.lineitem_b")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = o.join(l, "o_orderkey").groupBy("o_orderstatus").count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # the join itself must not shuffle either side; the only
+            # exchange allowed is the one for the final groupBy
+            join_part = plan.split("SortMergeJoin")[-1]
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in join_part, join_part
+            # row parity with the unbucketed join
+            want = (
+                orders.join(
+                    lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                    "o_orderkey",
+                )
+                .groupBy("o_orderstatus")
+                .count()
+            )
+            got = {(r.o_orderstatus, r["count"]) for r in joined.collect()}
+            assert got == {(r.o_orderstatus, r["count"]) for r in want.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")

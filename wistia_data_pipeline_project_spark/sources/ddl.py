@@ -44,6 +44,34 @@ def schema_to_ddl(schema: T.StructType) -> str:
     return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
 
 
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: list[str] | str,
+    n_buckets: int = 32,
+    sort_cols: list[str] | str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join
+    key — the co-located-join primitive: two tables bucketed the same
+    way join WITHOUT any exchange (and without even a sort, when
+    sorted on the key), because matching buckets are read side by
+    side. At 100 TB this converts the nightly fact-dim or fact-fact
+    join from the dominant shuffle into a local merge per bucket.
+
+    Bucket metadata lives in the catalog, so this writes a saved table
+    (``saveAsTable``), not a bare path. Pick ``n_buckets`` ~ the
+    steady-state parallelism of downstream joins; both sides must
+    match on (cols, n_buckets) for the exchange to be elided.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def provision_warehouse(
     spark: SparkSession,
     database: str = "wistia",
