@@ -112,3 +112,52 @@ def test_bucketed_join_elides_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bkt_test CASCADE")
+
+
+def test_incremental_pipeline_on_catalog_tables(spark, tmp_path):
+    """Full reference loop on the DDL surface: provision → HWM →
+    transform → truncate dims / append fact; third run (no new
+    events) appends nothing."""
+    import datetime as dt
+
+    from tests.wistia_fixtures import RUN_TS, make_events, make_media
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        run_incremental_pipeline_tables,
+    )
+    from wistia_data_pipeline_project_spark.schemas import (
+        WISTIA_EVENT_SCHEMA,
+        WISTIA_MEDIA_SCHEMA,
+        nullable_copy,
+    )
+
+    db = "wistia_inc_test"
+    media = spark.createDataFrame(make_media(), nullable_copy(WISTIA_MEDIA_SCHEMA))
+    events = make_events(make_media())
+    valid = [e for e in events if e["received_at"] is not None]
+    valid.sort(key=lambda e: e["received_at"])
+    cut = valid[len(valid) // 2]["received_at"]
+    first = [e for e in events if e["received_at"] and e["received_at"] <= cut]
+    ev = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, nullable_copy(WISTIA_EVENT_SCHEMA)
+    )
+    try:
+        r1 = run_incremental_pipeline_tables(
+            spark, ev(first), media, db, RUN_TS, str(tmp_path / "wh")
+        )
+        assert r1["fact_total"] > 0
+        assert r1["dim_media"] == len(make_media())
+
+        r2 = run_incremental_pipeline_tables(
+            spark, ev(events), media, db,
+            RUN_TS + dt.timedelta(hours=1), str(tmp_path / "wh"),
+        )
+        assert r2["fact_total"] > r1["fact_total"]
+        assert r2["dim_media"] == r1["dim_media"]  # WRITE_TRUNCATE, not append
+
+        r3 = run_incremental_pipeline_tables(
+            spark, ev(events), media, db,
+            RUN_TS + dt.timedelta(hours=2), str(tmp_path / "wh"),
+        )
+        assert r3["fact_total"] == r2["fact_total"]  # idempotent re-run
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -83,6 +83,67 @@ def write_fact_append(df: DataFrame, path: str) -> None:
     df.write.mode("append").partitionBy("date").parquet(path)
 
 
+def read_high_water_mark_table(
+    spark: SparkSession, table: str, ts_col: str = "last_event_timestamp"
+) -> dt.datetime | None:
+    """Catalog-table twin of ``read_high_water_mark``."""
+    if not spark.catalog.tableExists(table):
+        return None
+    row = (
+        spark.table(table)
+        .filter(F.col(ts_col).isNotNull())
+        .agg(F.max(ts_col).alias("hwm"))
+        .head()
+    )
+    return row["hwm"] if row else None
+
+
+def _insert(df: DataFrame, table: str, overwrite: bool) -> None:
+    """Positional insert in the TABLE's column order (a partitioned
+    table moves its partition columns last; selecting by the live
+    table's order keeps the write correct either way)."""
+    spark = df.sparkSession
+    df.select(*spark.table(table).columns).write.insertInto(table, overwrite)
+
+
+def run_incremental_pipeline_tables(
+    spark: SparkSession,
+    events: DataFrame,
+    media: DataFrame,
+    database: str,
+    run_ts: dt.datetime,
+    location: str | None = None,
+) -> dict[str, int]:
+    """One scheduled run against PROVISIONED catalog tables — the
+    full reference loop (create-if-not-exists → HWM probe → fetch →
+    transform → WRITE_TRUNCATE dims / WRITE_APPEND fact,
+    process_wistia_data.py:364-542) on the K5 DDL surface instead of
+    bare paths. Idempotent end to end: provisioning no-ops when the
+    tables exist, and the event-key dedup + HWM filter make re-runs
+    append nothing."""
+    from ..sources.ddl import provision_warehouse
+    from .dims import transform_media_data, transform_visitor_data
+    from .fact import fact_media_engagement
+
+    provision_warehouse(spark, database, location)
+    fact_table = f"{database}.fact_media_engagement"
+    hwm = read_high_water_mark_table(spark, fact_table)
+    inc = dedup_events(filter_increment(events, hwm))
+
+    dim_media = transform_media_data(media, run_ts)
+    dim_visitor = transform_visitor_data(inc, run_ts)
+    fact = fact_media_engagement(inc, dim_media, run_ts)
+
+    _insert(dim_media, f"{database}.dim_media", overwrite=True)
+    _insert(dim_visitor, f"{database}.dim_visitor", overwrite=True)
+    _insert(fact, fact_table, overwrite=False)
+    return {
+        "dim_media": spark.table(f"{database}.dim_media").count(),
+        "dim_visitor": spark.table(f"{database}.dim_visitor").count(),
+        "fact_total": spark.table(fact_table).count(),
+    }
+
+
 def run_incremental_pipeline(
     spark: SparkSession,
     events: DataFrame,

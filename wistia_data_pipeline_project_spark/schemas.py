@@ -168,6 +168,10 @@ FACT_MEDIA_ENGAGEMENT_SCHEMA = T.StructType(
         T.StructField("max_percent_viewed", T.DoubleType()),
         T.StructField("play_rate", T.DoubleType()),
         T.StructField("event_timestamp", T.TimestampType()),
+        # engine addition over the reference DDL: the HWM reads the
+        # group's LAST event ts (read_high_water_mark docstring) — the
+        # reference's first-event HWM re-ingests tail events
+        T.StructField("last_event_timestamp", T.TimestampType()),
         T.StructField("ip", T.StringType()),
         T.StructField("country", T.StringType()),
         T.StructField("ingestion_timestamp", T.TimestampType()),
