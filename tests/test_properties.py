@@ -219,3 +219,61 @@ def test_salted_agg_equals_plain_groupby(spark, rows):
         .collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.text(
+                alphabet="ab cd",
+                min_size=0,
+                max_size=60,
+            ),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_split_partitions_and_packing_conserve(spark, docs):
+    """split_assign partitions the corpus (every doc in exactly one
+    split, stable across calls); pack_documents conserves docs and
+    tokens and never reorders within a shard."""
+    from wistia_data_pipeline_project_spark.operators.training import (
+        pack_documents,
+        split_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, t, s in docs], "doc_id long, text string, source string"
+    )
+    s1 = {r.doc_id: r.split for r in split_assign(df).collect()}
+    s2 = {r.doc_id: r.split for r in split_assign(df).collect()}
+    assert s1 == s2 and len(s1) == len(docs)
+
+    packed = pack_documents(df, budget=7)
+    rows = packed.collect()
+    assert len(rows) == len(docs)
+    from pyspark.sql import functions as F2
+
+    total_in = df.select(
+        F2.sum(F2.size(F2.when(F2.length(F2.trim("text")) == 0, F2.array())
+                       .otherwise(F2.split(F2.trim("text"), r"\s+")))).alias("n")
+    ).head()["n"]
+    assert sum(r.n_tokens for r in rows) == (total_in or 0)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.pack_id == cum // 7
+            cum += r.n_tokens
