@@ -53,11 +53,18 @@ def test_q6_pushes_filters_into_scan(plans):
     assert pushed
 
 
+# Entries allowed to contain a materialized (localCheckpoint'ed)
+# intermediate: iterative training (k-means model state) and the
+# two-pass heavy-hitter candidate scheme. Everything else must build
+# a single lazy plan.
+MATERIALIZING = {"emb_kmeans_quality", "events_heavy_hitters"}
+
+
 def test_no_collect_in_query_builders(plans):
     """Building every catalog plan must not leave a driver-side
     collect footprint: plans exist for all entries without any
     CollectLimit-to-driver pattern in the final plan."""
     for name, plan in plans.items():
-        assert "Scan ExistingRDD" not in plan or name.startswith("emb_"), (
+        assert "Scan ExistingRDD" not in plan or name in MATERIALIZING or name.startswith("emb_"), (
             f"{name} materialized an RDD on the driver"
         )

@@ -277,3 +277,37 @@ def test_split_partitions_and_packing_conserve(spark, docs):
         for r in shard_rows:
             assert r.pack_id == cum // 7
             cum += r.n_tokens
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=12), min_size=5, max_size=120
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_heavy_hitters_exact_for_any_partitioning(spark, keys, parts):
+    """Two-pass heavy hitters equals the plain groupBy+HAVING answer
+    for every partition layout (the pigeonhole candidate stage may
+    vary; the output must not)."""
+    from pyspark.sql import functions as F2
+
+    from wistia_data_pipeline_project_spark.operators.skew import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "user_id long"
+    ).repartition(parts)
+    got = {
+        (r.user_id, r.n_events)
+        for r in heavy_hitters(df, "user_id", mult=1.5).collect()
+    }
+    n, u = len(keys), len(set(keys))
+    cnt = {}
+    for k in keys:
+        cnt[k] = cnt.get(k, 0) + 1
+    want = {(k, c) for k, c in cnt.items() if c >= 1.5 * n / u}
+    assert got == want

@@ -67,3 +67,59 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(
         *[_MERGE[kind](f"_p_{out}").alias(out) for out, (kind, _) in aggs.items()]
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    mult: float = 2.0,
+) -> DataFrame:
+    """EXACT heavy hitters (keys with ≥ ``mult``× the average key
+    frequency) via the two-pass candidate scheme — sketch economics
+    with exact output.
+
+    Pass 1 aggregates (partition, key) partial counts (map-side
+    combinable, one shuffle) and keeps keys that are locally heavy:
+    by pigeonhole, a globally heavy key (count ≥ mult·N/U over U
+    distinct keys) must have local share ≥ mult/U in at least one
+    partition, so the candidate set has NO false negatives. Pass 2
+    exactly re-counts ONLY the (tiny, broadcast) candidate set and
+    applies the global threshold — false positives die here, making
+    the output exactly equal to the full groupBy + HAVING answer.
+
+    At 100 TB the win over the naive form: the full groupBy shuffles
+    every distinct key; this shuffles partial counts once, then
+    re-counts a candidate set of at most ~U/mult keys with a
+    broadcast semi-join — the second shuffle carries only candidate
+    rows. Deterministic output for ANY partitioning (only the
+    candidate set varies; pass 2 is exact).
+    """
+    pid = F.spark_partition_id().alias("_pid")
+    local = (
+        df.select(pid, key_col)
+        .groupBy("_pid", key_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    local = local.localCheckpoint()  # pass-1 result feeds 3 consumers
+    totals = local.groupBy("_pid").agg(F.sum("_c").alias("_n"))
+    stats = local.agg(
+        F.countDistinct(key_col).alias("_u"), F.sum("_c").alias("_N")
+    )
+    cands = (
+        local.join(F.broadcast(totals), "_pid")
+        .crossJoin(F.broadcast(stats.select("_u")))
+        .filter(F.col("_c") * F.col("_u") >= F.lit(mult) * F.col("_n"))
+        .select(key_col)
+        .distinct()
+    )
+    return (
+        df.select(key_col)
+        .join(F.broadcast(cands), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("n_events") >= F.lit(mult) * F.col("_N") / F.col("_u")
+        )
+        .select(key_col, "n_events")
+    )

@@ -363,6 +363,26 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) >= 1.2 * (SELECT COUNT(*) FROM events)
+                          / (SELECT COUNT(DISTINCT user_id) FROM events)
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (users ≥ 1.2× the average event share) via
+    the two-pass pigeonhole candidate scheme (operators/skew.py) —
+    sketch-style cost, exact output, so the full-groupBy SQL is an
+    exact oracle."""
+    e = load_table(spark, sf_dir, "events")
+    from ..operators.skew import heavy_hitters
+
+    return heavy_hitters(e, "user_id", mult=1.2)
+
+
+@query(
     "events_salted_user_totals",
     oracle="""
     SELECT user_id,
