@@ -153,6 +153,9 @@ def test_incremental_pipeline_on_catalog_tables(spark, tmp_path):
         )
         assert r2["fact_total"] > r1["fact_total"]
         assert r2["dim_media"] == r1["dim_media"]  # WRITE_TRUNCATE, not append
+        # visitor history survives the truncate: the increment only
+        # carries post-HWM events, but earlier visitors stay merged in
+        assert r2["dim_visitor"] >= r1["dim_visitor"]
 
         r3 = run_incremental_pipeline_tables(
             spark, ev(events), media, db,

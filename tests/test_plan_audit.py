@@ -65,6 +65,6 @@ def test_no_collect_in_query_builders(plans):
     collect footprint: plans exist for all entries without any
     CollectLimit-to-driver pattern in the final plan."""
     for name, plan in plans.items():
-        assert "Scan ExistingRDD" not in plan or name in MATERIALIZING or name.startswith("emb_"), (
+        assert "Scan ExistingRDD" not in plan or name in MATERIALIZING, (
             f"{name} materialized an RDD on the driver"
         )

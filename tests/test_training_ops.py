@@ -31,6 +31,16 @@ def test_split_rejects_bad_fractions(spark, sf_dir):
         TR.split_assign(docs, train=0.9, val=0.2)
 
 
+def test_split_full_allocation_has_no_test_remainder(spark, sf_dir):
+    """train+val == 1.0: the hex cut overflows 2 chars ('100') and
+    must still mean 'everything above train is val' — no doc may leak
+    into test, and val must be non-empty."""
+    docs = load_table(spark, sf_dir, "documents")
+    splits = {r.split for r in TR.split_assign(docs, train=0.9, val=0.1).collect()}
+    assert "test" not in splits
+    assert splits == {"train", "val"}
+
+
 def test_pack_documents_invariants(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     packed = TR.pack_documents(docs, budget=512).collect()

@@ -134,8 +134,10 @@ def asset_inventory(media: DataFrame) -> DataFrame:
     lifting. ``n_assets`` counts real assets; ``n_rows`` additionally
     counts the NULL-asset placeholder rows so asset-less media stay
     auditable."""
+    # a REAL asset may carry a null fileSize — asset presence is "any
+    # field non-null"; only the explode_outer placeholder is all-null
     return explode_media_assets(media).groupBy("content_type").agg(
-        F.count("file_size").alias("n_assets"),
+        F.count(F.coalesce("url", "content_type", "asset_type")).alias("n_assets"),
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("media_id").alias("n_media"),
         F.sum("file_size").alias("total_bytes"),

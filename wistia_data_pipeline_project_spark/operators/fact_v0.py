@@ -92,10 +92,21 @@ def normalize_events(df: DataFrame, shape: str = "flat") -> DataFrame:
     )
     return df.select(
         F.col("occurred_at").try_cast("timestamp").alias("received_at"),
+        # the synthesized key must separate DISTINCT events that share a
+        # second-resolution timestamp (e.g. two progress ticks in one
+        # second): engagement and ip join the hash so downstream
+        # event_key dedup only collapses true re-deliveries
         F.format_string(
             "v0-%016x",
             F.xxhash64(
-                "occurred_at", F.col("media.hashed_id"), F.col("visitor.key"), "type"
+                "occurred_at",
+                F.col("media.hashed_id"),
+                F.col("visitor.key"),
+                "type",
+                (F.col("engagement") if "engagement" in cols else F.lit(None)).cast(
+                    "double"
+                ),
+                opt("ip"),
             ),
         ).alias("event_key"),
         opt("ip").alias("ip"),

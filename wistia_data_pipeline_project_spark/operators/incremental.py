@@ -106,6 +106,27 @@ def _insert(df: DataFrame, table: str, overwrite: bool) -> None:
     df.select(*spark.table(table).columns).write.insertInto(table, overwrite)
 
 
+def merge_dim_visitor(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Merge a new increment's visitor dimension into the existing
+    one, keeping the EARLIEST-seen row per visitor (same first-wins
+    rule as the dim itself). The increment only carries post-HWM
+    events, so truncating with just the new rows — the reference's
+    literal WRITE_TRUNCATE — would erase every previously-seen
+    visitor; the merge preserves full history while staying a
+    truncate-and-rewrite at the storage layer. One shuffle on
+    visitor_id; map-side combinable struct-min."""
+    cols = existing.columns
+    merged = existing.unionByName(new.select(*cols))
+    first = F.min(
+        F.struct(*[c for c in cols if c != "visitor_id"])
+    ).alias("f")
+    return (
+        merged.groupBy("visitor_id")
+        .agg(first)
+        .select("visitor_id", *[F.col(f"f.{c}") for c in cols if c != "visitor_id"])
+    )
+
+
 def run_incremental_pipeline_tables(
     spark: SparkSession,
     events: DataFrame,
@@ -131,7 +152,14 @@ def run_incremental_pipeline_tables(
     inc = dedup_events(filter_increment(events, hwm))
 
     dim_media = transform_media_data(media, run_ts)
-    dim_visitor = transform_visitor_data(inc, run_ts)
+    # the increment only holds post-HWM events: merge new visitors
+    # into the existing dimension (first-wins) instead of truncating
+    # history away; localCheckpoint breaks the read-then-overwrite
+    # cycle on the same table
+    dim_visitor = merge_dim_visitor(
+        spark.table(f"{database}.dim_visitor"),
+        transform_visitor_data(inc, run_ts),
+    ).localCheckpoint()
     fact = fact_media_engagement(inc, dim_media, run_ts)
 
     _insert(dim_media, f"{database}.dim_media", overwrite=True)
@@ -163,10 +191,17 @@ def run_incremental_pipeline(
 
     dim_media = transform_media_data(media, run_ts)
     dim_visitor = transform_visitor_data(inc, run_ts)
+    # preserve visitors first seen before the HWM (the increment can't
+    # re-derive them); checkpoint breaks the read-then-overwrite cycle
+    vis_path = os.path.join(out_dir, "dim_visitor")
+    if os.path.exists(vis_path):
+        dim_visitor = merge_dim_visitor(
+            spark.read.parquet(vis_path), dim_visitor
+        ).localCheckpoint()
     fact = fact_media_engagement(inc, dim_media, run_ts)
 
     write_dim(dim_media, os.path.join(out_dir, "dim_media"))
-    write_dim(dim_visitor, os.path.join(out_dir, "dim_visitor"))
+    write_dim(dim_visitor, vis_path)
     write_fact_append(fact, fact_path)
     return {
         "dim_media": dim_media.count(),

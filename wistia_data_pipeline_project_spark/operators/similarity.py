@@ -180,9 +180,27 @@ def cosine_near_dup_blocked(
         ids = pdf[key_col].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = mat @ mat.T
-        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi]})
+        n = len(ids)
+        # TILE the within-cell matmul: a hot cell must not allocate an
+        # n×n sims matrix (1M-vector cell → 8 TB). Row blocks bound
+        # peak memory at ~block×n floats (~256 MB target) while
+        # producing the identical pair set.
+        block = max(1, (1 << 25) // max(n, 1))
+        outs = []
+        for i in range(0, n, block):
+            sims = mat[i : i + block] @ mat.T
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (ids[i : i + block, None] < ids[None, :])
+            )
+            if len(ai):
+                outs.append(
+                    pd.DataFrame({"vec_a": ids[ai + i], "vec_b": ids[bi]})
+                )
+        if not outs:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         assigned.groupBy("centroid_id")
@@ -284,7 +302,26 @@ def kmeans_fit(
     ``track_history=False`` computes the objective only for the first
     and last iteration (2 extra jobs instead of ``max_iter``) — the
     convergence statement most callers need.
+
+    Members are L2-NORMALIZED before every mean update: the spherical
+    objective's maximizing centroid is the mean of unit vectors, and
+    averaging RAW vectors lets one large-norm member drag the centroid
+    and DECREASE the objective (Lloyd's monotonicity would silently
+    break on any non-unit-norm corpus). Cosine assignment is
+    scale-invariant, so normalizing changes nothing else.
     """
+    v = as_double(F.col(vec_col))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    df = df.select(
+        F.col(key_col),
+        F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v).alias(
+            vec_col
+        ),
+    )
     centroids = (
         df.orderBy(key_col)
         .limit(k)

@@ -47,7 +47,15 @@ def split_assign(
     if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
         raise ValueError(f"bad split fractions: train={train}, val={val}")
     bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
-    t_cut, v_cut = format(int(train * 256), "02x"), format(int((train + val) * 256), "02x")
+
+    # cut 256 (train+val == 1.0) must compare above every 2-char hex
+    # bucket: format(256,'02x') is the 3-char '100', which sorts BELOW
+    # 'e6' lexicographically and would dump val into test (and leak
+    # low buckets into val) — use a sentinel above 'ff' instead
+    def fmt(cut: int) -> str:
+        return "zz" if cut >= 256 else format(cut, "02x")
+
+    t_cut, v_cut = fmt(int(train * 256)), fmt(int((train + val) * 256))
     return df.withColumn(
         split_col,
         F.when(bucket < F.lit(t_cut), F.lit("train"))

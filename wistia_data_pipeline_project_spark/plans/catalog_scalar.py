@@ -90,7 +90,9 @@ def events_conversion_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.select(
             F.col("m").getItem("conv_type").alias("conv_type"),
-            F.col("m").getItem("k").cast("bigint").alias("k"),
+            # try_cast: a malformed k in free-form source data must
+            # yield NULL (reference's tolerant parse), not an ANSI abort
+            F.col("m").getItem("k").try_cast("bigint").alias("k"),
         )
         .groupBy("conv_type")
         .agg(

@@ -233,7 +233,7 @@ def streaming_watch_time(
         if state.hasTimedOut:
             # the watermark passed the whole day + lateness: everything
             # left pending is final — fold it and emit the closing row
-            pending.sort(key=lambda r: (r[0], r[1]))
+            pending.sort(key=lambda r: (r[0], r[1] or ""))  # event_key may be NULL
             last_time_us, last_pct, total = fold(
                 pending, last_time_us, last_pct, total, duration
             )
@@ -268,7 +268,7 @@ def streaming_watch_time(
         # can arrive anymore, so its fold order is final. Later rows
         # stay buffered (they may still be preceded by in-flight data).
         wm_us = state.getCurrentWatermarkMs() * 1000
-        pending.sort(key=lambda r: (r[0], r[1]))
+        pending.sort(key=lambda r: (r[0], r[1] or ""))  # event_key may be NULL
         n_final = 0
         while n_final < len(pending) and pending[n_final][0] <= wm_us:
             n_final += 1
