@@ -129,3 +129,31 @@ def test_latest_run_discovery(tmp_path, spark):
 
     df = with_run_ts_column(spark.read.json(files))
     assert {r["run_ts"] for r in df.collect()} == {"20250512_114519"}
+
+
+def test_corrupt_record_audited_read(spark, tmp_path):
+    """Malformed JSONL lines land in the corrupt frame with the raw
+    line preserved; good rows parse with the declared schema."""
+    import json as _json
+
+    from wistia_data_pipeline_project_spark.sources.io import (
+        read_events_jsonl_audited,
+    )
+
+    p = tmp_path / "events.jsonl"
+    good_rows = [
+        {"event_key": f"ev{i}", "media_id": "m1", "visitor_key": f"v{i}",
+         "percent_viewed": 0.5, "received_at": "2025-05-01T00:00:00Z"}
+        for i in range(3)
+    ]
+    with open(p, "w") as f:
+        for r in good_rows[:2]:
+            f.write(_json.dumps(r) + "\n")
+        f.write('{"event_key": "broken", INVALID JSON\n')
+        f.write(_json.dumps(good_rows[2]) + "\n")
+
+    good, corrupt = read_events_jsonl_audited(spark, str(p))
+    assert {r.event_key for r in good.collect()} == {"ev0", "ev1", "ev2"}
+    bad = corrupt.collect()
+    assert len(bad) == 1
+    assert "INVALID JSON" in bad[0]._corrupt_record

@@ -115,6 +115,42 @@ def read_wistia_media_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(WISTIA_MEDIA_SCHEMA).json(path, multiLine=True)
 
 
+def read_events_jsonl_audited(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Line-delimited event read with corrupt-record auditing: returns
+    ``(good, corrupt)`` where corrupt rows carry the raw line in
+    ``_corrupt_record`` instead of being silently nulled out (the
+    default PERMISSIVE behavior loses the evidence; the reference logs
+    and skips bad records — ``process_wistia_data.py:345-356``).
+
+    Scale: one scan serves both frames (the reader tags rows at parse
+    time; no second pass). Quarantine the ``corrupt`` side to a
+    dead-letter sink and alert on its count.
+    """
+    from ..schemas import nullable_copy
+
+    schema = T.StructType(
+        nullable_copy(WISTIA_EVENT_SCHEMA).fields
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark disallows plans that reference ONLY the corrupt column on a
+    # raw read (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the parsed
+    # frame is the documented pattern — one scan serves both sides.
+    df = df.cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, corrupt
+
+
 def latest_run_ts(filenames: list[str]) -> str | None:
     """Max run-timestamp across staged filenames (S5, top-1 over metadata)."""
     stamps = [m.group(1) for f in filenames if (m := re.search(RUN_TS_RE, f))]
