@@ -16,6 +16,13 @@ BASE = dt.datetime(2025, 5, 1, tzinfo=UTC)
 RUN_TS = dt.datetime(2025, 5, 20, 12, 0, 0, tzinfo=UTC)
 
 
+def round2(x: float) -> float:
+    """HALF_UP like Spark's F.round (built-in round() is banker's)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+
 def make_media(n: int = 12, seed: int = 7) -> list[dict]:
     rng = random.Random(seed)
     rows = []
@@ -158,6 +165,16 @@ def make_events(media: list[dict], seed: int = 11) -> list[dict]:
     # unknown media (left-join null duration)
     emit("unknown_med", "vis003", BASE + dt.timedelta(days=1), 0.7)
 
+    # null-pct (name-only) events: must not start tracking, join the
+    # credit chain, or poison max_percent_viewed
+    emit("med003", "vis005", BASE + dt.timedelta(days=4), None, "play")
+    emit("med003", "vis005", BASE + dt.timedelta(days=4, seconds=30), 0.2)
+    emit("med003", "vis005", BASE + dt.timedelta(days=4, seconds=60), None, "pause")
+    emit("med003", "vis005", BASE + dt.timedelta(days=4, seconds=90), 0.5)
+    # a group whose EVERY pct is null → max_percent_viewed NULL
+    emit("med004", "vis006", BASE + dt.timedelta(days=5), None, "play")
+    emit("med004", "vis006", BASE + dt.timedelta(days=5, seconds=10), None, "end")
+
     # zero/null-duration media activity
     emit(media_ids[-1], "vis004", BASE + dt.timedelta(days=2), 0.6)
     emit(media_ids[-2], "vis004", BASE + dt.timedelta(days=2), 0.6)
@@ -269,7 +286,10 @@ def golden_fact(
         evs = sorted(evs, key=lambda x: (x["received_at"], x["event_key"]))
         duration = durations.get(key[0])
         n_play = sum(1 for e in evs if e["name"] == "play")
-        any_prog = any(e["percent_viewed"] > 0 for e in evs)
+        any_prog = any(
+            e["percent_viewed"] is not None and e["percent_viewed"] > 0
+            for e in evs
+        )
         play_count = n_play if n_play > 0 else (1 if any_prog else 0)
 
         total = 0.0
@@ -297,7 +317,7 @@ def golden_fact(
             total = min(total, duration)
         rate = 0.0
         if duration is not None and duration > 0 and total > 0:
-            rate = round(total / duration, 2)
+            rate = round2(total / duration)
         if play_count == 0:
             total, rate = 0.0, 0.0
 
@@ -312,8 +332,11 @@ def golden_fact(
 
         out[key] = {
             "play_count": play_count,
-            "total_watch_time": round(total, 2),
-            "max_percent_viewed": max(e["percent_viewed"] for e in evs),
+            "total_watch_time": round2(total),
+            "max_percent_viewed": max(
+                (e["percent_viewed"] for e in evs if e["percent_viewed"] is not None),
+                default=None,
+            ),
             "play_rate": rate,
             "event_timestamp": evs[0]["received_at"],
             "ip": ip,

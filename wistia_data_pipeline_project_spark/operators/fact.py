@@ -42,7 +42,7 @@ irreproducible by design).
 from __future__ import annotations
 
 import datetime as dt
-from typing import Iterable
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 
@@ -102,8 +102,13 @@ def fact_media_engagement(
     w_all = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
 
     # tracking starts at the first event with progress or an explicit
-    # play (null-safe on name — Q1)
-    is_start_candidate = (F.col("pct") > 0) | (F.col("event_name") == "play")
+    # play (null-safe on name — Q1). A null-pct row can neither start
+    # tracking nor join the lag chain: the fold skips such rows
+    # entirely, and (NULL | name=='play') would otherwise evaluate
+    # true and start tracking one row early.
+    is_start_candidate = F.col("pct").isNotNull() & (
+        (F.col("pct") > 0) | (F.col("event_name") == "play")
+    )
     start_marker = F.min(
         F.when(is_start_candidate, F.struct("received_at", "event_key"))
     ).over(w_all)
@@ -113,8 +118,9 @@ def fact_media_engagement(
     tracked = F.col("_start").isNotNull() & (cur_marker >= F.col("_start"))
     e = e.withColumn("_tracked", tracked)
 
-    # lag-1 within the tracked suffix of each group
-    t = e.filter(F.col("_tracked"))
+    # lag-1 within the tracked suffix of each group; null-pct rows are
+    # invisible to the credit chain (fold parity: isna → continue)
+    t = e.filter(F.col("_tracked") & F.col("pct").isNotNull())
     prev_ts = F.lag("received_at").over(w_ord)
     prev_pct = F.lag("pct").over(w_ord)
     dt_s = (
@@ -204,6 +210,16 @@ def fact_media_engagement(
 # ---------------------------------------------------------------------------
 
 
+def _round2(x: float) -> float:
+    """HALF_UP 2-decimal rounding over the double's shortest repr —
+    the same semantics as Spark's F.round on doubles. Python's built-in
+    round() is half-to-even and diverges on exact halves (0.125 →
+    0.12 vs 0.13)."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+    )
+
+
 def _fold_group(
     pdf: pd.DataFrame, run_ts: dt.datetime, legacy: bool
 ) -> dict:
@@ -249,7 +265,7 @@ def _fold_group(
 
     play_rate = 0.0
     if has_duration and duration > 0 and total > 0:
-        play_rate = round(total / duration, 2)
+        play_rate = _round2(total / duration)
     if play_count == 0:
         total = 0.0
         play_rate = 0.0
@@ -269,8 +285,14 @@ def _fold_group(
         "visitor_id": pdf["visitor_id"].iloc[0],
         "date": pdf["date"].iloc[0],
         "play_count": play_count,
-        "total_watch_time": round(total, 2),
-        "max_percent_viewed": float(pcts.max()) if len(pcts) else 0.0,
+        "total_watch_time": _round2(total),
+        # all-null pct must surface as NULL (window parity: F.max
+        # skips nulls), never as NaN leaking out of pandas
+        "max_percent_viewed": (
+            float(pcts.max())
+            if len(pcts) and pd.notna(pcts.max())
+            else None
+        ),
         "play_rate": play_rate,
         "event_timestamp": pdf["received_at"].iloc[0],
         "last_event_timestamp": pdf["received_at"].iloc[-1],

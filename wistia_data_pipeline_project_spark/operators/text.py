@@ -32,8 +32,19 @@ def distinct_token_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+    """Stopword hits WITH multiplicity, as Σ_w (|toks| − |toks \\ w|).
+
+    ``array_remove`` is whole-stage-codegen'd; the ``F.filter`` HOF
+    lambda this replaces evaluates interpreted (CodegenFallback) — the
+    10-100× per-row trap on the hot document path. |stopwords| passes
+    over the array in generated code beat one interpreted pass.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    return sum(
+        (n - F.size(F.array_remove(toks, w)) for w in stopwords),
+        F.lit(0),
+    )
 
 
 def fingerprint(text: Column) -> Column:
@@ -90,12 +101,17 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
     "es": ("de ", " de", "la ", "que", " la", "el ", "en ", "os ", " qu", "ión"),
     "fr": (" de", "de ", "le ", " le", "es ", "la ", "et ", " et", "ent", "que"),
     "de": ("en ", "er ", "ch ", "der", " de", "ein", "ung", "die", " di", "sch"),
-    "zh": ("de5", "shi", "bu4", "le5", "wo3", "ni3", "ta1", "men", "zai", "you"),
 }
+
+# zh is SCRIPT-detected, not trigram-profiled: Chinese text is hanzi,
+# which no latin trigram (or pinyin romanization) ever matches — the
+# signal is the CJK-ideograph count itself.
+CJK_RE = r"[\x{4e00}-\x{9fff}]"
 
 
 def language_scores(text: Column) -> Column:
-    """Map of language → trigram-profile hit count (JVM-side)."""
+    """Array of (lang, hits): trigram-profile hit counts for the latin
+    profiles plus the CJK-ideograph count for zh (JVM-side)."""
     low = F.lower(text)
     entries = []
     for lang, grams in _LANG_PROFILES.items():
@@ -104,12 +120,22 @@ def language_scores(text: Column) -> Column:
             F.lit(0),
         )
         entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    entries.append(
+        F.struct(
+            F.lit("zh").alias("lang"),
+            F.coalesce(F.regexp_count(text, F.lit(CJK_RE)), F.lit(0))
+            .cast("int")
+            .alias("hits"),
+        )
+    )
     return F.array(*entries)
 
 
 def predicted_language(text: Column) -> Column:
     """argmax over the profile scores (ties → lexicographically LAST
-    language code — array_max on (hits, lang) structs; deterministic)."""
+    language code — array_max on (hits, lang) structs; deterministic).
+    A text matching NO profile (null/empty/unknown script) is 'und',
+    not an accidental argmax winner."""
     scores = language_scores(text)
     best = F.array_max(
         F.transform(
@@ -117,7 +143,7 @@ def predicted_language(text: Column) -> Column:
             lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")),
         )
     )
-    return best["lang"]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
@@ -340,11 +340,19 @@ def customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "events_daily_engagement",
     oracle="""
-    WITH e AS (
+    WITH e0 AS (
       -- ts is TIMESTAMP_NS in the parquet; truncate to microseconds to
       -- match Spark's TimestampType exactly
       SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    e AS (
+      -- deterministic event_id dedup mirroring the Spark min-struct
+      SELECT * EXCLUDE (rn) FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                                     ORDER BY ts, event_type, value) AS rn
+        FROM e0
+      ) WHERE rn = 1
     ),
     agg AS (
       SELECT
@@ -389,9 +397,20 @@ def events_daily_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds group cardinality; a hot user on one day is AQE-skew-split.
     """
     e = load_table(spark, sf_dir, "events")
-    e = e.filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    ).dropDuplicates(["event_id"])
+    e = e.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    # DETERMINISTIC event_id dedup: dropDuplicates keeps an arbitrary
+    # partition-dependent survivor; min_by a total order instead (and
+    # the oracle mirrors it), per this file's determinism contract
+    cols = e.columns
+    e = (
+        e.groupBy("event_id")
+        .agg(
+            F.min_by(
+                F.struct(*cols), F.struct("ts", "event_type", "value")
+            ).alias("_r")
+        )
+        .select("_r.*")
+    )
     return e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("event_date")
     ).agg(

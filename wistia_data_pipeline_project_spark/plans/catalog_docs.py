@@ -104,7 +104,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
              AS avg_token_len
     FROM (
-      SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+      SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
       FROM documents
     )
     """,
@@ -127,7 +127,7 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(toks)) AS n_uniq_tokens,
              len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
                AS n_stopwords
-      FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
             FROM documents)
     )
     SELECT doc_id, lang,
@@ -227,10 +227,10 @@ def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _language_id_oracle() -> str:
-    """DuckDB replica of the trigram-profile classifier, generated from
-    the SAME profile table (single source of truth) — hits via
-    contains(), argmax with the array_max tie-break (hits DESC, lang
-    DESC)."""
+    """DuckDB replica of the classifier, generated from the SAME
+    profile table (single source of truth) — latin trigram hits via
+    contains(), zh via the CJK-ideograph count, argmax with the
+    array_max tie-break (hits DESC, lang DESC), all-zero → 'und'."""
     structs = ", ".join(
         "{'plang': '%s', 'hits': %s}"
         % (
@@ -241,8 +241,15 @@ def _language_id_oracle() -> str:
         )
         for lang, grams in X._LANG_PROFILES.items()
     )
+    # standard SQL single-quoted literals pass backslashes through
+    # verbatim, so the Spark-side pattern drops in unchanged
+    structs += (
+        ", {'plang': 'zh', 'hits': len(regexp_extract_all(text, '%s'))}" % X.CJK_RE
+    )
     return f"""
-    SELECT doc_id, lang, plang AS predicted_lang FROM (
+    SELECT doc_id, lang,
+           CASE WHEN hits > 0 THEN plang ELSE 'und' END AS predicted_lang
+    FROM (
       SELECT doc_id, lang, s.plang, s.hits,
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY s.hits DESC, s.plang DESC) AS rn
@@ -263,7 +270,7 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_train_split",
     oracle="""
     SELECT split, COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+           CAST(SUM(len(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END))
                 AS BIGINT) AS total_tokens
     FROM (
       SELECT text,
@@ -298,7 +305,7 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT source, doc_id,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+             len(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END) AS n_tokens
       FROM documents
     ),
     c AS (

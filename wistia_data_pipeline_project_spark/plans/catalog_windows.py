@@ -42,8 +42,9 @@ E_CTE = """
     SELECT user_id,
            date_trunc('day', ts) AS event_date,
            COUNT(*) AS n_events,
-           CAST(SUM(LEAST(gap_us, 1800000000)) AS DOUBLE) / 1000000.0
-             AS active_seconds
+           CAST(COALESCE(SUM(CASE WHEN gap_us IS NULL THEN NULL
+                                  ELSE LEAST(gap_us, 1800000000) END), 0)
+                AS DOUBLE) / 1000000.0 AS active_seconds
     FROM g
     GROUP BY 1, 2
     """,
@@ -67,13 +68,21 @@ def events_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     g = e.withColumn("gap_us", us - F.lag(us).over(w))
+    # the first event per user has no previous gap and credits NOTHING:
+    # both engines' least()/LEAST() skip NULLs, so an ungated
+    # least(gap, cap) would mint a phantom 30-minute credit per user
+    # (identically on both sides of the hash check)
+    credit = F.when(
+        F.col("gap_us").isNotNull(),
+        F.least(F.col("gap_us"), F.lit(1800000000)),
+    )
     return g.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("event_date")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.sum(F.least(F.col("gap_us"), F.lit(1800000000))).cast("double") / 1000000.0).alias(
-            "active_seconds"
-        ),
+        (
+            F.coalesce(F.sum(credit), F.lit(0)).cast("double") / 1000000.0
+        ).alias("active_seconds"),
     )
 
 

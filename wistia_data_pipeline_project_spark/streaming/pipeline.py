@@ -226,7 +226,9 @@ def streaming_watch_time(
             pending = list(zip(buf_ts, buf_key, buf_pct, buf_name))
         else:
             last_time_us, last_pct, total = None, 0.0, 0.0
-            n_play, any_progress, max_pct = 0, False, 0.0
+            # max_pct None until a non-null pct arrives (batch-fold
+            # parity: all-null groups emit NULL, not 0.0)
+            n_play, any_progress, max_pct = 0, False, None
             first_ts_us, last_ts_us, duration = None, None, None
             pending = []
 
@@ -247,21 +249,27 @@ def streaming_watch_time(
                 rows["received_at"], rows["event_key"], rows["pct"],
                 rows["event_name"], rows["duration"],
             ):
-                if pd.isna(ts) or pd.isna(pct):
+                if pd.isna(ts):
                     continue
-                pct = float(pct)
                 ts_us = int(ts.value // 1000)
                 if duration is None and pd.notna(dur):
                     duration = float(dur)
+                # arrival stats mirror the batch fold: computed over
+                # ALL valid-ts rows, null pct included (a name-only
+                # 'play' still counts)
                 if name == "play":
                     n_play += 1
-                if pct > 0:
-                    any_progress = True
-                max_pct = max(max_pct, pct)
+                if pd.notna(pct):
+                    pct = float(pct)
+                    if pct > 0:
+                        any_progress = True
+                    max_pct = pct if max_pct is None else max(max_pct, pct)
                 first_ts_us = ts_us if first_ts_us is None else min(first_ts_us, ts_us)
                 last_ts_us = ts_us if last_ts_us is None else max(last_ts_us, ts_us)
+                if pd.isna(pct):
+                    continue  # invisible to the credit chain (fold parity)
                 pending.append(
-                    (ts_us, ekey, pct, None if pd.isna(name) else name)
+                    (ts_us, ekey, float(pct), None if pd.isna(name) else name)
                 )
 
         # COMMIT the prefix the watermark has passed: no earlier event
