@@ -96,3 +96,42 @@ def test_dim_overwrite_not_append(spark, out_dir):
     run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
     n2 = spark.read.parquet(os.path.join(out_dir, "dim_media")).count()
     assert n1 == n2 == len(MEDIA)
+
+
+def test_hwm_since_param_overlap():
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        hwm_since_param,
+    )
+
+    assert hwm_since_param(None) is None
+    hwm = dt.datetime(2025, 5, 12, 10, 0, 30, tzinfo=dt.timezone.utc)
+    # backward 1s overlap: boundary events are re-fetched, never gapped
+    assert hwm_since_param(hwm) == "2025-05-12T10:00:29Z"
+
+
+def test_dedup_events_deterministic_survivor(spark):
+    """Same event_key re-delivered with an updated payload: the
+    earliest (received_at, key) row wins on ANY partitioning."""
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        dedup_events,
+    )
+
+    t0 = dt.datetime(2025, 5, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        ("ev1", t0, 0.2),
+        ("ev1", t0 + dt.timedelta(seconds=5), 0.9),  # re-delivery, later ts
+        ("ev2", t0, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_key string, received_at timestamp, percent_viewed double"
+    )
+    for parts in (1, 7):
+        got = {
+            r.event_key: r.percent_viewed
+            for r in dedup_events(df.repartition(parts)).collect()
+        }
+        assert got == {"ev1": 0.2, "ev2": 0.5}

@@ -29,7 +29,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-HWM_BUFFER = "INTERVAL 1 SECOND"
+HWM_OVERLAP = dt.timedelta(seconds=1)
+
+
+def hwm_since_param(hwm: dt.datetime | None) -> str | None:
+    """S2 pushdown parameter: the ``since`` value the source fetch
+    should apply. The reference buffers FORWARD (hwm + 1 s,
+    process_wistia_data.py:410-417) which can MISS events landing
+    inside that second; the engine buffers BACKWARD — re-fetch a 1 s
+    overlap and let the event-key dedup collapse the re-deliveries,
+    so no event can fall in a gap. None on first run → fetch all."""
+    if hwm is None:
+        return None
+    return (hwm - HWM_OVERLAP).strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
 def read_high_water_mark(
@@ -58,9 +70,10 @@ def read_high_water_mark(
 def filter_increment(
     events: DataFrame, hwm: dt.datetime | None, ts_col: str = "received_at"
 ) -> DataFrame:
-    """Keep events strictly past the HWM. The source fetch already
-    applies `since = hwm + 1s` (S2 pushdown); re-filtering in the plan
-    keeps correctness independent of source behavior."""
+    """Keep events strictly past the HWM. Callers push the fetch-side
+    predicate via ``fetch_events(since=hwm_since_param(hwm))`` (S2
+    pushdown with a 1 s overlap); this in-plan re-filter keeps
+    correctness independent of source behavior."""
     if hwm is None:
         return events
     return events.filter(F.col(ts_col) > F.lit(hwm))
@@ -68,8 +81,23 @@ def filter_increment(
 
 def dedup_events(events: DataFrame, key_col: str = "event_key") -> DataFrame:
     """Idempotence guard: one row per event key (the +1 s overlap
-    re-fetches boundary events; unique event_key makes re-runs safe)."""
-    return events.dropDuplicates([key_col])
+    re-fetches boundary events; unique event_key makes re-runs safe).
+
+    Deterministic survivor: the overlap window can re-deliver a key
+    with an UPDATED payload; ``dropDuplicates`` would keep an
+    arbitrary partition-dependent row, so the min over a
+    (received_at, key) total order wins instead — same shuffle, and
+    re-runs reproduce bit-identically on any partitioning."""
+    cols = events.columns
+    return (
+        events.groupBy(key_col)
+        .agg(
+            F.min_by(
+                F.struct(*cols), F.struct("received_at", F.col(key_col))
+            ).alias("_r")
+        )
+        .select("_r.*")
+    )
 
 
 def write_dim(df: DataFrame, path: str) -> None:
@@ -202,9 +230,14 @@ def run_incremental_pipeline(
 
     write_dim(dim_media, os.path.join(out_dir, "dim_media"))
     write_dim(dim_visitor, vis_path)
+    n_fact_before = (
+        spark.read.parquet(fact_path).count() if os.path.exists(fact_path) else 0
+    )
     write_fact_append(fact, fact_path)
+    # count the WRITTEN parquet, not the lazy plans — .count() on the
+    # originals would re-execute the whole transform a second time
     return {
-        "dim_media": dim_media.count(),
-        "dim_visitor": dim_visitor.count(),
-        "fact_appended": fact.count(),
+        "dim_media": spark.read.parquet(os.path.join(out_dir, "dim_media")).count(),
+        "dim_visitor": spark.read.parquet(vis_path).count(),
+        "fact_appended": spark.read.parquet(fact_path).count() - n_fact_before,
     }

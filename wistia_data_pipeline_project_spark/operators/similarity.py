@@ -103,11 +103,13 @@ def cosine_near_dup_pairs(
     (membership, not scores), so float64 on both engines makes the
     threshold decision stable to ~1e-15 — far below pair spacing.
 
-    Scale: broadcast works while one side fits per executor (~10 GB =
-    ~40 M vectors at dim 64). Beyond that, block the pair space first
-    — assign vectors to IVF centroids (``centroid_assign``) and run
-    this exact kernel within each centroid block (near-dups land in
-    the same block by construction); same code, keyed broadcast.
+    Scale: the honest limit is the DRIVER — ``collect()`` pulls every
+    (id, vector) row through the driver as Python objects before the
+    broadcast, so this kernel is the SMALL-corpus special case only
+    (exact baseline for tests and sub-GB tables). The production path
+    is ``cosine_near_dup_blocked``: assign vectors to IVF centroids
+    and run this exact verification within each centroid cell — no
+    driver materialization, no corpus-wide pair space.
     """
     import numpy as np
     import pandas as pd
@@ -347,11 +349,17 @@ def kmeans_fit(
         joined = df.select(key_col, vec_col).join(
             assigned.select(key_col, "centroid_id"), key_col
         )
+        new = mean_vectors(joined, "centroid_id", vec_col).select(
+            F.col("centroid_id").cast("integer").alias("centroid_id"), "cv"
+        )
+        # empty-cluster guard: a centroid that receives zero members
+        # disappears from the groupBy — carry its previous position
+        # forward so exactly k centroids always survive (emptied seeds
+        # from duplicate vectors would otherwise shrink the model)
         centroids = (
-            mean_vectors(joined, "centroid_id", vec_col)
-            .select(
-                F.col("centroid_id").cast("integer").alias("centroid_id"), "cv"
-            )
+            centroids.select("centroid_id", F.col("cv").alias("_prev"))
+            .join(new, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("cv", "_prev").alias("cv"))
             .localCheckpoint()
         )
     return centroids, history

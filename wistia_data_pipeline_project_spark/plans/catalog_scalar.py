@@ -24,7 +24,7 @@ from .catalog import query
                   WHEN k < 75 THEN 'mid'
                   ELSE 'high' END AS bucket,
              value
-      FROM (SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+      FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
                    value
             FROM events)
     )
@@ -37,7 +37,10 @@ def events_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``process_wistia_data_v2.py:20,201``) + derived categorical (P5 —
     the channel CASE chain, ``process_wistia_data_v2.py:274-278``)."""
     e = load_table(spark, sf_dir, "events")
-    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    # try_cast: regexp_extract yields '' on no match, and ANSI
+    # CAST('' AS LONG) aborts the job — a missing k must bucket as
+    # 'high' via NULL, not crash
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).try_cast("long")
     bucket = (
         F.when(k < 25, "low").when(k < 75, "mid").otherwise("high").alias("bucket")
     )
@@ -52,7 +55,7 @@ def events_props_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type AS conv_type,
            COUNT(*) AS n_conversions,
-           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+           CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
                 AS BIGINT) AS sum_k
     FROM events
     WHERE event_type IN ('purchase', 'signup')
@@ -111,8 +114,10 @@ def events_conversion_map(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(trim(event_type)) AS type_upper,
            substring(event_type, 1, 3) AS type_prefix,
            length(props) AS props_len,
-           least(value, 100.0) AS value_capped,
-           greatest(value, 0.0) AS value_floored,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(value, 100.0) END AS value_capped,
+           CASE WHEN value IS NULL THEN NULL
+                ELSE greatest(value, 0.0) END AS value_floored,
            coalesce(nullif(event_type, 'error'), 'unknown') AS type_or_unknown,
            md5(event_type || CAST(event_id AS VARCHAR)) AS row_fingerprint
     FROM events
@@ -131,8 +136,15 @@ def events_scalar_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.trim("event_type")).alias("type_upper"),
         F.substring("event_type", 1, 3).alias("type_prefix"),
         F.length("props").alias("props_len"),
-        F.least("value", F.lit(100.0)).alias("value_capped"),
-        F.greatest("value", F.lit(0.0)).alias("value_floored"),
+        # least/greatest SKIP nulls on both engines: an ungated clamp
+        # would turn value=NULL into 100.0/0.0 phantom numbers — the
+        # clamp must propagate NULL instead
+        F.when(F.col("value").isNotNull(), F.least("value", F.lit(100.0))).alias(
+            "value_capped"
+        ),
+        F.when(F.col("value").isNotNull(), F.greatest("value", F.lit(0.0))).alias(
+            "value_floored"
+        ),
         F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
             "type_or_unknown"
         ),
