@@ -113,3 +113,23 @@ def test_sample_frames_indices(assets):
     for aid, n_frames in metas.items():
         assert rows[aid]["n"] == -(-n_frames // 2)  # ceil(n/2)
         assert rows[aid]["max_idx"] == (n_frames - 1) // 2 * 2
+
+
+def test_mm_oracle_corpus_assumptions_hold():
+    """The mm pixel/resize oracles index text by CHARACTERS while the
+    engine tiles BYTES, and tile by `% len`: both are valid only while
+    the corpus is pure ASCII with no empty documents. Enforce the
+    assumption so a future data change fails HERE with a message, not
+    as a silent oracle divergence."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        non_ascii, empty = duckdb.sql(
+            f"""SELECT
+                  COUNT(*) FILTER (WHERE octet_length(encode(text)) <> length(text)),
+                  COUNT(*) FILTER (WHERE length(text) = 0)
+                FROM '{path}'"""
+        ).fetchone()
+        assert non_ascii == 0, f"{sf}: non-ASCII docs break byte/char oracle parity"
+        assert empty == 0, f"{sf}: empty docs break the % len tiling oracle"

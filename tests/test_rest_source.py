@@ -152,8 +152,9 @@ def test_corrupt_record_audited_read(spark, tmp_path):
         f.write('{"event_key": "broken", INVALID JSON\n')
         f.write(_json.dumps(good_rows[2]) + "\n")
 
-    good, corrupt = read_events_jsonl_audited(spark, str(p))
+    good, corrupt, raw = read_events_jsonl_audited(spark, str(p))
     assert {r.event_key for r in good.collect()} == {"ev0", "ev1", "ev2"}
     bad = corrupt.collect()
     assert len(bad) == 1
     assert "INVALID JSON" in bad[0]._corrupt_record
+    raw.unpersist()

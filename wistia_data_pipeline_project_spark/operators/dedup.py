@@ -164,7 +164,9 @@ def minhash_lsh_candidates(
 
     bands=16 × rows=4 over k=64: P(candidate) = 1-(1-J^4)^16 — ≈1 for
     J≥0.8, ≈0.04 for J=0.2. The band hash is the shuffle key; no
-    pairwise work outside a bucket.
+    pairwise work outside a bucket. num_hashes must split evenly into
+    bands — a remainder would silently discard the trailing hashes
+    (paid for, never banded).
 
     Pairs are emitted bucket-locally via groupBy(band, bucket) +
     collect_list, NOT a self-join: a self-join would inline the whole
@@ -175,6 +177,10 @@ def minhash_lsh_candidates(
     pathological hot bucket (a stop-shingle band) so one skewed key
     cannot produce a quadratic task.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, width)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))

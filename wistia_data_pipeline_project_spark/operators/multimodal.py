@@ -164,7 +164,10 @@ def decode_payload(payload: bytes, meta: dict) -> np.ndarray:
     if HAVE_PIL and meta.get("format") != "fake":
         import io
 
-        return np.asarray(Image.open(io.BytesIO(payload)))
+        arr = np.asarray(Image.open(io.BytesIO(payload)))
+        # grayscale/palette decodes are 2-D; normalize to HWC so every
+        # consumer can index shape[2]
+        return arr[:, :, None] if arr.ndim == 2 else arr
     return fake_decode(
         payload, int(meta["width"]), int(meta["height"]), int(meta.get("n_channels") or 3)
     )
@@ -182,8 +185,14 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
     """Per-image statistics via Arrow-batched decode.
 
     Output is metadata-sized (stats + an ``n_bins`` histogram), so the
-    binary column never leaves the scan stage.
+    binary column never leaves the scan stage — and only IMAGE rows
+    reach Arrow at all: the media_type filter runs Spark-side, so
+    audio/video payloads (2/3 of a mixed table) are pruned at the scan
+    instead of being serialized to Python just to be skipped.
     """
+    if 256 % n_bins:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
+    shift = (256 // n_bins).bit_length() - 1
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -196,7 +205,7 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
                 if meta["media_type"] != "image":
                     continue
                 arr = decode_payload(payload, meta)
-                hist = np.bincount(arr.ravel() >> 5, minlength=n_bins)[:n_bins]
+                hist = np.bincount(arr.ravel() >> shift, minlength=n_bins)[:n_bins]
                 # canonical moment formula over EXACT integer sums
                 # (pixel sums fit in int64), evaluated with the same
                 # IEEE expression the SQL oracle uses — bit-identical
@@ -225,7 +234,9 @@ def image_features(assets: DataFrame, n_bins: int = 8) -> DataFrame:
                 rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
             )
 
-    return assets.mapInPandas(extract, IMAGE_FEATURE_SCHEMA)
+    return assets.filter(F.col("meta.media_type") == "image").mapInPandas(
+        extract, IMAGE_FEATURE_SCHEMA
+    )
 
 
 def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
@@ -256,7 +267,9 @@ def resize_images(assets: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFram
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
-    return assets.mapInPandas(work, RESIZED_SCHEMA)
+    return assets.filter(F.col("meta.media_type") == "image").mapInPandas(
+        work, RESIZED_SCHEMA
+    )
 
 
 def audio_features(assets: DataFrame) -> DataFrame:
@@ -288,7 +301,9 @@ def audio_features(assets: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
             )
 
-    return assets.mapInPandas(extract, AUDIO_FEATURE_SCHEMA)
+    return assets.filter(F.col("meta.media_type") == "audio").mapInPandas(
+        extract, AUDIO_FEATURE_SCHEMA
+    )
 
 
 def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
@@ -318,4 +333,6 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return assets.mapInPandas(work, FRAME_SCHEMA)
+    return assets.filter(F.col("meta.media_type") == "video").mapInPandas(
+        work, FRAME_SCHEMA
+    )

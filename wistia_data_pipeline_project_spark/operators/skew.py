@@ -108,7 +108,12 @@ def heavy_hitters(
     cands = (
         local.join(F.broadcast(totals), "_pid")
         .crossJoin(F.broadcast(stats.select("_u")))
-        .filter(F.col("_c") * F.col("_u") >= F.lit(mult) * F.col("_n"))
+        # compare in double: _c * _u as longs can overflow under ANSI
+        # at extreme (count × cardinality) scales
+        .filter(
+            F.col("_c").cast("double")
+            >= F.lit(mult) * F.col("_n") / F.col("_u")
+        )
         .select(key_col)
         .distinct()
     )

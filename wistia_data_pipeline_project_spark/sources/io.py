@@ -56,15 +56,21 @@ def spread(df: DataFrame) -> DataFrame:
     return df
 
 
-_SCAN_PARTS: dict[str, int] = {}
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
 
 
 def _scan_partitions(df: DataFrame, cache_key: str | None = None) -> int:
-    """Partition count of a scan, cached per source path — the
-    DataFrame→RDD conversion behind getNumPartitions costs ~130 ms per
-    call, which multiplies across a 45-query bench; split counts only
-    depend on the file layout and session confs, both fixed per run."""
-    key = cache_key or ",".join(df.inputFiles())
+    """Partition count of a scan, cached per (session, source path) —
+    the DataFrame→RDD conversion behind getNumPartitions costs ~130 ms
+    per call, which multiplies across the bench; split counts depend
+    on the file layout AND session confs, so the cache is scoped to
+    the application (a second session with different cores must not
+    reuse stale counts), and frames with no input files are never
+    cached (they'd all share one key)."""
+    files = cache_key or ",".join(df.inputFiles())
+    if not files:
+        return df.rdd.getNumPartitions()
+    key = (df.sparkSession.sparkContext.applicationId, files)
     if key not in _SCAN_PARTS:
         _SCAN_PARTS[key] = df.rdd.getNumPartitions()
     return _SCAN_PARTS[key]
@@ -117,16 +123,18 @@ def read_wistia_media_json(spark: SparkSession, path: str) -> DataFrame:
 
 def read_events_jsonl_audited(
     spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Line-delimited event read with corrupt-record auditing: returns
-    ``(good, corrupt)`` where corrupt rows carry the raw line in
+    ``(good, corrupt, raw)`` where corrupt rows carry the raw line in
     ``_corrupt_record`` instead of being silently nulled out (the
     default PERMISSIVE behavior loses the evidence; the reference logs
     and skips bad records — ``process_wistia_data.py:345-356``).
 
     Scale: one scan serves both frames (the reader tags rows at parse
     time; no second pass). Quarantine the ``corrupt`` side to a
-    dead-letter sink and alert on its count.
+    dead-letter sink and alert on its count. ``raw`` is the CACHED
+    parsed frame backing both sides — call ``raw.unpersist()`` once
+    both are consumed, or the cache outlives the read.
     """
     from ..schemas import nullable_copy
 
@@ -148,7 +156,7 @@ def read_events_jsonl_audited(
     corrupt = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"
     )
-    return good, corrupt
+    return good, corrupt, df
 
 
 def latest_run_ts(filenames: list[str]) -> str | None:
@@ -168,7 +176,14 @@ def latest_run_files(directory: str, prefix: str) -> list[str]:
     ts = latest_run_ts(names)
     if ts is None:
         return []
-    return sorted(os.path.join(directory, f) for f in names if ts in f)
+    # match on the EXTRACTED stamp, not substring containment — a stray
+    # file merely containing the stamp (backup copies etc.) must not
+    # join the run
+    return sorted(
+        os.path.join(directory, f)
+        for f in names
+        if (m := re.search(RUN_TS_RE, f)) and m.group(1) == ts
+    )
 
 
 def with_run_ts_column(df: DataFrame) -> DataFrame:
