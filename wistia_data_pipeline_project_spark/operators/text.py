@@ -55,7 +55,11 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document token statistics (token counting north-star op)."""
+    """Per-document token statistics (token counting north-star op).
+
+    Ratios over n_tokens are NULL for empty documents (``try_divide``):
+    under ANSI mode a plain ``/ 0`` would ABORT the job, and the DuckDB
+    oracles yield NULL for the same rows."""
     t = F.col(text_col)
     return df.withColumns(
         {
@@ -63,8 +67,10 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_uniq_tokens": distinct_token_count(t),
             "n_stopwords": stopword_count(t),
             # total token chars / token count; single double division
-            "avg_token_len": F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
-            / token_count(t),
+            "avg_token_len": F.try_divide(
+                F.length(F.regexp_replace(t, r"\s+", "")).cast("double"),
+                token_count(t),
+            ),
         }
     )
 
@@ -77,8 +83,8 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     (length, stopword fraction, repetition) without any model call.
     """
     d = with_token_stats(df, text_col)
-    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
-    diversity = F.col("n_uniq_tokens").cast("double") / F.col("n_tokens")
+    stop_ratio = F.try_divide(F.col("n_stopwords").cast("double"), F.col("n_tokens"))
+    diversity = F.try_divide(F.col("n_uniq_tokens").cast("double"), F.col("n_tokens"))
     good_len = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
     return d.withColumns(
         {

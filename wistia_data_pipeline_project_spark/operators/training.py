@@ -32,6 +32,23 @@ from .dedup import shingle_table
 from .text import tokens
 
 
+def split_cuts(train: float = 0.9, val: float = 0.05) -> tuple[str, str]:
+    """The two hex bucket cut points for (train, val) fractions — the
+    single source of truth shared by ``split_assign`` and the SQL
+    oracle generator. A cut of 256 (train+val == 1.0) must compare
+    above every 2-char hex bucket: format(256,'02x') is the 3-char
+    '100', which sorts BELOW 'e6' lexicographically and would dump val
+    into test (and leak low buckets into val) — a sentinel above 'ff'
+    instead."""
+    if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
+        raise ValueError(f"bad split fractions: train={train}, val={val}")
+
+    def fmt(cut: int) -> str:
+        return "zz" if cut >= 256 else format(cut, "02x")
+
+    return fmt(int(train * 256)), fmt(int((train + val) * 256))
+
+
 def split_assign(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -44,18 +61,8 @@ def split_assign(
     order == numeric order), thresholds at ``int(frac*256)``. The
     identical expression runs in any SQL engine, so split membership
     is portable across the whole stack."""
-    if not (0 < train < 1 and 0 <= val < 1 and train + val <= 1):
-        raise ValueError(f"bad split fractions: train={train}, val={val}")
+    t_cut, v_cut = split_cuts(train, val)
     bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
-
-    # cut 256 (train+val == 1.0) must compare above every 2-char hex
-    # bucket: format(256,'02x') is the 3-char '100', which sorts BELOW
-    # 'e6' lexicographically and would dump val into test (and leak
-    # low buckets into val) — use a sentinel above 'ff' instead
-    def fmt(cut: int) -> str:
-        return "zz" if cut >= 256 else format(cut, "02x")
-
-    t_cut, v_cut = fmt(int(train * 256)), fmt(int((train + val) * 256))
     return df.withColumn(
         split_col,
         F.when(bucket < F.lit(t_cut), F.lit("train"))

@@ -20,6 +20,15 @@ from ..operators import training as TR
 from ..sources.io import load_table
 from .catalog import query
 
+# DuckDB mirror of text.tokens(): [] (not ['']) for empty/whitespace
+# text. JACCARD_SQL and the contamination/assembly oracles keep the
+# raw split deliberately — both engines emit ONE empty shingle for an
+# empty doc, so shingle semantics already agree.
+TOKS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
 JACCARD_SQL = """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
@@ -95,7 +104,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_token_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_distinct(toks)) AS n_uniq_tokens,
@@ -104,7 +113,7 @@ def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
              AS avg_token_len
     FROM (
-      SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      SELECT doc_id, text, {TOKS_SQL} AS toks
       FROM documents
     )
     """,
@@ -120,14 +129,14 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_quality_score",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT doc_id, lang,
              len(toks) AS n_tokens,
              len(list_distinct(toks)) AS n_uniq_tokens,
              len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
                AS n_stopwords
-      FROM (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM (SELECT doc_id, lang, {TOKS_SQL} AS toks
             FROM documents)
     )
     SELECT doc_id, lang,
@@ -196,14 +205,27 @@ def docs_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry turns its QUALITY into a hash-checked fact."""
     docs = load_table(spark, sf_dir, "documents")
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
-    sh = D.simhash_near_dup_pairs(docs).select("doc_a", "doc_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_hit = exact.join(sh, ["doc_a", "doc_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("_n_hit")
+    sh = (
+        D.simhash_near_dup_pairs(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
     )
-    return n_exact.crossJoin(n_hit).select(
-        "n_exact_pairs",
-        (F.col("_n_hit") * 2 >= F.col("n_exact_pairs")).alias("recall_floor_met"),
+    # ONE pass over the (expensive) exact-Jaccard subtree: a separate
+    # count + semi-join would inline the whole shingle pipeline into
+    # two plan branches with zero exchange reuse (measured: 9 scans /
+    # 28 exchanges → halved)
+    return (
+        exact.join(sh, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.count("_hit").alias("_n_hit"),
+        )
+        .select(
+            "n_exact_pairs",
+            (F.col("_n_hit") * 2 >= F.col("n_exact_pairs")).alias(
+                "recall_floor_met"
+            ),
+        )
     )
 
 
@@ -266,24 +288,28 @@ def docs_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.with_language_id(docs).select("doc_id", "lang", "predicted_lang")
 
 
-@query(
-    "docs_train_split",
-    oracle="""
+def _train_split_oracle(train: float = 0.9, val: float = 0.05) -> str:
+    """Generated from the SAME cut derivation as split_assign
+    (training.split_cuts) so the two engines cannot drift."""
+    t_cut, v_cut = TR.split_cuts(train, val)
+    return f"""
     SELECT split, COUNT(*) AS n_docs,
-           CAST(SUM(len(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END))
+           CAST(SUM(len({TOKS_SQL}))
                 AS BIGINT) AS total_tokens
     FROM (
       SELECT text,
-             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{t_cut}'
                     THEN 'train'
-                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{v_cut}'
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     )
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("docs_train_split", oracle=_train_split_oracle())
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-addressed train/val/test split (90/5/5):
     md5-hex bucket on doc_id, portable to any engine — the oracle
@@ -302,10 +328,10 @@ def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_token_packing",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT source, doc_id,
-             len(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(text), '\\s+') END) AS n_tokens
+             len({TOKS_SQL}) AS n_tokens
       FROM documents
     ),
     c AS (
