@@ -70,3 +70,32 @@ def test_contamination_finds_planted_overlap(spark):
     bench = docs.filter(F.col("doc_id") == 0).select("doc_id")
     got = {r.doc_id for r in TR.contamination(docs, bench).collect()}
     assert got == {1}  # shares the 8-token shingle; doc 2 clean
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Chunk boundaries: stride=budget-overlap, last chunk short,
+    consecutive chunks share exactly `overlap` tokens, empty doc
+    yields one empty chunk."""
+    words = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = TR.chunk_documents(docs, budget=10, overlap=4)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: n=25, stride=6 -> ceil((25-4)/6)=4 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, i) for i in range(4)}
+    assert rows[(1, 0)].n_chunk_tokens == 10
+    assert rows[(1, 3)].n_chunk_tokens == 25 - 3 * 6  # tail chunk short
+    # overlap check via reconstruction
+    toks = words.split()
+    import hashlib
+
+    for i in range(4):
+        want = " ".join(toks[i * 6 : i * 6 + 10])
+        assert rows[(1, i)].chunk_md5 == hashlib.md5(want.encode()).hexdigest()
+    # short doc: one chunk, whole doc
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    # empty doc: one empty chunk
+    assert rows[(3, 0)].n_chunk_tokens == 0
+    with pytest.raises(ValueError):
+        TR.chunk_documents(docs, budget=10, overlap=10)

@@ -128,3 +128,46 @@ def contamination(
         .select(key_col)
         .distinct()
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    budget: int = 512,
+    overlap: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed token windows with overlap — the
+    context-window chunking step between packing and tokenization in a
+    training pipeline. Chunk i covers tokens [i·stride, i·stride +
+    budget) with stride = budget − overlap; every doc yields ≥ 1
+    chunk (short and empty docs produce one, possibly short/empty).
+
+    Pure narrow generate (sequence + posexplode + slice): no shuffle,
+    fan-out bounded by corpus_tokens / stride. The chunk text is
+    emitted as an md5 so downstream comparisons/dedup ship 16 bytes,
+    not the text; callers re-slice when they need the payload.
+    """
+    if not 0 <= overlap < budget:
+        raise ValueError(f"need 0 <= overlap < budget, got {overlap}/{budget}")
+    stride = budget - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"), F.lit(1)
+    )
+    t = df.select(F.col(key_col), toks.alias("_toks"), n_chunks.alias("_nc"))
+    ex = t.select(
+        key_col,
+        "_toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("_p", "chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, F.lit(budget)
+    )
+    return ex.select(
+        key_col,
+        "chunk_idx",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -363,6 +363,36 @@ def docs_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(toks) - 64) / 448.0) AS INT), 1) - 1))
+               AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           len(toks[chunk_idx*448 + 1 : chunk_idx*448 + 512])
+             AS n_chunk_tokens,
+           md5(array_to_string(toks[chunk_idx*448 + 1 : chunk_idx*448 + 512],
+                               ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (512-token windows, 64 overlap, stride
+    448): one row per chunk with its exact token count and content
+    md5 — the oracle reconstructs every window via list slicing, so
+    chunk boundaries, overlap, and content are all hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TR.chunk_documents(docs, budget=512, overlap=64)
+
+
+@query(
     "docs_contamination",
     oracle=f"""
     WITH sh AS (
