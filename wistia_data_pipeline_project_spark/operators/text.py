@@ -154,3 +154,44 @@ def predicted_language(text: Column) -> Column:
 
 def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("predicted_lang", predicted_language(F.col(text_col)))
+
+
+def trigram_repetition(text: Column) -> Column:
+    """Within-document repetition score: 1 − distinct/total token
+    trigrams (0 = no repetition, → 1 for highly repetitive boilerplate
+    — the standard pretraining repetition filter signal). NULL for
+    docs shorter than 3 tokens (no trigram exists)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    tris = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    return F.when(
+        n >= 3,
+        1.0 - F.try_divide(F.size(F.array_distinct(tris)), F.size(tris)),
+    )
+
+
+# public patterns for the PII scan — deliberately simple and
+# cross-engine (RE2/Java compatible): the operator's job is the
+# Spark-side plumbing; production swaps in its own pattern pack.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern hit counts + a redaction-needed flag —
+    one codegen'd projection per pattern (regexp_count), no UDF."""
+    t = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0))
+        )
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("pii_flag", flag)

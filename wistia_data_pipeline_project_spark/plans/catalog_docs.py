@@ -248,6 +248,62 @@ def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN 1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)
+           END AS repetition
+    FROM (
+      SELECT doc_id, toks,
+             [array_to_string(toks[i:i+2], ' ')
+              FOR i IN generate_series(1, greatest(len(toks) - 2, 1))] AS tris
+      FROM (SELECT doc_id, {{TOKS_SQL}} AS toks FROM documents)
+    )
+    """.replace("{TOKS_SQL}", TOKS_SQL),
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (1 − distinct/total token
+    trigrams) — the pretraining boilerplate filter signal; NULL below
+    3 tokens. Narrow projection, oracle reconstructs the trigram list
+    in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.trigram_repetition(F.col("text")).alias("repetition")
+    )
+
+
+def _pii_oracle() -> str:
+    """Generated from the SAME pattern pack as with_pii_counts."""
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in X.PII_PATTERNS.items()
+    )
+    flag = " OR ".join(
+        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        for pat in X.PII_PATTERNS.values()
+    )
+    return f"""
+    SELECT doc_id,
+           {counts},
+           ({flag}) AS pii_flag
+    FROM documents
+    """
+
+
+@query("docs_pii_scan", oracle=_pii_oracle())
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan (emails/phones/IPs) per document — hit counts
+    plus a redaction flag, all codegen'd regexp_count projections; the
+    oracle is generated from the same pattern pack so the two engines
+    cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_pii_counts(docs).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "pii_flag"
+    )
+
+
 def _language_id_oracle() -> str:
     """DuckDB replica of the classifier, generated from the SAME
     profile table (single source of truth) — latin trigram hits via
