@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, tokens
+from .text import fingerprint, shingle_array, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -59,12 +59,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 
 def shingles(text_col: str, width: int = 8) -> F.Column:
     """Distinct w-token shingles of a document as an array column."""
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - width + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, width), " "))
-    )
+    return F.array_distinct(shingle_array(F.col(text_col), width))
 
 
 def shingle_table(df: DataFrame, key_col: str = "doc_id", text_col: str = "text", width: int = 8) -> DataFrame:

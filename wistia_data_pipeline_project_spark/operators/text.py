@@ -1,7 +1,10 @@
 """Text-analysis operators over a document corpus (BASELINE.json
 north_star: token counting, quality scoring, language ID, document
-fingerprinting) — all native Column expressions except language ID's
-profile scoring, which is still JVM-side (higher-order functions).
+fingerprinting) — all native Column expressions; language ID's profile
+scoring and the shingle/trigram builders use JVM-side higher-order
+functions (interpreted, not codegen'd — acceptable for per-row arrays
+of hundreds of elements; rewrite as explode + groupBy aggregation if a
+corpus ever makes them the hot path, per the minhash precedent).
 
 Design for 100 TB: every function here is a narrow projection — no
 shuffle, no UDF, fully pipelined inside whole-stage codegen; they
@@ -45,6 +48,17 @@ def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Colu
         (n - F.size(F.array_remove(toks, w)) for w in stopwords),
         F.lit(0),
     )
+
+
+def shingle_array(text: Column, width: int) -> Column:
+    """All w-token shingles of a document (WITH multiplicity; callers
+    wanting the distinct set wrap in array_distinct). The single
+    source of the sequence/greatest/slice construction shared by
+    dedup.shingles and trigram_repetition."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - width + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, width), " "))
 
 
 def fingerprint(text: Column) -> Column:
@@ -161,12 +175,9 @@ def trigram_repetition(text: Column) -> Column:
     trigrams (0 = no repetition, → 1 for highly repetitive boilerplate
     — the standard pretraining repetition filter signal). NULL for
     docs shorter than 3 tokens (no trigram exists)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
-    tris = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, 3), " "))
+    tris = shingle_array(text, 3)
     return F.when(
-        n >= 3,
+        F.size(tokens(text)) >= 3,
         1.0 - F.try_divide(F.size(F.array_distinct(tris)), F.size(tris)),
     )
 

@@ -160,7 +160,7 @@ def chunk_documents(
     ex = t.select(
         key_col,
         "_toks",
-        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("_p", "chunk_idx"),
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
     )
     chunk = F.slice(
         F.col("_toks"), F.col("chunk_idx") * stride + 1, F.lit(budget)

@@ -259,9 +259,9 @@ def docs_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, toks,
              [array_to_string(toks[i:i+2], ' ')
               FOR i IN generate_series(1, greatest(len(toks) - 2, 1))] AS tris
-      FROM (SELECT doc_id, {{TOKS_SQL}} AS toks FROM documents)
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
     )
-    """.replace("{TOKS_SQL}", TOKS_SQL),
+    """,
 )
 def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition score (1 − distinct/total token
@@ -275,13 +275,15 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pii_oracle() -> str:
-    """Generated from the SAME pattern pack as with_pii_counts."""
+    """Generated from the SAME pattern pack as with_pii_counts.
+    Counts/flag coalesce NULL text to 0/false exactly like the Spark
+    side (regexp over NULL is NULL in both engines)."""
     counts = ",\n           ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        f"COALESCE(len(regexp_extract_all(text, '{pat}')), 0) AS n_{name}"
         for name, pat in X.PII_PATTERNS.items()
     )
     flag = " OR ".join(
-        f"len(regexp_extract_all(text, '{pat}')) > 0"
+        f"COALESCE(len(regexp_extract_all(text, '{pat}')), 0) > 0"
         for pat in X.PII_PATTERNS.values()
     )
     return f"""
@@ -300,7 +302,7 @@ def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot drift."""
     docs = load_table(spark, sf_dir, "documents")
     return X.with_pii_counts(docs).select(
-        "doc_id", "n_email", "n_phone", "n_ipv4", "pii_flag"
+        "doc_id", *[f"n_{k}" for k in X.PII_PATTERNS], "pii_flag"
     )
 
 
@@ -418,27 +420,33 @@ def docs_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_chunking",
-    oracle=f"""
+def _chunking_oracle(budget: int, overlap: int) -> str:
+    """Generated from the SAME (budget, overlap) as the catalog call —
+    stride and both slice bounds derive from one place, so the oracle
+    cannot drift from chunk_documents."""
+    stride = budget - overlap
+    return f"""
     WITH t AS (
       SELECT doc_id, {TOKS_SQL} AS toks FROM documents
     ),
     c AS (
       SELECT doc_id, toks,
              unnest(generate_series(0,
-               greatest(CAST(ceil((len(toks) - 64) / 448.0) AS INT), 1) - 1))
-               AS chunk_idx
+               greatest(CAST(ceil((len(toks) - {overlap}) / {stride}.0) AS INT),
+                        1) - 1)) AS chunk_idx
       FROM t
     )
     SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-           len(toks[chunk_idx*448 + 1 : chunk_idx*448 + 512])
+           len(toks[chunk_idx*{stride} + 1 : chunk_idx*{stride} + {budget}])
              AS n_chunk_tokens,
-           md5(array_to_string(toks[chunk_idx*448 + 1 : chunk_idx*448 + 512],
-                               ' ')) AS chunk_md5
+           md5(array_to_string(
+                 toks[chunk_idx*{stride} + 1 : chunk_idx*{stride} + {budget}],
+                 ' ')) AS chunk_md5
     FROM c
-    """,
-)
+    """
+
+
+@query("docs_chunking", oracle=_chunking_oracle(budget=512, overlap=64))
 def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (512-token windows, 64 overlap, stride
     448): one row per chunk with its exact token count and content
