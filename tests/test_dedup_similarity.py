@@ -132,3 +132,32 @@ def test_blocked_near_dup_recall_vs_exact(spark):
         ).collect()
     }
     assert blocked == exact  # exact verify + full recall at 4 probes
+
+
+def test_binary_codes_pack_exactly(spark, sf_dir):
+    """Sign codes match a plain-Python repack for every vector."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.vec_id: (r.code_lo, r.code_hi) for r in S.binary_codes(emb).collect()}
+    for r in emb.select("vec_id", "embedding").collect():
+        lo = sum(1 << i for i in range(32) if r.embedding[i] > 0)
+        hi = sum(1 << (i - 32) for i in range(32, 64) if r.embedding[i] > 0)
+        assert got[r.vec_id] == (lo, hi), r.vec_id
+
+
+def test_hamming_topk_approximates_cosine(spark, sf_dir):
+    """Binary sketches are a PRUNE stage: a 1-bit/dim code can't rank
+    near-uniform vectors finely, but a Hamming shortlist of ~10% of
+    the corpus must recover most of the exact cosine top-10 for the
+    rerank step (prune-then-rerank contract; measured 0.8 at 1/6 of
+    this pool, 1.0 at 1/3)."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    exact = {r.vec_id for r in S.topk_cosine(emb.filter("vec_id <> 0"), q, k=10).collect()}
+    shortlist = {r.vec_id for r in S.hamming_topk(emb, 0, k=max(30, n // 10)).collect()}
+    recall = len(exact & shortlist) / len(exact)
+    assert recall >= 0.7, f"binary-sketch shortlist recall {recall} below floor"

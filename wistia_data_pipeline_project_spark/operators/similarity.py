@@ -363,3 +363,65 @@ def kmeans_fit(
             .localCheckpoint()
         )
     return centroids, history
+
+
+def binary_codes(
+    df: DataFrame, vec_col: str = "embedding", key_col: str = "vec_id"
+) -> DataFrame:
+    """Sign-quantized binary codes: bit i = (embedding[i] > 0), packed
+    into two 32-bit halves (lo = dims 0-31, hi = dims 32-63) — two
+    longs per vector, no sign-bit overflow games. 32× smaller than
+    float32 vectors; Hamming distance over the codes approximates
+    angular distance (the classic binary-sketch retrieval trick).
+
+    Computed via posexplode + one map-side-combinable sum per half
+    (bit·2^pos is exact in double for pos ≤ 31), so the packing is a
+    single shuffle of 2 longs per vector and every expression is
+    codegen'd — and identically computable in SQL, so the codes are
+    exactly oracle-checkable end to end.
+    """
+    ex = df.select(F.col(key_col), F.posexplode(as_double(F.col(vec_col))))
+    bit = (F.col("col") > 0).cast("int")
+    lo = F.sum(
+        F.when(F.col("pos") < 32, bit * F.pow(F.lit(2.0), F.col("pos"))).otherwise(
+            F.lit(0.0)
+        )
+    ).cast("long")
+    hi = F.sum(
+        F.when(
+            F.col("pos") >= 32, bit * F.pow(F.lit(2.0), F.col("pos") - 32)
+        ).otherwise(F.lit(0.0))
+    ).cast("long")
+    return ex.groupBy(key_col).agg(lo.alias("code_lo"), hi.alias("code_hi"))
+
+
+def hamming_topk(
+    df: DataFrame,
+    query_key: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over binary codes (query =
+    the corpus vector at ``query_key``, excluded from results).
+
+    bit_count(xor) over two longs per comparison — per-partition
+    TakeOrdered heaps, one tiny broadcast for the query code; at scale
+    this runs a full-corpus scan at ~2 B/dim instead of 4, or prunes
+    further when combined with the IVF partitioning.
+    """
+    codes = binary_codes(df, vec_col, key_col)
+    q = codes.filter(F.col(key_col) == query_key).select(
+        F.col("code_lo").alias("_qlo"), F.col("code_hi").alias("_qhi")
+    )
+    dist = (
+        F.bit_count(F.col("code_lo").bitwiseXOR(F.col("_qlo")))
+        + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("_qhi")))
+    ).cast("int")
+    return (
+        codes.filter(F.col(key_col) != query_key)
+        .crossJoin(F.broadcast(q))
+        .select(key_col, dist.alias("hamming"))
+        .orderBy("hamming", key_col)
+        .limit(k)
+    )

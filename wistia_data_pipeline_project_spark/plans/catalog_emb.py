@@ -137,6 +137,41 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_hamming_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i) ELSE 0 END
+                            FOR i IN generate_series(0, 31)]) AS BIGINT)
+               AS lo,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i - 32) ELSE 0 END
+                            FOR i IN generate_series(32, 63)]) AS BIGINT)
+               AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi))
+                AS INTEGER) AS hamming
+    FROM codes c, q
+    WHERE c.vec_id <> 0
+    ORDER BY hamming, c.vec_id
+    LIMIT 10
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: sign-quantize every vector to a 64-bit code
+    (two 32-bit halves), rank by Hamming distance to vec 0's code.
+    Sign quantization has NO float-rounding ambiguity, so unlike the
+    cosine paths this sketch pipeline is EXACTLY oracle-checked end
+    to end — codes, distances, and ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hamming_topk(emb, query_key=0, k=10)
+
+
+@query(
     "emb_kmeans_quality",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
