@@ -158,6 +158,9 @@ def test_hamming_topk_approximates_cosine(spark, sf_dir):
     n = emb.count()
     q = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
     exact = {r.vec_id for r in S.topk_cosine(emb.filter("vec_id <> 0"), q, k=10).collect()}
-    shortlist = {r.vec_id for r in S.hamming_topk(emb, 0, k=max(30, n // 10)).collect()}
+    shortlist = {
+        r.vec_id
+        for r in S.hamming_topk(emb, q, k=max(30, n // 10), exclude_key=0).collect()
+    }
     recall = len(exact & shortlist) / len(exact)
     assert recall >= 0.7, f"binary-sketch shortlist recall {recall} below floor"

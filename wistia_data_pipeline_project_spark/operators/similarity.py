@@ -374,6 +374,11 @@ def binary_codes(
     float32 vectors; Hamming distance over the codes approximates
     angular distance (the classic binary-sketch retrieval trick).
 
+    The sketch covers the FIRST 64 dimensions; wider vectors are
+    prefix-sketched (the upper bound on the hi branch also keeps the
+    sum inside exact-double/long range — an unbounded ``pos >= 32``
+    would overflow on wide vectors).
+
     Computed via posexplode + one map-side-combinable sum per half
     (bit·2^pos is exact in double for pos ≤ 31), so the packing is a
     single shuffle of 2 longs per vector and every expression is
@@ -389,39 +394,50 @@ def binary_codes(
     ).cast("long")
     hi = F.sum(
         F.when(
-            F.col("pos") >= 32, bit * F.pow(F.lit(2.0), F.col("pos") - 32)
+            (F.col("pos") >= 32) & (F.col("pos") < 64),
+            bit * F.pow(F.lit(2.0), F.col("pos") - 32),
         ).otherwise(F.lit(0.0))
     ).cast("long")
     return ex.groupBy(key_col).agg(lo.alias("code_lo"), hi.alias("code_hi"))
 
 
+def quantize_query(query_vec: list[float]) -> tuple[int, int]:
+    """Sign-quantize a query vector with the same (lo, hi) packing as
+    ``binary_codes`` — driver-side, two ints."""
+    lo = sum(1 << i for i in range(min(len(query_vec), 32)) if query_vec[i] > 0)
+    hi = sum(
+        1 << (i - 32) for i in range(32, min(len(query_vec), 64)) if query_vec[i] > 0
+    )
+    return lo, hi
+
+
 def hamming_topk(
     df: DataFrame,
-    query_key: int,
+    query_vec: list[float],
     k: int = 10,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    exclude_key: int | None = None,
 ) -> DataFrame:
-    """Top-k nearest by Hamming distance over binary codes (query =
-    the corpus vector at ``query_key``, excluded from results).
+    """Top-k nearest by Hamming distance over binary codes.
 
-    bit_count(xor) over two longs per comparison — per-partition
-    TakeOrdered heaps, one tiny broadcast for the query code; at scale
-    this runs a full-corpus scan at ~2 B/dim instead of 4, or prunes
-    further when combined with the IVF partitioning.
+    The query code is quantized driver-side and folded into codegen as
+    two LITERALS (same pattern as ``topk_cosine``) — no second plan
+    branch, no crossJoin, no extra scan. bit_count(xor) over two longs
+    per comparison with per-partition TakeOrdered heaps; at scale this
+    runs a full-corpus scan at ~2 B/dim instead of 4 float bytes, or
+    prunes further when combined with the IVF partitioning.
     """
+    qlo, qhi = quantize_query(query_vec)
     codes = binary_codes(df, vec_col, key_col)
-    q = codes.filter(F.col(key_col) == query_key).select(
-        F.col("code_lo").alias("_qlo"), F.col("code_hi").alias("_qhi")
-    )
+    if exclude_key is not None:
+        codes = codes.filter(F.col(key_col) != exclude_key)
     dist = (
-        F.bit_count(F.col("code_lo").bitwiseXOR(F.col("_qlo")))
-        + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("_qhi")))
+        F.bit_count(F.col("code_lo").bitwiseXOR(F.lit(qlo)))
+        + F.bit_count(F.col("code_hi").bitwiseXOR(F.lit(qhi)))
     ).cast("int")
     return (
-        codes.filter(F.col(key_col) != query_key)
-        .crossJoin(F.broadcast(q))
-        .select(key_col, dist.alias("hamming"))
+        codes.select(key_col, dist.alias("hamming"))
         .orderBy("hamming", key_col)
         .limit(k)
     )

@@ -149,7 +149,7 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  THEN power(2, i - 32) ELSE 0 END
                             FOR i IN generate_series(32, 63)]) AS BIGINT)
                AS hi
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0)
     SELECT c.vec_id,
@@ -166,9 +166,11 @@ def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two 32-bit halves), rank by Hamming distance to vec 0's code.
     Sign quantization has NO float-rounding ambiguity, so unlike the
     cosine paths this sketch pipeline is EXACTLY oracle-checked end
-    to end — codes, distances, and ranking."""
+    to end — codes, distances, and ranking. The query code folds into
+    codegen as two literals (from the cached query vector)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.hamming_topk(emb, query_key=0, k=10)
+    q = _query_vec(spark, sf_dir, 0)
+    return S.hamming_topk(emb, q, k=10, exclude_key=0)
 
 
 @query(
