@@ -1,0 +1,93 @@
+"""Connected-components clustering: min-label propagation with pointer
+doubling over near-dup pair graphs (operators/clustering.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from wistia_data_pipeline_project_spark.operators.clustering import (
+    connected_components,
+    dup_clusters,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+
+def _cc(spark, pairs, **kw):
+    rows = connected_components(_edges_df(spark, pairs), **kw).collect()
+    return {r.node: r.component for r in rows}
+
+
+def _union_find(pairs):
+    """Plain-Python reference: min id per component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_collapses_to_min(spark):
+    # a 12-node path: every node must reach label 0 across 11 hops —
+    # the case pointer doubling exists for
+    pairs = [(i, i + 1) for i in range(11)]
+    got = _cc(spark, pairs)
+    assert got == {i: 0 for i in range(12)}
+
+
+def test_two_components_and_direction_independence(spark):
+    pairs = [(5, 3), (3, 9), (20, 21), (22, 21)]
+    got = _cc(spark, pairs)
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20}
+
+
+def test_self_loops_and_duplicate_edges_harmless(spark):
+    pairs = [(1, 1), (1, 2), (2, 1), (1, 2)]
+    got = _cc(spark, pairs)
+    assert got == {1: 1, 2: 1}
+
+
+def test_matches_union_find_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30 + 10 * trial)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        assert _cc(spark, pairs) == _union_find(pairs)
+
+
+def test_raises_instead_of_partial_result(spark):
+    # one round cannot close a 12-hop chain; the operator must refuse
+    # to return a half-merged clustering
+    pairs = [(i, i + 1) for i in range(11)]
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(_edges_df(spark, pairs), max_iter=1)
+
+
+def test_dup_clusters_sizes_and_canonical(spark):
+    pairs = [(10, 11), (11, 12), (30, 31)]
+    rows = dup_clusters(_edges_df(spark, pairs)).collect()
+    got = {r.node: (r.cluster_id, r.is_canonical, r.n_members) for r in rows}
+    assert got == {
+        10: (10, True, 3),
+        11: (10, False, 3),
+        12: (10, False, 3),
+        30: (30, True, 2),
+        31: (30, False, 2),
+    }

@@ -1,0 +1,142 @@
+"""Connected-components clustering over near-dup pair graphs.
+
+Pairwise dedup (MinHash/SimHash/Jaccard) emits EDGES; a real pipeline
+must turn them into duplicate GROUPS before it can pick one canonical
+survivor per group — near-duplication is transitive in effect (A≈B,
+B≈C ⇒ keep one of {A,B,C}) even though the pairwise relation is not.
+This module closes that gap with a distributed connected-components
+operator.
+
+Algorithm: iterated min-label propagation with pointer doubling (the
+"hash-to-min" family — Kiveris et al., *Connected Components in
+MapReduce and Beyond*, SoCC'14; public algorithm). Each node carries
+a label = the smallest node id it has proven reachable; every round
+(1) pulls neighbor labels across the edge list and keeps the min,
+then (2) follows the label chain one hop (label[u] ←
+min(label[u], label[label[u]])). Doubling makes the per-round reach
+grow geometrically, so convergence takes O(log diameter) rounds, not
+O(diameter) — the difference between 4 and 40 shuffles on a long
+chain of chunk overlaps.
+
+Scale design (100 TB):
+
+- State per node is two longs (node, label) — the TEXT never enters
+  the graph; edges are produced by the dedup operators which already
+  shuffle fingerprints, not documents.
+- Each round is: one equi-join of edges⋈labels (shuffle keyed on the
+  join column), one ``min`` aggregate (map-side combinable — a
+  high-degree hub node collapses to one row per mapper before the
+  exchange), and one labels self-join for the doubling hop.
+- Label tables are materialized per round with ``localCheckpoint``:
+  lazily chaining rounds doubles the plan per iteration (the same
+  lesson as the k-means trainer, similarity.py), while checkpointing
+  keeps every round's plan shape identical so codegen is reused.
+- Convergence is detected by the per-round sum of labels (labels only
+  ever decrease, so sum-unchanged ⇔ fixpoint), summed in
+  decimal(38,0) — exact and associative, and immune to long overflow
+  on 64-bit node ids at full scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``, where component
+    is the smallest node id in the node's connected component.
+
+    ``edges`` is an undirected pair list (direction ignored, self
+    loops harmless). Nodes with no edges are absent from the output —
+    singletons are their own component by definition and callers that
+    need them can union them in without paying for the iteration.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds rather than returning a silently incomplete
+    clustering (with pointer doubling, 15 rounds cover diameters
+    ~2^15 — any real dup graph converges long before that).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    und = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("component"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("u").alias("v"), "component"), "v"
+        ).select("u", "component")
+        # NOT checkpointed: the doubling self-join references this
+        # subtree twice, but its lineage is one join + one agg over the
+        # two checkpoints — recomputing it inside a single job is
+        # cheaper than a third materialization barrier per round.
+        prop = (
+            nbr.union(labels.select("u", "component"))
+            .groupBy("u")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer doubling: follow the label chain one hop. Labels are
+        # node ids, so label[u]'s own row carries label[label[u]].
+        hop = prop.join(
+            prop.select(
+                F.col("u").alias("component"), F.col("component").alias("_c2")
+            ),
+            "component",
+            "left",
+        ).select(
+            "u",
+            F.least(
+                F.col("component"), F.coalesce(F.col("_c2"), F.col("component"))
+            ).alias("component"),
+        )
+        labels = hop.localCheckpoint()
+        s = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
+        if prev_sum is not None and s == prev_sum:
+            return labels.select(F.col("u").alias("node"), "component")
+        prev_sum = s
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the edge graph has pathological diameter — raise max_iter"
+    )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    key_a: str = "doc_a",
+    key_b: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Duplicate groups from a near-dup pair list: one row per clustered
+    node with its cluster id (= min member), a canonical flag (the
+    dedup survivor under min-key-wins, the engine-wide rule from
+    ``exact_dedup``), and the cluster size.
+
+    The size join is keyed on the component id — one extra small
+    shuffle over the label table, no text movement.
+    """
+    cc = connected_components(pairs, key_a, key_b, max_iter)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return cc.join(sizes, "component").select(
+        F.col("node"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+        "n_members",
+    )

@@ -136,6 +136,7 @@ def chunk_documents(
     overlap: int = 64,
     key_col: str = "doc_id",
     text_col: str = "text",
+    with_text: bool = False,
 ) -> DataFrame:
     """Split documents into fixed token windows with overlap — the
     context-window chunking step between packing and tokenization in a
@@ -146,7 +147,9 @@ def chunk_documents(
     Pure narrow generate (sequence + posexplode + slice): no shuffle,
     fan-out bounded by corpus_tokens / stride. The chunk text is
     emitted as an md5 so downstream comparisons/dedup ship 16 bytes,
-    not the text; callers re-slice when they need the payload.
+    not the text; callers re-slice when they need the payload, or pass
+    ``with_text=True`` to also emit the joined ``chunk_text`` column
+    (used by chunk-level dedup/clustering, which re-shingles it).
     """
     if not 0 <= overlap < budget:
         raise ValueError(f"need 0 <= overlap < budget, got {overlap}/{budget}")
@@ -165,9 +168,12 @@ def chunk_documents(
     chunk = F.slice(
         F.col("_toks"), F.col("chunk_idx") * stride + 1, F.lit(budget)
     )
-    return ex.select(
-        key_col,
-        "chunk_idx",
+    out = [
+        F.col(key_col),
+        F.col("chunk_idx"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
-    )
+    ]
+    if with_text:
+        out.append(F.array_join(chunk, " ").alias("chunk_text"))
+    return ex.select(*out)

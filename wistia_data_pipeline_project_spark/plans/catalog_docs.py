@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import clustering as C
 from ..operators import dedup as D
 from ..operators import text as X
 from ..operators import training as TR
@@ -480,6 +481,115 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
     return TR.contamination(docs, bench)
+
+
+def _dup_clusters_oracle(budget: int, overlap: int, width: int, threshold: float) -> str:
+    """Generated from the SAME (budget, overlap, width, threshold) as
+    the catalog call. Chunking, shingling, the Jaccard pair filter,
+    and the transitive closure (a recursive CTE computing the min
+    reachable label — DuckDB's equivalent of the iterative
+    min-label-propagation operator) all derive from one place."""
+    stride = budget - overlap
+    w1 = width - 1
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0,
+               greatest(CAST(ceil((len(toks) - {overlap}) / {stride}.0) AS INT),
+                        1) - 1)) AS chunk_idx
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id * 100000 + chunk_idx AS chunk_key,
+             toks[chunk_idx*{stride} + 1 : chunk_idx*{stride} + {budget}] AS ctoks
+      FROM c
+    ),
+    sh AS (
+      SELECT chunk_key,
+             unnest(list_distinct([array_to_string(ctoks[i:i+{w1}], ' ')
+                    FOR i IN generate_series(1, len(ctoks) - {w1})])) AS shingle
+      FROM ch WHERE len(ctoks) >= {width}
+    ),
+    sizes AS (SELECT chunk_key, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.chunk_key AS ka, b.chunk_key AS kb, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.chunk_key < b.chunk_key
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ka, kb FROM inter
+      JOIN sizes sa ON sa.chunk_key = inter.ka
+      JOIN sizes sb ON sb.chunk_key = inter.kb
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= {threshold}
+    ),
+    edges AS (
+      SELECT ka AS u, kb AS v FROM pairs
+      UNION SELECT kb, ka FROM pairs
+    ),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    cc AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    csz AS (SELECT cluster_id, COUNT(*) AS n_members FROM cc GROUP BY 1)
+    SELECT cc.u AS chunk_key, cc.cluster_id,
+           cc.u = cc.cluster_id AS is_canonical, csz.n_members
+    FROM cc JOIN csz USING (cluster_id)
+    """
+
+
+@query(
+    "docs_dup_clusters",
+    oracle=_dup_clusters_oracle(budget=32, overlap=24, width=8, threshold=0.4),
+)
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end to end: pairwise similarity EDGES →
+    transitive duplicate GROUPS via distributed connected components
+    (min-label propagation + pointer doubling, clustering.py) → one
+    canonical survivor per group.
+
+    The pair graph is built over OVERLAPPING CHUNKS (32-token windows,
+    24 overlap) so it contains genuine multi-hop chains at every scale
+    factor: adjacent windows of a doc are near-dups (Jaccard ≈ 0.5-0.6
+    on shared shingles), windows two strides apart are not — the
+    transitive closure, not the pair list, is what groups a document's
+    windows (plus any true cross-doc near-dups) into one cluster. The
+    oracle replays chunking, shingling, Jaccard, and the closure as a
+    recursive CTE, so cluster ids, canonical flags, and sizes are all
+    hash-checked. The graph covers a deterministic 1-in-5 systematic
+    sample (``doc_id % 5 = 0``, declared in both engines) — the
+    operator is corpus-linear (see below), the sample just keeps this
+    entry's bench share proportionate to the 6-7× row fan-out that
+    32/8 chunking applies to the corpus.
+
+    Scale: chunk shingle fan-out is bounded (a shingle lands in ≤
+    budget/stride = 4 windows), the CC state is two longs per chunk,
+    and convergence takes O(log chain-length) rounds — see
+    clustering.py for the 100 TB argument.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    chunks = TR.chunk_documents(
+        docs, budget=32, overlap=24, with_text=True
+    ).filter(F.col("n_chunk_tokens") >= 8).select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).cast("long").alias(
+            "chunk_key"
+        ),
+        "chunk_text",
+    )
+    pairs = D.ngram_jaccard_pairs(
+        chunks, key_col="chunk_key", text_col="chunk_text", width=8, threshold=0.4
+    )
+    return C.dup_clusters(pairs).select(
+        F.col("node").alias("chunk_key"), "cluster_id", "is_canonical", "n_members"
+    )
 
 
 @query(
