@@ -164,3 +164,35 @@ def test_hamming_topk_approximates_cosine(spark, sf_dir):
     }
     recall = len(exact & shortlist) / len(exact)
     assert recall >= 0.7, f"binary-sketch shortlist recall {recall} below floor"
+
+
+def test_bucket_pairs_star_on_overflow(spark):
+    # 1 bucket of 1200 members (> max_bucket=1000) + 1 small bucket of 3:
+    # the hot bucket must degrade to linear star pairs around the min
+    # key (not be dropped, not expand quadratically)
+    from pyspark.sql import Observation
+
+    rows = [(k, "hot") for k in range(1200)] + [
+        (k, "cold") for k in (5000, 5001, 5002)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+    obs = Observation("bp")
+    pairs = D.bucket_pairs(df, "doc_id", ["bucket"], observation=obs).collect()
+    hot = [(r.doc_a, r.doc_b) for r in pairs if r.doc_b < 5000]
+    cold = sorted((r.doc_a, r.doc_b) for r in pairs if r.doc_b >= 5000)
+    assert len(hot) == 1199 and all(a == 0 for a, _ in hot)
+    assert cold == [(5000, 5001), (5000, 5002), (5001, 5002)]
+    assert obs.get["n_overflow_buckets"] == 1
+    assert obs.get["max_bucket_members"] == 1200
+
+
+def test_simhash_star_on_degenerate_bucket(spark):
+    # 1100 identical docs: every block bucket holds all of them; the
+    # expansion must emit the 1099 star pairs (hamming 0), not 600k
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(1100)],
+        "doc_id long, text string",
+    )
+    pairs = D.simhash_near_dup_pairs(docs).collect()
+    assert len(pairs) == 1099
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in pairs)

@@ -168,9 +168,9 @@ def minhash_lsh_candidates(
     signature expression tree into both sides (measured 39 s vs 0.4 s
     at sf0.01 from plan/codegen blowup alone) and at scale would scan
     and hash the corpus twice. Bucket membership lists are tiny by
-    construction (only near-dups collide); `max_bucket` caps the
-    pathological hot bucket (a stop-shingle band) so one skewed key
-    cannot produce a quadratic task.
+    construction (only near-dups collide); a pathological hot bucket
+    (a stop-shingle band) degrades to linear star pairing instead of
+    a quadratic task — see ``bucket_pairs``.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -203,21 +203,45 @@ def minhash_lsh_candidates(
 
 
 def bucket_pairs(
-    df: DataFrame, key_col: str, bucket_cols: list[str], max_bucket: int = 1000
+    df: DataFrame,
+    key_col: str,
+    bucket_cols: list[str],
+    max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs of keys sharing a bucket.
 
     groupBy + collect_list + array-comprehension pair expansion — one
-    pass over the input, bucket as the only shuffle key. Buckets over
-    ``max_bucket`` members are dropped (degenerate hot keys: quadratic
-    output carries no dedup signal and would skew one task).
+    pass over the input, bucket as the only shuffle key.
+
+    Buckets over ``max_bucket`` members switch from all-pairs to STAR
+    pairing — every member paired with the bucket's min key — instead
+    of being dropped: output stays linear in the bucket size (no
+    quadratic task skew from a degenerate hot key, e.g. a stop-shingle
+    band), but the bucket keeps full coverage through its anchor —
+    downstream verify still sees every member once, and transitive
+    clustering (clustering.py) sees the same connected component the
+    all-pairs expansion would produce. Direct pair recall WITHIN an
+    overflowed bucket is partial by design; pass an ``observation``
+    (``pyspark.sql.Observation``) to surface ``n_overflow_buckets`` /
+    ``max_bucket_members`` after the action — the executor-side
+    equivalent of a warning log, so capping is monitored, never
+    silent.
     """
     buckets = (
         df.groupBy(*bucket_cols)
         .agg(F.collect_list(key_col).alias("_members"))
-        .filter((F.size("_members") > 1) & (F.size("_members") <= max_bucket))
+        .filter(F.size("_members") > 1)
     )
-    pairs = F.filter(
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.size("_members") > max_bucket).cast("long")).alias(
+                "n_overflow_buckets"
+            ),
+            F.max(F.size("_members")).alias("max_bucket_members"),
+        )
+    all_pairs = F.filter(
         F.flatten(
             F.transform(
                 F.col("_members"),
@@ -229,6 +253,15 @@ def bucket_pairs(
         ),
         lambda p: p["doc_a"] < p["doc_b"],
     )
+    anchor = F.array_min("_members")
+    star = F.filter(
+        F.transform(
+            F.col("_members"),
+            lambda y: F.struct(anchor.alias("doc_a"), y.alias("doc_b")),
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    pairs = F.when(F.size("_members") <= max_bucket, all_pairs).otherwise(star)
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
@@ -427,9 +460,9 @@ def simhash_near_dup_pairs(
     buckets = (
         blocks.groupBy("block_idx", "block_val")
         .agg(F.collect_list("_member").alias("_members"))
-        .filter((F.size("_members") > 1) & (F.size("_members") <= 1000))
+        .filter(F.size("_members") > 1)
     )
-    pairs = F.filter(
+    all_pairs = F.filter(
         F.flatten(
             F.transform(
                 F.col("_members"),
@@ -446,6 +479,24 @@ def simhash_near_dup_pairs(
         ),
         lambda p: p["doc_a"] < p["doc_b"],
     )
+    # oversized bucket (degenerate block value, e.g. simhash 0 from a
+    # sea of empty docs): linear star expansion around the min-key
+    # member instead of a quadratic task — same policy and rationale
+    # as ``bucket_pairs``
+    anchor = F.array_min("_members")
+    star = F.filter(
+        F.transform(
+            F.col("_members"),
+            lambda y: F.struct(
+                anchor["key"].alias("doc_a"),
+                y["key"].alias("doc_b"),
+                anchor["sh"].alias("sh_a"),
+                y["sh"].alias("sh_b"),
+            ),
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    pairs = F.when(F.size("_members") <= 1000, all_pairs).otherwise(star)
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
