@@ -54,10 +54,21 @@ def test_q6_pushes_filters_into_scan(plans):
 
 
 # Entries allowed to contain a materialized (localCheckpoint'ed)
-# intermediate: iterative training (k-means model state) and the
-# two-pass heavy-hitter candidate scheme. Everything else must build
-# a single lazy plan.
-MATERIALIZING = {"emb_kmeans_quality", "events_heavy_hitters"}
+# intermediate: iterative training (k-means model state), the
+# two-pass heavy-hitter candidate scheme, and the connected-components
+# label iteration. Everything else must build a single lazy plan.
+MATERIALIZING = {
+    "emb_kmeans_quality",
+    "events_heavy_hitters",
+    "docs_dup_clusters",
+}
+
+
+def test_stratified_sample_uses_window_group_limit(plans):
+    """The rank-filter must compile to WindowGroupLimit (per-mapper
+    k-row heaps before the shuffle) — the property that makes the
+    deterministic sample reservoir-shaped instead of a full sort."""
+    assert "WindowGroupLimit" in plans["docs_stratified_sample"]
 
 
 def test_no_collect_in_query_builders(plans):

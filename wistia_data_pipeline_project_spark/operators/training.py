@@ -177,3 +177,34 @@ def chunk_documents(
     if with_text:
         out.append(F.array_join(chunk, " ").alias("chunk_text"))
     return ex.select(*out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    k: int = 20,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows within each
+    stratum by md5(key:salt) (a portable uniform permutation — same
+    trick as ``split_assign``) and keep the k lowest. Content-
+    addressed like the split: membership is stable across runs,
+    engines, and partitionings, and changing ``salt`` redraws the
+    sample without touching anything else.
+
+    Scale: the rank-filter compiles to WindowGroupLimit (Spark ≥3.5):
+    each task keeps a k-row heap per stratum BEFORE the shuffle, so
+    the exchange carries ~k rows per stratum per mapper — not the
+    corpus. This is the reservoir-sampling shape, but deterministic
+    and rerunnable.
+    """
+    order = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}")))
+    rk = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(order, F.col(key_col))
+    )
+    return (
+        df.withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )

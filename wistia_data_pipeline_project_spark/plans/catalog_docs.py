@@ -483,6 +483,133 @@ def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.contamination(docs, bench)
 
 
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-language sample (training.py
+    ``stratified_sample``): md5(key:salt) is a portable uniform
+    permutation, so the oracle reproduces the exact membership AND
+    rank. The rank-filter shape compiles to WindowGroupLimit — a
+    per-mapper k-row heap per stratum before the shuffle, the
+    deterministic cousin of reservoir sampling (asserted in
+    test_plan_audit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TR.stratified_sample(docs, strata_col="lang", k=20).select(
+        "lang", "doc_id", "sample_rank"
+    )
+
+
+_TFIDF_TERMS = ("spark", "vector", "stream")
+
+
+def _tfidf_oracle(terms: tuple[str, ...], k: int) -> str:
+    """Generated from the SAME term list and k as the catalog call.
+    Integer rarity weights keep every score in BIGINT arithmetic —
+    exact and associative in both engines (the catalog.py determinism
+    rule applied to relevance scoring; a float ln() idf would hash-
+    drift in the last ulp between libm and the JVM)."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    score = " + ".join(f"tf_{t} * (n_docs - df_{t})" for t in terms)
+    tf_out = ", ".join(f"CAST(tf_{t} AS BIGINT) AS tf_{t}" for t in terms)
+    return f"""
+    WITH f AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             {tf_cols}
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    ),
+    s AS (SELECT COUNT(*) AS n_docs, {df_cols} FROM f)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, {tf_out},
+           CAST({score} AS BIGINT) AS score,
+           CAST(CASE WHEN n_tokens > 0
+                THEN (({score}) * 1000) // n_tokens END AS BIGINT)
+             AS score_per_1k
+    FROM f CROSS JOIN s
+    ORDER BY score DESC, doc_id
+    LIMIT {k}
+    """
+
+
+def _term_eq(term: str):
+    return lambda x: x == F.lit(term)
+
+
+@query("docs_tfidf_topk", oracle=_tfidf_oracle(_TFIDF_TERMS, 25))
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style top-k keyword retrieval: score docs against a query
+    term set with integer rarity weights (tf · (N − df), the log-free
+    idf — exact BIGINT arithmetic in both engines), plus a
+    length-normalized score via integer division.
+
+    Scale: with a LITERAL query term set, the right plan is a
+    projection, not an inverted index — per-term tf counts are codegen
+    array filters in the corpus scan, the (N, df_t) statistics row is
+    a 1-row broadcast, and top-k is TakeOrdered (per-partition k-row
+    heaps, no global sort). The posting-list/index form (explode
+    tokens → shuffle by term) only wins when the query set is itself a
+    table — that shape is ``contamination``'s shingle join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        # NB: a `lambda x, t=t:` capture would make PySpark treat the
+        # lambda as the 2-arg (element, index) form and bind t to the
+        # index column — hence the explicit closure factory
+        *[
+            F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf_{t}")
+            for t in _TFIDF_TERMS
+        ],
+    )
+    stats = f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _TFIDF_TERMS
+        ],
+    )
+    score = None
+    for t in _TFIDF_TERMS:
+        term = F.col(f"tf_{t}") * (F.col("n_docs") - F.col(f"df_{t}"))
+        score = term if score is None else score + term
+    return (
+        f.crossJoin(F.broadcast(stats))
+        .withColumn("score", score)
+        .withColumn(
+            "score_per_1k",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("(score * 1000) div n_tokens"),
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            *[f"tf_{t}" for t in _TFIDF_TERMS],
+            "score",
+            "score_per_1k",
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
+    )
+
+
 def _dup_clusters_oracle(budget: int, overlap: int, width: int, threshold: float) -> str:
     """Generated from the SAME (budget, overlap, width, threshold) as
     the catalog call. Chunking, shingling, the Jaccard pair filter,

@@ -463,3 +463,50 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day, event_type), (week), (event_type))
         """
     )
+
+
+@query(
+    "events_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           quantile_disc(value, 0.25) AS p25_value,
+           quantile_disc(value, 0.50) AS p50_value,
+           quantile_disc(value, 0.75) AS p75_value,
+           quantile_disc(value, 0.95) AS p95_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles via ``percentile_disc`` (SQL
+    standard: smallest value whose cume_dist ≥ p — both engines
+    implement this definition, verified at the disambiguating
+    n=3/p=0.75 case). DISC, not CONT: the result is an actual data
+    value, so no interpolation arithmetic exists to drift between
+    engines — the cross-engine-exactness rule from catalog.py applied
+    to order statistics.
+
+    Scale: exact percentiles need the full value multiset per group —
+    one shuffle on the group key, sort within group. For the
+    billions-of-rows-per-group regime the approx twin is
+    ``approx_percentile`` (t-digest style sketch, map-side
+    combinable, rows-only checkable like events_approx_distinct);
+    this entry is the exact gate for it.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias(
+            "p25_value"
+        ),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias(
+            "p50_value"
+        ),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias(
+            "p75_value"
+        ),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias(
+            "p95_value"
+        ),
+    )
