@@ -91,3 +91,8 @@ def test_dup_clusters_sizes_and_canonical(spark):
         30: (30, True, 2),
         31: (30, False, 2),
     }
+
+
+def test_empty_edges_returns_empty(spark):
+    out = connected_components(_edges_df(spark, []))
+    assert out.count() == 0

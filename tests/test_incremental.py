@@ -135,3 +135,23 @@ def test_dedup_events_deterministic_survivor(spark):
             for r in dedup_events(df.repartition(parts)).collect()
         }
         assert got == {"ev1": 0.2, "ev2": 0.5}
+
+
+def test_merge_upsert_latest_wins_and_update_wins_ties(spark):
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 5, "old"), (2, 9, "keep")], "k long, v long, tag string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 5, "new"), (3, 1, "ins")], "k long, v long, tag string"
+    )
+    got = {
+        r.k: (r.v, r.tag)
+        for r in merge_upsert(target, updates, ["k"], ["v"]).collect()
+    }
+    # k=1: identical order value 5 → the UPDATE row must win the tie;
+    # k=2: untouched target row survives; k=3: pure insert
+    assert got == {1: (5, "new"), 2: (9, "keep"), 3: (1, "ins")}

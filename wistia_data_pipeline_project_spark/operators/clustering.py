@@ -109,7 +109,9 @@ def connected_components(
         s = labels.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).head()["s"]
-        if prev_sum is not None and s == prev_sum:
+        # s is None ⇔ the label table is empty (no edges at all):
+        # already at the (empty) fixpoint — don't spin to max_iter
+        if s is None or (prev_sum is not None and s == prev_sum):
             return labels.select(F.col("u").alias("node"), "component")
         prev_sum = s
     raise RuntimeError(

@@ -241,3 +241,36 @@ def run_incremental_pipeline(
         "dim_visitor": spark.read.parquet(vis_path).count(),
         "fact_appended": spark.read.parquet(fact_path).count() - n_fact_before,
     }
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """SCD1 latest-wins merge: one surviving row per key from
+    target ∪ updates, ordered by ``order_cols`` with updates winning
+    exact ties (the CDC convention: a replayed row with an identical
+    version stamp must apply the update).
+
+    The incremental-load counterpart of ``merge_dim_visitor``'s
+    first-wins rule. Same engine idiom as ``exact_dedup``: a single
+    ``max_by(struct(row), struct(order, source_rank))`` hash
+    aggregate — one shuffle keyed on the merge key, duplicates
+    collapse map-side, no window sort, no skew cliff on a hot key.
+    The correctness contract (asserted by the catalog entry's oracle)
+    is incremental equivalence:
+    ``merge(snapshot(t0), delta(t0..t1)) == recompute(t1)``.
+    """
+    cols = target.columns
+    t = target.select(*cols).withColumn("_src", F.lit(0))
+    u = updates.select(*cols).withColumn("_src", F.lit(1))
+    ordk = F.struct(*[F.col(c) for c in order_cols], F.col("_src"))
+    row = F.struct(*[F.col(c) for c in cols])
+    return (
+        t.unionByName(u)
+        .groupBy(*key_cols)
+        .agg(F.max_by(row, ordk).alias("_r"))
+        .select("_r.*")
+    )

@@ -33,6 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import incremental as INC
 from ..sources.io import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -467,4 +468,55 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("top.ts").alias("last_ts"),
         F.col("top.event_type").alias("last_event_type"),
+    )
+
+
+@query(
+    "events_incremental_upsert",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value
+    FROM (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                         event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD1 upsert (K2/K3 generalized): build the keyed
+    snapshot state as of a cutoff, apply the post-cutoff delta with
+    ``merge_upsert`` (latest-wins, updates win ties), and return the
+    merged per-user state. The oracle recomputes the same state from
+    the FULL history — hash-matching it proves the incremental
+    equivalence ``merge(snapshot(t0), delta(t0..)) == recompute()``,
+    the property that lets the reference's append-based loads
+    (``process_wistia_data.py:528`` WRITE_APPEND + high-water mark)
+    be replaced by idempotent merges.
+
+    Scale: both the snapshot build and the merge are single
+    ``max_by(struct)`` hash aggregates keyed on user_id — map-side
+    combinable, no window sort; the delta side is a pushed-down
+    timestamp range scan.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    cutoff = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    before = e.filter(F.col("ts") < cutoff)
+    after = e.filter(F.col("ts") >= cutoff)
+    row = F.struct("user_id", "ts", "event_id", "event_type", "value")
+    snap = (
+        before.groupBy("user_id")
+        .agg(F.max_by(row, F.struct("ts", "event_id")).alias("_r"))
+        .select("_r.*")
+    )
+    merged = INC.merge_upsert(snap, after, ["user_id"], ["ts", "event_id"])
+    return merged.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
     )
