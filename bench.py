@@ -56,17 +56,20 @@ def main() -> None:
     # ... and the Python-worker pool + Arrow serde path: spawning the
     # pool is one-time session infra (~2-5 s PER CONCURRENT WORKER
     # SLOT) that would otherwise be billed to whichever pandas-path
-    # query runs first. A grouped-map over one group per core forces
-    # every slot to fork its worker now (a 1-partition touch warms
-    # exactly one slot and leaves the other 31 cold — measured as
-    # ~8 s billed to the first mapInPandas catalog entry).
+    # query runs first (a 1-partition touch warms exactly one slot and
+    # leaves the other 31 cold — measured as ~8 s billed to the first
+    # mapInPandas catalog entry). 2×slots single-row partitions with
+    # NO shuffle: every slot must run at least one task, and each task
+    # forks its worker — deterministic full-pool coverage (a hashed
+    # groupBy leaves a slot cold with probability ~e^-groups/slot).
     n_slots = spark.sparkContext.defaultParallelism
+
+    def _identity(batches):
+        yield from batches
+
     (
-        spark.range(n_slots * 4)
-        .repartition(n_slots)
-        .selectExpr("id as k", "cast(id as double) as v")
-        .groupBy("k")
-        .applyInPandas(lambda p: p, "k long, v double")
+        spark.range(0, n_slots * 2, 1, n_slots * 2)
+        .mapInPandas(_identity, "id long")
         .write.format("noop")
         .mode("overwrite")
         .save()

@@ -77,7 +77,21 @@ def connected_components(
         .select("u", F.least(F.col("u"), F.col("_mv")).alias("component"))
         .localCheckpoint()
     )
-    prev_sum = None
+
+    def _label_sum(lbl: DataFrame):
+        # labels only ever decrease, so sum-unchanged ⇔ fixpoint;
+        # decimal(38,0) is exact and overflow-free on 64-bit ids
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).head()["s"]
+
+    # seeding with the initial sum lets a graph that is already at its
+    # fixpoint (every component diameter ≤ 2, the common dup-graph
+    # case) exit after ONE round instead of paying a second full
+    # propagation just to observe an unchanged sum
+    prev_sum = _label_sum(labels)
+    if prev_sum is None:  # no edges at all: the fixpoint is empty
+        return labels.select(F.col("u").alias("node"), "component")
     for _ in range(max_iter):
         nbr = und.join(
             labels.select(F.col("u").alias("v"), "component"), "v"
@@ -106,12 +120,8 @@ def connected_components(
             ).alias("component"),
         )
         labels = hop.localCheckpoint()
-        s = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).head()["s"]
-        # s is None ⇔ the label table is empty (no edges at all):
-        # already at the (empty) fixpoint — don't spin to max_iter
-        if s is None or (prev_sum is not None and s == prev_sum):
+        s = _label_sum(labels)
+        if s == prev_sum:
             return labels.select(F.col("u").alias("node"), "component")
         prev_sum = s
     raise RuntimeError(

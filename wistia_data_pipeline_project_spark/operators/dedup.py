@@ -154,6 +154,8 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     width: int = 8,
+    max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ≥1 LSH band.
 
@@ -199,7 +201,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(key_col, "bb.band", "bb.bucket")
-    return bucket_pairs(banded, key_col, ["band", "bucket"])
+    return bucket_pairs(
+        banded, key_col, ["band", "bucket"], max_bucket, observation
+    )
 
 
 def bucket_pairs(
@@ -218,15 +222,18 @@ def bucket_pairs(
     pairing — every member paired with the bucket's min key — instead
     of being dropped: output stays linear in the bucket size (no
     quadratic task skew from a degenerate hot key, e.g. a stop-shingle
-    band), but the bucket keeps full coverage through its anchor —
-    downstream verify still sees every member once, and transitive
-    clustering (clustering.py) sees the same connected component the
-    all-pairs expansion would produce. Direct pair recall WITHIN an
-    overflowed bucket is partial by design; pass an ``observation``
-    (``pyspark.sql.Observation``) to surface ``n_overflow_buckets`` /
-    ``max_bucket_members`` after the action — the executor-side
-    equivalent of a warning log, so capping is monitored, never
-    silent.
+    band), and every member still reaches downstream verify at least
+    once through the anchor. Scope of the guarantee: ON THE EMITTED
+    CANDIDATE GRAPH the overflowed bucket is one connected component
+    (star through the anchor); after a similarity VERIFY filter,
+    member-member pairs the star never emitted cannot be recovered, so
+    direct-pair recall inside an overflowed bucket is partial and
+    verify-filtered clusters can split — a graceful degradation
+    (vs. the previous total drop), not losslessness. Pass an
+    ``observation`` (``pyspark.sql.Observation``) to surface
+    ``n_overflow_buckets`` / ``max_bucket_members`` after the action —
+    the executor-side equivalent of a warning log — and treat a
+    nonzero count as the signal to re-band/re-block or raise the cap.
     """
     buckets = (
         df.groupBy(*bucket_cols)
@@ -277,6 +284,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     width: int = 8,
+    observation=None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify.
 
@@ -293,7 +301,9 @@ def minhash_near_dup_pairs(
     join fan-in: LSH actually bounds the verify cost instead of just
     filtering its output.
     """
-    cands = minhash_lsh_candidates(df, key_col, text_col, num_hashes, bands, width)
+    cands = minhash_lsh_candidates(
+        df, key_col, text_col, num_hashes, bands, width, observation=observation
+    )
     cand_ids = (
         cands.select(F.col("doc_a").alias(key_col))
         .union(cands.select(F.col("doc_b").alias(key_col)))
@@ -427,6 +437,8 @@ def simhash_near_dup_pairs(
     key_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -462,6 +474,14 @@ def simhash_near_dup_pairs(
         .agg(F.collect_list("_member").alias("_members"))
         .filter(F.size("_members") > 1)
     )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.size("_members") > max_bucket).cast("long")).alias(
+                "n_overflow_buckets"
+            ),
+            F.max(F.size("_members")).alias("max_bucket_members"),
+        )
     all_pairs = F.filter(
         F.flatten(
             F.transform(
@@ -481,8 +501,8 @@ def simhash_near_dup_pairs(
     )
     # oversized bucket (degenerate block value, e.g. simhash 0 from a
     # sea of empty docs): linear star expansion around the min-key
-    # member instead of a quadratic task — same policy and rationale
-    # as ``bucket_pairs``
+    # member instead of a quadratic task — same policy, scope, and
+    # monitoring contract as ``bucket_pairs``
     anchor = F.array_min("_members")
     star = F.filter(
         F.transform(
@@ -496,7 +516,7 @@ def simhash_near_dup_pairs(
         ),
         lambda p: p["doc_a"] < p["doc_b"],
     )
-    pairs = F.when(F.size("_members") <= 1000, all_pairs).otherwise(star)
+    pairs = F.when(F.size("_members") <= max_bucket, all_pairs).otherwise(star)
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
