@@ -281,3 +281,122 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank_in_customer") <= 3)
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(date_trunc('day', CAST(ts AS TIMESTAMP)))
+               AS cohort_day
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+               AS active_day
+      FROM events
+    )
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, a.active_day) AS offset_days,
+           COUNT(*) AS n_users
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each subsequent active day as an offset — the standard
+    retention triangle.
+
+    Scale: two aggregates over one events scan (first-seen per user is
+    a map-combinable MIN; the distinct user-day table collapses
+    map-side) joined on user_id. Both sides shuffle on the same key,
+    so the join is co-partitioned; no window, no per-user sort, and
+    the output is |cohorts| × |offsets| — tiny at any corpus size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    a = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("long").alias(
+                "offset_days"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY 1
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-that-click): each stage anchors on the FIRST
+    qualifying timestamp of the previous stage, so a click that
+    precedes every view does not count — true sequential semantics,
+    not per-type minima compared after the fact.
+
+    Scale: the classic relational funnel — each stage is a
+    type-filtered scan (predicate pushed to parquet) joined to the
+    previous stage's per-user anchor on user_id and re-aggregated;
+    stage inputs shrink monotonically down the funnel, every join is
+    co-partitioned on user_id, and the final counts are three 1-row
+    aggregates combined by cross join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
