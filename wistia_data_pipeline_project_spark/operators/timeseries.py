@@ -1,0 +1,72 @@
+"""Time-series regularization operators: per-key daily resampling with
+gap fill and forward fill.
+
+A training/telemetry pipeline consumes REGULAR series (one row per key
+per day) but event streams are sparse; the resample operator densifies
+each key's span and carries observations forward. Design:
+
+- The day grid is GENERATED per key from its own (min, max) day — a
+  narrow ``sequence`` + ``explode``, no calendar table join and no
+  global grid (a key active for a week costs 7 rows, not the corpus
+  span). Fan-out is bounded by Σ per-key spans.
+- Gap rows join back to the sparse dailies with a co-partitioned left
+  join on (key, day), then forward fill is one ``last(..,
+  ignorenulls=True)`` window per key ordered by day — a single
+  shuffle on the key, sort within key only over that key's days.
+- All day arithmetic stays in ``date_trunc('day')`` timestamps (the
+  catalog's cross-engine day convention), and the "value of the day"
+  is the deterministic ``max_by(value, (ts, tiebreak))`` so both
+  engines pick the same observation inside a day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def resample_daily_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """One row per (key, day) across each key's active span:
+    ``n_events`` (0 on gap days) and ``value_ffill`` (the last
+    observed day-closing value carried forward).
+
+    Day-closing value = ``max_by(value, (ts, tiebreak))`` within the
+    day — map-side combinable and deterministic under ties.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    daily = (
+        df.groupBy(F.col(key_col), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by(
+                F.col(value_col), F.struct(ts_col, tiebreak_col)
+            ).alias("_day_value"),
+        )
+    )
+    bounds = daily.groupBy(key_col).agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    filled = grid.join(daily, [key_col, "day"], "left")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return filled.select(
+        F.col(key_col),
+        F.col("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("_day_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )

@@ -510,3 +510,52 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_value"
         ),
     )
+
+
+@query(
+    "events_spike_days",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, quantile_disc(n_events, 0.5) AS median_daily
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n_events, m.median_daily,
+           d.n_events * 2 > m.median_daily * 3 AS is_spike
+    FROM d JOIN m ON d.event_type = m.event_type
+    """,
+)
+def events_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scan: flag days where a type's event count
+    exceeds 1.5× its median daily count. Median (percentile_disc) and
+    the 1.5× comparison in integer arithmetic (n*2 > med*3) — no
+    float mean/stddev whose summation order could drift between
+    engines, and robust to the spike itself (a z-score inflates its
+    own baseline).
+
+    Scale: daily counts collapse map-side; the per-type median table
+    is |types| rows and broadcasts back onto the dailies.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    # Spark's percentile_disc returns double even over integer input;
+    # DISC picks an actual count, so the long cast is value-exact and
+    # matches DuckDB's BIGINT quantile_disc
+    m = d.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .cast("long")
+        .alias("median_daily")
+    )
+    return d.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        "median_daily",
+        (F.col("n_events") * 2 > F.col("median_daily") * 3).alias("is_spike"),
+    )

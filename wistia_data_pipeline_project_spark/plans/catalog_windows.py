@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators import timeseries as TS
 from ..sources.io import load_table
 from .catalog import dec, query
 
@@ -400,3 +401,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
         )
     )
+
+
+@query(
+    "events_daily_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, day, COUNT(*) AS n_events,
+             MAX({'ts': ts, 'eid': event_id, 'v': value}).v AS day_value
+      FROM (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events
+      ) GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    )
+    SELECT g.user_id, g.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with gap fill + forward fill
+    (operators/timeseries.py): one row per (user, day) across the
+    user's active span — 0-count gap days, day-closing value carried
+    forward. The oracle regenerates the grid with generate_series and
+    replays the fill with IGNORE NULLS last_value, so grid bounds,
+    gap rows, and fill values are all hash-checked.
+
+    Scale: the grid is generated per key from its own span (no global
+    calendar join); dailies collapse map-side before the one shuffle
+    on user_id; forward fill sorts only within each key's days.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return TS.resample_daily_ffill(e)
