@@ -206,3 +206,47 @@ def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         c = F.col(f"n_{name}") > 0
         flag = c if flag is None else (flag | c)
     return out.withColumn("pii_flag", flag)
+
+
+# GPT-2-style pre-tokenizer classes: letter runs, single digits,
+# punctuation runs-of-one. Deliberately restricted to constructs that
+# behave identically in Java regex (Spark) and RE2 (DuckDB) so the
+# SAME pattern string drives both engines.
+BPE_WORD_RE = "[A-Za-z]+"
+BPE_DIGIT_RE = "[0-9]"
+BPE_OTHER_RE = r"[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = f"{BPE_WORD_RE}|{BPE_DIGIT_RE}|{BPE_OTHER_RE}"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish regex pre-tokenization (north_star: token counting =
+    whitespace + a BPE-ish regex). Splits letter runs, single digits,
+    and punctuation — the shape a byte-pair tokenizer's pre-tokenizer
+    produces, so ``size(bpe_tokens(..))`` tracks real token budgets
+    far better than whitespace counts on code/punctuation-heavy text.
+    Pure codegen ``regexp_extract_all`` — no UDF, no shuffle."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token-budget profile: whitespace tokens vs BPE-ish
+    tokens, split by class. ``bpe_per_100_ws`` (integer-scaled ratio)
+    is the fertility signal — how many model tokens a whitespace
+    'word' costs."""
+    t = F.col(text_col)
+    n_ws = token_count(t)
+    n_word = F.size(F.regexp_extract_all(t, F.lit(BPE_WORD_RE), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(BPE_DIGIT_RE), 0))
+    n_other = F.size(F.regexp_extract_all(t, F.lit(BPE_OTHER_RE), 0))
+    return df.select(
+        "*",
+        n_ws.cast("long").alias("n_ws_tokens"),
+        (n_word + n_digit + n_other).cast("long").alias("n_bpe_tokens"),
+        n_word.cast("long").alias("n_word_tokens"),
+        n_digit.cast("long").alias("n_digit_tokens"),
+        n_other.cast("long").alias("n_other_tokens"),
+        F.when(
+            n_ws > 0,
+            ((n_word + n_digit + n_other) * 100).cast("long") / n_ws,
+        ).alias("bpe_per_100_ws"),
+    )

@@ -762,3 +762,96 @@ def training_data_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("doc_id"), "label", F.size("embedding").alias("dim")
     )
     return kept.join(emb, "doc_id")
+
+
+def _bpe_oracle() -> str:
+    """Generated from the SAME regex-class constants as
+    with_bpe_token_stats; the pattern subset is chosen to evaluate
+    identically under Java regex and RE2."""
+    w, d, o = X.BPE_WORD_RE, X.BPE_DIGIT_RE, X.BPE_OTHER_RE
+    return f"""
+    SELECT doc_id,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+           CAST(nw + nd + no AS BIGINT) AS n_bpe_tokens,
+           CAST(nw AS BIGINT) AS n_word_tokens,
+           CAST(nd AS BIGINT) AS n_digit_tokens,
+           CAST(no AS BIGINT) AS n_other_tokens,
+           CASE WHEN len({TOKS_SQL}) > 0
+                THEN CAST((nw + nd + no) * 100 AS BIGINT)
+                     / len({TOKS_SQL}) END AS bpe_per_100_ws
+    FROM (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{w}')) AS nw,
+             len(regexp_extract_all(text, '{d}')) AS nd,
+             len(regexp_extract_all(text, '{o}')) AS no
+      FROM documents
+    )
+    """
+
+
+@query("docs_bpe_token_stats", oracle=_bpe_oracle())
+def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish regex variant (north_star §2.13:
+    whitespace + BPE-ish): per-doc whitespace-vs-pretokenizer budget
+    profile with per-class counts and the fertility ratio. One
+    codegen'd projection over the corpus scan — the oracle shares the
+    exact pattern constants, so the two engines cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_bpe_token_stats(docs).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_word_tokens",
+        "n_digit_tokens",
+        "n_other_tokens",
+        "bpe_per_100_ws",
+    )
+
+
+@query(
+    "docs_editdist_verify",
+    oracle=f"""
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))
+                AS BIGINT) AS prefix_editdist,
+           p.jaccard
+    FROM ({JACCARD_SQL}) p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+)
+def docs_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage: Levenshtein over 64-char prefixes
+    of each candidate near-dup pair — the character-level second
+    opinion on the token-level Jaccard signal (classic Levenshtein is
+    implemented identically in both engines, so the distances
+    hash-match exactly).
+
+    Scale: Levenshtein is O(len²) PER PAIR — the whole design point is
+    that it runs only on the candidate pair set (near-linear, from
+    LSH/shingle blocking) and only on bounded prefixes, never on the
+    corpus cross product. Two co-partitioned joins fetch the prefix
+    payloads; the quadratic kernel touches 64×64 cells per pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    pa = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 64).alias("_ta"),
+    )
+    pb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 64).alias("_tb"),
+    )
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("prefix_editdist"),
+            "jaccard",
+        )
+    )
