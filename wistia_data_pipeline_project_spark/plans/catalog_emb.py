@@ -244,3 +244,71 @@ def emb_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_cosine(
         emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=8, centroids=centroids
     )
+
+
+@query(
+    "emb_int8_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x, list_max([abs(e) FOR e IN x]) AS scale FROM v
+    ),
+    q AS (
+      SELECT vec_id, x, scale,
+             CASE WHEN scale > 0
+                  THEN [floor(e / scale * 127 + 0.5) FOR e IN x]
+                  ELSE [0.0 FOR e IN x] END AS qs
+      FROM s
+    ),
+    d AS (
+      SELECT vec_id, scale, qs,
+             [x[i] - qs[i] * scale / 127 FOR i IN generate_series(1, len(x))]
+               AS diff,
+             len(x) AS dim
+      FROM q
+    )
+    SELECT vec_id, scale,
+           CAST(list_max([abs(e) FOR e IN qs]) AS BIGINT) AS max_abs_q,
+           list_reduce(list_prepend(0.0, [e * e FOR e IN diff]),
+                       (a, b) -> a + b) AS sq_err,
+           CAST(dim AS BIGINT) AS dim
+    FROM d
+    """,
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column:
+    per-vector max-abs scale, code = floor(x/scale·127 + 0.5), plus
+    the exact reconstruction squared error — the 4× memory/bandwidth
+    compression step in front of large-scale ANN (quantized codes
+    ship through shuffles; floats stay in cold storage).
+
+    Cross-engine exactness: every step is elementwise IEEE arithmetic
+    written in the same association order in both engines, and the
+    error sum is a SEQUENTIAL left fold over the array (array order
+    is deterministic, unlike row order) — so even the accumulated
+    double hash-matches bit-for-bit. Pure codegen projection: no
+    shuffle, no UDF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = S.as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(x, lambda e: F.abs(e)))
+    zeros = F.transform(x, lambda e: F.lit(0.0))
+    qs = F.when(
+        scale > 0,
+        F.transform(x, lambda e: F.floor(e / scale * 127 + F.lit(0.5))),
+    ).otherwise(zeros.cast("array<bigint>"))
+    diff = F.zip_with(x, qs, lambda a, b: a - b * scale / 127)
+    sq_err = F.aggregate(
+        F.transform(diff, lambda e: e * e), F.lit(0.0), lambda a, b: a + b
+    )
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_max(F.transform(qs, lambda e: F.abs(e)))
+        .cast("long")
+        .alias("max_abs_q"),
+        sq_err.alias("sq_err"),
+        F.size(x).cast("long").alias("dim"),
+    )
