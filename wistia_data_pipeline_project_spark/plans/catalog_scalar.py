@@ -559,3 +559,73 @@ def events_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_daily",
         (F.col("n_events") * 2 > F.col("median_daily") * 3).alias("is_spike"),
     )
+
+
+# (column, is_numeric) — single source of truth for events_profile;
+# both the Spark projection and the SQL oracle are generated from it.
+_PROFILE_COLS = [
+    ("event_id", True),
+    ("user_id", True),
+    ("event_type", False),
+    ("value", True),
+    ("props", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, num in _PROFILE_COLS:
+        mn = f"CAST(MIN({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+        SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE {c} IS NULL) AS n_null,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               {mn} AS min_value, {mx} AS max_value
+        FROM events""")
+    return " UNION ALL ".join(parts)
+
+
+@query("events_profile", oracle=_profile_oracle())
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the warehouse-ops primitive behind schema
+    monitoring and data contracts): per-column null count, exact
+    distinct count, and numeric range, in ONE aggregate pass — the
+    per-column stats are parallel aggregate expressions over a single
+    scan, then unpivoted driver-free with an explode of structs. The
+    oracle is generated from the same column spec.
+
+    Scale: one scan + one 1-row aggregate; exact COUNT(DISTINCT) over
+    several columns multiplies the aggregate's expand factor — the
+    documented swap-in for trillion-row profiling is
+    approx_count_distinct per column (sketch, single expand), gated by
+    this exact entry.
+    """
+    e = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, num in _PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"dist_{c}"),
+            (F.min(c).cast("double") if num else F.lit(None).cast("double")).alias(
+                f"min_{c}"
+            ),
+            (F.max(c).cast("double") if num else F.lit(None).cast("double")).alias(
+                f"max_{c}"
+            ),
+        ]
+    one = e.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_value"),
+                F.col(f"max_{c}").alias("max_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")

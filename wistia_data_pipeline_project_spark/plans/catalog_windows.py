@@ -446,3 +446,61 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     return TS.resample_daily_ffill(e)
+
+
+@query(
+    "events_rolling_7d",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                       date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_num,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(day_num AS BIGINT) AS day_num, n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS sum_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days_7d,
+           CAST(SUM(n_events) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS avg_7d
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling volume per event type over a RANGE frame keyed on
+    the day NUMBER — gap-correct (a missing day shrinks the window; a
+    rows-frame would silently look back 7 ROWS, not 7 days). The
+    average divides two exact integers, so the double is
+    deterministic.
+
+    Scale: dailies collapse map-side first (the window input is
+    |types|×|days| rows, not events); one shuffle on event_type, sort
+    by day within type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("long")
+        .alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "event_type",
+        "day_num",
+        "n_events",
+        F.sum("n_events").over(w).alias("sum_7d"),
+        F.count(F.lit(1)).over(w).alias("n_days_7d"),
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_7d"),
+    )
