@@ -520,3 +520,195 @@ def events_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: the remaining classic TPC-H shapes, adapted to the
+# driver's narrower synthetic schema (no shipmode/commitdate/container
+# columns — each query keeps the SHAPE that makes the original a
+# canonical plan test and swaps in the columns that exist).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_priority_returns",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shape EXISTS decorrelation: count one quarter's orders
+    per priority that have at least one returned line (the synthetic
+    schema has no commit/receipt dates, so ``l_returnflag = 'R'``
+    plays the late-line predicate — same correlated-EXISTS plan).
+
+    Scale: EXISTS becomes a LEFT SEMI join — the probe side never
+    duplicates orders however many lines match, and the lineitem side
+    is pre-filtered and projected to the join key only before the
+    shuffle. Both date predicates push into the orders scan.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shape join + conditional pivot counts: one year of
+    shipped lines, split per line status into high- vs low-priority
+    order counts (CASE aggregates — the A2 conditional-count family
+    over a join).
+
+    Scale: the date filter prunes lineitem BEFORE the join; the
+    orders side carries only (key, priority). One shuffle join on
+    l_orderkey, then a 2-group map-side-combined aggregate.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT
+      CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+            THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS promo_revenue_pct,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shape promo revenue share: one month of lines joined
+    to the part dim, ratio of PROMO-type revenue to total. Both sums
+    are decimal-exact; only the final percent division is double, so
+    the hash is stable in both engines.
+
+    Scale: part is a broadcast dim (no shuffle); the month filter
+    prunes lineitem at the scan; the global agg is partials + one
+    reduce — zero exchanges beyond the broadcast.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-02-01 00:00:00")))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (one() - dec("l_discount", 4, 2))
+    zero = F.lit(0).cast("decimal(12,2)")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shape disjunctive predicate join: revenue over an
+    OR-of-ANDs across both join sides (three brand/size/quantity
+    bands). The optimizer splits the disjunction: per-side
+    implied predicates (brand IN (...), size/quantity hull ranges)
+    are inferred and pushed below the join, and the full residual
+    evaluates after it.
+
+    Scale: part is broadcast; the inferred single-side conjuncts
+    prune both scans so the join probes only candidate rows — the
+    canonical test that CNF extraction survives the planner.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(dec("l_extendedprice") * (one() - dec("l_discount", 4, 2)))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
