@@ -7,7 +7,7 @@ there is deliberately not a single Python UDF in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
@@ -629,3 +629,70 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@query(
+    "events_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n_keys, SUM(n_events) AS n_total FROM k),
+    top AS (
+      SELECT user_id, n_events,
+             row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk
+      FROM k
+    )
+    SELECT rnk, user_id, n_events,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_events AS DOUBLE) / n_total AS share,
+           CAST(n_events AS DOUBLE) * n_keys / n_total AS skew_ratio
+    FROM top CROSS JOIN tot
+    WHERE rnk <= 10
+    """,
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (the pre-flight check behind every salting /
+    AQE-skew decision in this engine): the 10 heaviest shuffle keys
+    with their share of all rows and their skew ratio vs a perfectly
+    uniform key (ratio ≫ 1 ⇒ that key serializes its reducer).
+
+    Determinism: ranks tie-break on user_id; both ratios divide exact
+    longs.
+
+    Scale: per-key counts are one map-side-combined aggregate; top-10
+    is TakeOrdered (per-partition heaps, no global sort); the totals
+    row is a 1-row broadcast. The event table is scanned once.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    k = k.localCheckpoint()  # totals + top-10 both derive from k: one scan
+    tot = k.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("n_events").alias("n_total")
+    )
+    top = (
+        k.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("n_events"), F.asc("user_id")))
+            .alias("rnk"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "rnk",
+        "user_id",
+        "n_events",
+        "n_total",
+        "n_keys",
+        (F.col("n_events").cast("double") / F.col("n_total")).alias("share"),
+        (
+            F.col("n_events").cast("double")
+            * F.col("n_keys")
+            / F.col("n_total")
+        ).alias("skew_ratio"),
+    )

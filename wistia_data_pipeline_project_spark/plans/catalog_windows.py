@@ -504,3 +504,118 @@ def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("avg_7d"),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle=E_CTE
+    + """,
+    s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM e
+    ),
+    m AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS n_from_prev,
+           CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type)
+             AS transition_prob
+    FROM m
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: lag-1 pairs (prev_type → next_type) counted corpus-wide,
+    with the row-conditional probability P(next|prev). The behavioral
+    primitive behind next-action prediction and funnel discovery.
+
+    Determinism: the probability divides two exact longs; ordering
+    inside each user uses the (ts, event_id) unique tiebreak.
+
+    Scale: one shuffle on user_id for the lag, map-side-combined count
+    to |types|² rows, then a window over that tiny matrix — the
+    normalizing pass never touches event-grain data.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    m = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = W.partitionBy("prev_type")
+    return m.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wp).alias("n_from_prev"),
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp)
+        ).alias("transition_prob"),
+    )
+
+
+@query(
+    "events_user_deciles",
+    oracle=E_CTE
+    + """,
+    u AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM e WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id, total,
+             ntile(10) OVER (ORDER BY total, user_id) AS decile
+      FROM u
+    )
+    SELECT decile, COUNT(*) AS n_users,
+           CAST(MIN(total) AS DOUBLE) AS min_total,
+           CAST(MAX(total) AS DOUBLE) AS max_total,
+           CAST(SUM(total) AS DOUBLE) AS sum_total
+    FROM d GROUP BY 1
+    """,
+)
+def events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile segmentation of users by lifetime value (the LTV-tiering
+    primitive): exact NTILE(10) over per-user decimal totals, then
+    per-decile population and value-range stats.
+
+    Determinism: totals are decimal-exact, the ntile ordering carries
+    the user_id tiebreak, and only the final stats cast to double.
+
+    Scale: the ranked input is the AGGREGATED user table (one row per
+    user). Exact global ntile needs a single-partition sort — fine to
+    ~100M users; beyond that the documented swap-in is
+    approx-percentile decile BOUNDARIES (one sketch pass) + a
+    broadcast range assign, trading exact tie handling for a fully
+    parallel plan. This exact entry gates that variant.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(dec("value", 18, 2)).alias("total")
+    )
+    d = u.select(
+        "total",
+        F.ntile(10).over(W.orderBy("total", "user_id")).alias("decile"),
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("total").cast("double").alias("min_total"),
+        F.max("total").cast("double").alias("max_total"),
+        F.sum("total").cast("double").alias("sum_total"),
+    )
