@@ -196,3 +196,43 @@ def test_simhash_star_on_degenerate_bucket(spark):
     pairs = D.simhash_near_dup_pairs(docs).collect()
     assert len(pairs) == 1099
     assert all(r.doc_a == 0 and r.hamming == 0 for r in pairs)
+
+
+def test_knn_join_blocked_recall_and_shape(spark, sf_dir):
+    """kNN graph: every vector gets ≤ k ranked neighbors; ranks are
+    dense from 1; neighbors never self-reference; and measured recall
+    of the exact top-1 neighbor stays high at this cell/probe shape."""
+    from pyspark.sql import functions as F
+
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    knn = S.knn_join_blocked(emb, cent, k=3, n_assign=4).cache()
+    rows = knn.collect()
+    assert all(r.vec_id != r.neighbor_id for r in rows)
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vid, rs in by_vec.items():
+        ranks = sorted(x.rank for x in rs)
+        assert ranks == list(range(1, len(rs) + 1)), vid
+        sims = [x.cosine_sim for x in sorted(rs, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True), vid
+
+    # recall of the exact nearest neighbor (brute force, small sf)
+    e = emb.select("vec_id", "embedding").collect()
+    import numpy as np
+
+    ids = np.array([r.vec_id for r in e])
+    mat = np.array([list(r.embedding) for r in e], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -2.0)
+    exact_nn = {int(ids[i]): int(ids[j]) for i, j in enumerate(sims.argmax(axis=1))}
+    got_nn = {r.vec_id: r.neighbor_id for r in rows if r.rank == 1}
+    hit = sum(1 for v, n in exact_nn.items() if got_nn.get(v) == n)
+    assert hit / len(exact_nn) >= 0.95

@@ -155,3 +155,29 @@ def test_merge_upsert_latest_wins_and_update_wins_ties(spark):
     # k=1: identical order value 5 → the UPDATE row must win the tie;
     # k=2: untouched target row survives; k=3: pure insert
     assert got == {1: (5, "new"), 2: (9, "keep"), 3: (1, "ins")}
+
+
+def test_scd2_history_interval_integrity(spark, sf_dir):
+    """SCD2 invariants: per key exactly one open (is_current) interval;
+    versions are dense from 1; each closed interval's valid_to equals
+    the next version's valid_from; consecutive versions always change
+    the attribute value."""
+    from wistia_data_pipeline_project_spark.operators.incremental import scd2_history
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    hist = scd2_history(e, ["user_id"], "event_type", ["ts", "event_id"]).collect()
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1)), uid
+        assert sum(1 for r in rows if r.is_current) == 1, uid
+        assert rows[-1].is_current and rows[-1].valid_to is None, uid
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from, uid
+            assert a.event_type != b.event_type, uid

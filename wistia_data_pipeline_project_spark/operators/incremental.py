@@ -26,7 +26,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 HWM_OVERLAP = dt.timedelta(seconds=1)
@@ -273,4 +273,44 @@ def merge_upsert(
         .groupBy(*key_cols)
         .agg(F.max_by(row, ordk).alias("_r"))
         .select("_r.*")
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    attr_col: str,
+    order_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    collapse each key's consecutive runs of the same ``attr_col``
+    value into validity intervals ``[valid_from, valid_to)`` with a
+    per-key version number and an ``is_current`` flag on the open
+    interval.
+
+    The reference keeps only the latest dim row (WRITE_TRUNCATE full
+    refresh, ``/root/reference/process_wistia_data.py:515``); SCD2 is
+    the warehouse-standard upgrade that preserves history without
+    reprocessing — the merge_upsert (SCD1) output is exactly the
+    ``is_current`` slice of this operator's output.
+
+    Scale: two window passes over ONE shuffle on the key (lag to mark
+    run starts, lead over the filtered change rows for valid_to) —
+    state per row is a handful of scalars, no text or payload moves.
+    Ordering must be made unique via ``order_cols`` (e.g. ts +
+    event_id) or run boundaries are nondeterministic under ties.
+    """
+    w = W.partitionBy(*key_cols).orderBy(*order_cols)
+    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    )
+    wc = W.partitionBy(*key_cols).orderBy(*order_cols)
+    return changed.select(
+        *key_cols,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wc).alias("valid_to"),
+        F.row_number().over(wc).alias("version"),
+        F.lead(ts_col).over(wc).isNull().alias("is_current"),
     )

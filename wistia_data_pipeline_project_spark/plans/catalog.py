@@ -614,10 +614,10 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle="""
     SELECT
-      CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
             THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                  * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
-            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            ELSE CAST(0 AS DECIMAL(12,2)) END) * 100 AS DOUBLE)
         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                  * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
         AS promo_revenue_pct,
@@ -649,9 +649,11 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
     return j.agg(
         (
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
-            .cast("double")
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                * F.lit(100)  # ×100 in DECIMAL (exact) — a double ×100
+                # after the cast drifts an ulp vs the oracle's order
+            ).cast("double")
             / F.sum(rev).cast("double")
         ).alias("promo_revenue_pct"),
         F.sum(rev).cast("double").alias("total_revenue"),
@@ -711,4 +713,68 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "customers_record_linkage",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal
+      FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS name_dist,
+           CAST(ABS(CAST(a.c_acctbal AS DECIMAL(12,2))
+                    - CAST(b.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             AS acctbal_gap
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + verify (the record-linkage
+    primitive behind customer/source dedup): candidate pairs are
+    generated ONLY within a blocking key (nation × market segment),
+    then verified with an exact edit-distance predicate on the name
+    (JVM ``levenshtein`` — no Python in the loop) plus an
+    account-balance gap feature for downstream scoring.
+
+    Scale: the block equi-join replaces the O(N²) cross join with
+    sum-over-blocks O(Σb²); block sizes are bounded by construction
+    (a real pipeline monitors them with ``events_key_skew``'s
+    diagnostic and splits oversized blocks on an extra key char).
+    One self-join shuffle keyed on the block; distance evaluates only
+    within blocks.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    a, b = c.alias("a"), c.alias("b")
+    ca, cb = (lambda n: F.col(f"a.{n}")), (lambda n: F.col(f"b.{n}"))
+    return (
+        a.join(
+            b,
+            (ca("c_nationkey") == cb("c_nationkey"))
+            & (ca("c_mktsegment") == cb("c_mktsegment"))
+            & (ca("c_custkey") < cb("c_custkey")),
+        )
+        .filter(F.levenshtein(ca("c_name"), cb("c_name")) <= 2)
+        .select(
+            ca("c_custkey").alias("custkey_a"),
+            cb("c_custkey").alias("custkey_b"),
+            ca("c_name").alias("name_a"),
+            cb("c_name").alias("name_b"),
+            F.levenshtein(ca("c_name"), cb("c_name")).alias("name_dist"),
+            F.abs(
+                ca("c_acctbal").cast("decimal(12,2)")
+                - cb("c_acctbal").cast("decimal(12,2)")
+            )
+            .cast("double")
+            .alias("acctbal_gap"),
+        )
     )

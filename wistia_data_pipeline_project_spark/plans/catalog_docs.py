@@ -577,12 +577,12 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _TFIDF_TERMS
         ],
     )
-    # Materialize the narrow counts table ONCE: both the stats row and
-    # the scored projection derive from `f`, and without a barrier the
-    # broadcast subtree re-runs the tokenizing corpus scan a second
-    # time. `f` is doc_id + a few longs — checkpointing it costs
-    # ~16 B/row at any scale, halving the corpus scans.
-    f = f.localCheckpoint()
+    # Cache the narrow counts table: both the stats row and the scored
+    # projection derive from `f`, and without the shared InMemory
+    # relation the broadcast subtree re-runs the tokenizing corpus
+    # scan a second time. `f` is doc_id + a few longs — ~16 B/row at
+    # any scale, halving the corpus scans while keeping the plan lazy.
+    f = f.cache()
     stats = f.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[

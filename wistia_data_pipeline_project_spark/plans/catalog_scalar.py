@@ -668,7 +668,7 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    k = k.localCheckpoint()  # totals + top-10 both derive from k: one scan
+    k = k.cache()  # totals + top-10 both derive from k: one scan
     tot = k.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("n_events").alias("n_total")
     )

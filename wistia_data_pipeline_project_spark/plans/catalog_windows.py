@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..operators import incremental as INC
 from ..operators import timeseries as TS
 from ..sources.io import load_table
 from .catalog import dec, query
@@ -618,4 +619,46 @@ def events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total").cast("double").alias("min_total"),
         F.max("total").cast("double").alias("max_total"),
         F.sum("total").cast("double").alias("sum_total"),
+    )
+
+
+@query(
+    "events_scd2_history",
+    oracle=E_CTE
+    + """,
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM e
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id FROM s
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history built from the event stream (operator
+    ``incremental.scd2_history``): each user's consecutive runs of the
+    same event_type collapse to validity intervals [valid_from,
+    valid_to) with version numbers and an is_current open interval —
+    the history-preserving upgrade of the SCD1 merge the reference's
+    full-refresh dims cannot express.
+
+    Scale: one shuffle on user_id; both window passes (change
+    detection, interval close) share that partitioning, and the
+    change-row filter shrinks the second pass to run boundaries only.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return INC.scd2_history(
+        e, ["user_id"], "event_type", ["ts", "event_id"], ts_col="ts"
     )
