@@ -76,17 +76,38 @@ def _scan_partitions(df: DataFrame, cache_key: str | None = None) -> int:
     return _SCAN_PARTS[key]
 
 
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when ``events.ts`` is physically TIMESTAMP(NANOS) in the
+    parquet footer. The driver has generated both variants across
+    rounds (nanos in round 1, micros later), so the reader branches on
+    the footer instead of assuming either. Footer-only read: no data
+    pages are touched, and the result is cached per path."""
+    if path not in _TS_UNIT:
+        try:
+            import pyarrow.parquet as pq
+
+            unit = getattr(pq.read_schema(path).field("ts").type, "unit", None)
+            _TS_UNIT[path] = unit == "ns"
+        except Exception:
+            _TS_UNIT[path] = False
+    return _TS_UNIT[path]
+
+
+_TS_UNIT: dict[str, bool] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table with its declared schema.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) in the driver parquet,
-    which Spark's vectorized reader rejects; it is read as raw nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floored to a
-    microsecond TimestampType with integer arithmetic (``div`` — a
-    double division would lose precision at 1e18 nanos).
+    ``events.ts`` has been physically TIMESTAMP(NANOS) in some driver
+    generations, which Spark's vectorized reader rejects; that variant
+    is read as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``)
+    and floored to a microsecond TimestampType with integer arithmetic
+    (``div`` — a double division would lose precision at 1e18 nanos).
+    Micros-generation files read natively.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(path):
         # session-level legacy conf (no per-read option exists for it);
         # get_spark() sets it at build time — this set covers vanilla
         # sessions (the driver's) and is a no-op on engine sessions.
