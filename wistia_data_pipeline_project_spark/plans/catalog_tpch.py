@@ -1,0 +1,606 @@
+"""Multi-join / decorrelation TPC-H-shaped family (SURVEY §2.4 J1/J3,
+§2.5 A10, §4 optimizer parity).
+
+The reference's only joins are a broadcast dim lookup and a semi-join
+(``/root/reference/process_wistia_data.py:441,456-458``); these entries
+exercise the join/aggregation surface a warehouse user actually runs on
+the same star schema: multi-hop dim chains (q7/q8/q9), outer-join
+distributions (q13), grouped-HAVING semi-joins (q18), scalar-subquery
+thresholds (q15/q17/q22), and NOT-IN exclusion (q16) — each expressed
+declaratively so Catalyst decorrelates / reorders, with the small dim
+sides broadcast explicitly.
+
+Scale rules used throughout (see SCALE.md):
+
+- **Filter dims before the fact join.** The two-nation predicate in q7
+  lands on `nation` (25 rows) and cuts supplier/customer BEFORE
+  lineitem is touched — at 100 TB this is the difference between
+  shuffling 4% of the fact's join partners and all of them.
+- **Broadcast the dim chain** (region→nation→supplier): always ≤ a few
+  MB after filtering. Customer/orders joins stay shuffle hash joins on
+  the key; AQE converts to broadcast when a filter makes a side small.
+- **Decorrelate scalar subqueries as aggregate+join**, the plan
+  Catalyst would pick for the SQL form: per-key thresholds (q17) are a
+  map-side-combinable agg on the probe's own key, global thresholds
+  (q15/q22) a 1-row broadcast.
+- **Decimal-exact money** per the catalog determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+from .catalog import dec, one, query
+
+_VOL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _volume() -> F.Column:
+    return dec("l_extendedprice") * (one() - dec("l_discount", 4, 2))
+
+
+@query(
+    "q7_nation_trade",
+    oracle=f"""
+    WITH v AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             {_VOL} AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_20')
+          OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_19'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM v GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shape: bidirectional trade volume between two nations.
+
+    Scale: the 2-row filtered nation dim is broadcast into supplier and
+    customer, shrinking both to ~2/25 BEFORE the fact joins; the
+    filtered supplier side is broadcast into lineitem (no shuffle), so
+    the only big exchange is lineitem⋈orders on the order key. The
+    nation-pair disjunction runs on two tiny joined columns, after the
+    date filter pushed into the scan.
+    """
+    pair = ("NATION_19", "NATION_20")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(_volume()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_VOL} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_19'
+                                  THEN volume END), 0) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM v GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shape: one nation's share of a region's ECONOMY-part
+    revenue per year (conditional-sum ratio).
+
+    Scale: region→nation→customer is a broadcast chain; the part filter
+    broadcasts too (1/6 of part). lineitem⋈orders is the one big
+    exchange. The share is two partial-aggregable sums — no second pass.
+    """
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    vol = _volume()
+    nation_vol = F.sum(F.when(F.col("supp_nation") == "NATION_19", vol))
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        (
+            F.coalesce(nation_vol, F.lit(0).cast("decimal(12,2)")).cast("double")
+            / F.sum(vol).cast("double")
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_VOL}
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shape: profit (revenue minus a 10%-of-retail cost proxy
+    for the missing partsupp.ps_supplycost) by supplier nation × year
+    over '%widget%' parts.
+
+    Scale: part filter + supplier→nation chain broadcast; lineitem⋈
+    orders is the only shuffle join; profit terms are decimal-exact and
+    fold into one map-side-combinable SUM.
+    """
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit_term = _volume() - dec("p_retailprice") * dec("l_quantity") * F.lit(
+        0.10
+    ).cast("decimal(4,2)")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(profit_term).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q10_returned_revenue_topk",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           CAST(SUM({_VOL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shape: top-20 customers by returned-line revenue in a
+    half-year window.
+
+    Scale: returnflag + date predicates push into the scans; customer⋈
+    nation broadcasts; orders⋈lineitem shuffles on the order key; the
+    final top-20 is a TakeOrdered (per-partition heaps, no global
+    sort), tie-broken on the unique custkey.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "nation", "c_acctbal")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
+        .agg(F.sum(_volume()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shape: distribution of non-urgent order counts per
+    customer, zero-order customers included (the outer-join case the
+    reference never exercises).
+
+    Scale: one shuffle join on custkey (COUNT(col) skips the nulls the
+    left join injects), one map-side-combinable re-agg on the tiny
+    c_count domain.
+    """
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_VOL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shape: supplier(s) achieving the max half-year revenue
+    (global scalar-subquery threshold, ties kept).
+
+    Scale: revenue agg shuffles once on suppkey; the MAX is a 1-row
+    global agg broadcast back over the per-supplier revenues, then a
+    broadcast join against the supplier dim. Revenue equality is exact:
+    both engines compare the same decimal-sum-cast-double value.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_volume()).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13'
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shape: distinct-supplier variety per part descriptor,
+    excluding one brand and an exclusion list of suppliers (the NOT-IN
+    → broadcast anti-join decorrelation).
+
+    Scale: the exclusion list (suppliers below balance) broadcasts as
+    an anti-join build side; part broadcasts into lineitem. DISTINCT
+    inside the agg expands to a two-phase (partial-distinct, merge)
+    plan on the 3-column grain — no row explosion.
+    """
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#13")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH li_promo AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    ),
+    pa AS (
+      SELECT l_partkey AS a_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*)) AS half_avg
+      FROM li_promo GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM li_promo JOIN pa ON l_partkey = a_partkey
+    WHERE CAST(l_quantity AS DOUBLE) < half_avg
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shape: revenue share of below-half-average-quantity
+    lines for PROMO parts (correlated AVG subquery, decorrelated).
+
+    Scale: the PROMO part list broadcasts as a semi-join so BOTH the
+    threshold agg and the probe read only the filtered fact slice (the
+    correlated subquery's semantics, without scanning lineitem twice in
+    full). The per-part threshold is a map-side-combinable agg re-joined
+    on the same key — AQE plans it broadcast when the part count is
+    small. One deterministic double division per side of the compare.
+    """
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.5)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("half_avg")
+    )
+    return (
+        li.join(pa, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity").cast("double") < F.col("half_avg"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shape: orders whose total quantity exceeds a threshold,
+    with their customers (grouped-HAVING feeding an IN → semi-join).
+
+    Scale: the HAVING agg shuffles lineitem once on orderkey; the
+    surviving keys semi-join back (AQE broadcasts them — the selective
+    side). The outer re-agg reuses the same orderkey partitioning, and
+    the customer dim join is broadcast.
+    """
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        l.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY 1
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shape: above-average-balance customers with no recent
+    orders, counted per nation (global scalar threshold + NOT EXISTS
+    anti-join).
+
+    Scale: the average is a 1-row global agg cross-broadcast over
+    customer; the NOT EXISTS decorrelates to an anti-join against the
+    date-filtered orders (filter pushed to the scan, AQE broadcasts the
+    build when selective). One final shuffle on the 25-value nation
+    grain.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01 00:00:00")))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
