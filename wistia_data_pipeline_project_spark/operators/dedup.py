@@ -109,6 +109,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A| ≥ threshold — flags
+    documents mostly CONTAINED in another (prefix/subset duplicates
+    that symmetric Jaccard under-scores when the container is much
+    longer). Emits one row per contained direction: (doc_sub ⊆
+    doc_sup).
+
+    Scale: same single shingle equi-join as ``ngram_jaccard_pairs``
+    (fan-out bounded by near-unique w=8 shingles); the directional
+    split is a projection over the joined counts, not a second join.
+    """
+    sh = shingle_table(df, key_col, text_col, width)
+    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .groupBy(
+            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    ab = j.select(
+        F.col("doc_a").alias("doc_sub"),
+        F.col("doc_b").alias("doc_sup"),
+        "n_inter",
+        (F.col("n_inter").cast("double") / F.col("n_a")).alias("containment"),
+    )
+    ba = j.select(
+        F.col("doc_b").alias("doc_sub"),
+        F.col("doc_a").alias("doc_sup"),
+        "n_inter",
+        (F.col("n_inter").cast("double") / F.col("n_b")).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     key_col: str = "doc_id",

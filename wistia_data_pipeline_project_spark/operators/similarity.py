@@ -443,6 +443,41 @@ def hamming_topk(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    key_col: str = "vec_id",
+    rrf_k: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple retrieval rankings (the
+    standard hybrid-search combiner): score(d) = Σ_lists 1/(rrf_k +
+    rank_list(d)), over candidates appearing in any list.
+
+    Inputs carry (key, rank) with 1-based ranks. Deterministic across
+    engines: each term is one exact IEEE division, the per-key sum has
+    ≤ |lists| commutatively-added terms, and the final top-k tie-breaks
+    on the key.
+
+    Scale: the expensive part is the upstream rankers (each already a
+    TakeOrdered scan); fusion itself touches ≤ Σ k_i rows — union,
+    one tiny agg, one tiny sort, no full-corpus work.
+    """
+    from functools import reduce
+
+    u = reduce(
+        DataFrame.unionByName, [r.select(key_col, "rank") for r in ranked]
+    )
+    return (
+        u.groupBy(key_col)
+        .agg(
+            F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), key_col)
+        .limit(k)
+    )
+
+
 def knn_join_blocked(
     df: DataFrame,
     centroids: DataFrame,

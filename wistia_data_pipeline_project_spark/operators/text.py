@@ -111,6 +111,82 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style composite rule flags (published pretraining-data
+    heuristics: word-count band, mean-word-length band, minimum
+    stopword evidence, lexical-diversity floor), one boolean column per
+    rule plus the conjunction.
+
+    Each rule is an independent codegen'd predicate so downstream
+    queries can report per-rule failure rates, not just the pass set.
+    Empty documents fail every rule (NULL-safe: the mean-length
+    division is ``try_divide`` and the comparisons coalesce to false).
+    """
+    d = with_token_stats(df, text_col)
+    diversity = F.try_divide(F.col("n_uniq_tokens").cast("double"), F.col("n_tokens"))
+    rules = {
+        "r_word_count": (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000),
+        "r_word_len": (F.col("avg_token_len") >= 3.0)
+        & (F.col("avg_token_len") <= 10.0),
+        "r_stopwords": F.col("n_stopwords") >= 2,
+        "r_diversity": diversity > 0.2,
+    }
+    safe = {k: F.coalesce(v, F.lit(False)) for k, v in rules.items()}
+    out = d.withColumns(safe)
+    passed = None
+    for k in safe:
+        passed = F.col(k) if passed is None else (passed & F.col(k))
+    return out.withColumn("r_pass", passed)
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 2,
+    min_docs: int = 20,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: a w-gram is boilerplate when
+    it appears in ≥ ``min_docs`` distinct documents; each document is
+    scored by the fraction of its distinct w-grams that are boilerplate
+    (the standard template/navigation-chrome removal signal).
+
+    Scale: one explode + shuffle on the shingle to count document
+    frequency (distinct-per-doc shingles, so the count IS the doc
+    frequency — no countDistinct), one join back on the shingle, one
+    re-agg on the doc key. The boilerplate set is by construction the
+    heavy-hitter tail (≤ |corpus|·|shingles per doc| / min_docs
+    entries); at 100 TB raise ``min_docs`` proportionally or feed the
+    shingle counts through ``skew.heavy_hitters`` so the set stays
+    broadcastable, and pre-aggregate counts per partition (map-side
+    combine already does this for the groupBy).
+    """
+    sh = df.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(shingle_array(F.col(text_col), width))).alias(
+            "shingle"
+        ),
+    )
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("shingle", F.lit(1).alias("is_boiler"))
+    )
+    marked = sh.join(boiler, "shingle", "left")
+    return (
+        marked.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.col("n_boiler").cast("double") / F.col("n_shingles"),
+        )
+    )
+
+
 # --- language identification (n-gram profile heuristic) -------------------
 
 # Tiny character-trigram profiles for a few languages. Public-knowledge

@@ -861,3 +861,145 @@ def docs_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@query(
+    "docs_gopher_rules",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             len(toks) AS n_toks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len(toks) AS mean_len,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
+               AS n_stop,
+             len(list_distinct(toks)) AS n_uniq
+      FROM (SELECT lang, text, {TOKS_SQL} AS toks FROM documents)
+    ),
+    r AS (
+      SELECT lang,
+             COALESCE(n_toks >= 50 AND n_toks <= 100000, FALSE) AS r_word_count,
+             COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, FALSE) AS r_word_len,
+             COALESCE(n_stop >= 2, FALSE) AS r_stopwords,
+             COALESCE(CAST(n_uniq AS DOUBLE) / n_toks > 0.2, FALSE) AS r_diversity
+      FROM s
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_count,
+           CAST(SUM(CASE WHEN NOT r_word_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_word_len,
+           CAST(SUM(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+           CAST(SUM(CASE WHEN NOT r_diversity THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_diversity,
+           CAST(SUM(CASE WHEN r_word_count AND r_word_len AND r_stopwords
+                         AND r_diversity THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM r GROUP BY 1
+    """,
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality rules (published pretraining
+    filter heuristics: word-count band, mean-word-length band, minimum
+    stopword evidence, diversity floor), reported as per-language
+    failure counts per rule plus the all-rules pass count — the
+    corpus-curation dashboard a 100 TB filtering run is driven by.
+
+    Scale: one pass, all four predicates codegen'd in the same
+    projection as the token stats; the rollup shuffles |langs| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flags = X.with_gopher_flags(docs)
+    fail = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0))  # noqa: E731
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        fail("r_word_count").alias("n_fail_word_count"),
+        fail("r_word_len").alias("n_fail_word_len"),
+        fail("r_stopwords").alias("n_fail_stopwords"),
+        fail("r_diversity").alias("n_fail_diversity"),
+        F.sum(F.when(F.col("r_pass"), 1).otherwise(0)).alias("n_pass"),
+    )
+
+
+@query(
+    "docs_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-1, 1))]))
+               AS shingle
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    ),
+    boiler AS (
+      SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) >= 20
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS boiler_frac
+    FROM sh LEFT JOIN boiler b ON sh.shingle = b.shingle
+    GROUP BY doc_id
+    """,
+)
+def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate scoring: bigrams present in ≥20
+    documents are 'boilerplate'; every document reports the fraction
+    of its distinct bigrams that are boilerplate (template/chrome
+    removal signal — the cross-document complement of the
+    within-document ``docs_repetition``).
+
+    Scale: shuffle on the shingle for document frequency (counts, not
+    countDistinct — shingles are pre-deduped per doc), join back, re-agg
+    on doc_id. See ``text.boilerplate_stats`` for the 100 TB notes
+    (min_docs scales with corpus; heavy-hitter set stays broadcastable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return X.boilerplate_stats(docs, width=2, min_docs=20)
+
+
+@query(
+    "docs_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_shingles AS n_a, sb.n_shingles AS n_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    d AS (
+      SELECT doc_a AS doc_sub, doc_b AS doc_sup, n_inter,
+             CAST(n_inter AS DOUBLE) / n_a AS containment FROM j
+      UNION ALL
+      SELECT doc_b, doc_a, n_inter, CAST(n_inter AS DOUBLE) / n_b FROM j
+    )
+    SELECT * FROM d WHERE containment >= 0.9
+    """,
+)
+def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: documents ≥90% shingle-contained
+    in another (prefix/subset duplicates symmetric Jaccard
+    under-scores). One row per contained direction.
+
+    Scale: identical join topology to ``docs_ngram_jaccard`` — one
+    bounded shingle equi-join; the directional expansion is a
+    projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, width=8, threshold=0.9)

@@ -372,3 +372,89 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_join_blocked(emb, _centroids(emb), k=3, n_assign=4)
+
+
+@query(
+    "emb_rrf_fusion",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cos_top AS (
+      SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY cosine_sim DESC, e.vec_id
+      LIMIT 20
+    ),
+    cos_ranked AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS rank
+      FROM cos_top
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i) ELSE 0 END
+                            FOR i IN generate_series(0, 31)]) AS BIGINT) AS lo,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i - 32) ELSE 0 END
+                            FOR i IN generate_series(32, 63)]) AS BIGINT) AS hi
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+    ham_top AS (
+      SELECT c.vec_id,
+             CAST(bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi))
+                  AS INTEGER) AS hamming
+      FROM codes c, qc
+      WHERE c.vec_id <> 0
+      ORDER BY hamming, c.vec_id
+      LIMIT 20
+    ),
+    ham_ranked AS (
+      SELECT vec_id, row_number() OVER (ORDER BY hamming, vec_id) AS rank
+      FROM ham_top
+    ),
+    u AS (
+      SELECT * FROM cos_ranked UNION ALL SELECT * FROM ham_ranked
+    )
+    SELECT vec_id,
+           SUM(1.0 / (60 + rank)) AS rrf_score,
+           COUNT(*) AS n_lists
+    FROM u GROUP BY 1
+    ORDER BY rrf_score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def emb_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the exact cosine
+    top-20 and the binary-sketch Hamming top-20 (the standard
+    dense+sketch hybrid combiner, rrf_k=60). Exactly oracle-checked:
+    both input rankings are deterministic (cosine ties broken on
+    vec_id; Hamming is integer), each RRF term is one exact IEEE
+    division, and the ≤2-term sums commute.
+
+    Scale: both rankers are single-scan TakeOrdered heaps; fusion
+    touches ≤40 rows. The rank windows run on ≤20 rows each (single
+    partition by construction, not a corpus-wide sort).
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    rest = emb.filter(F.col("vec_id") != 0)
+    cos = S.topk_cosine(rest, q, k=20).select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("cosine_sim"), "vec_id"))
+        .alias("rank"),
+    )
+    ham = S.hamming_topk(emb, q, k=20, exclude_key=0).select(
+        "vec_id",
+        F.row_number().over(W.orderBy("hamming", "vec_id")).alias("rank"),
+    )
+    return S.rrf_fuse([cos, ham], key_col="vec_id", rrf_k=60, k=10)
