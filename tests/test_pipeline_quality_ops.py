@@ -1,0 +1,88 @@
+"""Unit tests for the round-4 pipeline-quality operators: Gopher rule
+flags, boilerplate n-gram scoring, containment pairs, RRF fusion.
+
+Each test builds a tiny synthetic frame with a hand-computable answer
+(the catalog oracle covers the corpus-scale behavior; these pin the
+operator semantics on edge cases the synthetic corpus may not hit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wistia_data_pipeline_project_spark.operators import dedup as D
+from wistia_data_pipeline_project_spark.operators import similarity as S
+from wistia_data_pipeline_project_spark.operators import text as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_flags_rule_semantics(spark):
+    good = " ".join(["the", "and", "word"] * 20)  # 60 tokens, stopwords, diverse-ish
+    df = _docs(
+        spark,
+        [
+            (1, good),
+            (2, "short text only"),  # fails word count
+            (3, " "),  # empty: fails everything, no divide error
+        ],
+    )
+    out = {r["doc_id"]: r for r in X.with_gopher_flags(df).collect()}
+    assert out[1]["r_word_count"] and out[1]["r_stopwords"]
+    assert not out[2]["r_word_count"]
+    assert not out[2]["r_pass"]
+    assert not out[3]["r_word_count"] and not out[3]["r_word_len"]
+    assert out[3]["r_pass"] is False  # coalesced, not NULL
+
+
+def test_gopher_diversity_rule(spark):
+    repetitive = " ".join(["the"] * 100)  # diversity 1/100 ≤ 0.2
+    df = _docs(spark, [(1, repetitive)])
+    row = X.with_gopher_flags(df).collect()[0]
+    assert row["r_word_count"] and row["r_stopwords"]
+    assert not row["r_diversity"] and not row["r_pass"]
+
+
+def test_boilerplate_stats_counts(spark):
+    # bigram "nav bar" in 3 docs (>= min_docs=3); all other bigrams unique
+    df = _docs(
+        spark,
+        [
+            (1, "nav bar alpha beta"),
+            (2, "nav bar gamma delta"),
+            (3, "nav bar epsilon zeta"),
+            (4, "totally unique words here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in X.boilerplate_stats(df, width=2, min_docs=3).collect()}
+    # doc 1 distinct bigrams: "nav bar","bar alpha","alpha beta" -> 1/3 boiler
+    assert out[1]["n_shingles"] == 3 and out[1]["n_boiler"] == 1
+    assert abs(out[1]["boiler_frac"] - 1 / 3) < 1e-12
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_frac"] == 0.0
+
+
+def test_containment_catches_subset_but_jaccard_misses(spark):
+    base = " ".join(f"w{i}" for i in range(10))  # 10 tokens -> 3 shingles @ w=8
+    longer = base + " " + " ".join(f"x{i}" for i in range(30))
+    df = _docs(spark, [(1, base), (2, longer)])
+    cont = D.containment_pairs(df, width=8, threshold=0.9).collect()
+    # every shingle of doc 1 appears in doc 2 -> containment 1.0 sub=1 sup=2
+    assert [(r["doc_sub"], r["doc_sup"], r["containment"]) for r in cont] == [
+        (1, 2, 1.0)
+    ]
+    jac = D.ngram_jaccard_pairs(df, width=8, threshold=0.8).collect()
+    assert jac == []  # symmetric Jaccard misses the subset pair
+
+
+def test_rrf_fuse_known_answer(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2)], "vec_id long, rank long")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "vec_id long, rank long")
+    out = {r["vec_id"]: r for r in S.rrf_fuse([a, b], rrf_k=60, k=3).collect()}
+    assert out[11]["n_lists"] == 2
+    assert abs(out[11]["rrf_score"] - (1 / 61 + 1 / 62)) < 1e-15
+    assert abs(out[10]["rrf_score"] - 1 / 61) < 1e-15
+    # both-lists member outranks either single-list member
+    ordered = sorted(out.values(), key=lambda r: -r["rrf_score"])
+    assert ordered[0]["vec_id"] == 11
