@@ -202,12 +202,61 @@ def emb_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_ivf_topk")
+@query(
+    "emb_ivf_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 2
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+      WHERE e.vec_id <> 0
+    ),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT b.vec_id FROM best b JOIN probe p ON b.centroid_id = p.centroid_id
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-10 (probe 2 of 8 centroid partitions).
 
-    Rows-only driver check (approximate by construction); recall vs
-    the exact top-k is asserted in tests.
+    EXACTLY oracle-checked, like the knn-join: the seed centroids
+    (vec_id < 8), the 1-NN assignment tie-breaks, and the 2-probe
+    selection are all declared structure the oracle replays in SQL, so
+    the ANN approximation lives in the blocking, never in unverifiable
+    arithmetic. Recall vs the exact top-k is separately asserted in
+    tests.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _centroids(emb)
