@@ -301,3 +301,54 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # exactly-once: no key written twice despite the 20-event overlap
     assert out.count() == len(expected_keys)
     assert n_first < out.count()
+
+
+def test_streaming_enriched_rolling_volume_matches_batch(spark, events_jsonl_dir):
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        streaming_enriched_rolling_volume,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (m["hashed_id"], None if m["duration"] is None else float(m["duration"]))
+            for m in make_media()
+        ],
+        "media_id string, duration double",
+    )
+    stream = _read_stream(spark, events_jsonl_dir)
+    q = run_stream_to_memory(
+        streaming_enriched_rolling_volume(stream, media), "rolling_vol", "complete"
+    )
+    try:
+        got = {
+            (r["window_start"], r["media_id"]): (
+                r["n_events"],
+                r["duration"],
+            )
+            for r in spark.table("rolling_vol").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.schema(WISTIA_EVENT_SCHEMA)
+        .json(events_jsonl_dir)
+        .filter(F.col("media_id").isNotNull() & F.col("received_at").isNotNull())
+        .join(F.broadcast(media), "media_id", "left")
+        .groupBy(
+            F.window("received_at", "10 minutes", "5 minutes").alias("w"), "media_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("duration").alias("duration"))
+    )
+    want = {
+        (r["w"]["start"], r["media_id"]): (r["n_events"], r["duration"])
+        for r in batch.collect()
+    }
+    assert got == want
+    # hopping windows: each event lands in exactly window/slide = 2 windows
+    assert sum(v[0] for v in got.values()) == 2 * (
+        spark.read.schema(WISTIA_EVENT_SCHEMA)
+        .json(events_jsonl_dir)
+        .filter(F.col("media_id").isNotNull() & F.col("received_at").isNotNull())
+        .count()
+    )

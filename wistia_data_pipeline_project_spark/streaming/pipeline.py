@@ -97,6 +97,53 @@ def streaming_session_windows(
     )
 
 
+def streaming_enriched_rolling_volume(
+    events_stream: DataFrame,
+    dim_media: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-static broadcast enrichment + hopping-window volume: the
+    streaming twin of the batch 7-day rolling rollup (J1's dim lookup
+    joined INSIDE the stream, SURVEY §2.10 windows row).
+
+    Each event lands in window/slide overlapping windows; the static
+    media dim joins broadcast per micro-batch (no stream-stream state).
+    Append-compatible: a (window, media) row emits once the watermark
+    passes the window end.
+
+    Scale: state is |open windows| × |media| aggregates — bounded by
+    the watermark horizon, independent of event volume; the dim
+    broadcast re-reads per batch, so a slowly-changing dim picks up
+    updates without restart.
+    """
+    e = events_stream.filter(
+        F.col("media_id").isNotNull() & F.col("received_at").isNotNull()
+    ).withWatermark("received_at", watermark)
+    enriched = e.join(
+        F.broadcast(dim_media.select("media_id", "duration")), "media_id", "left"
+    )
+    return (
+        enriched.groupBy(
+            F.window("received_at", window, slide).alias("w"), "media_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("percent_viewed").alias("max_percent_viewed"),
+            F.max("duration").alias("duration"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "media_id",
+            "n_events",
+            "max_percent_viewed",
+            "duration",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful watch-time (SURVEY §2.6 streaming variant)
 # ---------------------------------------------------------------------------
