@@ -34,6 +34,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product UNROLLED to a left-associated arithmetic chain —
+    bit-identical to the sequential fold (0.0 + a₁b₁ + a₂b₂ + …) but
+    pure codegen. ``zip_with``/``aggregate`` lambdas evaluate on
+    Catalyst's interpreter (CodegenFallback): measured ~21 µs per
+    64-dim pair, which at millions of candidate pairs dominated the
+    whole kNN-join (167 s at sf0.1). The unrolled chain whole-stage-
+    compiles to straight-line multiply-adds (~10×+ faster) while
+    preserving the exact summation order the DuckDB oracle
+    (list_dot_product) uses. Requires a statically-known ``dim``."""
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
+
+
 def topk_cosine(
     df: DataFrame,
     query_vec: list[float],
@@ -485,6 +501,7 @@ def knn_join_blocked(
     n_assign: int = 2,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate KNN self-join (the kNN-graph builder behind semantic
     dedup and diversity sampling): every vector gets its top-k cosine
@@ -500,8 +517,12 @@ def knn_join_blocked(
     Scale: 100 % JVM — multi-probe assignment is a broadcast
     cross-join + per-key rank, candidates come from ONE equi-join
     shuffled on the cell id (pair space Σ cells |cell|², never N²),
-    cosine is a codegen fold, and top-k per vector is a bounded
-    window over ≤ n_assign·max_cell rows per vector.
+    and top-k per vector is a bounded window over ≤ n_assign·max_cell
+    rows per vector. Pass ``dim`` to run the per-pair cosine as an
+    UNROLLED codegen chain with per-vector precomputed norms — the HOF
+    fold evaluates interpreted and at millions of pairs it dominates
+    the whole operator (measured 167 s → ~9 s at sf0.1, identical
+    bits); without ``dim`` the fold path is kept for unknown widths.
     """
     sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
     scored = df.select(key_col, vec_col).crossJoin(F.broadcast(centroids)).select(
@@ -515,11 +536,42 @@ def knn_join_blocked(
         .filter(F.col("_rk") <= n_assign)
         .select("centroid_id", key_col, vec_col)
     )
-    a = assigned.alias("a")
+    if dim is not None:
+        # FLATTEN the vector to ``dim`` double columns before pairing.
+        # Two measured traps at millions of candidate pairs (sf0.1,
+        # 8 M pairs): (1) the zip_with/aggregate fold evaluates
+        # interpreted (~167 s); (2) even an unrolled element_at chain
+        # over the array column stays off the fast path (~28 s). Flat
+        # per-dimension columns turn the pair cosine into straight
+        # multiply-add column arithmetic (measured 5 s) with the SAME
+        # left-associated summation order — bit-identical to the
+        # oracle's sequential list_dot_product. Norms are computed once
+        # per (vector, cell) row, not twice per pair.
+        vd = as_double(F.col(vec_col))
+        assigned = assigned.withColumn("_vd", vd).select(
+            "centroid_id",
+            key_col,
+            F.sqrt(dot_unrolled(F.col("_vd"), F.col("_vd"), dim)).alias("_norm"),
+            *[F.col("_vd")[i].alias(f"_e{i}") for i in range(dim)],
+        )
+    # The per-pair projection below is the operator's hot loop; AQE
+    # coalesces the tiny assigned exchange (N·n_assign rows) to ONE
+    # partition, which serializes millions of candidate-pair cosines
+    # onto one core (measured 141 s single-task at sf0.1). An explicit
+    # round-robin repartition is user-specified, so AQE keeps all
+    # partitions of the probe side busy; the build side broadcasts.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = assigned.repartition(par).alias("a")
     b = assigned.alias("b")
-    pair_sim = cosine(
-        as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))
-    )
+    if dim is not None:
+        pair_dot: Column = F.lit(0.0)
+        for i in range(dim):
+            pair_dot = pair_dot + F.col(f"a._e{i}") * F.col(f"b._e{i}")
+        pair_sim = pair_dot / (F.col("a._norm") * F.col("b._norm"))
+    else:
+        pair_sim = cosine(
+            as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))
+        )
     cands = (
         a.join(
             b,

@@ -42,6 +42,30 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+_NVEC_CACHE: dict[str, int] = {}
+
+
+def _centroids_scaled(sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Seed centroids whose count scales with the corpus: k = max(8,
+    N//250), i.e. bounded cells of ~250 members (×n_assign overlap).
+
+    The QUADRATIC blocked operators (knn join) need this: with k fixed
+    at 8, cell population grows linearly in N and the per-cell pair
+    space quadratically — measured 190 s at sf0.1 (20k vectors ⇒
+    ~800 M candidate pairs) vs ~80 cells ⇒ ~80 M pairs. The formula is
+    part of the DECLARED blocking, replayed verbatim in the oracle SQL
+    (``greatest(8, COUNT(*) // 250)``), so results stay exactly
+    hash-checked at every scale factor. The count is one cached tiny
+    job per sf_dir."""
+    if sf_dir not in _NVEC_CACHE:
+        _NVEC_CACHE[sf_dir] = emb.count()
+    k = max(8, _NVEC_CACHE[sf_dir] // 250)
+    return emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+
+
 @query(
     "emb_topk_cosine",
     oracle="""
@@ -368,7 +392,8 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH c AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings
+      WHERE vec_id < greatest(8, (SELECT COUNT(*) // 250 FROM embeddings))
     ),
     scored AS (
       SELECT e.vec_id, c.centroid_id,
@@ -413,14 +438,19 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph build (operator ``similarity.knn_join_blocked``):
     top-3 cosine neighbors per vector among vectors sharing one of its
     4 probed IVF cells (measured exact-top-1 recall 1.0 at this probe
-    count, 0.71 at 2 probes — same recall/probes curve as
+    count at sf0.01, 0.71 at 2 probes — same recall/probes curve as
     ``emb_cosine_near_dup``). The oracle replays the identical declared
-    blocking (same seed centroids, same probe count, same tie-breaks),
-    so ranks and sims hash-match exactly — the ANN approximation is in
-    the declared structure, never in the arithmetic.
+    blocking (same seed-centroid formula ``max(8, N//250)``, same probe
+    count, same tie-breaks), so ranks and sims hash-match exactly — the
+    ANN approximation is in the declared structure, never in the
+    arithmetic. Cell count scales with N to keep the per-cell pair
+    space bounded (see ``_centroids_scaled``).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_join_blocked(emb, _centroids(emb), k=3, n_assign=4)
+    dim = len(_query_vec(spark, sf_dir, 0))
+    return S.knn_join_blocked(
+        emb, _centroids_scaled(sf_dir, emb), k=3, n_assign=4, dim=dim
+    )
 
 
 @query(
