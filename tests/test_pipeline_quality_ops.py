@@ -86,3 +86,29 @@ def test_rrf_fuse_known_answer(spark):
     # both-lists member outranks either single-list member
     ordered = sorted(out.values(), key=lambda r: -r["rrf_score"])
     assert ordered[0]["vec_id"] == 11
+
+
+def test_mixture_sample_is_deterministic_and_respects_weights(spark):
+    from wistia_data_pipeline_project_spark.operators import training as TR
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    weights = {"a": 0.25}
+    got1 = TR.mixture_sample(df, weights).collect()
+    got2 = TR.mixture_sample(df.repartition(7), weights).collect()
+    assert sorted(r["doc_id"] for r in got1) == sorted(r["doc_id"] for r in got2)
+    kept_a = sum(1 for r in got1 if r["source"] == "a")
+    kept_b = sum(1 for r in got1 if r["source"] == "b")
+    assert kept_b == 1000  # unlisted source untouched
+    assert 150 < kept_a < 350  # ~25% of 1000, binomial tolerance
+
+
+def test_mixture_sample_full_weight_keeps_all(spark):
+    from wistia_data_pipeline_project_spark.operators import training as TR
+
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)], "doc_id long, source string"
+    )
+    assert TR.mixture_sample(df, {"a": 1.0}).count() == 100

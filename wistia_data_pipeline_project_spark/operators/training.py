@@ -208,3 +208,42 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture/curriculum downsampling: each source is
+    kept at its configured rate via a content-addressed hex-threshold
+    draw (no RNG, no sampleBy non-determinism) — rerunnable, portable,
+    and stable under repartitioning.
+
+    Keep rule: first 8 hex chars of md5(key:salt) sort below the
+    source's threshold hex ``format(int(w * 16^8), '08x')`` — the same
+    content-addressed uniform draw as ``split_assign``, portable to
+    any engine with md5. Sources absent from ``weights`` (or with
+    w ≥ 1.0) are kept unconditionally: a 9-char threshold like
+    '100000000' would sort BELOW 'a…' lexicographically (same trap as
+    ``split_cuts``), so full weight short-circuits to TRUE.
+
+    Scale: pure codegen'd filter in the scan projection — no shuffle,
+    no state; the weights fold into a literal CASE. This is the
+    pretraining mixture-reweighting primitive (e.g. upweight curated
+    sources, downsample crawl).
+    """
+    sub = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))), 1, 8
+    )
+    keep = F.lit(False)
+    covered = F.lit(False)
+    for src, w in weights.items():
+        thresh = format(int(float(w) * 16**8), "08x")
+        src_match = F.col(source_col) == src
+        src_keep = F.lit(True) if float(w) >= 1.0 else (sub < F.lit(thresh))
+        keep = F.when(src_match, src_keep).otherwise(keep)
+        covered = covered | src_match
+    return df.filter(F.when(covered, keep).otherwise(F.lit(True)))

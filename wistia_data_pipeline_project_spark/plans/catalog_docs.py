@@ -1003,3 +1003,56 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return D.containment_pairs(docs, width=8, threshold=0.9)
+
+
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def _mixture_oracle() -> str:
+    """Generated from MIXTURE_WEIGHTS — one source of truth for both
+    engines (same pattern as the PII and split oracles)."""
+    arms = " ".join(
+        f"WHEN source = '{src}' THEN "
+        + (
+            "TRUE"
+            if float(w) >= 1.0
+            else f"substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < '{format(int(float(w) * 16**8), '08x')}'"
+        )
+        for src, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"""
+    WITH kept AS (
+      SELECT source, doc_id FROM documents
+      WHERE CASE {arms} ELSE TRUE END
+    )
+    SELECT d.source,
+           COUNT(*) AS n_input,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents d LEFT JOIN kept k
+      ON d.doc_id = k.doc_id AND d.source = k.source
+    GROUP BY d.source
+    """
+
+
+@query("docs_mixture_sample", oracle=_mixture_oracle())
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture/curriculum downsampling (training.py
+    ``mixture_sample``): per-source keep rates via content-addressed
+    hex-threshold draws (src0 kept fully, src1 at 50%, src2 at 25%,
+    src3 at 10%, the other sources untouched); output per-source
+    input/kept counts. Membership is RNG-free and engine-portable, so
+    the counts hash-match exactly — unlike sampleBy, which is seeded
+    per-partitioning.
+
+    Scale: the filter is a codegen'd projection on the scan; the count
+    rollup shuffles |sources| rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = TR.mixture_sample(docs, MIXTURE_WEIGHTS, salt="mix").groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+    n_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_input"))
+    return n_in.join(kept, "source", "left").select(
+        "source", "n_input", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
