@@ -34,12 +34,29 @@ def test_no_plan_antipatterns(plans, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["q3_top_orders", "q5_region_revenue", "customers_with_orders"],
+    [
+        "q3_top_orders",
+        "q5_region_revenue",
+        "customers_with_orders",
+        # round-4 multi-join family: the dim chains must broadcast
+        "q7_nation_trade",
+        "q9_profit_by_nation_year",
+        "q16_supplier_variety",
+    ],
 )
 def test_dim_joins_broadcast(plans, name):
     plan = plans[name]
     assert "BroadcastHashJoin" in plan, f"{name} dim join must broadcast"
     assert "SortMergeJoin" not in plan, f"{name} shuffled a broadcastable dim"
+
+
+@pytest.mark.parametrize("name", ["q8_market_share", "q10_returned_revenue_topk"])
+def test_dim_chain_broadcasts_customer_may_shuffle(plans, name):
+    """q8/q10 join customer, which is region/date-filtered but still
+    fact-sized at 100 TB — a shuffle join there is the correct static
+    plan (AQE converts to broadcast when a filter makes it small). The
+    nation/region/part/supplier chain must still broadcast."""
+    assert "BroadcastHashJoin" in plans[name], f"{name} lost its dim broadcasts"
 
 
 def test_q6_pushes_filters_into_scan(plans):
