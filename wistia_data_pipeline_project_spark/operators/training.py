@@ -247,3 +247,59 @@ def mixture_sample(
         keep = F.when(src_match, src_keep).otherwise(keep)
         covered = covered | src_match
     return df.filter(F.when(covered, keep).otherwise(F.lit(True)))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Content-addressed shard id: first 8 hex chars of md5(key:salt)
+    mod n_shards — uniform, RNG-free, stable under repartitioning and
+    engine-portable (same arithmetic in SQL: ``CAST(('0x' || hex8) AS
+    BIGINT) % n``). The companion of ``split_assign`` for the EXPORT
+    side of the pipeline."""
+    hex8 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))), 1, 8
+    )
+    sid = F.conv(hex8, 16, 10).cast("long") % n_shards
+    return df.withColumn("shard_id", sid)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Export a corpus as n deterministic training shards: parquet
+    partitioned by content-addressed ``shard_id``, rows sorted by key
+    WITHIN each shard file, plus a returned manifest (one row per
+    shard: count + order-invariant content fingerprint) the consumer
+    can verify against.
+
+    Scale: ``repartition(shard_id)`` is the one shuffle — each output
+    file is written by the task owning that shard, so file count ==
+    shard count regardless of input layout (no small-file explosion);
+    the within-shard sort is per-partition (no global sort). The
+    manifest fingerprint is xor-free: md5s summed as decimal(38,0) mod
+    2^127 is commutative → order-invariant, map-side combinable, and
+    reproducible in SQL.
+    """
+    sharded = shard_assign(df, n_shards, key_col, salt)
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    fp = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(fp).alias("content_sum"),
+    )

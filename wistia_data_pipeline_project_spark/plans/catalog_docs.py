@@ -1056,3 +1056,48 @@ def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_in.join(kept, "source", "left").select(
         "source", "n_input", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
     )
+
+
+@query(
+    "docs_shard_manifest",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':shard'),
+                                         1, 8)) AS BIGINT) % 8 AS shard_id,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS fp
+      FROM documents
+    )
+    SELECT shard_id, COUNT(*) AS n_rows,
+           CAST(SUM(fp // 1073741824) AS BIGINT) AS content_sum_hi,
+           CAST(SUM(fp % 1073741824) AS BIGINT) AS content_sum_lo
+    FROM s GROUP BY 1
+    """,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-side shard manifest (training.py ``shard_assign`` /
+    ``write_training_shards``): content-addressed shard ids (md5 mod n,
+    RNG-free, layout-stable) with per-shard counts and an
+    order-invariant content fingerprint (commutative sum of per-row
+    md5 prefixes) — what a training-data consumer verifies before
+    reading the shards. The 15-hex-char fingerprints (< 2⁶⁰) are
+    summed as two exact integer lanes (hi = fp div 2³⁰, lo = fp mod
+    2³⁰) — a decimal-sum-cast-double diverged between engines in the
+    last ulp; integer lanes cannot.
+
+    Scale: a codegen projection plus one |shards|-row rollup; the
+    actual file write (repartition + sortWithinPartitions +
+    partitionBy) is exercised in tests — file count == shard count, no
+    small-file explosion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = TR.shard_assign(docs, 8, "doc_id", "shard")
+    fp = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.shiftright(fp, 30)).alias("content_sum_hi"),
+        F.sum(fp % F.lit(1 << 30)).alias("content_sum_lo"),
+    )
