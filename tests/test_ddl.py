@@ -164,3 +164,55 @@ def test_incremental_pipeline_on_catalog_tables(spark, tmp_path):
         assert r3["fact_total"] == r2["fact_total"]  # idempotent re-run
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordered files must have narrow min/max on BOTH key columns:
+    for a point filter on either column, fewer files' stat ranges
+    cover the value than under a single-column lexicographic sort
+    (which only prunes its leading column)."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from wistia_data_pipeline_project_spark.sources.ddl import write_zordered
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    n_files = 8
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_zordered(li, zdir, "l_partkey", "l_suppkey", n_files=n_files)
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def covering_files(d, col, value):
+        n = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            n += lo <= value <= hi
+        return n
+
+    # probe several point values on the SECOND dimension: lexicographic
+    # layout cannot prune it (every file spans ~the full suppkey range)
+    probes = [r["l_suppkey"] for r in li.limit(5).collect()]
+    z_cover = sum(covering_files(zdir, "l_suppkey", v) for v in probes)
+    l_cover = sum(covering_files(ldir, "l_suppkey", v) for v in probes)
+    assert z_cover < l_cover, (z_cover, l_cover)
+    # and the leading dimension still prunes under z-order (not all files)
+    p = probes and [r["l_partkey"] for r in li.limit(3).collect()]
+    assert all(covering_files(zdir, "l_partkey", v) < n_files for v in p)
