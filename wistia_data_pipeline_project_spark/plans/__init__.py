@@ -72,6 +72,15 @@ def _priority_order(names: list[str]) -> list[str]:
         + [n for n in _R01_TWICE if n in names]
     )
     assert len(order) == len(names), "catalog reorder dropped an entry"
+    # Never-checked entries (shadowed + fresh) must FIT the driver's
+    # 50-entry window; when a new entry trips this, promote more
+    # multi-green entries into _R01_TWICE / _NEW_R02 to free slots
+    # instead of silently pushing an unverified entry past the edge.
+    n_front = len([n for n in _SHADOWED_R02 if n in names]) + len(fresh)
+    assert n_front <= 50, (
+        f"{n_front} never-checked entries exceed the 50-entry "
+        "correctness window — rebalance the rotation lists"
+    )
     return order
 
 
