@@ -352,3 +352,58 @@ def test_streaming_enriched_rolling_volume_matches_batch(spark, events_jsonl_dir
         .filter(F.col("media_id").isNotNull() & F.col("received_at").isNotNull())
         .count()
     )
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, events_jsonl_dir):
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        streaming_play_conversion_join,
+    )
+
+    # split one fixture stream into two event streams by key parity —
+    # same schema, disjoint rows, deterministic
+    def side(parity):
+        return _read_stream(spark, events_jsonl_dir).filter(
+            (F.crc32(F.col("event_key")) % 2) == parity
+        )
+
+    q = run_stream_to_memory(
+        streaming_play_conversion_join(side(0), side(1), within="30 minutes"),
+        "attribution",
+        "append",
+    )
+    try:
+        got = {
+            (r["play_key"], r["conv_key"])
+            for r in spark.table("attribution").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.schema(WISTIA_EVENT_SCHEMA).json(events_jsonl_dir).filter(
+        F.col("visitor_key").isNotNull()
+        & F.col("media_id").isNotNull()
+        & F.col("received_at").isNotNull()
+    )
+    b0 = batch.filter((F.crc32(F.col("event_key")) % 2) == 0).select(
+        F.col("visitor_key").alias("v"),
+        F.col("media_id").alias("m"),
+        F.col("event_key").alias("play_key"),
+        F.col("received_at").alias("play_ts"),
+    )
+    b1 = batch.filter((F.crc32(F.col("event_key")) % 2) == 1).select(
+        F.col("visitor_key").alias("v"),
+        F.col("media_id").alias("m"),
+        F.col("event_key").alias("conv_key"),
+        F.col("received_at").alias("conv_ts"),
+    )
+    want = {
+        (r["play_key"], r["conv_key"])
+        for r in b0.join(b1, ["v", "m"])
+        .filter(
+            (F.col("conv_ts") >= F.col("play_ts"))
+            & (F.col("conv_ts") <= F.col("play_ts") + F.expr("INTERVAL 30 minutes"))
+        )
+        .collect()
+    }
+    assert want, "fixture should produce at least one attributable pair"
+    assert got == want

@@ -144,6 +144,66 @@ def streaming_enriched_rolling_volume(
     )
 
 
+def streaming_play_conversion_join(
+    plays: DataFrame,
+    conversions: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time join: attribute each conversion event
+    to a play event by the same visitor on the same media within the
+    preceding ``within`` interval (the attribution-join shape — view ⋈
+    later purchase).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time gap, so Spark can evict buffered state once the
+    watermark passes conv_ts − within: state is O(events inside the
+    watermark horizon), not unbounded. Inner join → a row emits only
+    when both sides arrive; per the Structured Streaming contract the
+    play side buffers at least ``within`` past its watermark.
+
+    Scale: one shuffle per side on (visitor, media); the range
+    predicate evaluates within the co-partitioned state store join.
+    """
+    p = (
+        plays.filter(
+            F.col("visitor_key").isNotNull()
+            & F.col("media_id").isNotNull()
+            & F.col("received_at").isNotNull()
+        )
+        .select(
+            F.col("visitor_key").alias("p_visitor"),
+            F.col("media_id").alias("p_media"),
+            F.col("event_key").alias("play_key"),
+            F.col("received_at").alias("play_ts"),
+        )
+        .withWatermark("play_ts", watermark)
+    )
+    c = (
+        conversions.filter(
+            F.col("visitor_key").isNotNull()
+            & F.col("media_id").isNotNull()
+            & F.col("received_at").isNotNull()
+        )
+        .select(
+            F.col("visitor_key").alias("c_visitor"),
+            F.col("media_id").alias("c_media"),
+            F.col("event_key").alias("conv_key"),
+            F.col("received_at").alias("conv_ts"),
+        )
+        .withWatermark("conv_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("p_visitor") == F.col("c_visitor"))
+        & (F.col("p_media") == F.col("c_media"))
+        & (F.col("conv_ts") >= F.col("play_ts"))
+        & (F.col("conv_ts") <= F.col("play_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        "p_visitor", "p_media", "play_key", "conv_key", "play_ts", "conv_ts"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stateful watch-time (SURVEY §2.6 streaming variant)
 # ---------------------------------------------------------------------------
