@@ -59,3 +59,32 @@ def test_sql_join_pushdown_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert df.count() > 0
+
+
+def test_chunk_text_udtf_matches_dataframe_chunker(spark, sf_dir):
+    from wistia_data_pipeline_project_spark.operators import training as TR
+    from wistia_data_pipeline_project_spark.plans.sql import register_udtfs
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("_udtf_docs")
+
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in spark.sql(
+            """
+            SELECT d.doc_id, c.chunk_id, c.n_tokens, c.chunk_text
+            FROM _udtf_docs d, LATERAL chunk_text(d.text, 64, 16) c
+            """
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in TR.chunk_documents(
+            docs, budget=64, overlap=16, with_text=True
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, txt) in got.items():
+        assert want[k][1] == txt, k
