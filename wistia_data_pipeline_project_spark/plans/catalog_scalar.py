@@ -696,3 +696,58 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_total")
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "events_approx_percentiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           TRUE AS p50_in_band,
+           TRUE AS p95_in_band
+    FROM events GROUP BY 1
+    """,
+)
+def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK-style sketch, map-side combinable)
+    gated by its own guarantee: with accuracy A the rank error is
+    ≤ 1/A, so the estimate must lie within the EXACT values at ranks
+    ⌈(p ± 1/A)·n⌉ (clamped). The sketch numbers are engine-specific,
+    so — like events_approx_distinct — the oracle-checked statement
+    is the structural TRUE per group: the band check fails the hash on
+    either engine if the sketch ever violates its bound.
+
+    Scale: this is the billions-per-group path the exact
+    ``events_percentiles`` entry gates; one pass, no per-group sort,
+    sketch merge at the combiner.
+    """
+    acc = 100  # rank error <= 1%
+    eps = 1.0 / acc
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("_a50"),
+        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("_a95"),
+        F.expr(
+            f"percentile_disc({max(0.5 - eps, 0.0)}) WITHIN GROUP (ORDER BY value)"
+        ).alias("_lo50"),
+        F.expr(
+            f"percentile_disc({min(0.5 + eps, 1.0)}) WITHIN GROUP (ORDER BY value)"
+        ).alias("_hi50"),
+        F.expr(
+            f"percentile_disc({max(0.95 - eps, 0.0)}) WITHIN GROUP (ORDER BY value)"
+        ).alias("_lo95"),
+        F.expr(
+            f"percentile_disc({min(0.95 + eps, 1.0)}) WITHIN GROUP (ORDER BY value)"
+        ).alias("_hi95"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        ((F.col("_a50") >= F.col("_lo50")) & (F.col("_a50") <= F.col("_hi50"))).alias(
+            "p50_in_band"
+        ),
+        ((F.col("_a95") >= F.col("_lo95")) & (F.col("_a95") <= F.col("_hi95"))).alias(
+            "p95_in_band"
+        ),
+    )
