@@ -59,6 +59,22 @@ def test_dim_chain_broadcasts_customer_may_shuffle(plans, name):
     assert "BroadcastHashJoin" in plans[name], f"{name} lost its dim broadcasts"
 
 
+def test_knn_join_pair_loop_stays_parallel(spark, sf_dir):
+    """emb_knn_join's candidate-pair cosine loop must run as an AQE
+    broadcast join probed through the explicit round-robin repartition
+    (the parallelism carrier): statically Spark plans a sort-merge
+    join, and without the user repartition AQE coalesces the tiny
+    exchange and serializes the hot loop (the measured 141 s
+    pathology) — so the assertion reads the FINAL adaptive plan after
+    execution, not the static one."""
+    df = QUERIES["emb_knn_join"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_q6_pushes_filters_into_scan(plans):
     assert "PushedFilters: [" in plans["q6_forecast_revenue"]
     # at least one real pushed predicate (not an empty list)

@@ -69,18 +69,13 @@ def shingle_table(df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    key_col: str = "doc_id",
-    text_col: str = "text",
-    width: int = 8,
-    threshold: float = 0.8,
+def _pair_intersections(
+    df: DataFrame, key_col: str, text_col: str, width: int
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
-
-    intersection via shingle equi-join; union = |A|+|B|-∩. The single
-    double division keeps the value deterministic for the oracle.
-    """
+    """Shared core of the exact pair metrics: the shingle equi-join
+    frame (doc_a < doc_b, n_inter, n_a, n_b) that Jaccard and
+    containment project differently. One place owns the join topology
+    (tie-break, width handling), so the two metrics cannot drift."""
     sh = shingle_table(df, key_col, text_col, width)
     sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -95,14 +90,25 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    j = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-        )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    intersection via shingle equi-join; union = |A|+|B|-∩. The single
+    double division keeps the value deterministic for the oracle.
+    """
+    j = _pair_intersections(df, key_col, text_col, width).withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
     )
     return j.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "n_inter", "jaccard"
@@ -126,21 +132,7 @@ def containment_pairs(
     (fan-out bounded by near-unique w=8 shingles); the directional
     split is a projection over the joined counts, not a second join.
     """
-    sh = shingle_table(df, key_col, text_col, width)
-    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        .groupBy(
-            F.col(f"a.{key_col}").alias("doc_a"), F.col(f"b.{key_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    j = inter.join(sa, "doc_a").join(sb, "doc_b")
+    j = _pair_intersections(df, key_col, text_col, width)
     ab = j.select(
         F.col("doc_a").alias("doc_sub"),
         F.col("doc_b").alias("doc_sup"),

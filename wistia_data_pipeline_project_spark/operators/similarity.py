@@ -559,7 +559,14 @@ def knn_join_blocked(
     # partition, which serializes millions of candidate-pair cosines
     # onto one core (measured 141 s single-task at sf0.1). An explicit
     # round-robin repartition is user-specified, so AQE keeps all
-    # partitions of the probe side busy; the build side broadcasts.
+    # partitions of the probe side busy. Two regimes for the join
+    # itself: below autoBroadcastJoinThreshold the build side
+    # broadcasts and the probe's repartition IS the parallelism
+    # (asserted in test_plan_audit); above it Spark shuffle-joins on
+    # centroid_id, where parallelism comes from the scaled cell count
+    # (max(8, N//250) cells) and the probe repartition is one wasted
+    # small exchange — acceptable, since that regime is exactly where
+    # broadcasting would OOM the driver.
     par = df.sparkSession.sparkContext.defaultParallelism
     a = assigned.repartition(par).alias("a")
     b = assigned.alias("b")

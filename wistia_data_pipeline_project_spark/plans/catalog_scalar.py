@@ -741,13 +741,16 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"percentile_disc({min(0.95 + eps, 1.0)}) WITHIN GROUP (ORDER BY value)"
         ).alias("_hi95"),
     )
+    # a group whose value column is entirely NULL yields NULL from
+    # both the sketch and the exact percentiles; the bound is then
+    # vacuously satisfied — coalesce to TRUE so the structural oracle
+    # doesn't read a NULL as a violation
+    in_band = lambda a, lo, hi: F.coalesce(  # noqa: E731
+        (F.col(a) >= F.col(lo)) & (F.col(a) <= F.col(hi)), F.lit(True)
+    )
     return agg.select(
         "event_type",
         "n_events",
-        ((F.col("_a50") >= F.col("_lo50")) & (F.col("_a50") <= F.col("_hi50"))).alias(
-            "p50_in_band"
-        ),
-        ((F.col("_a95") >= F.col("_lo95")) & (F.col("_a95") <= F.col("_hi95"))).alias(
-            "p95_in_band"
-        ),
+        in_band("_a50", "_lo50", "_hi50").alias("p50_in_band"),
+        in_band("_a95", "_lo95", "_hi95").alias("p95_in_band"),
     )

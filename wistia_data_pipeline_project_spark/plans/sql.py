@@ -61,6 +61,9 @@ def register_udtfs(spark: SparkSession) -> None:
     class ChunkText:
         def eval(self, text: str, window: int = 64, overlap: int = 16):
             if text is None:
+                # match chunk_documents on NULL text: one chunk row
+                # with NULL token count and NULL text
+                yield 0, None, None
                 return
             toks = text.split()
             if not toks:

@@ -164,6 +164,11 @@ def write_zordered(
             F.min(col1), F.max(col1), F.min(col2), F.max(col2)
         ).collect()[0]
     )
+    if lo1 is None or lo2 is None:
+        # empty input (or all-NULL keys): nothing to cluster — write
+        # the empty dataset instead of crashing on int(None)
+        df.write.mode("overwrite").parquet(path)
+        return
 
     def scaled(c: str, lo, hi) -> Column:
         span = max(int(hi) - int(lo), 0) + 1

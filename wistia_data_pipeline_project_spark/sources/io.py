@@ -81,19 +81,28 @@ def _events_ts_is_nanos(path: str) -> bool:
     parquet footer. The driver has generated both variants across
     rounds (nanos in round 1, micros later), so the reader branches on
     the footer instead of assuming either. Footer-only read: no data
-    pages are touched, and the result is cached per path."""
-    if path not in _TS_UNIT:
+    pages are touched. Cached by (path, mtime, size) so a regenerated
+    file with the other unit invalidates the verdict instead of being
+    read 1000x off; pyarrow is a baked dependency of this environment,
+    so the defensive except only covers unreadable paths (directory
+    datasets etc.) — those fall through to Spark's own reader error."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, 0, 0)
+    if key not in _TS_UNIT:
         try:
             import pyarrow.parquet as pq
 
             unit = getattr(pq.read_schema(path).field("ts").type, "unit", None)
-            _TS_UNIT[path] = unit == "ns"
+            _TS_UNIT[key] = unit == "ns"
         except Exception:
-            _TS_UNIT[path] = False
-    return _TS_UNIT[path]
+            _TS_UNIT[key] = False
+    return _TS_UNIT[key]
 
 
-_TS_UNIT: dict[str, bool] = {}
+_TS_UNIT: dict[tuple[str, int, int], bool] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
