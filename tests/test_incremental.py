@@ -181,3 +181,35 @@ def test_scd2_history_interval_integrity(spark, sf_dir):
         for a, b in zip(rows, rows[1:]):
             assert a.valid_to == b.valid_from, uid
             assert a.event_type != b.event_type, uid
+
+
+def test_compact_parquet_collapses_small_files(spark, sf_dir, tmp_path):
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    path = str(tmp_path / "swamp")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(37).write.parquet(path)  # simulate append swamp
+    before = docs.count()
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 37
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == before
+    # content identical (set compare on the doc ids)
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+
+
+def test_compact_parquet_empty_dir(spark, tmp_path):
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+
+    d = tmp_path / "nothing"
+    d.mkdir()
+    assert compact_parquet(spark, str(d)) == {"files_before": 0, "files_after": 0}

@@ -314,3 +314,41 @@ def scd2_history(
         F.row_number().over(wc).alias("version"),
         F.lead(ts_col).over(wc).isNull().alias("is_current"),
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ~total_bytes/target files (the maintenance job that keeps
+    incremental-append tables from degrading into a small-file swamp —
+    every append in this engine creates files, and at 100 TB scan task
+    count tracks file count).
+
+    Local-FS atomic-enough swap: write to ``<path>._compact``, then
+    rename over the original (object stores would write a new
+    versioned prefix and flip a manifest instead — same shape). Reads
+    the footer sizes only; returns before/after file counts.
+
+    Scale: one round-robin shuffle sized from real bytes; coalesce()
+    would avoid the shuffle but inherits upstream partitioning and
+    can't SPLIT oversized inputs, so repartition is the general tool.
+    """
+    import glob as _glob
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        return {"files_before": 0, "files_after": 0}
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + "._compact"
+    spark.read.parquet(path).repartition(int(n_out)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    after = len(_glob.glob(os.path.join(path, "*.parquet")))
+    return {"files_before": len(files), "files_after": after}
