@@ -213,3 +213,40 @@ def test_compact_parquet_empty_dir(spark, tmp_path):
     d = tmp_path / "nothing"
     d.mkdir()
     assert compact_parquet(spark, str(d)) == {"files_before": 0, "files_after": 0}
+
+
+def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        write_fact_backfill,
+    )
+
+    path = str(tmp_path / "fact")
+    rows = [
+        (m, d, float(v))
+        for d, (m, v) in {
+            dt.date(2025, 5, 1): ("m1", 10.0),
+            dt.date(2025, 5, 2): ("m1", 20.0),
+            dt.date(2025, 5, 3): ("m1", 30.0),
+        }.items()
+    ]
+    base = spark.createDataFrame(rows, "media_id string, date date, watch double")
+    base.write.partitionBy("date").parquet(path)
+
+    # backfill ONLY 2025-05-02 with corrected numbers
+    fix = spark.createDataFrame(
+        [("m1", dt.date(2025, 5, 2), 99.0)],
+        "media_id string, date date, watch double",
+    )
+    write_fact_backfill(fix, path)
+
+    got = {
+        (str(r["date"])): r["watch"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {"2025-05-01": 10.0, "2025-05-02": 99.0, "2025-05-03": 30.0}
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )

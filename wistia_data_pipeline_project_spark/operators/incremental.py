@@ -352,3 +352,29 @@ def compact_parquet(
     os.rename(tmp, path)
     after = len(_glob.glob(os.path.join(path, "*.parquet")))
     return {"files_before": len(files), "files_after": after}
+
+
+def write_fact_backfill(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "date",
+) -> None:
+    """Partition-scoped backfill: dynamic partition overwrite replaces
+    ONLY the date partitions present in ``df``, leaving every other
+    partition's files untouched — the correction semantics between the
+    reference's two extremes (full TRUNCATE vs blind APPEND,
+    ``process_wistia_data.py:515,528``). Re-running a corrected
+    transform for a date range is idempotent and cannot double-append.
+
+    Scale: the overwritten set is exactly the partitions the backfill
+    touches; a 3-day correction on a 5-year table rewrites 3
+    directories. The conf is set per-write on the session (Spark has
+    no per-writer option for it) and restored after.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
