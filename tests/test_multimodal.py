@@ -133,3 +133,41 @@ def test_mm_oracle_corpus_assumptions_hold():
         ).fetchone()
         assert non_ascii == 0, f"{sf}: non-ASCII docs break byte/char oracle parity"
         assert empty == 0, f"{sf}: empty docs break the % len tiling oracle"
+
+
+def test_average_hash_deterministic_and_robust(spark, assets):
+    h1 = {r["asset_id"]: r["ahash"] for r in M.average_hash(assets).collect()}
+    h2 = {
+        r["asset_id"]: r["ahash"]
+        for r in M.average_hash(assets.repartition(7)).collect()
+    }
+    assert h1 == h2 and h1  # deterministic across partitionings
+    # identical payloads hash identically; a perturbed copy stays close
+    img = assets.filter(F.col("meta.media_type") == "image").first()
+    perturbed = bytes(img["payload"])[:-3] + b"\x00\x01\x02"
+    two = spark.createDataFrame(
+        [
+            (1000, img["payload"], img["meta"]),
+            (1001, img["payload"], img["meta"]),
+            (1002, perturbed, img["meta"]),
+        ],
+        assets.schema,
+    )
+    hh = {r["asset_id"]: r["ahash"] for r in M.average_hash(two).collect()}
+    assert hh[1000] == hh[1001]
+    assert bin(hh[1000] ^ hh[1002]).count("1") <= 8  # few-byte change -> few bits
+
+
+def test_image_near_dup_pairs_finds_planted_duplicate(spark, assets):
+    img = assets.filter(F.col("meta.media_type") == "image").limit(2).collect()
+    planted = spark.createDataFrame(
+        [(9000 + i, r["payload"], r["meta"]) for i, r in enumerate(img)]
+        + [(9100, img[0]["payload"], img[0]["meta"])],  # exact dup of 9000
+        assets.schema,
+    )
+    pairs = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in M.image_near_dup_pairs(planted, max_hamming=3).collect()
+    }
+    assert pairs.get((9000, 9100)) == 0
+    assert (9000, 9001) not in pairs  # different images stay apart

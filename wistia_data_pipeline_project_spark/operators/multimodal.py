@@ -336,3 +336,105 @@ def sample_frames(assets: DataFrame, every_k: int = 2) -> DataFrame:
     return assets.filter(F.col("meta.media_type") == "video").mapInPandas(
         work, FRAME_SCHEMA
     )
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def average_hash(assets: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
+    """Perceptual average-hash per image (the classic aHash): decode →
+    grayscale (channel mean) → nearest-resize to hash_w×hash_h →
+    threshold each cell at the grid mean → pack row-major into a
+    64-bit code. Near-identical images (small crops/noise) land within
+    a few Hamming bits — the image-side analogue of SimHash for text.
+
+    Output is 16 bytes per image; payloads never shuffle. Same
+    Arrow-batch + Spark-side media_type pruning as image_features.
+    """
+    if hash_w * hash_h != 64:
+        raise ValueError("hash grid must pack exactly 64 bits")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["media_type"] != "image":
+                    continue
+                arr = decode_payload(payload, meta)
+                gray = arr.astype(np.float64).mean(axis=2)
+                small = _nearest_resize(gray[:, :, None], hash_w, hash_h)[:, :, 0]
+                bits = (small > small.mean()).ravel()
+                code = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        code |= 1 << i
+                # map into signed 64-bit (bit 63 set -> negative long)
+                if code >= 1 << 63:
+                    code -= 1 << 64
+                rows.append({"asset_id": asset_id, "ahash": code})
+            yield pd.DataFrame(rows, columns=["asset_id", "ahash"])
+
+    return assets.filter(F.col("meta.media_type") == "image").mapInPandas(
+        extract, AHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    assets: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Image near-dup pairs by aHash Hamming distance ≤ ``max_hamming``
+    via pigeonhole blocking (same scheme as the SimHash text path:
+    split the 64-bit code into 4×16-bit blocks — any pair within
+    Hamming 3 shares a block; at max_hamming 4 use it as a
+    high-recall candidate stage).
+
+    Scale: candidates come from an equi-join on (block_idx, block
+    value) — Σ buckets |bucket|², never all-pairs; the exact Hamming
+    verify is two codegen'd ops per candidate.
+    """
+    codes = average_hash(assets)
+    blocks = codes.select(
+        "asset_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("ahash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("asset_id", "ahash", "b.block_idx", "b.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("a.ahash").alias("_ha"),
+            F.col("b.ahash").alias("_hb"),
+        )
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    return cand.select(
+        "asset_a",
+        "asset_b",
+        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
