@@ -250,3 +250,53 @@ def test_backfill_overwrites_only_touched_partitions(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     )
+
+
+def test_scd2_collapses_null_runs(spark):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        scd2_history,
+    )
+
+    t = lambda i: dt.datetime(2025, 1, 1, i)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            ("k", "A", t(1), 1),
+            ("k", None, t(2), 2),  # A -> NULL is a real transition
+            ("k", None, t(3), 3),  # NULL run collapses
+            ("k", "A", t(4), 4),  # NULL -> A reopens A
+        ],
+        "key string, attr string, ts timestamp, seq long",
+    )
+    hist = scd2_history(df, ["key"], "attr", ["ts", "seq"]).collect()
+    assert [(r["attr"], r["version"]) for r in sorted(hist, key=lambda r: r["version"])] == [
+        ("A", 1),
+        (None, 2),
+        ("A", 3),
+    ]
+    assert hist[-1]["is_current"]
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [("m", dt.date(2025, 5, 1 + i % 2), float(i)) for i in range(40)],
+        "media_id string, date date, v double",
+    )
+    df.repartition(10).write.partitionBy("date").parquet(path)
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] >= 10
+    assert stats["files_after"] == 2  # one file per date partition
+    back = spark.read.parquet(path)
+    assert back.count() == 40
+    assert {str(r["date"]) for r in back.select("date").distinct().collect()} == {
+        "2025-05-01",
+        "2025-05-02",
+    }

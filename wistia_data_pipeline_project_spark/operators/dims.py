@@ -24,14 +24,11 @@ from pyspark.sql import functions as F
 
 def infer_channel(title: F.Column) -> F.Column:
     """Channel from title substrings (process_wistia_data_v2.py:274-278):
-    Facebook/FB → 'Facebook'; Youtube/YT → 'YouTube'; else NULL."""
-    return (
-        F.when(
-            title.contains("Facebook") | title.contains("FB"), F.lit("Facebook")
-        )
-        .when(title.contains("Youtube") | title.contains("YT"), F.lit("YouTube"))
-        .otherwise(F.lit(None).cast("string"))
-    )
+    Facebook/FB → 'Facebook'; Youtube/YT → 'YouTube'; else NULL.
+    Thin alias over the named scalar API (one copy of the rule)."""
+    from ..functions.scalars import channel_of
+
+    return channel_of(title)
 
 
 def transform_media_data(media: DataFrame, run_ts: dt.datetime) -> DataFrame:

@@ -89,11 +89,18 @@ def dedup_events(events: DataFrame, key_col: str = "event_key") -> DataFrame:
     (received_at, key) total order wins instead — same shuffle, and
     re-runs reproduce bit-identically on any partitioning."""
     cols = events.columns
+    # (received_at, key) alone is NOT a total order inside a key group
+    # (key is constant; the 1s-overlap refetch can redeliver the same
+    # event_key at the same second-resolution timestamp with a changed
+    # payload) — a full-row fingerprint breaks the tie so the survivor
+    # is partitioning-independent, keeping the bit-identical-rerun
+    # guarantee honest.
+    row_fp = F.md5(F.to_json(F.struct(*cols)))
     return (
         events.groupBy(key_col)
         .agg(
             F.min_by(
-                F.struct(*cols), F.struct("received_at", F.col(key_col))
+                F.struct(*cols), F.struct("received_at", row_fp)
             ).alias("_r")
         )
         .select("_r.*")
@@ -300,10 +307,21 @@ def scd2_history(
     state per row is a handful of scalars, no text or payload moves.
     Ordering must be made unique via ``order_cols`` (e.g. ts +
     event_id) or run boundaries are nondeterministic under ties.
+    NULL attribute values form runs like any other value (null-safe
+    change detection).
     """
     w = W.partitionBy(*key_cols).orderBy(*order_cols)
-    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).filter(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    # NULL-safe run detection: a NULL attribute is a real SCD2 state,
+    # so "first row of the key" is detected by row_number (a NULL lag
+    # is ambiguous between first-row and prev-attr-was-NULL) and value
+    # changes use null-safe equality — transitions A→NULL→A produce
+    # three versions, and NULL runs collapse like any other value.
+    changed = (
+        df.withColumn("_prev", F.lag(attr_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(F.col(attr_col))
+        )
     )
     wc = W.partitionBy(*key_cols).orderBy(*order_cols)
     return changed.select(
@@ -341,6 +359,22 @@ def compact_parquet(
 
     files = _glob.glob(os.path.join(path, "*.parquet"))
     if not files:
+        # hive-partitioned layout (date=.../part-*.parquet): compact
+        # each partition directory independently — preserves the
+        # partition layout and bounds each rewrite to one partition
+        # (the backfill-sized unit of work)
+        parts = sorted(
+            d
+            for d in _glob.glob(os.path.join(path, "*=*"))
+            if os.path.isdir(d)
+        )
+        if parts:
+            agg = {"files_before": 0, "files_after": 0}
+            for d in parts:
+                st = compact_parquet(spark, d, target_file_bytes)
+                agg["files_before"] += st["files_before"]
+                agg["files_after"] += st["files_after"]
+            return agg
         return {"files_before": 0, "files_after": 0}
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))

@@ -399,7 +399,11 @@ def image_near_dup_pairs(
     value) — Σ buckets |bucket|², never all-pairs; the exact Hamming
     verify is two codegen'd ops per candidate.
     """
-    codes = average_hash(assets)
+    # materialize the codes: the hash table feeds BOTH sides of the
+    # self-join, and leaving it lazy would inline the Python
+    # decode+hash pass into each side — the corpus would be decoded
+    # twice (the trap dedup.bucket_pairs documents). 16 bytes/image.
+    codes = average_hash(assets).localCheckpoint()
     blocks = codes.select(
         "asset_id",
         "ahash",

@@ -117,9 +117,16 @@ def heavy_hitters(
         .select(key_col)
         .distinct()
     )
+    # left_semi on the bare key would drop a NULL key group (equi-join
+    # never matches NULL), hiding what is often the heaviest real-world
+    # shuffle key; null-safe equality keeps it diagnosable
     return (
         df.select(key_col)
-        .join(F.broadcast(cands), key_col, "left_semi")
+        .join(
+            F.broadcast(cands.withColumnRenamed(key_col, "_cand_key")),
+            F.col(key_col).eqNullSafe(F.col("_cand_key")),
+            "left_semi",
+        )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_events"))
         .crossJoin(F.broadcast(stats))

@@ -629,12 +629,14 @@ def events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
+                                   ORDER BY ts, event_id) AS prev_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
       FROM e
     ),
     ch AS (
       SELECT user_id, event_type, ts, event_id FROM s
-      WHERE prev_type IS NULL OR prev_type <> event_type
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
            lead(ts) OVER w AS valid_to,

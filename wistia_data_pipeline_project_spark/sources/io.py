@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from ..schemas import DRIVER_TABLE_SCHEMAS, WISTIA_EVENT_SCHEMA, WISTIA_MEDIA_SCHEMA
 
-RUN_TS_RE = r"_(\d{8}_\d{6})\.json$"
+from ..functions.scalars import RUN_TS_FILE_RE as RUN_TS_RE  # one copy of the rule
 
 
 def spread(df: DataFrame) -> DataFrame:

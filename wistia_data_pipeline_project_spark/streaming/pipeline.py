@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.fact import _round2
+
 
 def streaming_daily_engagement(
     events_stream: DataFrame,
@@ -259,6 +261,10 @@ def streaming_watch_time(
             & F.col("received_at").isNotNull()
         )
         .withWatermark("received_at", watermark)
+        # at-least-once sources redeliver; the batch twin dedups by
+        # event_key before the fold (run_incremental_pipeline), so the
+        # stream must too or play_count inflates on redelivery
+        .dropDuplicatesWithinWatermark(["event_key"])
         .join(
             F.broadcast(dim_media.select("media_id", "duration")),
             "media_id",
@@ -313,7 +319,10 @@ def streaming_watch_time(
                     "visitor_id": key[1],
                     "date": key[2],
                     "play_count": play_count,
-                    "total_watch_time": round(capped, 2),
+                    # HALF_UP like the batch fold (fact._round2);
+                    # built-in round() is half-to-even and diverges on
+                    # exact halves, breaking stream/batch parity
+                    "total_watch_time": _round2(capped),
                     "max_percent_viewed": max_pct,
                     "event_timestamp": to_ts(first_ts_us),
                     "last_event_timestamp": to_ts(last_ts_us),
