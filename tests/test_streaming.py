@@ -407,3 +407,74 @@ def test_stream_stream_attribution_join_matches_batch(spark, events_jsonl_dir):
     }
     assert want, "fixture should produce at least one attributable pair"
     assert got == want
+
+
+def test_streaming_watch_time_dedups_redelivered_events(spark, tmp_path):
+    """At-least-once redelivery: the same event_key arriving in two
+    micro-batches must count once — stream output equals the batch
+    fold over the deduped input (the batch twin dedups by event_key)."""
+    import datetime as dt
+    import json as _json
+
+    from wistia_data_pipeline_project_spark.operators.dims import (
+        transform_media_data,
+    )
+    from wistia_data_pipeline_project_spark.operators.fact import (
+        fact_media_engagement_fold,
+    )
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        dedup_events,
+    )
+    from wistia_data_pipeline_project_spark.schemas import (
+        WISTIA_MEDIA_SCHEMA,
+        WISTIA_EVENT_SCHEMA,
+        nullable_copy,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        streaming_watch_time,
+    )
+
+    path = tmp_path / "redelivered"
+    path.mkdir()
+    events = sorted(
+        (e for e in make_events(make_media()) if e["received_at"] is not None),
+        key=lambda e: (e["received_at"], e["event_key"]),
+    )
+    half = len(events) // 2
+    first, second = events[:half], events[half:]
+    # redeliver the last 5 events of batch 0 at the head of batch 1
+    second = first[-5:] + second
+    for i, chunk in enumerate((first, second)):
+        with open(path / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e, default=lambda o: o.isoformat()) + "\n")
+
+    media = spark.createDataFrame(make_media(), nullable_copy(WISTIA_MEDIA_SCHEMA))
+    run_ts = dt.datetime(2025, 5, 20, 12, tzinfo=dt.timezone.utc)
+    dim = transform_media_data(media, run_ts)
+    q = run_stream_to_memory(
+        streaming_watch_time(_read_stream(spark, str(path)), dim),
+        "watch_time_redelivered",
+        output_mode="update",
+    )
+    try:
+        updates = spark.table("watch_time_redelivered").collect()
+    finally:
+        q.stop()
+    final = {}
+    for r in updates:
+        final[(r["media_id"], r["visitor_id"], str(r["date"]))] = r
+
+    batch = dedup_events(
+        spark.read.schema(WISTIA_EVENT_SCHEMA).json(str(path))
+    )
+    want = {
+        (r["media_id"], r["visitor_id"], str(r["date"])): r
+        for r in fact_media_engagement_fold(batch, dim, run_ts).collect()
+    }
+    assert set(final) == set(want)
+    for k, got in final.items():
+        assert got["play_count"] == want[k]["play_count"], k
+        assert got["total_watch_time"] == pytest.approx(
+            want[k]["total_watch_time"], abs=0.01
+        ), k
