@@ -1,0 +1,158 @@
+"""Data-quality expectations (the dbt-test / Great-Expectations-style
+contract layer the reference lacks entirely — its only validation is
+dropping rows with missing keys at transform time,
+``/root/reference/process_wistia_data_v2.py:374``).
+
+Each expectation is declarative and returns one report row
+(name, passed, metric, threshold, n_rows); ``run_expectations``
+evaluates a suite and returns the report as a DataFrame so it can be
+persisted next to the load (the audit trail a warehouse pipeline
+ships with).
+
+Scale notes: ``not_null`` / ``accepted_values`` / ``bounds`` fold into
+ONE aggregate pass over a single scan (they are all conditional
+counts); ``unique`` adds one map-side-combinable distinct aggregate;
+``references`` is a broadcast-or-shuffle anti-join counting orphans.
+Nothing collects row-level data to the driver — only the scalar
+metrics move.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    kind: str
+    params: dict = field(default_factory=dict)
+
+
+def not_null(col: str, max_null_frac: float = 0.0) -> Expectation:
+    """At most ``max_null_frac`` of rows may be NULL in ``col``."""
+    return Expectation(
+        f"not_null({col})", "not_null", {"col": col, "max": max_null_frac}
+    )
+
+
+def accepted_values(col: str, values: list) -> Expectation:
+    """Every non-NULL value of ``col`` is in ``values``."""
+    return Expectation(
+        f"accepted_values({col})", "accepted_values", {"col": col, "values": values}
+    )
+
+
+def bounds(col: str, lo: float | None = None, hi: float | None = None) -> Expectation:
+    """Every non-NULL value of ``col`` lies in [lo, hi] (either side
+    optional)."""
+    return Expectation(f"bounds({col})", "bounds", {"col": col, "lo": lo, "hi": hi})
+
+
+def unique(cols: list[str] | str) -> Expectation:
+    """``cols`` form a unique key (no duplicate combinations)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return Expectation(f"unique({','.join(cols)})", "unique", {"cols": cols})
+
+
+def references(col: str, dim: DataFrame, dim_key: str) -> Expectation:
+    """Referential integrity: every non-NULL ``col`` exists in
+    ``dim[dim_key]`` (no orphan facts)."""
+    return Expectation(
+        f"references({col}->{dim_key})",
+        "references",
+        {"col": col, "dim": dim, "dim_key": dim_key},
+    )
+
+
+def _frac(cond: Column) -> Column:
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
+
+
+def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
+    """Evaluate a suite; returns (name, passed, metric, threshold,
+    n_rows) per expectation. Single-pass expectations share one
+    aggregate job; unique/references each add one.
+    """
+    spark = df.sparkSession
+    n_rows = F.count(F.lit(1))
+
+    # one shared aggregation for the per-row predicates
+    agg_cols, meta = [], []
+    for e in suite:
+        if e.kind == "not_null":
+            agg_cols.append(_frac(F.col(e.params["col"]).isNull()))
+            meta.append((e, float(e.params["max"])))
+        elif e.kind == "accepted_values":
+            c = F.col(e.params["col"])
+            bad = c.isNotNull() & ~c.isin(*e.params["values"])
+            agg_cols.append(_frac(bad))
+            meta.append((e, 0.0))
+        elif e.kind == "bounds":
+            c = F.col(e.params["col"])
+            lo, hi = e.params["lo"], e.params["hi"]
+            bad = F.lit(False)
+            if lo is not None:
+                bad = bad | (c < F.lit(lo))
+            if hi is not None:
+                bad = bad | (c > F.lit(hi))
+            agg_cols.append(_frac(c.isNotNull() & bad))
+            meta.append((e, 0.0))
+    report_rows = []
+    if agg_cols:
+        vals = df.agg(
+            n_rows.alias("_n"), *[c.alias(f"_m{i}") for i, c in enumerate(agg_cols)]
+        ).collect()[0]
+        total = vals["_n"]
+        for i, (e, thresh) in enumerate(meta):
+            metric = float(vals[f"_m{i}"] or 0.0)
+            report_rows.append((e.name, metric <= thresh, metric, thresh, total))
+    else:
+        total = df.count()
+
+    for e in suite:
+        if e.kind == "unique":
+            cols = e.params["cols"]
+            r = df.agg(
+                n_rows.alias("_n"),
+                F.count_distinct(*[F.col(c) for c in cols]).alias("_d"),
+                F.sum(
+                    F.when(
+                        F.greatest(*[F.col(c).isNull() for c in cols])
+                        if len(cols) > 1
+                        else F.col(cols[0]).isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("_nulls"),
+            ).collect()[0]
+            # count_distinct skips NULL combos; compare against the
+            # non-NULL row count so NULLs don't read as duplicates
+            dupes = (r["_n"] - r["_nulls"]) - r["_d"]
+            report_rows.append(
+                (e.name, dupes == 0, float(dupes), 0.0, r["_n"])
+            )
+        elif e.kind == "references":
+            col, dim, dim_key = (
+                e.params["col"],
+                e.params["dim"],
+                e.params["dim_key"],
+            )
+            orphans = (
+                df.select(F.col(col).alias("_k"))
+                .filter(F.col("_k").isNotNull())
+                .join(
+                    dim.select(F.col(dim_key).alias("_k")).distinct(),
+                    "_k",
+                    "left_anti",
+                )
+                .count()
+            )
+            report_rows.append((e.name, orphans == 0, float(orphans), 0.0, total))
+
+    return spark.createDataFrame(
+        report_rows,
+        "name string, passed boolean, metric double, threshold double, n_rows long",
+    )
