@@ -48,6 +48,7 @@ def test_first_run_then_increment(spark, out_dir):
     )
     counts1 = run_incremental_pipeline(spark, batch1, md, out_dir, RUN_TS)
     assert counts1["fact_appended"] > 0
+    assert counts1["contract_passed"] == 1  # grain/keys/referential
 
     hwm1 = read_high_water_mark(
         spark, os.path.join(out_dir, "fact_media_engagement")

@@ -243,10 +243,31 @@ def run_incremental_pipeline(
     write_fact_append(fact, fact_path)
     # count the WRITTEN parquet, not the lazy plans — .count() on the
     # originals would re-execute the whole transform a second time
+    # post-load contract (quality.py): the invariants this pipeline
+    # actually guarantees — unique fact grain and no NULL keys.
+    # Referential integrity (fact.media_id ∈ dim) is deliberately NOT
+    # asserted: like the reference's duration-lookup default, events
+    # for media absent from the catalog still aggregate (left join),
+    # so orphan facts are a monitored condition, not a load failure.
+    from .quality import not_null, run_expectations, unique
+
+    written_fact = spark.read.parquet(fact_path)
+    written_dim = spark.read.parquet(os.path.join(out_dir, "dim_media"))
+    contract = run_expectations(
+        written_fact,
+        [
+            unique(["media_id", "visitor_id", "date"]),
+            not_null("media_id"),
+            not_null("visitor_id"),
+        ],
+    )
     return {
-        "dim_media": spark.read.parquet(os.path.join(out_dir, "dim_media")).count(),
+        "dim_media": written_dim.count(),
         "dim_visitor": spark.read.parquet(vis_path).count(),
-        "fact_appended": spark.read.parquet(fact_path).count() - n_fact_before,
+        "fact_appended": written_fact.count() - n_fact_before,
+        "contract_passed": int(
+            all(r["passed"] for r in contract.collect())
+        ),
     }
 
 
