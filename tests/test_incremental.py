@@ -301,3 +301,39 @@ def test_compact_parquet_partitioned_layout(spark, tmp_path):
         "2025-05-01",
         "2025-05-02",
     }
+
+
+def test_vacuum_drops_only_expired_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        vacuum_partitions,
+    )
+
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [("m", dt.date(2025, 5, d), 1.0) for d in (1, 10, 20)],
+        "media_id string, date date, v double",
+    )
+    df.write.partitionBy("date").parquet(path)
+    stats = vacuum_partitions(
+        spark, path, keep_days=15, now=dt.date(2025, 5, 21)
+    )
+    assert stats == {"dropped": 1, "kept": 2}  # only 05-01 expired
+    left = {str(r["date"]) for r in spark.read.parquet(path).collect()}
+    assert left == {"2025-05-10", "2025-05-20"}
+
+
+def test_append_with_schema_evolution_pattern(spark, tmp_path):
+    """The engine's append sinks tolerate additive schema evolution:
+    parquet + mergeSchema reads the union schema, old rows NULL in the
+    new column (the pattern a fact-table column addition follows)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.0)], "id long, x string, quality double"
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r["id"]: r for r in merged.collect()}
+    assert set(merged.columns) == {"id", "x", "quality"}
+    assert rows[1]["quality"] is None and rows[2]["quality"] == 9.0

@@ -433,3 +433,42 @@ def write_fact_backfill(
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def vacuum_partitions(
+    spark: SparkSession,
+    path: str,
+    keep_days: int,
+    now: dt.date,
+    partition_col: str = "date",
+) -> dict[str, int]:
+    """Retention vacuum: drop date partitions older than ``keep_days``
+    (the lifecycle-policy twin of compaction — the reference's
+    warehouse grows forever). Deletion is partition-directory-scoped,
+    so it never rewrites surviving data; pass ``now`` explicitly for
+    deterministic, testable cutoffs (no wall-clock reads in library
+    code).
+
+    Scale: a directory listing plus unlink per expired partition —
+    no Spark job at all; object stores map this to a prefix delete.
+    """
+    import glob as _glob
+    import shutil
+
+    cutoff = now - dt.timedelta(days=keep_days)
+    dropped = kept = 0
+    for d in sorted(_glob.glob(os.path.join(path, f"{partition_col}=*"))):
+        if not os.path.isdir(d):
+            continue
+        val = os.path.basename(d).split("=", 1)[1]
+        try:
+            part_date = dt.date.fromisoformat(val)
+        except ValueError:
+            kept += 1  # unparseable partition: never delete silently
+            continue
+        if part_date < cutoff:
+            shutil.rmtree(d)
+            dropped += 1
+        else:
+            kept += 1
+    return {"dropped": dropped, "kept": kept}
