@@ -216,3 +216,47 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # and the leading dimension still prunes under z-order (not all files)
     p = probes and [r["l_partkey"] for r in li.limit(3).collect()]
     assert all(covering_files(zdir, "l_partkey", v) < n_files for v in p)
+
+
+def test_rank_zorder_beats_minmax_under_skew(spark, tmp_path):
+    """Power-law column: min-max normalization crams ~all rows into a
+    few cells (file ranges stay wide); equal-frequency (rank) buckets
+    keep per-file ranges narrow on the skewed column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.sources.ddl import write_zordered
+
+    # skewed AND independent of a: a pseudo-random uniform cubed
+    # concentrates mass near 0 with a huge tail
+    df = spark.range(4000).selectExpr(
+        "id % 64 AS a",
+        "CAST(pow((id * 1103515245 + 12345) % 4000, 3) AS LONG) AS v",
+    )
+    rdir, mdir = str(tmp_path / "rank"), str(tmp_path / "minmax")
+    write_zordered(df, rdir, "a", "v", n_files=8, bits=6, method="rank")
+    write_zordered(df, mdir, "a", "v", n_files=8, bits=6, method="minmax")
+
+    def covering(d, col, value):
+        n = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(j).name for j in range(md.num_columns)]
+            idx = names.index(col)
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            n += lo <= value <= hi
+        return n
+
+    # probe small values (the dense region min-max cannot separate)
+    probes = [1, 8, 27, 1000, 125000]
+    r_cover = sum(covering(rdir, "v", p) for p in probes)
+    m_cover = sum(covering(mdir, "v", p) for p in probes)
+    assert r_cover < m_cover, (r_cover, m_cover)

@@ -140,18 +140,22 @@ def write_zordered(
     col2: str,
     n_files: int = 8,
     bits: int = 16,
+    method: str = "minmax",
 ) -> None:
     """Rewrite a table Z-ordered on two columns: range-partition by the
     Morton key (contiguous key ranges per file — the property that
     makes min/max stats tight), sort within each file, write one file
     per range.
 
-    Both columns are min-max normalized into the same [0, 2^bits)
-    domain BEFORE interleaving: with raw values, the wider column's
-    high bits dominate the key and the curve degenerates to a
-    lexicographic sort on that column (measured: zero pruning on the
-    narrow column). Min-max is the one-pass choice; for heavily skewed
-    columns substitute rank/ntile boundaries, same interleave.
+    Both columns are normalized into the same [0, 2^bits) domain
+    BEFORE interleaving: with raw values, the wider column's high bits
+    dominate the key and the curve degenerates to a lexicographic sort
+    on that column (measured: zero pruning on the narrow column).
+    ``method="minmax"`` (default) is the one-pass choice for
+    uniform-ish columns; ``method="rank"`` buckets by approx-quantile
+    boundaries instead — under heavy skew (e.g. Zipfian keys) min-max
+    crams most rows into a few cells and per-file ranges stay wide,
+    while equal-frequency buckets keep every cell populated.
 
     At 100 TB this is the compaction/clustering job that turns a
     full-scan table into a data-skipping one; Spark's parquet reader
@@ -159,24 +163,49 @@ def write_zordered(
     selective. The key is computed once per row and dropped before
     write; the min/max pre-pass is a 1-row aggregate.
     """
-    lo1, hi1, lo2, hi2 = (
-        df.agg(
-            F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    if method == "rank":
+        # equal-frequency bucketing: 2^bits approx-quantile boundaries
+        # per column (one sketch pass), bucket id = boundary index.
+        # Error 1/2^(bits+2) keeps buckets near-equal even when the
+        # value distribution is wildly skewed.
+        nb = 1 << bits
+        probs = [i / nb for i in range(1, nb)]
+        bounds = df.selectExpr(
+            f"approx_percentile({col1}, array({','.join(map(str, probs))}), {4 * nb}) AS b1",
+            f"approx_percentile({col2}, array({','.join(map(str, probs))}), {4 * nb}) AS b2",
         ).collect()[0]
-    )
-    if lo1 is None or lo2 is None:
-        # empty input (or all-NULL keys): nothing to cluster — write
-        # the empty dataset instead of crashing on int(None)
-        df.write.mode("overwrite").parquet(path)
-        return
+        if bounds["b1"] is None or bounds["b2"] is None:
+            df.write.mode("overwrite").parquet(path)
+            return
 
-    def scaled(c: str, lo, hi) -> Column:
-        span = max(int(hi) - int(lo), 0) + 1
-        return F.floor(
-            (F.col(c).cast("long") - F.lit(int(lo))) * F.lit(1 << bits) / F.lit(span)
-        ).cast("long")
+        def bucketed(c: str, bs) -> Column:
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            # index of the first boundary >= value == count of
+            # boundaries strictly below it (codegen filter+size)
+            return F.size(
+                F.filter(arr, lambda b: b < F.col(c).cast("double"))
+            ).cast("long")
 
-    zk = zorder_key(scaled(col1, lo1, hi1), scaled(col2, lo2, hi2), bits)
+        zk = zorder_key(bucketed(col1, bounds["b1"]), bucketed(col2, bounds["b2"]), bits)
+    else:
+        lo1, hi1, lo2, hi2 = (
+            df.agg(
+                F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+            ).collect()[0]
+        )
+        if lo1 is None or lo2 is None:
+            # empty input (or all-NULL keys): nothing to cluster — write
+            # the empty dataset instead of crashing on int(None)
+            df.write.mode("overwrite").parquet(path)
+            return
+
+        def scaled(c: str, lo, hi) -> Column:
+            span = max(int(hi) - int(lo), 0) + 1
+            return F.floor(
+                (F.col(c).cast("long") - F.lit(int(lo))) * F.lit(1 << bits) / F.lit(span)
+            ).cast("long")
+
+        zk = zorder_key(scaled(col1, lo1, hi1), scaled(col2, lo2, hi2), bits)
     (
         df.withColumn("_zk", zk)
         .repartitionByRange(n_files, "_zk")
