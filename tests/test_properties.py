@@ -311,3 +311,75 @@ def test_heavy_hitters_exact_for_any_partitioning(spark, keys, parts):
         cnt[k] = cnt.get(k, 0) + 1
     want = {(k, c) for k, c in cnt.items() if c >= 1.5 * n / u}
     assert got == want
+
+
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60), min_size=2, max_size=12
+    ),
+    sub=st.integers(min_value=0, max_value=11),
+)
+def test_containment_bounds_and_subset_detection(spark, texts, sub):
+    """containment ∈ (0, 1]; a doc whose shingle set is a subset of
+    another's is reported with containment 1.0."""
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs,
+        shingle_table,
+    )
+
+    sub = sub % len(texts)
+    # plant a superset: doc N+1 = texts[sub] + extra tail
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((len(texts), texts[sub] + " x y z w v u t s"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = containment_pairs(df, width=3, threshold=0.0).collect()
+    for r in out:
+        assert 0.0 < r["containment"] <= 1.0
+    sub_shingles = {
+        r["shingle"]
+        for r in shingle_table(df, width=3)
+        .filter(f"doc_id = {sub}")
+        .collect()
+    }
+    sup_shingles = {
+        r["shingle"]
+        for r in shingle_table(df, width=3)
+        .filter(f"doc_id = {len(texts)}")
+        .collect()
+    }
+    if sub_shingles and sub_shingles <= sup_shingles and sub != len(texts):
+        hits = [
+            r
+            for r in out
+            if r["doc_sub"] == sub and r["doc_sup"] == len(texts)
+        ]
+        assert hits and hits[0]["containment"] == 1.0
+
+
+@settings(
+    max_examples=6, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(
+    weights=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_mixture_sample_is_subset_and_monotone(spark, weights):
+    """mixture_sample output ⊆ input; raising every weight never
+    shrinks the kept set (hex-threshold monotonicity)."""
+    from wistia_data_pipeline_project_spark.operators import training as TR
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], "doc_id long, source string"
+    )
+    kept = {r["doc_id"] for r in TR.mixture_sample(df, weights).collect()}
+    assert kept <= set(range(300))
+    bigger = {k: min(1.0, v + 0.3) for k, v in weights.items()}
+    kept2 = {r["doc_id"] for r in TR.mixture_sample(df, bigger).collect()}
+    assert kept <= kept2

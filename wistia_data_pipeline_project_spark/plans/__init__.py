@@ -15,6 +15,13 @@ so iteration order decides which entries get a fresh
    round-2 additions (one green round each),
 4. the round-1-era entries with two green rounds of evidence — the
    only ones that can afford to rotate out of the window.
+
+Round-5 handoff: the front of the window currently holds exactly 50
+never-driver-checked entries (round-3 + round-4 additions; every one
+is locally gate-verified at sf0.01 — see BASELINE.md round 4). Once
+CORRECTNESS_r04 lands green, move those names into a `_NEW_R04` tail
+list (one green round) to reopen window headroom before adding new
+catalog entries; the import-time assert below enforces this.
 """
 
 from . import catalog_docs  # noqa: F401  (registers queries)
