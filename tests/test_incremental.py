@@ -337,3 +337,31 @@ def test_append_with_schema_evolution_pattern(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert set(merged.columns) == {"id", "x", "quality"}
     assert rows[1]["quality"] is None and rows[2]["quality"] == 9.0
+
+
+def test_csv_source_audits_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from wistia_data_pipeline_project_spark.sources.io import read_csv_table
+
+    p = tmp_path / "rows.csv"
+    p.write_text("id,v\n1,2.5\n2,notanumber\n3,4.0\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    good, corrupt = read_csv_table(spark, str(p), schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "notanumber" in bad[0]["_corrupt_record"]
+
+
+def test_date_dim_spine(spark):
+    from wistia_data_pipeline_project_spark.sources.io import build_date_dim
+
+    dim = build_date_dim(spark, "2025-02-26", "2025-03-03")
+    rows = {str(r["date"]): r for r in dim.collect()}
+    assert len(rows) == 6  # inclusive span
+    assert rows["2025-03-01"]["month"] == 3
+    assert rows["2025-03-01"]["is_weekend"]  # a Saturday
+    assert rows["2025-02-26"]["year_month"] == "2025-02"
+    assert str(rows["2025-02-26"]["month_end"]) == "2025-02-28"

@@ -221,3 +221,61 @@ def with_run_ts_column(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "run_ts", F.regexp_extract(F.input_file_name(), RUN_TS_RE, 1)
     )
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV read with corrupt-record auditing — the
+    delimited-text twin of ``read_events_jsonl_audited`` (same
+    PERMISSIVE + ``_corrupt_record`` dead-letter contract): returns
+    ``(good, corrupt)``. No inference pass; the declared schema is the
+    contract, exactly like the parquet/JSON readers.
+    """
+    from ..schemas import nullable_copy
+
+    full = T.StructType(
+        nullable_copy(schema).fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    ).cache()
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    return good, corrupt
+
+
+def build_date_dim(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """Calendar dimension [start, end] — the standard warehouse date
+    spine (the reference derives dates per-row and has no calendar
+    table). One row per day with the usual attributes; generated
+    entirely JVM-side from a sequence, no driver loop.
+
+    Scale: |days| rows — decades fit in one partition; broadcast it.
+    """
+    return (
+        spark.sql(
+            f"SELECT explode(sequence(DATE'{start}', DATE'{end}')) AS date"
+        )
+        .select(
+            "date",
+            F.year("date").cast("int").alias("year"),
+            F.quarter("date").cast("int").alias("quarter"),
+            F.month("date").cast("int").alias("month"),
+            F.dayofmonth("date").cast("int").alias("day_of_month"),
+            F.dayofweek("date").cast("int").alias("day_of_week"),
+            F.weekofyear("date").cast("int").alias("iso_week"),
+            F.date_format("date", "yyyy-MM").alias("year_month"),
+            F.dayofweek("date").isin(1, 7).alias("is_weekend"),
+            F.last_day("date").alias("month_end"),
+        )
+    )
