@@ -236,3 +236,37 @@ def test_knn_join_blocked_recall_and_shape(spark, sf_dir):
     got_nn = {r.vec_id: r.neighbor_id for r in rows if r.rank == 1}
     hit = sum(1 for v, n in exact_nn.items() if got_nn.get(v) == n)
     assert hit / len(exact_nn) >= 0.95
+
+
+def test_hot_shingle_cap_bounds_fanout(spark):
+    # 1200 docs share ONE boilerplate shingle (df=1200 > cap=1000);
+    # docs 0 and 1 are otherwise identical, every other doc unique.
+    # Uncapped, the shingle self-join emits C(1200,2) = 719,400 pair
+    # rows off a single hot key; with the df cap the hot shingle is
+    # removed from join AND sizes, so output is O(true near-dups):
+    # exactly the (0, 1) pair, still at jaccard 1.0.
+    from pyspark.sql import Observation
+
+    header = "lic0 lic1 lic2 lic3 lic4 lic5 lic6 lic7"
+
+    def filler(i):
+        j = 0 if i == 1 else i
+        return " ".join(f"{c}{j}" for c in "abcdefgh")
+
+    docs = spark.createDataFrame(
+        [(i, f"{header} {filler(i)}") for i in range(1200)],
+        "doc_id long, text string",
+    )
+    uncapped = D._pair_intersections(
+        docs, "doc_id", "text", 8, max_doc_freq=10**9
+    )
+    assert uncapped.count() == 1200 * 1199 // 2
+
+    obs = Observation("hot_shingles")
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_doc_freq=1000, observation=obs
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in pairs] == [(0, 1, 1.0)]
+    assert obs.get["n_hot_shingles"] == 1
+    assert obs.get["n_dropped_shingle_rows"] == 1200
+    assert obs.get["max_doc_freq_seen"] == 1200

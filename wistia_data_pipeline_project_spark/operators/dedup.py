@@ -70,13 +70,54 @@ def shingle_table(df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 
 
 def _pair_intersections(
-    df: DataFrame, key_col: str, text_col: str, width: int
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    width: int,
+    max_doc_freq: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Shared core of the exact pair metrics: the shingle equi-join
     frame (doc_a < doc_b, n_inter, n_a, n_b) that Jaccard and
     containment project differently. One place owns the join topology
-    (tie-break, width handling), so the two metrics cannot drift."""
+    (tie-break, width handling, hot-shingle cap), so the two metrics
+    cannot drift.
+
+    **Hot-shingle cap** (the quadratic guard): a shingle appearing in
+    k documents emits k² rows from the self-equi-join. Natural w=8
+    shingles are near-unique, but at 100 TB one repeated license
+    header / templated page makes a single shingle a quadratic hot
+    key. Shingles with document frequency > ``max_doc_freq`` are
+    therefore REMOVED — from the intersection join AND from the
+    per-doc sizes — so the metric becomes exact Jaccard/containment
+    over the df-capped shingle universe. That keeps the invariants
+    that matter (identical docs still score 1.0; a subset doc is
+    still 1.0-contained) while bounding join fan-out by
+    ``max_doc_freq`` × df per shingle. Exactness proviso: a pair
+    whose ONLY shared shingles are hot is not emitted — by
+    construction such pairs share nothing but boilerplate.
+
+    The hot set itself is found with one map-side-combined count per
+    distinct shingle; it is structurally tiny (few shingles repeat
+    across >1000 docs), so Spark's planner (AQE) executes the
+    ``left_anti`` removal as a broadcast join — the corpus-sized side
+    is NOT re-shuffled. A pathological corpus that makes the hot set
+    itself large degrades to a shuffle anti-join, not an OOM.
+    Pass an ``observation`` (``pyspark.sql.Observation``) to surface
+    ``n_hot_shingles`` / ``n_dropped_shingle_rows`` / ``max_doc_freq_seen``
+    after the action — the repo's no-silent-caps contract.
+    """
     sh = shingle_table(df, key_col, text_col, width)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    hot = freq.filter(F.col("_df") > max_doc_freq)
+    if observation is not None:
+        hot = hot.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_hot_shingles"),
+            F.coalesce(F.sum("_df"), F.lit(0)).alias("n_dropped_shingle_rows"),
+            F.coalesce(F.max("_df"), F.lit(0)).alias("max_doc_freq_seen"),
+        )
+    sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -99,13 +140,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     width: int = 8,
     threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+    observation=None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1
+    non-hot shingle (see ``_pair_intersections`` for the
+    ``max_doc_freq`` cap semantics).
 
     intersection via shingle equi-join; union = |A|+|B|-∩. The single
     double division keeps the value deterministic for the oracle.
     """
-    j = _pair_intersections(df, key_col, text_col, width).withColumn(
+    j = _pair_intersections(
+        df, key_col, text_col, width, max_doc_freq, observation
+    ).withColumn(
         "jaccard",
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -121,6 +168,8 @@ def containment_pairs(
     text_col: str = "text",
     width: int = 8,
     threshold: float = 0.9,
+    max_doc_freq: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Asymmetric shingle containment |A∩B| / |A| ≥ threshold — flags
     documents mostly CONTAINED in another (prefix/subset duplicates
@@ -129,10 +178,12 @@ def containment_pairs(
     doc_sup).
 
     Scale: same single shingle equi-join as ``ngram_jaccard_pairs``
-    (fan-out bounded by near-unique w=8 shingles); the directional
-    split is a projection over the joined counts, not a second join.
+    (fan-out bounded by near-unique w=8 shingles plus the
+    ``max_doc_freq`` hot-shingle cap — see ``_pair_intersections``);
+    the directional split is a projection over the joined counts, not
+    a second join.
     """
-    j = _pair_intersections(df, key_col, text_col, width)
+    j = _pair_intersections(df, key_col, text_col, width, max_doc_freq, observation)
     ab = j.select(
         F.col("doc_a").alias("doc_sub"),
         F.col("doc_b").alias("doc_sup"),

@@ -60,6 +60,47 @@ JACCARD_SQL = """
           >= 0.8
 """
 
+# JACCARD_SQL with the engine's hot-shingle document-frequency cap
+# (dedup._pair_intersections, max_doc_freq=1000) replayed in SQL:
+# shingles in >1000 docs are removed from BOTH the join and the sizes,
+# so the oracle checks the capped metric exactly at any data scale
+# instead of relying on the test corpus having no hot shingles.
+JACCARD_CAPPED_SQL = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id, shingle
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                      FOR i IN generate_series(1, greatest(len(toks)-7, 1))])) AS shingle
+        FROM t
+      )
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
+          >= 0.8
+"""
+
 
 @query(
     "docs_exact_dedup",
@@ -158,12 +199,13 @@ def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_ngram_jaccard", oracle=JACCARD_SQL)
+@query("docs_ngram_jaccard", oracle=JACCARD_CAPPED_SQL)
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs by 8-token-shingle Jaccard ≥ 0.8 (north_star
     n-gram Jaccard dedup; also the verification stage of the MinHash
     pipeline). Shingle-join fan-out is bounded because w=8 shingles are
-    near-unique outside true near-dups."""
+    near-unique outside true near-dups, PLUS the df>1000 hot-shingle
+    cap (boilerplate guard) — the oracle replays the cap in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.8)
 
@@ -964,12 +1006,18 @@ def docs_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
                     FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
                AS shingle
       FROM t
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
     inter AS (
@@ -998,7 +1046,8 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     under-scores). One row per contained direction.
 
     Scale: identical join topology to ``docs_ngram_jaccard`` — one
-    bounded shingle equi-join; the directional expansion is a
+    bounded shingle equi-join with the df>1000 hot-shingle cap
+    (replayed in the oracle); the directional expansion is a
     projection.
     """
     docs = load_table(spark, sf_dir, "documents")
