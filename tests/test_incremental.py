@@ -59,6 +59,7 @@ def test_first_run_then_increment(spark, out_dir):
     fact = spark.read.parquet(os.path.join(out_dir, "fact_media_engagement"))
     # second run only appended groups strictly past the HWM
     assert counts2["fact_appended"] > 0
+    assert counts2["contract_passed"] == 1
     hwm2 = read_high_water_mark(
         spark, os.path.join(out_dir, "fact_media_engagement")
     )
@@ -365,3 +366,138 @@ def test_date_dim_spine(spark):
     assert rows["2025-03-01"]["is_weekend"]  # a Saturday
     assert rows["2025-02-26"]["year_month"] == "2025-02"
     assert str(rows["2025-02-26"]["month_end"]) == "2025-02-28"
+
+
+def test_atomic_append_ignores_crashed_run(spark, out_dir):
+    """A run that dies after moving data files but before its manifest
+    rename must contribute nothing: the gated reader and HWM skip the
+    orphan files, and the next run reclaims them (VERDICT r02 item 3)."""
+    import glob
+    import shutil
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        read_fact_committed,
+    )
+
+    ev, md = _dfs(spark)
+    run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    fact_path = os.path.join(out_dir, "fact_media_engagement")
+    committed = read_fact_committed(spark, fact_path)
+    n_committed = committed.count()
+    hwm_before = committed.agg(F.max("last_event_timestamp")).head()[0]
+
+    # simulate the crash window: a data file lands in a live partition
+    # dir under a run id that never committed, plus staging debris
+    some_part = glob.glob(os.path.join(fact_path, "date=*", "*.parquet"))[0]
+    orphan = os.path.join(
+        os.path.dirname(some_part), "deadrun-" + os.path.basename(some_part)
+    )
+    shutil.copyfile(some_part, orphan)
+    stage = os.path.join(fact_path, "_staging", "deadrun", "date=2025-05-01")
+    os.makedirs(stage)
+    shutil.copyfile(some_part, os.path.join(stage, "part-00000.parquet"))
+
+    # naive reader sees the orphan rows; the gated reader must not
+    assert spark.read.parquet(fact_path).count() > n_committed
+    assert read_fact_committed(spark, fact_path).count() == n_committed
+
+    counts = run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    assert counts["fact_appended"] == 0  # orphan never advanced the HWM
+    assert not os.path.exists(orphan)  # rolled back
+    assert not os.path.exists(os.path.join(fact_path, "_staging"))
+    after = read_fact_committed(spark, fact_path)
+    assert after.count() == n_committed
+    assert after.agg(F.max("last_event_timestamp")).head()[0] == hwm_before
+
+
+def test_rerun_same_run_ts_keeps_prior_manifest(spark, out_dir):
+    """Two runs at the same scheduled run_ts commit under distinct
+    manifests — the second must not overwrite the first's file list."""
+    import glob
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        read_fact_committed,
+    )
+
+    ev, md = _dfs(spark)
+    batch1 = ev.filter(
+        (F.col("received_at") < F.lit(CUT)) | F.col("received_at").isNull()
+    )
+    c1 = run_incremental_pipeline(spark, batch1, md, out_dir, RUN_TS)
+    c2 = run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    assert c1["fact_appended"] > 0 and c2["fact_appended"] > 0
+    fact_path = os.path.join(out_dir, "fact_media_engagement")
+    manifests = glob.glob(os.path.join(fact_path, "_commits", "*.json"))
+    assert len(manifests) == 2
+    total = read_fact_committed(spark, fact_path).count()
+    assert total == c1["fact_appended"] + c2["fact_appended"]
+
+
+def test_compact_refuses_manifest_gated_table(spark, out_dir):
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+
+    ev, md = _dfs(spark)
+    run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    with pytest.raises(ValueError, match="manifest-gated"):
+        compact_parquet(spark, os.path.join(out_dir, "fact_media_engagement"))
+
+
+def test_compact_cleans_stale_tmp_and_preserves_rows(spark, tmp_path):
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    # stale debris from a previously crashed compaction
+    os.makedirs(path + "._compact")
+    os.makedirs(path + "._old")
+    stats = compact_parquet(spark, path)
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert not os.path.exists(path + "._compact")
+    assert not os.path.exists(path + "._old")
+
+
+def test_contract_passes_on_mid_date_hwm_cut(spark, out_dir):
+    """The HWM is a timestamp but the fact grain date is
+    to_date(received_at): a second run cut mid-date legitimately
+    appends a second row for a grain run 1 already wrote. The contract
+    is scoped to each run's own rows, so both runs must pass while the
+    table holds two rows for that grain."""
+    _, md = _dfs(spark)
+    day = dt.datetime(2025, 5, 3, tzinfo=dt.timezone.utc)
+
+    def session(key_base, start_hour):
+        t = day + dt.timedelta(hours=start_hour)
+        base = EVENTS[0]
+        out = []
+        for j, pct in enumerate((0.1, 0.5, 0.9)):
+            row = dict(base)
+            row.update(
+                received_at=t + dt.timedelta(seconds=30 * j),
+                event_key=f"{key_base}{j}",
+                media_id="med001",
+                visitor_key="visGRAIN",
+                percent_viewed=pct,
+                name=None,
+            )
+            out.append(row)
+        return out
+
+    rows = session("am", 10) + session("pm", 14)
+    ev = spark.createDataFrame(rows, nullable_copy(WISTIA_EVENT_SCHEMA))
+    cut = day + dt.timedelta(hours=12)
+    c1 = run_incremental_pipeline(
+        spark, ev.filter(F.col("received_at") < F.lit(cut)), md, out_dir, RUN_TS
+    )
+    c2 = run_incremental_pipeline(spark, ev, md, out_dir, RUN_TS)
+    assert c1["fact_appended"] == 1 and c2["fact_appended"] == 1
+    assert c1["contract_passed"] == 1 and c2["contract_passed"] == 1
+    fact = spark.read.parquet(os.path.join(out_dir, "fact_media_engagement"))
+    grain = fact.filter(
+        (F.col("media_id") == "med001") & (F.col("visitor_id") == "visGRAIN")
+    )
+    assert grain.count() == 2  # same grain, two committed runs

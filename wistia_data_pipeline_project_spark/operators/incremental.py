@@ -114,8 +114,126 @@ def write_dim(df: DataFrame, path: str) -> None:
 
 def write_fact_append(df: DataFrame, path: str) -> None:
     """WRITE_APPEND with date partitioning (realizing the reference's
-    commented-out partition DDL)."""
+    commented-out partition DDL). Plain append — no commit gate; the
+    incremental pipeline uses ``write_fact_append_atomic`` instead so
+    a mid-write failure cannot feed the next HWM probe."""
     df.write.mode("append").partitionBy("date").parquet(path)
+
+
+# --- atomic append commit -------------------------------------------------
+#
+# The reference gets all-or-nothing loads for free from BigQuery load
+# jobs (process_wistia_data.py:197-234); plain parquet append has a
+# commit window where a crash leaves partial files the next HWM read
+# would treat as ingested. The engine closes it with a Delta-style
+# (public-technique) manifest gate, keeping the PLAIN date-partitioned
+# parquet layout so naive readers still work:
+#
+#   1. stage the increment under  <path>/_staging/<run_id>/   — the
+#      leading underscore hides it from every Spark/parquet reader;
+#   2. move the staged files into the live  date=*/  dirs under
+#      run-prefixed names (per-file renames, same filesystem);
+#   3. COMMIT = one atomic rename of  <path>/_commits/<run_id>.json
+#      listing the run's files. Until it lands, the run does not
+#      exist: the pipeline's HWM/contract/count readers union only
+#      manifest-listed files, and the next run ROLLS BACK any data
+#      file no manifest claims.
+#
+# Object-store mapping: steps 1-2 become a conditional-PUT of objects
+# under a run prefix and step 3 a single manifest PUT — the same
+# commit point.
+
+
+def _commits_dir(path: str) -> str:
+    return os.path.join(path, "_commits")
+
+
+def list_committed_files(path: str) -> list[str]:
+    """Relative paths of every data file recorded by a committed run
+    manifest (driver-side metadata read — manifests are tiny)."""
+    import glob as _glob
+    import json
+
+    out: list[str] = []
+    for m in sorted(_glob.glob(os.path.join(_commits_dir(path), "*.json"))):
+        with open(m) as fh:
+            out.extend(json.load(fh)["files"])
+    return out
+
+
+def has_commit_log(path: str) -> bool:
+    """True when the table is manifest-gated. Tables written before
+    the gate existed (plain appends, no ``_commits``) stay readable in
+    legacy mode: every file is treated as committed."""
+    return os.path.isdir(_commits_dir(path))
+
+
+def read_fact_committed(spark: SparkSession, path: str) -> DataFrame | None:
+    """The gated reader: only manifest-committed files. None when the
+    table does not exist or has no committed data. ``basePath`` keeps
+    the ``date`` partition column alive on the explicit file list."""
+    if not os.path.exists(path):
+        return None
+    if not has_commit_log(path):
+        return spark.read.parquet(path)  # legacy plain-append table
+    files = [os.path.join(path, f) for f in list_committed_files(path)]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return None
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def rollback_uncommitted(path: str) -> dict[str, int]:
+    """Remove every trace of runs that never committed: staged run
+    dirs and live-tree data files no manifest claims (the crashed
+    window between file moves and the manifest rename). Single-writer
+    discipline, like the reference's scheduler — do not run while an
+    append is in flight. No-op on legacy tables (no ``_commits``)."""
+    import glob as _glob
+    import shutil
+
+    removed_files = 0
+    staging = os.path.join(path, "_staging")
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    if not has_commit_log(path):
+        return {"removed_files": 0}
+    committed = set(list_committed_files(path))
+    for f in _glob.glob(os.path.join(path, "*=*", "*.parquet")):
+        rel = os.path.relpath(f, path)
+        if rel not in committed:
+            os.remove(f)
+            removed_files += 1
+    return {"removed_files": removed_files}
+
+
+def write_fact_append_atomic(df: DataFrame, path: str, run_id: str) -> int:
+    """Stage → move → manifest-commit append (see block comment).
+    Returns the number of data files committed. A failure anywhere
+    before the final rename leaves the table's committed view
+    byte-identical; ``rollback_uncommitted`` reclaims the debris."""
+    import glob as _glob
+    import json
+    import shutil
+
+    stage = os.path.join(path, "_staging", run_id)
+    df.write.mode("overwrite").partitionBy("date").parquet(stage)
+    moved: list[str] = []
+    for f in sorted(_glob.glob(os.path.join(stage, "*=*", "part-*"))):
+        part_dir = os.path.basename(os.path.dirname(f))
+        dest_dir = os.path.join(path, part_dir)
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, f"{run_id}-{os.path.basename(f)}")
+        os.replace(f, dest)
+        moved.append(os.path.relpath(dest, path))
+    shutil.rmtree(os.path.join(path, "_staging"))
+    os.makedirs(_commits_dir(path), exist_ok=True)
+    manifest = os.path.join(_commits_dir(path), f"{run_id}.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"run_id": run_id, "files": moved}, fh)
+    os.rename(tmp, manifest)  # THE commit point
+    return len(moved)
 
 
 def read_high_water_mark_table(
@@ -215,13 +333,30 @@ def run_incremental_pipeline(
     run_ts: dt.datetime,
 ) -> dict[str, int]:
     """One scheduled run, end-to-end (entry point 1 shape,
-    process_wistia_data.py:364-542): HWM → increment filter → dedup →
-    dims overwrite → fact append. Returns row counts per table."""
+    process_wistia_data.py:364-542): rollback of crashed runs → HWM →
+    increment filter → dedup → dims overwrite → atomic fact append →
+    run-scoped contract. Returns row counts per table.
+
+    Crash safety: the fact append is manifest-committed
+    (``write_fact_append_atomic``), and HWM / counts read ONLY
+    committed files — a run that died mid-write contributes nothing
+    to the next run's state and its debris is reclaimed here first.
+    """
     from .dims import transform_media_data, transform_visitor_data
     from .fact import fact_media_engagement
 
     fact_path = os.path.join(out_dir, "fact_media_engagement")
-    hwm = read_high_water_mark(spark, fact_path)
+    if os.path.exists(fact_path):
+        rollback_uncommitted(fact_path)
+    committed = read_fact_committed(spark, fact_path)
+    hwm = None
+    if committed is not None:
+        row = (
+            committed.filter(F.col("last_event_timestamp").isNotNull())
+            .agg(F.max("last_event_timestamp").alias("hwm"))
+            .head()
+        )
+        hwm = row["hwm"] if row else None
     inc = dedup_events(filter_increment(events, hwm))
 
     dim_media = transform_media_data(media, run_ts)
@@ -237,37 +372,55 @@ def run_incremental_pipeline(
 
     write_dim(dim_media, os.path.join(out_dir, "dim_media"))
     write_dim(dim_visitor, vis_path)
-    n_fact_before = (
-        spark.read.parquet(fact_path).count() if os.path.exists(fact_path) else 0
-    )
-    write_fact_append(fact, fact_path)
-    # count the WRITTEN parquet, not the lazy plans — .count() on the
-    # originals would re-execute the whole transform a second time
-    # post-load contract (quality.py): the invariants this pipeline
-    # actually guarantees — unique fact grain and no NULL keys.
+    n_fact_before = committed.count() if committed is not None else 0
+    # unique run id: run_ts plus a manifest sequence number, so a
+    # re-run at the same scheduled timestamp commits under its own
+    # manifest instead of overwriting the previous run's file list
+    import glob as _glob
+
+    seq = len(_glob.glob(os.path.join(_commits_dir(fact_path), "*.json")))
+    run_id = f"{run_ts.strftime('%Y%m%dT%H%M%S')}-r{seq:04d}"
+    n_files = write_fact_append_atomic(fact, fact_path, run_id)
+    # post-load contract (quality.py), scoped to THIS RUN's rows: the
+    # pipeline guarantees unique grain and non-NULL keys WITHIN a run
+    # (dedup + aggregation); across runs a grain can legitimately
+    # recur whenever the HWM cut isn't aligned to a UTC date boundary
+    # (the HWM is a timestamp, the grain date is to_date(received_at)),
+    # so a whole-table unique check would false-positive on run 2.
     # Referential integrity (fact.media_id ∈ dim) is deliberately NOT
     # asserted: like the reference's duration-lookup default, events
     # for media absent from the catalog still aggregate (left join),
     # so orphan facts are a monitored condition, not a load failure.
     from .quality import not_null, run_expectations, unique
 
-    written_fact = spark.read.parquet(fact_path)
+    contract_passed = 1
+    if n_files:
+        import json
+
+        with open(os.path.join(_commits_dir(fact_path), f"{run_id}.json")) as fh:
+            run_files = [
+                os.path.join(fact_path, f) for f in json.load(fh)["files"]
+            ]
+        written_run = spark.read.option("basePath", fact_path).parquet(*run_files)
+        contract = run_expectations(
+            written_run,
+            [
+                unique(["media_id", "visitor_id", "date"]),
+                not_null("media_id"),
+                not_null("visitor_id"),
+            ],
+        )
+        contract_passed = int(all(r["passed"] for r in contract.collect()))
+    written_fact = read_fact_committed(spark, fact_path)
     written_dim = spark.read.parquet(os.path.join(out_dir, "dim_media"))
-    contract = run_expectations(
-        written_fact,
-        [
-            unique(["media_id", "visitor_id", "date"]),
-            not_null("media_id"),
-            not_null("visitor_id"),
-        ],
-    )
     return {
         "dim_media": written_dim.count(),
         "dim_visitor": spark.read.parquet(vis_path).count(),
-        "fact_appended": written_fact.count() - n_fact_before,
-        "contract_passed": int(
-            all(r["passed"] for r in contract.collect())
+        "fact_appended": (
+            (written_fact.count() if written_fact is not None else 0)
+            - n_fact_before
         ),
+        "contract_passed": contract_passed,
     }
 
 
@@ -366,10 +519,19 @@ def compact_parquet(
     every append in this engine creates files, and at 100 TB scan task
     count tracks file count).
 
-    Local-FS atomic-enough swap: write to ``<path>._compact``, then
-    rename over the original (object stores would write a new
-    versioned prefix and flip a manifest instead — same shape). Reads
-    the footer sizes only; returns before/after file counts.
+    Crash-safe swap: clean any stale ``._compact`` from a previous
+    failed run, write the rewrite to ``<path>._compact``, COUNT-VERIFY
+    it against the source, rename the original aside to
+    ``<path>._old``, rename the rewrite into place, then delete the
+    original — at no point is the live path missing both copies, and
+    a crash at any step leaves either the original live or the
+    original recoverable at ``._old`` (object stores would write a
+    new versioned prefix and flip a manifest instead — same shape).
+    Reads the footer sizes only; returns before/after file counts.
+
+    Manifest-gated tables (``_commits`` present) are refused:
+    renaming their data files would orphan every manifest — compact
+    such tables partition-by-partition with a manifest rewrite.
 
     Scale: one round-robin shuffle sized from real bytes; coalesce()
     would avoid the shuffle but inherits upstream partitioning and
@@ -378,6 +540,11 @@ def compact_parquet(
     import glob as _glob
     import shutil
 
+    if has_commit_log(path):
+        raise ValueError(
+            f"{path} is manifest-gated (_commits present); compacting "
+            "would orphan its run manifests"
+        )
     files = _glob.glob(os.path.join(path, "*.parquet"))
     if not files:
         # hive-partitioned layout (date=.../part-*.parquet): compact
@@ -400,11 +567,24 @@ def compact_parquet(
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     tmp = path.rstrip("/") + "._compact"
+    old = path.rstrip("/") + "._old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    n_before = spark.read.parquet(path).count()
     spark.read.parquet(path).repartition(int(n_out)).write.mode(
         "overwrite"
     ).parquet(tmp)
-    shutil.rmtree(path)
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row-count mismatch for {path}: "
+            f"{n_before} -> {n_after}; original left untouched"
+        )
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     after = len(_glob.glob(os.path.join(path, "*.parquet")))
     return {"files_before": len(files), "files_after": after}
 
