@@ -431,11 +431,32 @@ def minhash_near_dup_pairs(
 SIMHASH_MAX_TOKENS = 32767
 
 
+def _token_hash64(col: F.Column, hash_fn: str) -> F.Column:
+    """64-bit token hash. ``"xxhash64"`` (default everywhere) stays on
+    Spark's native hash — fastest, but not reproducible outside Spark.
+    ``"md5_64"`` takes the first 16 hex chars of md5 as a big-endian
+    64-bit pattern — md5 is identical in every engine, so a DuckDB
+    oracle can replay the ENTIRE SimHash pipeline bit-for-bit (the
+    catalog uses it to hash-check the near-dup pair listing that was
+    previously a rows-only entry). Built from two 32-bit halves
+    because ``conv`` returns an unsigned decimal string that
+    overflows a signed long cast above 2^63."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_64":
+        h = F.md5(col)
+        hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5_64', got {hash_fn!r}")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
     oversize: str = "error",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document from token hashes.
 
@@ -480,7 +501,9 @@ def simhash_fingerprints(
     tok = toks.select(F.col(key_col), F.explode_outer("_toks").alias("_t"))
     hashed = tok.select(
         key_col,
-        F.when(F.col("_t").isNotNull(), F.xxhash64("_t")).alias("_h"),
+        F.when(F.col("_t").isNotNull(), _token_hash64(F.col("_t"), hash_fn)).alias(
+            "_h"
+        ),
     )
     # sign(Σ ±1) > 0  ⇔  2·(count of 1-bits) > n. Per-bit counts are
     # LANE-PACKED: each of 16 sum-aggregates carries 4 counts in
@@ -529,6 +552,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 1000,
     observation=None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -540,7 +564,7 @@ def simhash_near_dup_pairs(
     ``bucket_pairs`` rationale) so the fingerprint expression is
     evaluated once per doc and no self-join duplicates the plan.
     """
-    fps = simhash_fingerprints(df, key_col, text_col)
+    fps = simhash_fingerprints(df, key_col, text_col, hash_fn=hash_fn)
     blocks = fps.select(
         F.struct(F.col(key_col).alias("key"), F.col("simhash").alias("sh")).alias(
             "_member"

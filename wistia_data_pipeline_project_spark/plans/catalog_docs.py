@@ -222,13 +222,66 @@ def docs_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_near_dup_pairs(docs, threshold=0.8)
 
 
-@query("docs_simhash_near_dup")
+# Full SQL replay of the SimHash pipeline with the md5_64 token hash
+# (dedup._token_hash64): per-token 64-bit pattern from the first 16
+# md5 hex chars, per-bit majority vote, 4×16-bit pigeonhole blocks,
+# block-bucket candidate join, exact Hamming verify ≤ 3. Fingerprints
+# are carried as the four block values (b0..b3 = bits 0-15 … 48-63),
+# which sidesteps signed-64 overflow in both engines. The oracle
+# replays the UNCAPPED blocking — the Spark side's max_bucket star
+# degradation cannot trigger at oracle scale (bucket size ≤ corpus).
+SIMHASH_SQL = f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    h AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+    bits AS (
+      SELECT doc_id, i,
+             ((strpos('0123456789abcdef', substr(hx, 16 - (i // 4), 1)) - 1)
+              >> (i % 4)) & 1 AS b
+      FROM h, (SELECT unnest(generate_series(0, 63)) AS i)
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             CASE WHEN 2 * SUM(b) > COUNT(*) THEN 1 ELSE 0 END AS bit
+      FROM bits GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT d.doc_id,
+             COALESCE(SUM(CASE WHEN v.i < 16 THEN v.bit << v.i END), 0) AS b0,
+             COALESCE(SUM(CASE WHEN v.i BETWEEN 16 AND 31
+                               THEN v.bit << (v.i - 16) END), 0) AS b1,
+             COALESCE(SUM(CASE WHEN v.i BETWEEN 32 AND 47
+                               THEN v.bit << (v.i - 32) END), 0) AS b2,
+             COALESCE(SUM(CASE WHEN v.i >= 48
+                               THEN v.bit << (v.i - 48) END), 0) AS b3
+      FROM documents d LEFT JOIN votes v ON v.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM fp a JOIN fp b
+      ON a.doc_id < b.doc_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+""".format(toks=TOKS_SQL)
+
+
+@query("docs_simhash_near_dup", oracle=SIMHASH_SQL)
 def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (Hamming ≤ 3) via pigeonhole block
-    join. Rows-only driver check (xxhash64 not reproducible in SQL);
-    recall/precision asserted against planted pairs in tests."""
+    join, hash-checked end to end (VERDICT r02 item 4 — formerly the
+    one rows-only entry): the md5_64 token hash is engine-neutral, so
+    the oracle recomputes fingerprints, blocking, AND the Hamming
+    verify in SQL. The xxhash64 default stays for production speed;
+    planted-pair recall is additionally asserted in tests and the
+    ``docs_simhash_quality`` twin."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(docs)
+    return D.simhash_near_dup_pairs(docs, hash_fn="md5_64").withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
 
 
 @query(
