@@ -260,3 +260,26 @@ def test_rank_zorder_beats_minmax_under_skew(spark, tmp_path):
     r_cover = sum(covering(rdir, "v", p) for p in probes)
     m_cover = sum(covering(mdir, "v", p) for p in probes)
     assert r_cover < m_cover, (r_cover, m_cover)
+
+
+def test_rank_zorder_default_bits_is_tractable(spark, tmp_path):
+    """ADVICE r02: method='rank' at the DEFAULT bits=16 used to build
+    a 65535-probability quantile literal and bucket each row through
+    an interpreted 65535-element array filter. The quantile pass is
+    now capped at 256 buckets with a JVM binary-search lookup — the
+    default must complete promptly and preserve the rows."""
+    import time
+
+    from wistia_data_pipeline_project_spark.sources.ddl import write_zordered
+
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "CAST(pow(id % 97, 3) AS LONG) AS a", "id % 1000 AS v"
+    )
+    out = str(tmp_path / "zr")
+    t0 = time.time()
+    write_zordered(df, out, "a", "v", n_files=4, method="rank")
+    elapsed = time.time() - t0
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert set(back.columns) == {"id", "a", "v"}
+    assert elapsed < 60, f"rank z-order took {elapsed:.0f}s at default bits"

@@ -270,3 +270,17 @@ def test_hot_shingle_cap_bounds_fanout(spark):
     assert obs.get["n_hot_shingles"] == 1
     assert obs.get["n_dropped_shingle_rows"] == 1200
     assert obs.get["max_doc_freq_seen"] == 1200
+
+
+def test_cosine_near_dup_pairs_guards_corpus_size(spark):
+    # the driver-collect oracle kernel must refuse production-sized
+    # inputs so it can't silently become the catalog path
+    import pytest
+    from pyspark.sql import functions as F
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    big = spark.range(100_001).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(0.1)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="small-corpus"):
+        S.cosine_near_dup_pairs(big, threshold=0.9)

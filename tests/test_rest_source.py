@@ -38,6 +38,34 @@ def test_fetch_events_pushdown_params():
     assert "start_date" not in calls[0][1]
 
 
+def test_single_item_fetch_projection():
+    """S4: a dict response body becomes one projected record (the v1
+    4-field metadata extraction); a missing media yields None."""
+
+    def transport(endpoint, params):
+        assert params["page"] == 1  # bounded to one page
+        if endpoint == "medias/abc123.json":
+            return [
+                {
+                    "id": 42,
+                    "hashed_id": "abc123",
+                    "name": "Launch Video",
+                    "created": "2025-05-01T00:00:00Z",
+                    "duration": 12.5,  # un-projected fields dropped
+                }
+            ]
+        return []
+
+    got = rest.fetch_media(transport, "abc123")
+    assert got == {
+        "id": 42,
+        "hashed_id": "abc123",
+        "title": "Launch Video",
+        "created_at": "2025-05-01T00:00:00Z",
+    }
+    assert rest.fetch_media(transport, "missing") is None
+
+
 def test_failure_isolation():
     rows, errors = rest.fetch_events_per_media(
         make_transport(), ["m0", "m_broken", "m1"]

@@ -40,7 +40,15 @@ def not_null(col: str, max_null_frac: float = 0.0) -> Expectation:
 
 
 def accepted_values(col: str, values: list) -> Expectation:
-    """Every non-NULL value of ``col`` is in ``values``."""
+    """Every non-NULL value of ``col`` is in ``values``. An empty
+    ``values`` list is rejected here, at suite-build time — deferring
+    it would surface as an opaque ``isin()`` expression error mid-run
+    (and "no value is acceptable" is almost always a caller bug)."""
+    if not values:
+        raise ValueError(
+            f"accepted_values({col!r}): values list is empty — every "
+            "non-NULL row would fail; pass the allowed values"
+        )
     return Expectation(
         f"accepted_values({col})", "accepted_values", {"col": col, "values": values}
     )
@@ -74,7 +82,8 @@ def _frac(cond: Column) -> Column:
 
 def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
     """Evaluate a suite; returns (name, passed, metric, threshold,
-    n_rows) per expectation. Single-pass expectations share one
+    n_rows) per expectation, IN SUITE ORDER (callers may zip the
+    report against their suite). Single-pass expectations share one
     aggregate job; unique/references each add one.
     """
     spark = df.sparkSession
@@ -82,15 +91,15 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
 
     # one shared aggregation for the per-row predicates
     agg_cols, meta = [], []
-    for e in suite:
+    for idx, e in enumerate(suite):
         if e.kind == "not_null":
             agg_cols.append(_frac(F.col(e.params["col"]).isNull()))
-            meta.append((e, float(e.params["max"])))
+            meta.append((idx, e, float(e.params["max"])))
         elif e.kind == "accepted_values":
             c = F.col(e.params["col"])
             bad = c.isNotNull() & ~c.isin(*e.params["values"])
             agg_cols.append(_frac(bad))
-            meta.append((e, 0.0))
+            meta.append((idx, e, 0.0))
         elif e.kind == "bounds":
             c = F.col(e.params["col"])
             lo, hi = e.params["lo"], e.params["hi"]
@@ -100,20 +109,20 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             if hi is not None:
                 bad = bad | (c > F.lit(hi))
             agg_cols.append(_frac(c.isNotNull() & bad))
-            meta.append((e, 0.0))
-    report_rows = []
+            meta.append((idx, e, 0.0))
+    by_idx: dict[int, tuple] = {}
     if agg_cols:
         vals = df.agg(
             n_rows.alias("_n"), *[c.alias(f"_m{i}") for i, c in enumerate(agg_cols)]
         ).collect()[0]
         total = vals["_n"]
-        for i, (e, thresh) in enumerate(meta):
+        for i, (idx, e, thresh) in enumerate(meta):
             metric = float(vals[f"_m{i}"] or 0.0)
-            report_rows.append((e.name, metric <= thresh, metric, thresh, total))
+            by_idx[idx] = (e.name, metric <= thresh, metric, thresh, total)
     else:
         total = df.count()
 
-    for e in suite:
+    for idx, e in enumerate(suite):
         if e.kind == "unique":
             cols = e.params["cols"]
             r = df.agg(
@@ -131,9 +140,7 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             # count_distinct skips NULL combos; compare against the
             # non-NULL row count so NULLs don't read as duplicates
             dupes = (r["_n"] - r["_nulls"]) - r["_d"]
-            report_rows.append(
-                (e.name, dupes == 0, float(dupes), 0.0, r["_n"])
-            )
+            by_idx[idx] = (e.name, dupes == 0, float(dupes), 0.0, r["_n"])
         elif e.kind == "references":
             col, dim, dim_key = (
                 e.params["col"],
@@ -150,9 +157,9 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
                 )
                 .count()
             )
-            report_rows.append((e.name, orphans == 0, float(orphans), 0.0, total))
+            by_idx[idx] = (e.name, orphans == 0, float(orphans), 0.0, total)
 
     return spark.createDataFrame(
-        report_rows,
+        [by_idx[i] for i in sorted(by_idx)],
         "name string, passed boolean, metric double, threshold double, n_rows long",
     )

@@ -130,6 +130,13 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    n = df.count()
+    if n > 100_000:
+        raise ValueError(
+            f"cosine_near_dup_pairs is the driver-collect small-corpus "
+            f"oracle (got {n} rows, limit 100000); use "
+            f"cosine_near_dup_blocked for production corpora"
+        )
     rows = df.select(key_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

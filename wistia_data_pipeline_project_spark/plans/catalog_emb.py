@@ -42,7 +42,26 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-_NVEC_CACHE: dict[str, int] = {}
+_NVEC_CACHE: dict[tuple[str, int, int], int] = {}
+
+
+def _nvec(sf_dir: str, emb: DataFrame) -> int:
+    """Embedding row count, cached by (path, mtime, size) — same
+    staleness-proof key as io.py's parquet-footer cache, so a driver
+    that regenerates embeddings.parquet in place can never leave the
+    declared blocking (k = N//250) diverged from the oracle's live
+    COUNT(*)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, 0, 0)
+    if key not in _NVEC_CACHE:
+        _NVEC_CACHE[key] = emb.count()
+    return _NVEC_CACHE[key]
 
 
 def _centroids_scaled(sf_dir: str, emb: DataFrame) -> DataFrame:
@@ -56,10 +75,8 @@ def _centroids_scaled(sf_dir: str, emb: DataFrame) -> DataFrame:
     part of the DECLARED blocking, replayed verbatim in the oracle SQL
     (``greatest(8, COUNT(*) // 250)``), so results stay exactly
     hash-checked at every scale factor. The count is one cached tiny
-    job per sf_dir."""
-    if sf_dir not in _NVEC_CACHE:
-        _NVEC_CACHE[sf_dir] = emb.count()
-    k = max(8, _NVEC_CACHE[sf_dir] // 250)
+    job per (path, mtime, size) of the embeddings file."""
+    k = max(8, _nvec(sf_dir, emb) // 250)
     return emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("integer").alias("centroid_id"),
         F.col("embedding").alias("cv"),

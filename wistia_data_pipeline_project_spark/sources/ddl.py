@@ -163,12 +163,22 @@ def write_zordered(
     selective. The key is computed once per row and dropped before
     write; the min/max pre-pass is a 1-row aggregate.
     """
+    out = df
     if method == "rank":
-        # equal-frequency bucketing: 2^bits approx-quantile boundaries
-        # per column (one sketch pass), bucket id = boundary index.
-        # Error 1/2^(bits+2) keeps buckets near-equal even when the
-        # value distribution is wildly skewed.
-        nb = 1 << bits
+        # equal-frequency bucketing: approx-quantile boundaries per
+        # column (one sketch pass), bucket id = boundary index via
+        # pyspark.ml Bucketizer — a JVM binary search per row, NOT a
+        # per-row filter over a boundary array literal (an interpreted
+        # higher-order function: the CodegenFallback trap this repo
+        # removed from the dot-product and minhash kernels).
+        # The quantile pass is capped at 2^8 buckets per column: the
+        # curve only needs enough cells to spread n_files file ranges
+        # (256² cells >> any sane n_files), a 65k-probability
+        # approx_percentile literal is ~1 MB of SQL text with
+        # accuracy 4*2^16, and boundary-array size is what both the
+        # sketch cost and the lookup depth scale with.
+        rank_bits = min(bits, 8)
+        nb = 1 << rank_bits
         probs = [i / nb for i in range(1, nb)]
         bounds = df.selectExpr(
             f"approx_percentile({col1}, array({','.join(map(str, probs))}), {4 * nb}) AS b1",
@@ -178,15 +188,26 @@ def write_zordered(
             df.write.mode("overwrite").parquet(path)
             return
 
-        def bucketed(c: str, bs) -> Column:
-            arr = F.array(*[F.lit(float(b)) for b in bs])
-            # index of the first boundary >= value == count of
-            # boundaries strictly below it (codegen filter+size)
-            return F.size(
-                F.filter(arr, lambda b: b < F.col(c).cast("double"))
-            ).cast("long")
+        def _splits(bs) -> list[float]:
+            # Bucketizer needs strictly increasing splits; duplicate
+            # quantile boundaries (a heavy value spanning buckets)
+            # collapse into one bucket — still equal-frequency-ish
+            uniq = sorted({float(b) for b in bs})
+            return [float("-inf"), *uniq, float("inf")]
 
-        zk = zorder_key(bucketed(col1, bounds["b1"]), bucketed(col2, bounds["b2"]), bits)
+        from pyspark.ml.feature import Bucketizer
+
+        out = Bucketizer(
+            splitsArray=[_splits(bounds["b1"]), _splits(bounds["b2"])],
+            inputCols=["_v1", "_v2"],
+            outputCols=["_k1", "_k2"],
+            handleInvalid="keep",  # NULL/NaN keys land in one extra cell
+        ).transform(
+            df.withColumn("_v1", F.col(col1).cast("double")).withColumn(
+                "_v2", F.col(col2).cast("double")
+            )
+        )
+        zk = zorder_key(F.col("_k1"), F.col("_k2"), rank_bits)
     else:
         lo1, hi1, lo2, hi2 = (
             df.agg(
@@ -207,10 +228,10 @@ def write_zordered(
 
         zk = zorder_key(scaled(col1, lo1, hi1), scaled(col2, lo2, hi2), bits)
     (
-        df.withColumn("_zk", zk)
+        out.withColumn("_zk", zk)
         .repartitionByRange(n_files, "_zk")
         .sortWithinPartitions("_zk")
-        .drop("_zk")
+        .drop("_zk", "_v1", "_v2", "_k1", "_k2")
         .write.mode("overwrite")
         .parquet(path)
     )

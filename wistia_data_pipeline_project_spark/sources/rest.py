@@ -91,6 +91,27 @@ def fetch_medias(transport: Transport, **params) -> list[dict]:
     return list(paginate(transport, "medias.json", params))
 
 
+def fetch_media(transport: Transport, hashed_id: str) -> dict | None:
+    """S4: single-item metadata fetch with the reference's 4-field
+    projection (``ingest_wistia_v1.py:187-193`` — id, hashed_id,
+    title←name, created_at←created). A dict response body arrives as
+    a 1-element page (``http_transport`` wraps non-list bodies), so
+    this is one ``paginate`` call bounded to one page; an empty
+    response yields None, mirroring the reference's error return."""
+    rows = list(
+        paginate(transport, f"medias/{hashed_id}.json", end_page=1)
+    )
+    if not rows:
+        return None
+    m = rows[0]
+    return {
+        "id": m.get("id"),
+        "hashed_id": m.get("hashed_id"),
+        "title": m.get("name"),
+        "created_at": m.get("created"),
+    }
+
+
 def fetch_events(
     transport: Transport,
     media_id: str | None = None,
