@@ -21,6 +21,12 @@ cost under spiky external noise. Both executions are full runs of
 the complete plan; nothing is cached between them beyond the
 JVM/codegen warmth the first execution naturally leaves.
 
+Knobs (env): ``SPARK_GRAFT_BENCH_REPS`` (default 2) executions per
+query; ``SPARK_GRAFT_BENCH_STAT`` = ``min`` (default) or ``median``.
+The driver run keeps the fast min-of-2; perf investigations use
+``REPS=5 STAT=median`` to separate cold-compile/interference drift
+from real regressions (the VERDICT r02 ±15% protocol).
+
 Usage: ``python bench.py [query ...]`` (no args = all queries).
 """
 
@@ -75,14 +81,19 @@ def main() -> None:
         .save()
     )
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min")
+    import statistics
+
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(reps):
             t0 = time.perf_counter()
             run(name)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        est = statistics.median(samples) if stat == "median" else min(samples)
+        timings[name] = round(est, 3)
 
     total = round(sum(timings.values()), 3)
     print(
