@@ -41,11 +41,14 @@ _WINDOW = 50  # driver checks the first 50 queries() entries per round
 def _green_history() -> dict[str, list[int]]:
     """Per entry, the sorted list of rounds with a driver-green row.
 
-    Green means a full hash match, or — for entries registered
+    Green means a full hash match, or — for entries STILL registered
     without an oracle (rows-only checks) — a clean run that produced
-    rows. Files that fail to parse are skipped: a corrupt history
-    degrades to "never green", which only moves entries toward the
-    front of the window (safe direction).
+    rows. A historical rows-only row stops counting the moment the
+    entry gains an oracle: it has then never been hash-checked and
+    must re-enter the front of the window. Files that fail to parse
+    are skipped: a corrupt history degrades to "never green", which
+    only moves entries toward the front of the window (safe
+    direction).
     """
     root = Path(__file__).resolve().parents[2]
     greens: dict[str, list[int]] = {}
@@ -61,8 +64,10 @@ def _green_history() -> dict[str, list[int]]:
             if not isinstance(row, dict):
                 continue
             ok = row.get("hash_match") is True or (
-                # rows-only entry (no oracle registered): ran clean
-                row.get("hash_match") is None
+                # rows-only entry (no oracle registered, then or now):
+                # ran clean
+                name not in ORACLE
+                and row.get("hash_match") is None
                 and row.get("err") in (None, "no_oracle")
                 and row.get("spark_rows") is not None
             )
