@@ -609,3 +609,91 @@ def knn_join_blocked(
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    n_codes: int = 16,
+    n_subspaces: int = 8,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codes: split each vector into
+    ``n_subspaces`` contiguous sub-vectors and assign each to its
+    nearest codebook entry by squared L2 (argmin, ties to the lower
+    code). Output one row per (vector, subspace) with the code and
+    the subspace quantization error — the IVF-PQ compression step
+    (Jégou et al., TPAMI 2011): 64 float32 dims become 8 4-bit codes.
+
+    Codebook convention: the sub-vectors of the first ``n_codes``
+    vectors (``vec_id < n_codes``) — the same deterministic seed rule
+    as the IVF centroids (``_centroids_scaled``), so the oracle can
+    replay the assignment exactly (no trained state to ship). The
+    codebook is collected to the driver (n_codes × dim floats — the
+    ``_query_vec`` precedent) and unrolled into codegen literals.
+
+    Scale: one scan, zero shuffles before the output; per row the
+    16×8 distance evaluations are a literal-coefficient multiply-add
+    chain inside whole-stage codegen (NOT an interpreted HOF fold —
+    the dot_unrolled lesson). Distances expand as
+    dot(v,v) - 2·dot(v,c) + dot(c,c) with every dot a left-fold in
+    index order, matching DuckDB's sequential list_dot_product
+    bit-for-bit; dot(c,c) folds driver-side in the same order.
+    """
+    rows = sorted(
+        df.filter(F.col(key_col) < n_codes).select(key_col, vec_col).collect(),
+        key=lambda r: r[0],
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"corpus has only {len(rows)} vectors with {key_col} < "
+            f"{n_codes}; cannot seed the PQ codebook"
+        )
+    dim = len(rows[0][1])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    dsub = dim // n_subspaces
+    # codebook[code][s] = (subvector floats, dot(c,c) via left fold)
+    cb: list[list[tuple[list[float], float]]] = []
+    for r in rows:
+        v = [float(x) for x in r[1]]
+        subs = []
+        for s in range(n_subspaces):
+            c = v[s * dsub : (s + 1) * dsub]
+            cc = 0.0
+            for x in c:
+                cc = cc + x * x
+            subs.append((c, cc))
+        cb.append(subs)
+
+    vec = as_double(F.col(vec_col))
+
+    def elem(i: int) -> Column:
+        return F.element_at(vec, i + 1)
+
+    per_sub = []
+    for s in range(n_subspaces):
+        aa: Column = F.lit(0.0)
+        for d in range(dsub):
+            aa = aa + elem(s * dsub + d) * elem(s * dsub + d)
+        cands = []
+        for code in range(n_codes):
+            c, cc = cb[code][s]
+            ac: Column = F.lit(0.0)
+            for d in range(dsub):
+                ac = ac + elem(s * dsub + d) * F.lit(c[d])
+            dist = aa - F.lit(2.0) * ac + F.lit(cc)
+            cands.append(
+                F.struct(dist.alias("d"), F.lit(code).cast("int").alias("c"))
+            )
+        best = F.array_min(F.array(*cands))
+        per_sub.append(
+            F.struct(
+                F.lit(s).cast("int").alias("subspace"),
+                best["c"].alias("code"),
+                best["d"].alias("sub_err"),
+            )
+        )
+    return df.select(
+        F.col(key_col), F.explode(F.array(*per_sub)).alias("_pq")
+    ).select(key_col, "_pq.subspace", "_pq.code", "_pq.sub_err")

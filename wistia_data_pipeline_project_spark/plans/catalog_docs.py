@@ -1203,3 +1203,104 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.shiftright(fp, 30)).alias("content_sum_hi"),
         F.sum(fp % F.lit(1 << 30)).alias("content_sum_lo"),
     )
+
+
+@query(
+    "docs_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.da
+      JOIN sizes sb ON sb.doc_id = inter.db
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    cc AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    m AS (
+      SELECT cc.u AS doc_id, cc.cluster_id, d.source, d.n_chars
+      FROM cc JOIN documents d ON cc.u = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM m
+    ),
+    dropped AS (SELECT source, COUNT(*) AS n FROM ranked WHERE rn > 1 GROUP BY 1),
+    dup AS (SELECT source, COUNT(*) AS n FROM m GROUP BY 1),
+    tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT t2.source, t2.n_docs,
+           COALESCE(dup.n, 0) AS n_in_dup_clusters,
+           COALESCE(dropped.n, 0) AS n_dropped,
+           t2.n_docs - COALESCE(dropped.n, 0) AS n_kept
+    FROM tot t2
+    LEFT JOIN dup ON dup.source = t2.source
+    LEFT JOIN dropped ON dropped.source = t2.source
+    """,
+)
+def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup dedup flow a pretraining pipeline runs:
+    exact-Jaccard pairs (hot-shingle-capped) → transitive duplicate
+    clusters (connected components) → keep the BEST member per
+    cluster (longest text, ties to the lower doc_id) → per-source
+    kept/dropped accounting. Everything downstream of the pair list —
+    closure, survivor choice, counts — is replayed in SQL (recursive
+    CTE), so the whole pipeline is hash-checked.
+
+    Scale: the cluster/survivor stages run on the near-dup SUBSET
+    (pair members), not the corpus — the row_number window partitions
+    by cluster over that subset only, and the final counts are
+    map-side-combinable aggregates on the full corpus scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    cc = C.dup_clusters(pairs).select("node", "cluster_id")
+    meta = docs.select("doc_id", "source", "n_chars")
+    m = cc.join(meta, cc.node == meta.doc_id).select(
+        "doc_id", "cluster_id", "source", "n_chars"
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    ranked = m.withColumn("rn", rn)
+    dropped = ranked.filter(F.col("rn") > 1).groupBy("source").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    dup = m.groupBy("source").agg(F.count(F.lit(1)).alias("_nm"))
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tot.join(dup, "source", "left")
+        .join(dropped, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("_nm"), F.lit(0)).alias("n_in_dup_clusters"),
+            F.coalesce(F.col("_nd"), F.lit(0)).alias("n_dropped"),
+            (F.col("n_docs") - F.coalesce(F.col("_nd"), F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+    )

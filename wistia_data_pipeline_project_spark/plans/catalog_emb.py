@@ -554,3 +554,47 @@ def emb_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy("hamming", "vec_id")).alias("rank"),
     )
     return S.rrf_fuse([cos, ham], key_col="vec_id", rrf_k=60, k=10)
+
+
+@query(
+    "emb_pq_codes",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    cb AS (
+      SELECT CAST(vec_id AS INT) AS code, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS cv
+      FROM embeddings, s WHERE vec_id < 16
+    ),
+    v AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS vv
+      FROM embeddings, s
+    ),
+    d AS (
+      SELECT vec_id, sub, code,
+             list_dot_product(vv, vv) - 2 * list_dot_product(vv, cv)
+               + list_dot_product(cv, cv) AS dist
+      FROM v JOIN cb USING (sub)
+    ),
+    best AS (SELECT vec_id, sub, MIN(dist) AS md FROM d GROUP BY 1, 2)
+    SELECT d.vec_id, CAST(d.sub AS INT) AS subspace,
+           MIN(d.code) AS code, b.md AS sub_err
+    FROM d JOIN best b ON d.vec_id = b.vec_id AND d.sub = b.sub
+                       AND d.dist = b.md
+    GROUP BY d.vec_id, d.sub, b.md
+    """,
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (north_star ANN compression): 64 float32
+    dims → 8 sub-vector codes against a 16-entry seed codebook
+    (vec_id < 16, the IVF centroid convention), with per-subspace
+    quantization error. Hash-checked end to end — distances expand as
+    dot(v,v) - 2·dot(v,c) + dot(c,c) with sequential folds in both
+    engines, and ties take the lower code in both.
+
+    Scale: one scan, zero pre-output shuffles; the 16×8 distance
+    evaluations per row are literal-coefficient multiply-add chains
+    in whole-stage codegen (see similarity.pq_codes).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_codes(emb, n_codes=16, n_subspaces=8)
