@@ -633,12 +633,17 @@ def pq_codes(
     ``_query_vec`` precedent) and unrolled into codegen literals.
 
     Scale: one scan, zero shuffles before the output; per row the
-    16×8 distance evaluations are a literal-coefficient multiply-add
-    chain inside whole-stage codegen (NOT an interpreted HOF fold —
-    the dot_unrolled lesson). Distances expand as
-    dot(v,v) - 2·dot(v,c) + dot(c,c) with every dot a left-fold in
-    index order, matching DuckDB's sequential list_dot_product
-    bit-for-bit; dot(c,c) folds driver-side in the same order.
+    16×8 distance evaluations are literal-coefficient multiply-add
+    chains over PRE-PROJECTED element/norm columns (NOT an
+    interpreted HOF fold — the dot_unrolled lesson; and the shared
+    subexpressions are materialized as real projection stages because
+    inlining the element extraction and the dot(v,v) fold into every
+    candidate multiplies the generated code ~17× — measured as a
+    Janino stack overflow at 16 codes × 8 subspaces). Distances
+    expand as dot(v,v) - 2·dot(v,c) + dot(c,c) with every dot a
+    left-fold in index order, matching DuckDB's sequential
+    list_dot_product bit-for-bit; dot(c,c) folds driver-side in the
+    same order.
     """
     rows = sorted(
         df.filter(F.col(key_col) < n_codes).select(key_col, vec_col).collect(),
@@ -667,22 +672,32 @@ def pq_codes(
         cb.append(subs)
 
     vec = as_double(F.col(vec_col))
+    # stage 1: flatten elements to real columns (each extracted once)
+    flat = df.select(
+        F.col(key_col),
+        *[F.element_at(vec, i + 1).alias(f"_e{i}") for i in range(dim)],
+    )
 
-    def elem(i: int) -> Column:
-        return F.element_at(vec, i + 1)
-
-    per_sub = []
+    # stage 2: per-subspace dot(v,v) as its own column (shared by all
+    # candidates instead of re-inlined 16×)
+    aa_cols = []
     for s in range(n_subspaces):
         aa: Column = F.lit(0.0)
         for d in range(dsub):
-            aa = aa + elem(s * dsub + d) * elem(s * dsub + d)
+            aa = aa + F.col(f"_e{s * dsub + d}") * F.col(f"_e{s * dsub + d}")
+        aa_cols.append(aa.alias(f"_aa{s}"))
+    flat = flat.select("*", *aa_cols)
+
+    # stage 3: argmin over the candidate structs per subspace
+    per_sub = []
+    for s in range(n_subspaces):
         cands = []
         for code in range(n_codes):
             c, cc = cb[code][s]
             ac: Column = F.lit(0.0)
             for d in range(dsub):
-                ac = ac + elem(s * dsub + d) * F.lit(c[d])
-            dist = aa - F.lit(2.0) * ac + F.lit(cc)
+                ac = ac + F.col(f"_e{s * dsub + d}") * F.lit(c[d])
+            dist = F.col(f"_aa{s}") - F.lit(2.0) * ac + F.lit(cc)
             cands.append(
                 F.struct(dist.alias("d"), F.lit(code).cast("int").alias("c"))
             )
@@ -694,6 +709,6 @@ def pq_codes(
                 best["d"].alias("sub_err"),
             )
         )
-    return df.select(
+    return flat.select(
         F.col(key_col), F.explode(F.array(*per_sub)).alias("_pq")
     ).select(key_col, "_pq.subspace", "_pq.code", "_pq.sub_err")

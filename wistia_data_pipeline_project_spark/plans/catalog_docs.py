@@ -1304,3 +1304,124 @@ def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "docs_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    w AS (
+      SELECT doc_id,
+             md5(unnest(list_distinct([array_to_string(toks[i:i+31], ' ')
+                 FOR i IN generate_series(1, greatest(len(toks)-31, 1))])))
+               AS wfp
+      FROM t
+    ),
+    freq AS (SELECT wfp, COUNT(*) AS df FROM w GROUP BY 1)
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           CAST(COALESCE(SUM(CASE WHEN freq.df >= 2 THEN 1 END), 0)
+                AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(SUM(CASE WHEN freq.df >= 2 THEN 1 END), 0) AS DOUBLE)
+             / COUNT(*) AS dup_fraction
+    FROM w JOIN freq USING (wfp)
+    GROUP BY w.doc_id
+    """,
+)
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication scan (the Lee-et-al.-2022 exact
+    substring dedup signal, window-granular): every distinct 32-token
+    window is fingerprinted, windows appearing in ≥2 documents are
+    duplicated spans, and each document reports its duplicated-window
+    fraction — the per-doc signal a pretraining pipeline uses to cut
+    boilerplate-heavy documents or route spans to removal.
+
+    Scale: windows shuffle as 16-byte md5 fingerprints, never text;
+    the document-frequency aggregate is map-side combinable, and the
+    join back to docs is on the same fingerprint key (one shuffle
+    reused). A 32-token window in k docs contributes k rows — linear,
+    no pair expansion anywhere (contrast the Jaccard join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(X.shingle_array(F.col("text"), 32))
+        ).alias("_w"),
+    ).select("doc_id", F.md5("_w").alias("wfp"))
+    freq = w.groupBy("wfp").agg(F.count(F.lit(1)).alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1)).cast("long")
+    return (
+        w.join(freq, "wfp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(dup, F.lit(0)).alias("n_dup_windows"),
+            (
+                F.coalesce(dup, F.lit(0)).cast("double") / F.count(F.lit(1))
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "docs_unigram_nll",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    nll AS (
+      SELECT tk,
+             CAST(ROUND(LN(CAST(total AS DOUBLE) / cnt), 6)
+                  AS DECIMAL(18,6)) AS nll_q
+      FROM vocab, tot
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(nll.nll_q) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM tok JOIN nll USING (tk)
+    GROUP BY tok.doc_id
+    """,
+)
+def docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score (the CCNet-style perplexity-filter
+    signal, with the corpus itself as the LM): per document, the mean
+    negative log-likelihood of its tokens under corpus unigram
+    frequencies — low = common boilerplate-ish text, high = rare
+    vocabulary. Documents with no tokens have no defined score and
+    are omitted (same grouping semantics in both engines).
+
+    Cross-engine determinism: per-token NLL is quantized to
+    DECIMAL(18,6) BEFORE the per-doc sum, so the (order-free) decimal
+    sum is exact in both engines and only the final mean divides in
+    double. The one ln() per DISTINCT token is computed from the same
+    double division in both engines.
+
+    Scale: the vocab is a map-side-combinable count; the token→NLL
+    join is broadcast-able (a natural-language unigram vocab is
+    millions of rows, not fact-sized) and the per-doc agg is one
+    shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tk")
+    )
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    nll = vocab.join(F.broadcast(tot)).select(
+        "tk",
+        F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll_q"),
+    )
+    return (
+        tok.join(nll, "tk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("nll_q").cast("double") / F.count(F.lit(1))).alias(
+                "avg_nll"
+            ),
+        )
+    )

@@ -598,3 +598,117 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pq_codes(emb, n_codes=16, n_subspaces=8)
+
+
+@query(
+    "emb_pq_adc_topk",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    cb AS (
+      SELECT CAST(vec_id AS INT) AS code, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS cv
+      FROM embeddings, s WHERE vec_id < 16
+    ),
+    v AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS vv
+      FROM embeddings, s
+    ),
+    d AS (
+      SELECT vec_id, sub, code,
+             list_dot_product(vv, vv) - 2 * list_dot_product(vv, cv)
+               + list_dot_product(cv, cv) AS dist
+      FROM v JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d
+    ),
+    q AS (
+      SELECT sub, (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS qv
+      FROM embeddings, s WHERE vec_id = 0
+    ),
+    dtab AS (
+      SELECT cb.sub, cb.code,
+             list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv) AS qd
+      FROM cb JOIN q USING (sub)
+    ),
+    adc AS (
+      SELECT b.vec_id,
+             list_sum(list(dt.qd ORDER BY b.sub)) AS adc_dist
+      FROM best b JOIN dtab dt ON b.sub = dt.sub AND b.code = dt.code
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, adc_dist FROM adc
+    WHERE vec_id <> 0
+    ORDER BY adc_dist, vec_id
+    LIMIT 10
+    """,
+)
+def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval via asymmetric distance computation (the other
+    half of IVF-PQ): the query stays exact, each corpus vector is
+    represented only by its 8 codes, and estimated distance is the
+    sum of precomputed query↔codebook sub-distances — a 16×8 lookup
+    table replaces all vector math at query time. Top-10 by estimated
+    distance, ties to the lower vec_id.
+
+    Determinism: the 8 sub-distances are summed in subspace order in
+    both engines (Spark: pivoted left-assoc chain; DuckDB: list_sum
+    over an ORDER BY sub list), so the doubles compare exactly.
+
+    Scale: the scan reads CODES only (8 small ints per vector — the
+    32× compression is what makes exhaustive ADC viable); per row the
+    work is 8 array-literal lookups + 7 adds, all codegen. TakeOrdered
+    heap, no shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = S.pq_codes(emb, n_codes=16, n_subspaces=8)
+    q = _query_vec(spark, sf_dir, 0)
+    cb_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r[0],
+    )
+    dsub = len(q) // 8
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    # dtab[s][code]: exact query-to-codebook sub-distances, folded
+    # driver-side in the same op order as the engines
+    dtab = []
+    for sct in range(8):
+        qs = [float(x) for x in q[sct * dsub : (sct + 1) * dsub]]
+        row = []
+        for r in cb_rows:
+            cs = [float(x) for x in r[1][sct * dsub : (sct + 1) * dsub]]
+            row.append(fold_dot(qs, qs) - 2 * fold_dot(qs, cs) + fold_dot(cs, cs))
+        dtab.append(row)
+
+    lut = pq.select(
+        "vec_id",
+        "subspace",
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in [v for s in dtab for v in s]]),
+            (F.col("subspace") * 16 + F.col("code") + 1).cast("int"),
+        ).alias("_qd"),
+    )
+    pivoted = lut.groupBy("vec_id").pivot("subspace", list(range(8))).agg(
+        F.first("_qd")
+    )
+    adc: F.Column = F.lit(0.0)
+    for sct in range(8):
+        adc = adc + F.col(f"{sct}")
+    return (
+        pivoted.filter(F.col("vec_id") != 0)
+        .select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
