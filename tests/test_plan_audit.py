@@ -94,6 +94,9 @@ MATERIALIZING = {
     "emb_kmeans_quality",
     "events_heavy_hitters",
     "docs_dup_clusters",
+    # inherits connected_components' per-iteration localCheckpoint
+    # (the label table, two longs per near-dup member — not the corpus)
+    "docs_dedup_keep_best",
 }
 
 
