@@ -501,3 +501,33 @@ def test_contract_passes_on_mid_date_hwm_cut(spark, out_dir):
         (F.col("media_id") == "med001") & (F.col("visitor_id") == "visGRAIN")
     )
     assert grain.count() == 2  # same grain, two committed runs
+
+
+def test_legacy_table_migrates_into_commit_log(spark, out_dir):
+    """A table written by plain (pre-manifest) appends must survive its
+    first atomic append: the pre-existing files are claimed by a
+    one-time legacy manifest, so the NEXT run's rollback cannot read
+    them as crashed-run debris."""
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        read_fact_committed,
+        rollback_uncommitted,
+        write_fact_append,
+        write_fact_append_atomic,
+    )
+
+    fact_path = os.path.join(out_dir, "fact_media_engagement")
+    # legacy era: plain un-gated append
+    legacy_rows = spark.createDataFrame(
+        [("m1", "v1", dt.date(2025, 5, 1), 3)],
+        "media_id string, visitor_id string, date date, plays long",
+    )
+    write_fact_append(legacy_rows, fact_path)
+    # gated era begins
+    more = spark.createDataFrame(
+        [("m2", "v2", dt.date(2025, 5, 2), 1)], legacy_rows.schema
+    )
+    write_fact_append_atomic(more, fact_path, "r1")
+    stats = rollback_uncommitted(fact_path)  # next run's first step
+    assert stats["removed_files"] == 0  # legacy files were claimed
+    assert read_fact_committed(spark, fact_path).count() == 2
+    assert spark.read.parquet(fact_path).count() == 2

@@ -216,6 +216,22 @@ def write_fact_append_atomic(df: DataFrame, path: str, run_id: str) -> int:
     import json
     import shutil
 
+    # one-time migration: a legacy table (plain appends, no _commits)
+    # gets its pre-existing files claimed by a "legacy" manifest BEFORE
+    # the first gated append — otherwise the next run's rollback would
+    # read them as crashed-run debris and delete committed data
+    if not has_commit_log(path):
+        legacy = [
+            os.path.relpath(f, path)
+            for f in _glob.glob(os.path.join(path, "*=*", "*.parquet"))
+        ]
+        if legacy:
+            os.makedirs(_commits_dir(path), exist_ok=True)
+            tmp0 = os.path.join(_commits_dir(path), "00000000-legacy.json.tmp")
+            with open(tmp0, "w") as fh:
+                json.dump({"run_id": "legacy", "files": sorted(legacy)}, fh)
+            os.rename(tmp0, os.path.join(_commits_dir(path), "00000000-legacy.json"))
+
     stage = os.path.join(path, "_staging", run_id)
     df.write.mode("overwrite").partitionBy("date").parquet(stage)
     moved: list[str] = []
