@@ -310,7 +310,16 @@ def run_incremental_pipeline_tables(
     process_wistia_data.py:364-542) on the K5 DDL surface instead of
     bare paths. Idempotent end to end: provisioning no-ops when the
     tables exist, and the event-key dedup + HWM filter make re-runs
-    append nothing."""
+    append nothing.
+
+    Commit semantics: ``insertInto`` on a catalog table uses Spark's
+    committer (job-level temp-dir rename), whose remaining crash
+    window is the commit phase itself; the PATH pipeline
+    (``run_incremental_pipeline``) closes that window fully with the
+    manifest gate (``write_fact_append_atomic``). Deployments that
+    need all-or-nothing appends on catalog tables should back them
+    with a transactional table format — the manifest gate is that
+    mechanism built from plain parquet."""
     from ..sources.ddl import provision_warehouse
     from .dims import transform_media_data, transform_visitor_data
     from .fact import fact_media_engagement

@@ -632,18 +632,28 @@ def pq_codes(
     codebook is collected to the driver (n_codes × dim floats — the
     ``_query_vec`` precedent) and unrolled into codegen literals.
 
-    Scale: one scan, zero shuffles before the output; per row the
-    16×8 distance evaluations are literal-coefficient multiply-add
-    chains over PRE-PROJECTED element/norm columns (NOT an
-    interpreted HOF fold — the dot_unrolled lesson; and the shared
-    subexpressions are materialized as real projection stages because
-    inlining the element extraction and the dot(v,v) fold into every
-    candidate multiplies the generated code ~17× — measured as a
-    Janino stack overflow at 16 codes × 8 subspaces). Distances
-    expand as dot(v,v) - 2·dot(v,c) + dot(c,c) with every dot a
-    left-fold in index order, matching DuckDB's sequential
-    list_dot_product bit-for-bit; dot(c,c) folds driver-side in the
-    same order.
+    Shape: explode per subspace (each row = one dsub-dim sub-vector),
+    broadcast-join the 128-row literal codebook table (built by
+    exploding a literal array over ``spark.range(1)`` — no driver RDD,
+    no parquet), compute one small 8-dim unrolled distance chain per
+    joined row, and take the per-(vector, subspace) argmin as a
+    map-side-combinable ``min(struct(dist, code))``.
+
+    Why NOT the all-literal single-projection form: inlining 16
+    codes × 8 subspaces of literal coefficients into one projection
+    either overflows Janino (fully inlined), silently falls back to
+    INTERPRETED eval after CollapseProject re-merges any staged
+    columns (measured 10.9 s vs 0.7 s at sf0.1), or — even when it
+    runs — costs seconds of driver-side analysis per plan build on a
+    ~100k-node expression tree. The join form keeps every expression
+    codegen-sized, the plan small, and is the shape that still works
+    when the codebook is trained state instead of a literal.
+
+    Determinism: distances expand as dot(v,v) - 2·dot(v,c) + dot(c,c)
+    with every dot a left-fold in index order, matching DuckDB's
+    sequential list_dot_product bit-for-bit; dot(c,c) folds
+    driver-side in the same order; min(struct(dist, code)) breaks
+    exact-tie distances toward the lower code in both engines.
     """
     rows = sorted(
         df.filter(F.col(key_col) < n_codes).select(key_col, vec_col).collect(),
@@ -671,44 +681,64 @@ def pq_codes(
             subs.append((c, cc))
         cb.append(subs)
 
-    vec = as_double(F.col(vec_col))
-    # stage 1: flatten elements to real columns (each extracted once)
-    flat = df.select(
-        F.col(key_col),
-        *[F.element_at(vec, i + 1).alias(f"_e{i}") for i in range(dim)],
+    spark = df.sparkSession
+    # 128-row literal codebook table (code, s, cv[dsub], cc) via ONE
+    # SQL VALUES string: building the same table from F.lit() columns
+    # costs ~1.2k py4j round-trips (~3 s of driver time PER PLAN
+    # BUILD, measured); one server-side parse is milliseconds. The
+    # 'D' suffix forces DOUBLE literals (bare decimals parse as
+    # DECIMAL), and repr() round-trips doubles exactly.
+    rows_sql = ", ".join(
+        "({}, {}, array({}), {}D)".format(
+            code,
+            s,
+            ", ".join(f"{x!r}D" for x in cb[code][s][0]),
+            repr(cb[code][s][1]),
+        )
+        for code in range(n_codes)
+        for s in range(n_subspaces)
+    )
+    cb_df = spark.sql(
+        f"SELECT CAST(_code AS INT) AS _code, CAST(_cs AS INT) AS _cs, "
+        f"_cv, _cc FROM (VALUES {rows_sql}) AS t(_code, _cs, _cv, _cc)"
     )
 
-    # stage 2: per-subspace dot(v,v) as its own column (shared by all
-    # candidates instead of re-inlined 16×)
-    aa_cols = []
-    for s in range(n_subspaces):
-        aa: Column = F.lit(0.0)
-        for d in range(dsub):
-            aa = aa + F.col(f"_e{s * dsub + d}") * F.col(f"_e{s * dsub + d}")
-        aa_cols.append(aa.alias(f"_aa{s}"))
-    flat = flat.select("*", *aa_cols)
+    # explode per subspace: each row carries one dsub-dim sub-vector
+    ex = df.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(n_subspaces - 1))).alias("_s"),
+        as_double(F.col(vec_col)).alias("_v"),
+    ).select(
+        F.col(key_col),
+        F.col("_s").cast("int").alias("_s"),
+        F.slice("_v", F.col("_s") * dsub + 1, dsub).alias("_sv"),
+    )
 
-    # stage 3: argmin over the candidate structs per subspace
-    per_sub = []
-    for s in range(n_subspaces):
-        cands = []
-        for code in range(n_codes):
-            c, cc = cb[code][s]
-            ac: Column = F.lit(0.0)
-            for d in range(dsub):
-                ac = ac + F.col(f"_e{s * dsub + d}") * F.lit(c[d])
-            dist = F.col(f"_aa{s}") - F.lit(2.0) * ac + F.lit(cc)
-            cands.append(
-                F.struct(dist.alias("d"), F.lit(code).cast("int").alias("c"))
-            )
-        best = F.array_min(F.array(*cands))
-        per_sub.append(
-            F.struct(
-                F.lit(s).cast("int").alias("subspace"),
-                best["c"].alias("code"),
-                best["d"].alias("sub_err"),
-            )
+    def sv(d: int) -> Column:
+        return F.element_at("_sv", d + 1)
+
+    aa: Column = F.lit(0.0)
+    for d in range(dsub):
+        aa = aa + sv(d) * sv(d)
+    ac: Column = F.lit(0.0)
+    for d in range(dsub):
+        ac = ac + sv(d) * F.element_at("_cv", d + 1)
+    dist = aa - F.lit(2.0) * ac + F.col("_cc")
+
+    scored = ex.join(
+        F.broadcast(cb_df), F.col("_s") == F.col("_cs")
+    ).select(
+        F.col(key_col),
+        F.col("_s"),
+        F.struct(dist.alias("d"), F.col("_code").alias("c")).alias("_cand"),
+    )
+    return (
+        scored.groupBy(key_col, "_s")
+        .agg(F.min("_cand").alias("_best"))
+        .select(
+            F.col(key_col),
+            F.col("_s").alias("subspace"),
+            F.col("_best.c").alias("code"),
+            F.col("_best.d").alias("sub_err"),
         )
-    return flat.select(
-        F.col(key_col), F.explode(F.array(*per_sub)).alias("_pq")
-    ).select(key_col, "_pq.subspace", "_pq.code", "_pq.sub_err")
+    )
