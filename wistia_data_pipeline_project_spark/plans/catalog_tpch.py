@@ -899,3 +899,58 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, support
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 25
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 25 most-frequent part pairs
+    bought in the same order (association-rule support counting).
+
+    Scale: the pair space is generated ORDER-LOCALLY — distinct parts
+    per order first (one map-side-combinable distinct), then a
+    self-equi-join on the order key whose fan-out is bounded by
+    order size squared (TPC-H orders hold ≤7 lines; a pathological
+    mega-order would be the hot key, same class as the shingle cap —
+    order size is naturally bounded here). Support counting is one
+    shuffle on the pair; the top-25 is a TakeOrdered heap, not a
+    global sort.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(25)
+    )
