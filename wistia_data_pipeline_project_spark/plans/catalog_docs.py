@@ -1425,3 +1425,236 @@ def docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "docs_winnowing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+7], ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(toks)-7, 1))) AS u(i)
+    ),
+    w AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+             MIN(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM g
+    )
+    SELECT doc_id,
+           MAX(n_grams) AS n_grams,
+           COUNT(DISTINCT CASE WHEN pos <= greatest(n_grams - 4, 0)
+                               THEN wmin END) AS n_fingerprints,
+           CAST(COUNT(DISTINCT CASE WHEN pos <= greatest(n_grams - 4, 0)
+                                    THEN wmin END) AS DOUBLE)
+             / MAX(n_grams) AS density
+    FROM w GROUP BY doc_id
+    """,
+)
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    local-fingerprinting scheme; north_star doc fingerprinting at span
+    granularity): hash every 8-token shingle, slide a guarantee window
+    of w=4 consecutive hashes, select the window minimum — any shared
+    span of >= w+k-1 tokens between two documents is then guaranteed to
+    share a selected fingerprint. Output per doc: gram count, distinct
+    selected fingerprints, selection density (theory: ~2/(w+1) = 0.4
+    on random text).
+
+    Cross-engine determinism: the "hash" ordering is the md5 hex
+    string itself — lexicographic min over lowercase hex is identical
+    in every engine, so no integer-hash replay is needed (contrast
+    SIMHASH_SQL's block reconstruction).
+
+    Scale: positions come from one posexplode (no pair space); the
+    sliding min is a bounded ROWS window and the rollup groups on the
+    window's own partition key, so doc_id shuffles ONCE and the
+    exchange is reused (ReusedExchange in the plan). Fingerprints
+    shuffle as 32-byte hex, never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    g = docs.select(
+        "doc_id",
+        F.posexplode(X.shingle_array(F.col("text"), 8)).alias("pos", "_gram"),
+    ).select("doc_id", "pos", F.md5("_gram").alias("fp"))
+    wfull = W.partitionBy("doc_id")
+    wslide = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, 3)
+    )
+    sel = g.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wfull).alias("n_grams"),
+        F.min("fp").over(wslide).alias("wmin"),
+    )
+    picked = F.when(
+        F.col("pos") <= F.greatest(F.col("n_grams") - 4, F.lit(0)),
+        F.col("wmin"),
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_grams").alias("n_grams"),
+        F.count_distinct(picked).alias("n_fingerprints"),
+        (
+            F.count_distinct(picked).cast("double") / F.max("n_grams")
+        ).alias("density"),
+    )
+
+
+@query(
+    "docs_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    cnts AS (SELECT doc_id, tk, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    s AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             SUM(CAST(ROUND(cnt * LN(cnt), 6) AS DECIMAL(18,6))) AS cl
+      FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(CAST(ROUND(n_tokens * LN(CAST(n_tokens AS DOUBLE)), 6)
+                     AS DECIMAL(18,6)) - cl AS DOUBLE)
+             / n_tokens AS entropy
+    FROM s
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy (the lexical-diversity signal
+    a pretraining quality filter pairs with the repetition ratio): with
+    per-doc token counts c_i and N tokens, H = ln N - (1/N) * SUM c_i
+    ln c_i. Low entropy = repeated-token boilerplate, high = diverse
+    vocabulary. Empty documents have no defined entropy and are
+    omitted by the grouping in both engines.
+
+    Cross-engine determinism: each c*ln(c) term AND the N*ln(N) term
+    are quantized to DECIMAL(18,6) (the docs_unigram_nll pattern —
+    quantization also absorbs any 1-ulp libm ln() divergence between
+    JVM and C, which a first draft of this entry measurably hit), the
+    subtraction is exact decimal, and only the final divide runs in
+    double.
+
+    Scale: one explode + one (doc_id, token) map-side-combinable agg +
+    one doc_id agg — counts shuffle, never text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = cnts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.round(F.col("cnt") * F.log(F.col("cnt")), 6).cast(
+                "decimal(18,6)"
+            )
+        ).alias("cl"),
+    )
+    nl = F.round(
+        F.col("n_tokens") * F.log(F.col("n_tokens").cast("double")), 6
+    ).cast("decimal(18,6)")
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        ((nl - F.col("cl")).cast("double") / F.col("n_tokens")).alias(
+            "entropy"
+        ),
+    )
+
+
+@query(
+    "docs_zipf_fit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS tk FROM t),
+    vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tk) AS rnk
+      FROM vocab
+    ),
+    pts AS (
+      SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_vocab,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS zipf_intercept
+    FROM s
+    """,
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf's-law fit: least-squares slope of ln(frequency) on
+    ln(rank) over the unigram vocabulary (natural text ~ -1; the
+    corpus-health metric that catches templated / machine-generated
+    corpora whose token distribution is too flat or too peaked).
+
+    Cross-engine determinism: ln(rank)/ln(cnt) points are quantized to
+    DECIMAL(18,6), the regression sums (sum x, y, xy, x^2) accumulate
+    in exact decimal (order-free), and only the closed-form slope /
+    intercept arithmetic runs in double — written token-for-token
+    identically in both engines. regr_slope() exists in both but sums
+    doubles in engine-dependent order, so it is deliberately avoided.
+
+    Scale: vocab count is map-side combinable; the global rank is a
+    window over the AGGREGATED vocab (millions of rows, the
+    user-deciles single-partition caveat applies and the same
+    approx-boundary swap-in is documented there); the regression
+    reduce is one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    vocab = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = vocab.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.desc("cnt"), F.asc("tk")))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+    )
