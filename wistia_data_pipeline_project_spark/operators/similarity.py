@@ -742,3 +742,104 @@ def pq_codes(
             F.col("_best.d").alias("sub_err"),
         )
     )
+
+
+def semdedup_stats(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector that has a strictly-smaller-keyed cluster
+    member with cosine >= ``threshold`` (greedy keep-first — the
+    paper's "keep one representative per semantic duplicate group",
+    made deterministic by ordering on the key). Returns per-cluster
+    ``(centroid_id, n_members, n_dropped, n_kept)``.
+
+    The blocking is DECLARED (1-NN assignment to the given centroids,
+    ties on centroid_id), so an oracle can replay it exactly; the
+    approximation — cross-cluster near-dups survive — is structural,
+    never arithmetic.
+
+    Scale: assignment is a broadcast cross-join + per-key rank; the
+    pair space is sum over cells of |cell|^2, bounded by the scaled
+    cell count (see ``_centroids_scaled``); with ``dim`` the pair
+    cosine runs as flat-column codegen multiply-adds (the
+    ``knn_join_blocked`` kernel — the HOF fold is 10-100x slower at
+    pair volume). Only (cluster, key) pairs shuffle out of the join.
+    """
+    sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
+    scored = (
+        df.select(key_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(key_col, vec_col, F.col("centroid_id"), sim_c.alias("_sim"))
+    )
+    w_rank = Window.partitionBy(key_col).orderBy(
+        F.desc("_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") == 1)
+        .select("centroid_id", key_col, vec_col)
+    )
+    members = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    if dim is not None:
+        vd = as_double(F.col(vec_col))
+        flat = assigned.withColumn("_vd", vd).select(
+            "centroid_id",
+            key_col,
+            F.sqrt(dot_unrolled(F.col("_vd"), F.col("_vd"), dim)).alias(
+                "_norm"
+            ),
+            *[F.col("_vd")[i].alias(f"_e{i}") for i in range(dim)],
+        )
+    else:
+        flat = assigned
+    # explicit repartition: AQE coalesces the tiny assigned exchange to
+    # one partition and would serialize the pair loop (the measured
+    # knn_join_blocked trap); round-robin keeps every core busy.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a = flat.repartition(par).alias("a")
+    b = flat.alias("b")
+    if dim is not None:
+        pair_dot: Column = F.lit(0.0)
+        for i in range(dim):
+            pair_dot = pair_dot + F.col(f"a._e{i}") * F.col(f"b._e{i}")
+        pair_sim = pair_dot / (F.col("a._norm") * F.col("b._norm"))
+    else:
+        pair_sim = cosine(
+            as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))
+        )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .filter(pair_sim >= F.lit(threshold))
+        .select(
+            F.col("a.centroid_id").alias("centroid_id"),
+            F.col(f"b.{key_col}").alias("_dropped"),
+        )
+        .distinct()
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        members.join(dropped, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_members",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_members")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).alias("n_kept"),
+        )
+    )

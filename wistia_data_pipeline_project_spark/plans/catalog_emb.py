@@ -712,3 +712,231 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "emb_semdedup",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    d AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + nn.n, embedding FROM embeddings, nn
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings, nn WHERE vec_id < greatest(8, (2 * nn.n) // 250)
+    ),
+    scored AS (
+      SELECT d.vec_id, d.embedding, c.centroid_id,
+             list_dot_product(d.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM d, c
+    ),
+    m AS (
+      SELECT CAST(centroid_id AS INT) AS centroid_id, vec_id,
+             embedding::DOUBLE[] AS v
+      FROM (
+        SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    drp AS (
+      SELECT DISTINCT a.centroid_id, b.vec_id AS dropped
+      FROM m a JOIN m b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    ),
+    mem AS (SELECT centroid_id, COUNT(*) AS n_members FROM m GROUP BY 1),
+    dr AS (SELECT centroid_id, COUNT(*) AS n_dropped FROM drp GROUP BY 1)
+    SELECT mem.centroid_id, mem.n_members,
+           COALESCE(dr.n_dropped, 0) AS n_dropped,
+           mem.n_members - COALESCE(dr.n_dropped, 0) AS n_kept
+    FROM mem LEFT JOIN dr USING (centroid_id)
+    """,
+)
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on a duplicate-injected corpus (embeddings unioned
+    with an id-offset copy of itself, the docs_exact_dedup pattern —
+    every vector has an exact semantic duplicate, plus whatever
+    natural near-dups clear the 0.45 near-dup threshold shared with
+    ``emb_cosine_near_dup``): cluster via 1-NN seed-centroid
+    assignment, drop within-cluster later-keyed members with cosine >=
+    threshold, report per-cluster members/dropped/kept.
+
+    The full blocking (scaled centroid count ``max(8, 2N//250)``,
+    assignment tie-breaks, keep-smallest-key rule) is declared and
+    replayed by the oracle — hash-exact, like emb_knn_join.
+
+    Scale: pair space is per-cell (|cell|^2 with ~250-member cells),
+    pair cosine on the flat-column codegen kernel; only (cluster, key)
+    pairs shuffle. Cross-cluster duplicates surviving is the
+    documented SemDeDup approximation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _nvec(sf_dir, emb)
+    copy = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"), "embedding", "label"
+    )
+    doubled = emb.unionByName(copy)
+    k = max(8, (2 * n) // 250)
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    dim = len(_query_vec(spark, sf_dir, 0))
+    return S.semdedup_stats(doubled, cents, threshold=0.45, dim=dim)
+
+
+@query(
+    "emb_ivf_recall",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               e.vec_id
+      LIMIT 10
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 2
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+      WHERE e.vec_id <> 0
+    ),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    ivf AS (
+      SELECT e.vec_id
+      FROM embeddings e
+      JOIN best b ON e.vec_id = b.vec_id
+      JOIN probe p ON b.centroid_id = p.centroid_id, q
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               e.vec_id
+      LIMIT 10
+    )
+    SELECT 10 AS k,
+           (SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM exact JOIN ivf USING (vec_id)) AS DOUBLE)
+             / 10 AS recall
+    """,
+)
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 2-probe IVF search against the exact
+    brute-force top-10 — the ANN quality metric itself as a catalog
+    entry (the docs_simhash_quality pattern for vectors): both result
+    id-sets are deterministic (declared blocking + unique tie-breaks),
+    so the overlap count is hash-exact, not a statistical bound.
+
+    Scale: both sides are top-k scans (per-partition heaps); the
+    overlap join is 10x10 rows on the driver-side-free path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    body = emb.filter(F.col("vec_id") != 0)
+    exact = S.topk_cosine(body, q, k=10).select("vec_id")
+    ivf = S.ivf_topk_cosine(
+        body, q, k=10, n_probe_centroids=2, centroids=_centroids(emb)
+    ).select("vec_id")
+    return exact.join(ivf, "vec_id").agg(
+        F.lit(10).cast("integer").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+    )
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv,
+             (embedding::DOUBLE[])[1:16] AS qt
+      FROM embeddings WHERE vec_id = 0
+    ),
+    full_top AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               e.vec_id
+      LIMIT 10
+    ),
+    trunc_top AS (
+      SELECT e.vec_id
+      FROM (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS et
+            FROM embeddings) e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.et, q.qt)
+                 / (sqrt(list_dot_product(e.et, e.et))
+                    * sqrt(list_dot_product(q.qt, q.qt))) DESC,
+               e.vec_id
+      LIMIT 10
+    )
+    SELECT 10 AS k, 64 AS dim_full, 16 AS dim_trunc,
+           (SELECT COUNT(*) FROM full_top JOIN trunc_top USING (vec_id))
+             AS n_overlap,
+           CAST((SELECT COUNT(*) FROM full_top JOIN trunc_top USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval quality (Kusupati et al. 2022):
+    top-10 by cosine over the FIRST 16 of 64 dimensions vs the
+    full-dimension top-10 — the coarse-to-fine trade a
+    truncation-based first-pass retriever makes, measured exactly
+    (both id-sets deterministic, hash-checked overlap).
+
+    Scale: truncation is a narrow projection (F.slice) that cuts scan
+    and compute 4x for the coarse pass; both passes remain
+    shuffle-free top-k heaps.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    body = emb.filter(F.col("vec_id") != 0)
+    full_top = S.topk_cosine(body, q, k=10).select("vec_id")
+    trunc = body.select(
+        "vec_id", F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    )
+    trunc_top = S.topk_cosine(trunc, q[:16], k=10).select("vec_id")
+    return full_top.join(trunc_top, "vec_id").agg(
+        F.lit(10).cast("integer").alias("k"),
+        F.lit(64).cast("integer").alias("dim_full"),
+        F.lit(16).cast("integer").alias("dim_trunc"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+    )
