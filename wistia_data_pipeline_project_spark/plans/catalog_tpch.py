@@ -954,3 +954,74 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(25)
     )
+
+
+@query(
+    "nation_yoy_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             SUM({_VOL}) AS rev
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT nation, o_year, rev,
+             lag(rev) OVER (PARTITION BY nation ORDER BY o_year) AS prev
+      FROM rev
+    )
+    SELECT nation, o_year,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev - prev AS DOUBLE) / CAST(prev AS DOUBLE) AS yoy_growth
+    FROM w
+    """,
+)
+def nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the trend
+    layer every revenue dashboard puts on top of the q7-style rollup:
+    decimal-exact yearly revenue, then a lag-1 window along the year
+    axis; growth = (rev - prev) / prev (NULL for each nation's first
+    year, in both engines).
+
+    Determinism: the yearly revenue is an exact decimal sum; the
+    lag/subtraction stay in decimal and ONE double division computes
+    the ratio identically in both engines.
+
+    Scale: lineitem⋈orders is the only fact-sized shuffle;
+    customer⋈nation is a broadcast chain; the trend window partitions
+    by nation over the AGGREGATED (nation, year) table — tiny. The
+    yearly agg is map-side combinable.
+    """
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "nation")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(_volume()).alias("rev"))
+    )
+    from pyspark.sql import Window as W
+
+    prev = F.lag("rev").over(W.partitionBy("nation").orderBy("o_year"))
+    return rev.select(
+        "nation",
+        "o_year",
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            (F.col("rev") - prev).cast("double") / prev.cast("double")
+        ).alias("yoy_growth"),
+    )

@@ -664,3 +664,72 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return INC.scd2_history(
         e, ["user_id"], "event_type", ["ts", "event_id"], ts_col="ts"
     )
+
+
+@query(
+    "orders_rfm_scores",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT custkey, last_order, n_orders, monetary,
+             ntile(5) OVER (ORDER BY last_order, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY n_orders, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary, custkey) AS m_score
+      FROM m
+    )
+    SELECT custkey, last_order, n_orders,
+           CAST(monetary AS DOUBLE) AS monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_cell
+    FROM s
+    """,
+)
+def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic recency / frequency /
+    monetary quintile scoring): per customer, last order date, order
+    count, decimal-exact lifetime spend, and exact NTILE(5) scores on
+    each axis (5 = most recent / most frequent / highest spend), plus
+    the combined RFM cell (e.g. 555 = best customers).
+
+    Determinism: every ntile ordering carries the custkey tiebreak;
+    monetary is decimal until the final double cast.
+
+    Scale: the ranked input is the AGGREGATED per-customer table; the
+    three global ntiles share one single-partition sort stage (the
+    events_user_deciles caveat — the documented swap-in at 100M+
+    customers is approx-percentile quintile boundaries + broadcast
+    range assign).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
+    )
+    s = m.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "monetary",
+        F.ntile(5).over(W.orderBy("last_order", "custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("n_orders", "custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return s.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_cell"),
+    )
