@@ -284,3 +284,58 @@ def test_cosine_near_dup_pairs_guards_corpus_size(spark):
     )
     with pytest.raises(ValueError, match="small-corpus"):
         S.cosine_near_dup_pairs(big, threshold=0.9)
+
+
+def test_semdedup_drops_planted_duplicates(spark):
+    """Planted exact duplicates land in the same cluster and every
+    later-keyed copy is dropped; distinct vectors survive."""
+    import pyspark.sql.functions as F
+
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    dups = [(10 + i, v) for i, v in base]  # exact copies, larger keys
+    df = spark.createDataFrame(
+        base + dups, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in base], "centroid_id int, cv array<double>"
+    )
+    out = S.semdedup_stats(df, cents, threshold=0.95, dim=4).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_members == 2 and r.n_dropped == 1 and r.n_kept == 1
+    # keep-first: the dropped ids are exactly the larger-keyed copies —
+    # verified indirectly: rerun with copies given SMALLER keys flips
+    # nothing in the counts (symmetric), but the originals' cluster
+    # membership is what the counts pin.
+
+
+def test_semdedup_no_drops_below_threshold(spark):
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, cv array<double>"
+    )
+    out = S.semdedup_stats(df, cents, threshold=0.5, dim=2).collect()
+    assert len(out) == 1
+    assert out[0].n_members == 2 and out[0].n_dropped == 0
+
+
+def test_matryoshka_and_ivf_recall_entries_bounded(spark, sf_dir):
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    for name in ("emb_ivf_recall", "emb_matryoshka_recall"):
+        row = QUERIES[name](spark, sf_dir).collect()[0]
+        assert row.k == 10
+        assert 0 <= row.n_overlap <= 10
+        assert abs(row.recall - row.n_overlap / 10) < 1e-12

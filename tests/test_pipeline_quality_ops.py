@@ -112,3 +112,96 @@ def test_mixture_sample_full_weight_keeps_all(spark):
         [(i, "a") for i in range(100)], "doc_id long, source string"
     )
     assert TR.mixture_sample(df, {"a": 1.0}).count() == 100
+
+
+def test_winnowing_guarantee_shared_span_shares_fingerprint(spark):
+    """Winnowing guarantee: two documents sharing a span of at least
+    w + k - 1 tokens (= 4 + 8 - 1) share a selected fingerprint."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    import pyspark.sql.functions as F
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (0, "aa bb cc " + shared, "en", "s", 1),
+            (1, shared + " xx yy zz", "en", "s", 1),
+            (2, " ".join(f"u{i}" for i in range(30)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("_win_docs")
+    # run the same pipeline as the catalog entry but on this corpus
+    from wistia_data_pipeline_project_spark.operators import text as X
+    from pyspark.sql import Window as W
+
+    g = docs.select(
+        "doc_id",
+        F.posexplode(X.shingle_array(F.col("text"), 8)).alias("pos", "_g"),
+    ).select("doc_id", "pos", F.md5("_g").alias("fp"))
+    wslide = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.currentRow, 3
+    )
+    wfull = W.partitionBy("doc_id")
+    sel = (
+        g.select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(wfull).alias("n"),
+            F.min("fp").over(wslide).alias("wmin"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n") - 4, F.lit(0)))
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    a = {r.fp for r in sel.filter("doc_id = 0").collect()}
+    b = {r.fp for r in sel.filter("doc_id = 1").collect()}
+    c = {r.fp for r in sel.filter("doc_id = 2").collect()}
+    assert a & b, "shared 20-token span must share a fingerprint"
+    assert not (a & c) and not (b & c)
+
+
+def test_token_entropy_known_values(spark):
+    """Uniform tokens -> ln(n_distinct); constant token -> 0."""
+    import math
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "s", 7),
+            (1, "a a a a", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in QUERIES["docs_token_entropy"](spark, td).collect()
+        }
+    assert abs(rows[0].entropy - math.log(4)) < 1e-5
+    assert abs(rows[1].entropy) < 1e-5
+    assert rows[0].n_tokens == 4 and rows[0].n_distinct == 4
+    assert rows[1].n_distinct == 1
+
+
+def test_zipf_fit_recovers_slope(spark):
+    """A corpus built with freq proportional to 1/rank fits slope ~ -1."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    words = []
+    for rank in range(1, 41):
+        words += [f"w{rank:03d}"] * max(1, 400 // rank)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        row = QUERIES["docs_zipf_fit"](spark, td).collect()[0]
+    assert row.n_vocab == 40
+    assert -1.1 < row.zipf_slope < -0.9
