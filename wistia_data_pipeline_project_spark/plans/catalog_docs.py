@@ -1469,10 +1469,10 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMHASH_SQL's block reconstruction).
 
     Scale: positions come from one posexplode (no pair space); the
-    sliding min is a bounded ROWS window and the rollup groups on the
-    window's own partition key, so doc_id shuffles ONCE and the
-    exchange is reused (ReusedExchange in the plan). Fingerprints
-    shuffle as 32-byte hex, never text.
+    sliding min is a bounded ROWS window, and the count-distinct
+    rollup re-keys on (doc_id, fingerprint) — two doc-key-prefixed
+    exchanges total, both linear in gram count. Fingerprints shuffle
+    as 32-byte hex, never text.
     """
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
