@@ -205,3 +205,37 @@ def test_zipf_fit_recovers_slope(spark):
         row = QUERIES["docs_zipf_fit"](spark, td).collect()[0]
     assert row.n_vocab == 40
     assert -1.1 < row.zipf_slope < -0.9
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """Docs made of target-exclusive vocabulary score higher than docs
+    of off-target vocabulary under the DSIR importance weight."""
+    import tempfile, os
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "alpha beta gamma delta", "en", "s", 1))       # target
+    for i in range(10, 20):
+        rows.append((i, "omega sigma tau upsilon", "fr", "s", 1))      # raw-only
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in QUERIES["docs_dsir_weights"](spark, td).collect()}
+    assert len(out) == 20
+    tgt = min(out[i].log_weight for i in range(10))
+    off = max(out[i].log_weight for i in range(10, 20))
+    assert tgt > off, (tgt, off)
+
+
+def test_hll_rollup_within_tolerance_and_deterministic(spark, sf_dir):
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    a = QUERIES["events_hll_rollup"](spark, sf_dir).collect()
+    assert a and all(r.merged_within_tol for r in a)
+    b = QUERIES["events_hll_rollup"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -799,6 +799,18 @@ def semdedup_stats(
             ),
             *[F.col("_vd")[i].alias(f"_e{i}") for i in range(dim)],
         )
+        # Codegen barrier: without it the window filter + 64 casts +
+        # norm chain + pair products fuse into one generated method
+        # that overflows Janino's 64 KB limit and the whole stage
+        # falls back to INTERPRETED eval (measured 4.3 s vs 1.5 s at
+        # sf0.1, with an ERROR in the log). localCheckpoint
+        # materializes the flattened table once (disk-spillable,
+        # executor-local — same order of cost as the shuffle write
+        # the pair join does anyway) and truncates the lineage, so
+        # the join stage compiles against ready columns. The staged
+        # alternative (separate projections) does NOT work:
+        # CollapseProject re-merges them (the pq_codes lesson).
+        flat = flat.localCheckpoint(eager=False)
     else:
         flat = assigned
     # explicit repartition: AQE coalesces the tiny assigned exchange to

@@ -1658,3 +1658,107 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@query(
+    "docs_dsir_weights",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {TOKS_SQL} AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, lang,
+             (strpos('0123456789abcdef', substr(md5(tk), 31, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substr(md5(tk), 32, 1)) - 1 AS b
+      FROM (SELECT doc_id, lang, unnest(toks) AS tk FROM t)
+    ),
+    allc AS (SELECT b, COUNT(*) AS na FROM tok GROUP BY 1),
+    tgtc AS (SELECT b, COUNT(*) AS nt FROM tok WHERE lang = 'en' GROUP BY 1),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM tok) AS na_tot,
+             (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt_tot
+    ),
+    terms AS (
+      SELECT allc.b,
+             CAST(ROUND(LN(
+               (CAST(COALESCE(tgtc.nt, 0) + 1 AS DOUBLE)
+                  * (tot.na_tot + 256))
+               / (CAST(allc.na + 1 AS DOUBLE) * (tot.nt_tot + 256))
+             ), 8) AS DECIMAL(18,8)) AS term
+      FROM allc LEFT JOIN tgtc ON allc.b = tgtc.b, tot
+    )
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(terms.term) AS DOUBLE) AS log_weight
+    FROM tok JOIN terms ON tok.b = terms.b
+    GROUP BY tok.doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    per-document log importance weight log p_target/p_raw under
+    hashed-unigram bag-of-words LMs — the data-selection score used to
+    resample a raw crawl toward a target domain (here: the 'en'
+    slice as the target). Features are md5-derived 256-bucket hashed
+    unigrams (engine-neutral); both LMs use add-one smoothing.
+
+    Cross-engine determinism: each bucket's log-ratio is ONE double
+    expression written identically in both engines (products of exact
+    integer counts, one division, one ln), quantized to
+    DECIMAL(18,8) (absorbing libm ulp drift) before the order-free
+    per-doc decimal sum; one final double cast.
+
+    Scale: bucket tables are ≤256 rows (broadcast); the corpus is
+    scanned once for features; per-doc weights are one
+    map-side-combinable agg keyed by doc_id. This is the property
+    that makes DSIR viable at 100 TB: the "language model" is a
+    256-row table, not a model artifact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tk")
+    ).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("tk"), 31, 2), 16, 10)
+        .cast("int")
+        .alias("b"),
+    )
+    allc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("na"))
+    tgtc = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).alias("na_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt_tot"),
+    )
+    terms = (
+        allc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+                        * (F.col("na_tot") + 256)
+                    )
+                    / (
+                        (F.col("na") + 1).cast("double")
+                        * (F.col("nt_tot") + 256)
+                    )
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("term"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(terms), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("term").cast("double").alias("log_weight"),
+        )
+    )

@@ -754,3 +754,49 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_band("_a50", "_lo50", "_hi50").alias("p50_in_band"),
         in_band("_a95", "_lo95", "_hi95").alias("p95_in_band"),
     )
+
+
+@query(
+    "events_hll_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-sketch rollup (the 100 TB distinct-count architecture):
+    build one Datasketches HLL sketch per (event_type, day) with
+    ``hll_sketch_agg``, then merge the daily sketches per event_type
+    with ``hll_union_agg`` — the pattern that lets a warehouse store
+    per-partition sketches and answer arbitrary date-range distinct
+    counts without re-scanning raw data (re-aggregability, the
+    property exact distinct counts lack). Like
+    ``events_approx_distinct``, the oracle-checked statement is
+    structural: the merged estimate sits within 3 sigma
+    (3 * 1.04/sqrt(2^12) ~ 5%) of the exact count, or the hash
+    differs.
+
+    Scale: sketches are ~KB objects that combine map-side; the merge
+    shuffles |event_type| x |days| sketch blobs instead of every
+    (event_type, user) pair. The exact branch exists only to gate the
+    estimate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("_d")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("_sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_within_tol"),
+    )
