@@ -16,14 +16,24 @@ from ..sources.io import load_table
 from .catalog import query
 
 
-_QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
+_QVEC_CACHE: dict[tuple, list[float]] = {}
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    """Fetch (and cache per sf_dir) the literal query vector. The
-    lookup is one tiny Spark job; caching keeps repeated catalog
-    builds from re-running it per query."""
-    key = (sf_dir, vec_id)
+    """Fetch (and cache) the literal query vector. The lookup is one
+    tiny Spark job; caching keeps repeated catalog builds from
+    re-running it per query. Keyed by (path, mtime, size) of the
+    embeddings file — the same staleness-proof key as ``_nvec`` — so
+    a driver that regenerates embeddings.parquet in place can never
+    serve a stale query vector against a live oracle."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, vec_id)
+    except OSError:
+        key = (sf_dir, 0, 0, vec_id)
     if key not in _QVEC_CACHE:
         row = (
             load_table(spark, sf_dir, "embeddings")
