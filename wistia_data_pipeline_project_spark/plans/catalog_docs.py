@@ -1594,9 +1594,10 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT n AS n_vocab,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-             AS zipf_intercept
+           (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+             AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx)
+             / n AS zipf_intercept
     FROM s
     """,
 )
@@ -1648,8 +1649,12 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # NULLIF guard: a degenerate single-word vocabulary zeroes the
+    # denominator — DuckDB's double division returns NULL, but Spark
+    # runs ANSI mode where x/0 RAISES; nullif makes both engines
+    # yield NULL.
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return s.select(
         F.col("n").alias("n_vocab"),
