@@ -97,6 +97,12 @@ MATERIALIZING = {
     # inherits connected_components' per-iteration localCheckpoint
     # (the label table, two longs per near-dup member — not the corpus)
     "docs_dedup_keep_best",
+    # localCheckpoint of the flattened (norm + per-dim) assignment
+    # table as a codegen barrier — without it the fused pair-join
+    # stage overflows Janino's 64 KB method limit and runs
+    # interpreted (see similarity.semdedup_stats). Executor-local and
+    # disk-spillable, not a driver collect.
+    "emb_semdedup",
 }
 
 
