@@ -339,3 +339,47 @@ def test_matryoshka_and_ivf_recall_entries_bounded(spark, sf_dir):
         assert row.k == 10
         assert 0 <= row.n_overlap <= 10
         assert abs(row.recall - row.n_overlap / 10) < 1e-12
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    """Every mined negative pairs an anchor with a different-label
+    neighbor, and ranks are dense from 1."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    out = QUERIES["emb_hard_negatives"](spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    import pyspark.sql.functions as F
+
+    joined = (
+        out.join(emb.withColumnRenamed("label", "la"), "vec_id")
+        .join(
+            emb.selectExpr("vec_id AS neighbor_id", "label AS lb"),
+            "neighbor_id",
+        )
+    )
+    assert joined.filter(F.col("la") == F.col("lb")).count() == 0
+    ranks = joined.groupBy("vec_id").agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"),
+        F.count(F.lit(1)).alias("n")
+    )
+    bad = ranks.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+    assert bad.count() == 0
+
+
+def test_incremental_dedup_accounting(spark, sf_dir):
+    """Batch arithmetic: dropped_vs_existing + dropped_within +
+    loaded == batch size per source; even-id re-arrivals are dropped."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = QUERIES["docs_incremental_dedup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_dropped_vs_existing
+            + r.n_dropped_within_batch
+            + r.n_loaded
+            == r.n_batch
+        )
+    total_dropped_ex = sum(r.n_dropped_vs_existing for r in rows)
+    assert total_dropped_ex > 0

@@ -509,6 +509,7 @@ def knn_join_blocked(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     dim: int | None = None,
+    neg_label_col: str | None = None,
 ) -> DataFrame:
     """Approximate KNN self-join (the kNN-graph builder behind semantic
     dedup and diversity sampling): every vector gets its top-k cosine
@@ -530,10 +531,20 @@ def knn_join_blocked(
     fold evaluates interpreted and at millions of pairs it dominates
     the whole operator (measured 167 s → ~9 s at sf0.1, identical
     bits); without ``dim`` the fold path is kept for unknown widths.
+
+    ``neg_label_col``: hard-negative mining mode (contrastive
+    training-data assembly) — candidate pairs are additionally
+    required to DISAGREE on this label column, so the result is each
+    vector's top-k most-similar cross-label neighbors (the hardest
+    negatives in its probed cells). Rows with a NULL label never form
+    pairs (SQL null-comparison semantics, identical in the oracle).
     """
+    label_cols = [neg_label_col] if neg_label_col else []
     sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-    scored = df.select(key_col, vec_col).crossJoin(F.broadcast(centroids)).select(
-        key_col, vec_col, F.col("centroid_id"), sim_c.alias("_sim")
+    scored = df.select(key_col, vec_col, *label_cols).crossJoin(
+        F.broadcast(centroids)
+    ).select(
+        key_col, vec_col, *label_cols, F.col("centroid_id"), sim_c.alias("_sim")
     )
     w_rank = F.row_number().over(
         Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
@@ -541,7 +552,7 @@ def knn_join_blocked(
     assigned = (
         scored.withColumn("_rk", w_rank)
         .filter(F.col("_rk") <= n_assign)
-        .select("centroid_id", key_col, vec_col)
+        .select("centroid_id", key_col, vec_col, *label_cols)
     )
     if dim is not None:
         # FLATTEN the vector to ``dim`` double columns before pairing.
@@ -558,6 +569,7 @@ def knn_join_blocked(
         assigned = assigned.withColumn("_vd", vd).select(
             "centroid_id",
             key_col,
+            *label_cols,
             F.sqrt(dot_unrolled(F.col("_vd"), F.col("_vd"), dim)).alias("_norm"),
             *[F.col("_vd")[i].alias(f"_e{i}") for i in range(dim)],
         )
@@ -586,12 +598,15 @@ def knn_join_blocked(
         pair_sim = cosine(
             as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))
         )
-    cands = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col(f"a.{key_col}") != F.col(f"b.{key_col}")),
+    pair_pred = (F.col("a.centroid_id") == F.col("b.centroid_id")) & (
+        F.col(f"a.{key_col}") != F.col(f"b.{key_col}")
+    )
+    if neg_label_col:
+        pair_pred = pair_pred & (
+            F.col(f"a.{neg_label_col}") != F.col(f"b.{neg_label_col}")
         )
+    cands = (
+        a.join(b, pair_pred)
         .select(
             F.col(f"a.{key_col}").alias("vec_id"),
             F.col(f"b.{key_col}").alias("neighbor_id"),

@@ -950,3 +950,81 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
     )
+
+
+@query(
+    "emb_hard_negatives",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+      WHERE vec_id < greatest(8, (SELECT COUNT(*) // 250 FROM embeddings))
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+    ),
+    asg AS (
+      SELECT vec_id, label, centroid_id FROM (
+        SELECT vec_id, label, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+      FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+       AND a.label <> b.label
+    ),
+    s AS (
+      SELECT cand.vec_id, cand.neighbor_id,
+             list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+               AS cosine_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.vec_id
+      JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+    )
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine_sim
+    FROM (
+      SELECT vec_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch /
+    ANCE-style negatives a retrieval trainer pairs with each anchor):
+    each vector's top-3 most-similar neighbors that carry a DIFFERENT
+    label, among vectors sharing one of its 4 probed IVF cells — the
+    ``knn_join_blocked`` kernel with the cross-label predicate pushed
+    into the pair join (negatives are filtered BEFORE the top-k rank,
+    so every anchor gets its k hardest available negatives, not
+    whatever survives a post-filter).
+
+    Exactly oracle-checked like emb_knn_join: same declared blocking,
+    same tie-breaks, plus the label-disagreement predicate replayed in
+    SQL.
+
+    Scale: identical to the kNN join (pair space = per-cell, flat
+    codegen cosine); the label adds one small column through the
+    shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir, 0))
+    return S.knn_join_blocked(
+        emb,
+        _centroids_scaled(sf_dir, emb),
+        k=3,
+        n_assign=4,
+        dim=dim,
+        neg_label_col="label",
+    )
