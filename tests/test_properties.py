@@ -383,3 +383,51 @@ def test_mixture_sample_is_subset_and_monotone(spark, weights):
     bigger = {k: min(1.0, v + 0.3) for k, v in weights.items()}
     kept2 = {r["doc_id"] for r in TR.mixture_sample(df, bigger).collect()}
     assert kept <= kept2
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_text_metric_invariants(spark, corpus):
+    """Randomized-corpus invariants of the round-3 text metrics:
+    entropy in [0, ln(n_distinct)]; winnowing density in (0, 1] with
+    every selected fingerprint a real gram of the doc."""
+    import math
+    import os
+    import tempfile
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = [
+        (i, " ".join(toks), "en", "s", len(" ".join(toks)))
+        for i, toks in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(os.path.join(td, "documents.parquet"))
+        ent = {r.doc_id: r for r in QUERIES["docs_token_entropy"](spark, td).collect()}
+        win = {r.doc_id: r for r in QUERIES["docs_winnowing"](spark, td).collect()}
+    for i, toks in enumerate(rows):
+        e = ent[i]
+        # the DECIMAL(18,6) per-term quantization admits up to ~1e-6
+        # of slack around the real-arithmetic bounds
+        assert -1e-5 <= e.entropy <= math.log(e.n_distinct) + 1e-5
+        w = win[i]
+        assert 0 < w.n_fingerprints <= w.n_grams
+        assert abs(w.density - w.n_fingerprints / w.n_grams) < 1e-12
