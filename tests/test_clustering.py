@@ -96,3 +96,47 @@ def test_dup_clusters_sizes_and_canonical(spark):
 def test_empty_edges_returns_empty(spark):
     out = connected_components(_edges_df(spark, []))
     assert out.count() == 0
+
+
+def test_centroid_classify_separable(spark):
+    """Perfectly separable clusters classify at accuracy 1.0."""
+    import os
+    import tempfile
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = []
+    vid = 0
+    for lbl, base in ((0, [10.0, 0.0]), (1, [0.0, 10.0])):
+        for j in range(5):
+            vec = [base[0] + j * 0.01, base[1] + j * 0.01] + [0.0] * 62
+            rows.append((vid, vec, lbl))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        emb.write.parquet(os.path.join(td, "embeddings.parquet"))
+        out = QUERIES["emb_centroid_classify"](spark, td).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.n == 5 and r.n_correct == 5 and r.accuracy == 1.0
+
+
+def test_cohort_ltv_cumulative_invariants(spark, sf_dir):
+    """Cumulative revenue is the running sum of the age axis and ends
+    at each cohort's total."""
+    from collections import defaultdict
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = QUERIES["orders_cohort_ltv"](spark, sf_dir).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort_year].append(r)
+    for ch, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age)
+        run = 0.0
+        for r in rs:
+            run += r.revenue
+            assert abs(r.cum_revenue - run) < 1e-6

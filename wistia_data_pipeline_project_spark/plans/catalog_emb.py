@@ -1028,3 +1028,143 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=dim,
         neg_label_col="label",
     )
+
+
+@query(
+    "emb_centroid_classify",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    d AS (
+      SELECT vec_id, label, i,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, dims
+    ),
+    cent AS (
+      SELECT label AS clabel, i,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM d GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT clabel,
+             CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS cc FROM cent GROUP BY 1
+    ),
+    vv AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS vv FROM d GROUP BY 1
+    ),
+    dots AS (
+      SELECT d.vec_id, cent.clabel,
+             CAST(SUM(CAST(ROUND(d.x * cent.c, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS dot
+      FROM d JOIN cent ON d.i = cent.i
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT vec_id, clabel FROM (
+        SELECT dots.vec_id, dots.clabel,
+               row_number() OVER (
+                 PARTITION BY dots.vec_id
+                 ORDER BY dots.dot / (sqrt(vv.vv) * sqrt(cc.cc)) DESC,
+                          dots.clabel) AS rn
+        FROM dots JOIN vv USING (vec_id) JOIN cc USING (clabel)
+      ) WHERE rn = 1
+    )
+    SELECT e.label,
+           COUNT(*) AS n,
+           CAST(COALESCE(SUM(CASE WHEN p.clabel = e.label THEN 1 END), 0)
+                AS BIGINT) AS n_correct,
+           CAST(COALESCE(SUM(CASE WHEN p.clabel = e.label THEN 1 END), 0)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM embeddings e JOIN pred p USING (vec_id)
+    GROUP BY e.label
+    """,
+)
+def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-centroid classification (the Rocchio / prototype
+    classifier — the standard embedding-quality eval that asks "do the
+    labels form cosine-separable clusters?"): per-label mean vectors,
+    each vector assigned to its most-cosine-similar class prototype,
+    per-label accuracy reported.
+
+    Cross-engine determinism for the means (the reason this entry can
+    be hash-exact while emb_kmeans_quality's means are structural):
+    per-dim class sums quantize each element to DECIMAL(18,6), the dot
+    and norm terms quantize each product to DECIMAL(28,9), and all
+    sums are order-free decimal — every double the argmax compares is
+    bit-identical in both engines, and ties break toward the lower
+    label.
+
+    Scale: the explode collapses in map-side partial aggregates (the
+    mean_vectors shuffle carries |labels|*dim values); scoring joins a
+    640-row broadcast centroid-dim table against the per-dim stream;
+    everything downstream of the one (vec, label) aggregate is tiny.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "label", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x")
+    )
+    cent = d.groupBy(F.col("label").alias("clabel"), "i").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cc = cent.groupBy("clabel").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("cc")
+    )
+    vv = d.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("vv")
+    )
+    dots = (
+        d.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("c"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        dots.join(vv, "vec_id")
+        .join(F.broadcast(cc), "clabel")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.desc(
+                        F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))
+                    ),
+                    F.asc("clabel"),
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "clabel")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(scored, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("clabel") == F.col("label"), 1)), F.lit(0)
+            ).alias("n_correct"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("clabel") == F.col("label"), 1)),
+                    F.lit(0),
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+        )
+    )

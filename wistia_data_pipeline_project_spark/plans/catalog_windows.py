@@ -733,3 +733,83 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).alias("rfm_cell"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(EXTRACT(year FROM o_orderdate) AS BIGINT))
+               AS cohort_year
+      FROM orders GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_year, COUNT(*) AS n_customers
+      FROM firsts GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_year,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+               - f.cohort_year AS age,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_year, age, r,
+             SUM(r) OVER (PARTITION BY cohort_year ORDER BY age
+                          ROWS UNBOUNDED PRECEDING) AS cr
+      FROM rev
+    )
+    SELECT c.cohort_year, c.age,
+           CAST(c.r AS DOUBLE) AS revenue,
+           CAST(c.cr AS DOUBLE) AS cum_revenue,
+           s.n_customers
+    FROM cum c JOIN sizes s USING (cohort_year)
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle (the acquisition-cohort revenue
+    view): customers grouped by first-order year, revenue accumulated
+    by cohort age — the orders-side sibling of
+    ``events_cohort_retention``. Decimal-exact revenue, exact decimal
+    running sum along the age axis, cohort sizes joined in.
+
+    Scale: first-order year is one map-side-combinable MIN per
+    customer; the (cohort, age) grid is tiny, so the running-sum
+    window costs nothing; the only fact-sized work is one orders scan
+    + one shuffle on o_custkey (shared by both aggregates).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate").cast("long")).alias("cohort_year")
+    )
+    sizes = firsts.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate").cast("long") - F.col("cohort_year")).alias(
+                "age"
+            ),
+        )
+        .agg(F.sum(dec("o_totalprice", 18, 2)).alias("r"))
+    )
+    cum = rev.withColumn(
+        "cr",
+        F.sum("r").over(
+            W.partitionBy("cohort_year")
+            .orderBy("age")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_year").select(
+        "cohort_year",
+        "age",
+        F.col("r").cast("double").alias("revenue"),
+        F.col("cr").cast("double").alias("cum_revenue"),
+        "n_customers",
+    )
