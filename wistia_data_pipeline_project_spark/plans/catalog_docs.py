@@ -1866,3 +1866,96 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_loaded"), F.lit(0)).alias("n_loaded"),
         )
     )
+
+
+@query(
+    "docs_bigram_nll",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT tk) AS vsz
+      FROM (SELECT unnest(toks) AS tk FROM t)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS nb FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, COUNT(*) AS nc FROM big GROUP BY 1),
+    nll AS (
+      SELECT cb.w1, cb.w2,
+             CAST(ROUND(LN(CAST(ctx.nc + v.vsz AS DOUBLE) / (cb.nb + 1)), 6)
+                  AS DECIMAL(18,6)) AS q
+      FROM cb JOIN ctx USING (w1), v
+    )
+    SELECT big.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(nll.q) AS DOUBLE) / COUNT(*) AS avg_nll
+    FROM big JOIN nll ON big.w1 = nll.w1 AND big.w2 = nll.w2
+    GROUP BY big.doc_id
+    """,
+)
+def docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score (the step past ``docs_unigram_nll``
+    toward the KenLM-style perplexity filter): per document, the mean
+    negative log-likelihood of its token bigrams under corpus
+    conditional probabilities P(w2|w1) = (C(w1,w2)+1) / (Cctx(w1)+V)
+    (add-one smoothing, context counts from the bigram stream, V =
+    corpus unigram vocabulary). Documents with fewer than two tokens
+    have no bigrams and are omitted — in both engines the empty
+    position range produces no rows, no special-casing.
+
+    Cross-engine determinism: per-bigram NLL is ONE double division of
+    exact integer counts + one ln, quantized to DECIMAL(18,6) before
+    the order-free per-doc sum (the unigram_nll pattern); final mean
+    is one double division.
+
+    Scale: bigram stats are map-side-combinable counts; the stats
+    table is vocabulary-sized (broadcastable for natural language —
+    same argument as the unigram vocab, one power of Zipf up); the
+    per-doc agg is one shuffle on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens(F.col("text")).alias("tk"))
+    pairs = toks.filter(F.size("tk") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1).alias("w1"),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("z"),
+    )
+    big = pairs.select(
+        "doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2")
+    )
+    v = toks.select(F.explode("tk").alias("_t")).agg(
+        F.count_distinct("_t").alias("vsz")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("nc"))
+    nll = (
+        cb.join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("nc") + F.col("vsz")).cast("double")
+                    / (F.col("nb") + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("q"),
+        )
+    )
+    return (
+        big.join(nll, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

@@ -813,3 +813,87 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cr").cast("double").alias("cum_revenue"),
         "n_customers",
     )
+
+
+@query(
+    "events_session_paths",
+    oracle=E_CTE
+    + """,
+    l AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM e
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_start
+      FROM l
+    ),
+    s AS (
+      SELECT *, CAST(SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m
+    ),
+    paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 25
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the 25 most common within-session
+    event-type sequences (the funnel-discovery primitive — what DO
+    users actually do, rather than checking a hypothesized funnel).
+    Sessions are the same 30-min-gap construction as
+    ``events_sessionization``; the path string concatenates event
+    types in (ts, event_id) order.
+
+    Determinism: path order carries the unique event_id tiebreak in
+    both engines (struct-sort on Spark, ORDER BY inside string_agg in
+    the oracle); top-25 tie-breaks on the path string.
+
+    Scale: one shuffle on user_id (shared by the lag and running-sum
+    windows and the session rollup), one on the path string for the
+    frequency count (paths are short strings, and the count is
+    map-side combinable); top-25 is a TakeOrdered heap. Pathological
+    mega-sessions would make mega-strings — the 30-min gap bounds
+    session length organically; a hard per-session event cap is the
+    documented knob if a bot stream ever breaks that assumption.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    s = e.withColumn(
+        "session_seq",
+        F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    paths = s.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda r: r["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+    )
