@@ -510,6 +510,7 @@ def knn_join_blocked(
     key_col: str = "vec_id",
     dim: int | None = None,
     neg_label_col: str | None = None,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Approximate KNN self-join (the kNN-graph builder behind semantic
     dedup and diversity sampling): every vector gets its top-k cosine
@@ -538,6 +539,16 @@ def knn_join_blocked(
     vector's top-k most-similar cross-label neighbors (the hardest
     negatives in its probed cells). Rows with a NULL label never form
     pairs (SQL null-comparison semantics, identical in the oracle).
+
+    ``broadcast_pairs``: force the build side of the pair join to
+    broadcast. The SMJ fallback parallelizes by CELL COUNT, and the
+    scaled-centroid formula bottoms out at 8 cells on small corpora —
+    AQE then coalesces the pair expansion to 1-2 tasks and the join
+    strategy flips run-to-run near the 10 MB threshold (measured
+    3.8 s vs 12-15 s for the SAME plan build at sf0.1). Set it when
+    the corpus fits an executor (the catalog's regime); leave it off
+    at production N, where k = N//250 gives thousands of cells and
+    cell-count parallelism is the memory-safe plan.
     """
     label_cols = [neg_label_col] if neg_label_col else []
     sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
@@ -588,7 +599,7 @@ def knn_join_blocked(
     # broadcasting would OOM the driver.
     par = df.sparkSession.sparkContext.defaultParallelism
     a = assigned.repartition(par).alias("a")
-    b = assigned.alias("b")
+    b = F.broadcast(assigned.alias("b")) if broadcast_pairs else assigned.alias("b")
     if dim is not None:
         pair_dot: Column = F.lit(0.0)
         for i in range(dim):

@@ -475,8 +475,12 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(_query_vec(spark, sf_dir, 0))
+    # broadcast_pairs: catalog corpora sit in the small-N regime where
+    # the scaled cell count bottoms out at 8 and SMJ parallelism
+    # collapses (see knn_join_blocked docstring)
     return S.knn_join_blocked(
-        emb, _centroids_scaled(sf_dir, emb), k=3, n_assign=4, dim=dim
+        emb, _centroids_scaled(sf_dir, emb), k=3, n_assign=4, dim=dim,
+        broadcast_pairs=True,
     )
 
 
@@ -1027,6 +1031,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_assign=4,
         dim=dim,
         neg_label_col="label",
+        broadcast_pairs=True,
     )
 
 
