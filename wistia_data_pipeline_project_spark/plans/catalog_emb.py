@@ -1173,3 +1173,114 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("accuracy"),
         )
     )
+
+
+@query(
+    "emb_pq_recall",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    cb AS (
+      SELECT CAST(vec_id AS INT) AS code, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS cv
+      FROM embeddings, s WHERE vec_id < 16
+    ),
+    v AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS vv
+      FROM embeddings, s
+    ),
+    d AS (
+      SELECT vec_id, sub, code,
+             list_dot_product(vv, vv) - 2 * list_dot_product(vv, cv)
+               + list_dot_product(cv, cv) AS dist
+      FROM v JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d
+    ),
+    q AS (
+      SELECT sub, (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS qv
+      FROM embeddings, s WHERE vec_id = 0
+    ),
+    dtab AS (
+      SELECT cb.sub, cb.code,
+             list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv) AS qd
+      FROM cb JOIN q USING (sub)
+    ),
+    adc AS (
+      SELECT b.vec_id
+      FROM best b JOIN dtab dt ON b.sub = dt.sub AND b.code = dt.code
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+      HAVING b.vec_id <> 0
+      ORDER BY list_sum(list(dt.qd ORDER BY b.sub)), b.vec_id
+      LIMIT 10
+    ),
+    fq AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e, fq
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               - 2 * list_dot_product(e.embedding::DOUBLE[], fq.qv)
+               + list_dot_product(fq.qv, fq.qv),
+               e.vec_id
+      LIMIT 10
+    )
+    SELECT 10 AS k,
+           (SELECT COUNT(*) FROM adc JOIN exact USING (vec_id)) AS n_overlap,
+           CAST((SELECT COUNT(*) FROM adc JOIN exact USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """,
+)
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ retrieval quality: recall@10 of the ADC code-only search
+    against the exact L2 top-10 (same metric on both sides —
+    completing the self-eval family next to emb_ivf_recall and
+    emb_matryoshka_recall): how much ranking fidelity does the 32x
+    compression keep? Both id-sets deterministic, overlap hash-exact.
+
+    Scale: the ADC side reads codes only; the exact side is one
+    shuffle-free top-k heap scan — the eval costs no more than the
+    two searches it compares.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    from .catalog import QUERIES as _Q
+
+    adc = _Q["emb_pq_adc_topk"](spark, sf_dir).select("vec_id")
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    vd = S.as_double(F.col("embedding"))
+    l2 = (
+        S.dot(vd, vd)
+        - F.lit(2.0) * S.dot(vd, qcol)
+        + F.lit(S_dot_py(q))
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", l2.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(adc, "vec_id").agg(
+        F.lit(10).cast("integer").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+    )
+
+
+def S_dot_py(q: list[float]) -> float:
+    """Driver-side left fold of dot(q, q) — same op order as the
+    engines' sequential folds, so the scalar literal is bit-identical
+    to what either engine would compute."""
+    acc = 0.0
+    for x in q:
+        acc = acc + float(x) * float(x)
+    return acc

@@ -800,3 +800,70 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("merged_within_tol"),
     )
+
+
+@query(
+    "events_dau_mau",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    daily AS (
+      SELECT date_trunc('month', ts) AS month,
+             date_trunc('day', ts) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM e GROUP BY 1, 2
+    ),
+    monthly AS (
+      SELECT date_trunc('month', ts) AS month,
+             COUNT(DISTINCT user_id) AS mau
+      FROM e GROUP BY 1
+    ),
+    agg AS (
+      SELECT month, COUNT(*) AS n_days,
+             CAST(SUM(dau) AS BIGINT) AS sum_dau
+      FROM daily GROUP BY 1
+    )
+    SELECT a.month, a.n_days,
+           CAST(a.sum_dau AS DOUBLE) / a.n_days AS avg_dau,
+           m.mau,
+           CAST(a.sum_dau AS DOUBLE) / a.n_days / m.mau AS stickiness
+    FROM agg a JOIN monthly m USING (month)
+    """,
+)
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (the product-analytics engagement ratio):
+    per month, average daily distinct users over monthly distinct
+    users. Exact distincts at both grains; the two divisions are the
+    only double arithmetic, written identically in both engines.
+
+    Scale: both distinct aggregates shuffle (user, period) pairs —
+    map-side partial-distinct combines first; the month-level join is
+    tiny. The sketch variant of this dashboard is events_hll_rollup
+    (stored per-day sketches, range-unioned) — this entry is its
+    exact gate at the month grain.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(
+        F.date_trunc("month", "ts").alias("month"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    monthly = e.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count_distinct("user_id").alias("mau")
+    )
+    agg = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("sum_dau"),
+    )
+    return agg.join(monthly, "month").select(
+        "month",
+        "n_days",
+        (F.col("sum_dau").cast("double") / F.col("n_days")).alias("avg_dau"),
+        "mau",
+        (
+            F.col("sum_dau").cast("double") / F.col("n_days") / F.col("mau")
+        ).alias("stickiness"),
+    )

@@ -1025,3 +1025,55 @@ def nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") - prev).cast("double") / prev.cast("double")
         ).alias("yoy_growth"),
     )
+
+
+@query(
+    "orders_delivery_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           quantile_disc(date_diff('day', o_orderdate, l_shipdate), 0.50)
+             AS p50_delay_days,
+           quantile_disc(date_diff('day', o_orderdate, l_shipdate), 0.90)
+             AS p90_delay_days,
+           quantile_disc(date_diff('day', o_orderdate, l_shipdate), 0.99)
+             AS p99_delay_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_delivery_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay percentiles per order priority (the SLA /
+    fulfillment dashboard): exact percentile_disc over integer day
+    deltas — order statistics on data values, so nothing can drift
+    between engines (the events_percentiles rule applied to date
+    arithmetic).
+
+    Scale: lineitem⋈orders is the one fact shuffle; exact per-group
+    percentiles sort within the 5 priority groups (skew-safe: 5 big
+    sorted groups parallelize via AQE skew splitting; the approx
+    twin for the billions-per-group regime is approx_percentile,
+    gated at events_approx_percentiles).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("_delay"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY _delay)")
+        .cast("long")
+        .alias("p50_delay_days"),
+        F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY _delay)")
+        .cast("long")
+        .alias("p90_delay_days"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY _delay)")
+        .cast("long")
+        .alias("p99_delay_days"),
+    )
