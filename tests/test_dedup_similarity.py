@@ -383,3 +383,29 @@ def test_incremental_dedup_accounting(spark, sf_dir):
         )
     total_dropped_ex = sum(r.n_dropped_vs_existing for r in rows)
     assert total_dropped_ex > 0
+
+
+def test_knn_neg_label_fold_path(spark):
+    """neg_label_col works on the dim=None (HOF fold) path too, and
+    NULL labels never pair."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),   # same label as 0 -> never a negative of 0
+            (2, [0.8, 0.2], 1),
+            (3, [0.0, 1.0], None),  # NULL label: no pairs at all
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, cv array<double>"
+    )
+    out = S.knn_join_blocked(
+        df, cents, k=2, n_assign=1, neg_label_col="label"
+    ).collect()
+    pairs = {(r.vec_id, r.neighbor_id) for r in out}
+    assert (0, 1) not in pairs and (1, 0) not in pairs
+    assert all(3 not in p for p in pairs)
+    assert (0, 2) in pairs and (2, 0) in pairs

@@ -121,3 +121,17 @@ def test_no_collect_in_query_builders(plans):
         assert "Scan ExistingRDD" not in plan or name in MATERIALIZING, (
             f"{name} materialized an RDD on the driver"
         )
+
+
+def test_knn_family_pair_join_broadcasts(plans):
+    """The small-N pair-join regime is PINNED to broadcast for the
+    kNN-shape entries (emb_knn_join, emb_hard_negatives): the SMJ
+    fallback parallelizes by cell count, which bottoms out at 8 on
+    catalog corpora — AQE then coalesces the pair expansion to 1-2
+    tasks and the strategy flips run-to-run near the threshold
+    (measured 3.8s vs 12-15s). A SortMergeJoin appearing here means
+    the broadcast_pairs hint was lost."""
+    for name in ("emb_knn_join", "emb_hard_negatives"):
+        assert "SortMergeJoin" not in plans[name], (
+            f"{name}: pair join fell back to SortMergeJoin"
+        )
