@@ -1959,3 +1959,89 @@ def docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "docs_quality_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT len(toks) AS n_toks,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len(toks) AS mean_len,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))
+               AS n_stop,
+             len(list_distinct(toks)) AS n_uniq
+      FROM (SELECT text, {TOKS_SQL} AS toks FROM documents)
+    ),
+    r AS (
+      SELECT COALESCE(n_toks >= 50 AND n_toks <= 100000, FALSE) AS r1,
+             COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, FALSE) AS r2,
+             COALESCE(n_stop >= 2, FALSE) AS r3,
+             COALESCE(CAST(n_uniq AS DOUBLE) / n_toks > 0.2, FALSE) AS r4
+      FROM s
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+             CAST(SUM(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+             CAST(SUM(CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+             CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END) AS BIGINT) AS k4
+      FROM r
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'word_count' AS stage, n0 AS n_in, k1 AS n_kept,
+             CAST(n0 - k1 AS DOUBLE) / n0 AS drop_frac FROM agg
+      UNION ALL
+      SELECT 2, 'word_len', k1, k2, CAST(k1 - k2 AS DOUBLE) / k1 FROM agg
+      UNION ALL
+      SELECT 3, 'stopwords', k2, k3, CAST(k2 - k3 AS DOUBLE) / k2 FROM agg
+      UNION ALL
+      SELECT 4, 'diversity', k3, k4, CAST(k3 - k4 AS DOUBLE) / k3 FROM agg
+    )
+    """,
+)
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade audit: the Gopher rules applied IN SEQUENCE
+    (word-count → word-length → stopwords → diversity), reporting
+    per-stage input count, survivor count, and drop fraction — the
+    observability table a 100 TB curation run publishes so data
+    engineers can see WHICH rule is eating the corpus (the funnel
+    complement of docs_gopher_rules' independent per-rule failures).
+
+    Scale: one corpus scan; all four predicates and the four nested
+    conditional sums run in a single map-side-combinable aggregate
+    producing ONE row, then a 4-row unpivot (stack) on the driver-side
+    result — no second scan per stage, which is the naive
+    implementation's trap (k scans for k stages).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flags = X.with_gopher_flags(docs)
+    s1 = F.col("r_word_count")
+    s2 = s1 & F.col("r_word_len")
+    s3 = s2 & F.col("r_stopwords")
+    s4 = s3 & F.col("r_diversity")
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(s1).alias("k1"),
+        cnt(s2).alias("k2"),
+        cnt(s3).alias("k3"),
+        cnt(s4).alias("k4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "1, 'word_count', n0, k1, "
+            "2, 'word_len',   k1, k2, "
+            "3, 'stopwords',  k2, k3, "
+            "4, 'diversity',  k3, k4) AS (stage_idx, stage, n_in, n_kept)"
+        )
+    ).select(
+        "stage_idx",
+        "stage",
+        "n_in",
+        "n_kept",
+        (
+            (F.col("n_in") - F.col("n_kept")).cast("double") / F.col("n_in")
+        ).alias("drop_frac"),
+    )

@@ -1284,3 +1284,72 @@ def S_dot_py(q: list[float]) -> float:
     for x in q:
         acc = acc + float(x) * float(x)
     return acc
+
+
+@query(
+    "emb_pair_sim_hist",
+    oracle="""
+    WITH s(stride) AS (VALUES (1), (17), (101)),
+    p AS (
+      SELECT s.stride,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cos
+      FROM embeddings a
+      JOIN s ON TRUE
+      JOIN embeddings b ON b.vec_id = a.vec_id + s.stride
+    )
+    SELECT stride,
+           CAST(LEAST(GREATEST(floor(cos * 10), -10), 9) AS BIGINT) AS sim_bin,
+           COUNT(*) AS n_pairs
+    FROM p GROUP BY stride, sim_bin
+    """,
+)
+def emb_pair_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity distribution diagnostic: cosine similarity
+    over a DETERMINISTIC strided pair sample (vec_id, vec_id+stride
+    for strides 1/17/101), bucketed into 0.1-wide bins. The
+    embedding-space health check (isotropy / collapse detection) run
+    before spending a cluster on semantic dedup — a collapsed encoder
+    shows mass piling into the top bins, a healthy one a spread around
+    the near-orthogonal bins.
+
+    The strided sample replaces both the quadratic all-pairs scan and
+    a cross-engine RNG (which could never hash-match): 3N pairs,
+    reproducible anywhere, and stride-stratified so neighboring-id
+    batch artifacts (stride 1) can be compared against far pairs
+    (stride 101).
+
+    Scale: an equi-join on an integer key (shuffle carries id+vector,
+    3 rows per vector), the unrolled codegen dot kernel, then a
+    ~60-group rollup — map-side combinable. No cartesian anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir, 0))
+    a = emb.select(
+        F.col("vec_id").alias("aid"), S.as_double(F.col("embedding")).alias("av")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("bid"), S.as_double(F.col("embedding")).alias("bv")
+    )
+    strides = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(1), F.lit(17), F.lit(101))).alias("stride")
+    )
+    pairs = (
+        a.join(F.broadcast(strides))
+        .join(b, F.col("bid") == F.col("aid") + F.col("stride"))
+    )
+    cos = S.dot_unrolled(F.col("av"), F.col("bv"), dim) / (
+        F.sqrt(S.dot_unrolled(F.col("av"), F.col("av"), dim))
+        * F.sqrt(S.dot_unrolled(F.col("bv"), F.col("bv"), dim))
+    )
+    p = pairs.select("stride", cos.alias("cos"))
+    sim_bin = (
+        F.least(F.greatest(F.floor(F.col("cos") * 10), F.lit(-10)), F.lit(9))
+        .cast("long")
+        .alias("sim_bin")
+    )
+    return p.select("stride", sim_bin).groupBy("stride", "sim_bin").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1077,3 +1077,92 @@ def orders_delivery_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p99_delay_days"),
     )
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+               AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT o_custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(revenue) OVER () AS total_rev
+      FROM r
+    ),
+    k AS (
+      SELECT revenue,
+             CASE WHEN cum_rev * 100 <= total_rev * 80 THEN 'A'
+                  WHEN cum_rev * 100 <= total_rev * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             total_rev
+      FROM c
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           CAST(CAST(SUM(revenue) AS DECIMAL(18,2)) AS DOUBLE) AS class_revenue,
+           CAST(CAST(SUM(revenue) AS DECIMAL(18,2)) AS DOUBLE)
+             / CAST(ANY_VALUE(total_rev) AS DOUBLE) AS revenue_share
+    FROM k GROUP BY abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of customers by lifetime revenue:
+    rank customers by revenue, take the running share of total, label
+    the head that carries ≤80% of revenue 'A', the next slice to 95%
+    'B', the tail 'C' — the inventory-management classic applied to
+    the customer dimension.
+
+    Determinism: revenue and both the running and total sums stay in
+    DECIMAL end-to-end; the class boundaries compare
+    ``cum·100 ≤ total·k`` in exact decimal (no division, no float
+    threshold); the only doubles are the two final reporting casts,
+    and the one share division is written identically in both engines.
+
+    Scale: the per-customer rollup is the real shuffle (map-side
+    combinable). The cumulative share is a single-partition window
+    over one row per customer — at 1B customers that's the documented
+    two-phase pattern (partition partial sums + broadcast offsets);
+    at catalog scale Spark's one-reducer window is exact and cheap.
+    The class rollup is 3 rows.
+    """
+    from pyspark.sql import Window as W
+
+    r = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("revenue"))
+    )
+    wc = (
+        W.orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = r.select(
+        "o_custkey",
+        "revenue",
+        F.sum("revenue").over(wc).alias("cum_rev"),
+        F.sum("revenue").over(W.partitionBy()).alias("total_rev"),
+    )
+    k = c.select(
+        "revenue",
+        F.when(
+            F.col("cum_rev") * 100 <= F.col("total_rev") * 80, "A"
+        )
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "total_rev",
+    )
+    return k.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("revenue").cast("decimal(18,2)").cast("double").alias("class_revenue"),
+        (
+            F.sum("revenue").cast("decimal(18,2)").cast("double")
+            / F.any_value("total_rev").cast("double")
+        ).alias("revenue_share"),
+    )

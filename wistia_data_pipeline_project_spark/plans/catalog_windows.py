@@ -897,3 +897,204 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(25)
     )
+
+
+@query(
+    "events_attribution",
+    oracle=E_CTE
+    + """,
+    t AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             epoch_us(ts) AS us,
+             max(CASE WHEN event_type IN ('click','view','signup')
+                      THEN epoch_us(ts) * 10
+                           + (CASE event_type WHEN 'click' THEN 1
+                                              WHEN 'view' THEN 2
+                                              ELSE 3 END)
+                 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch_packed
+      FROM e
+    ),
+    p AS (
+      SELECT
+        CASE
+          WHEN last_touch_packed IS NULL
+               OR us - last_touch_packed // 10 > 604800000000
+            THEN 'organic'
+          ELSE CASE last_touch_packed % 10 WHEN 1 THEN 'click'
+                                           WHEN 2 THEN 'view'
+                                           ELSE 'signup' END
+        END AS channel,
+        CASE
+          WHEN last_touch_packed IS NOT NULL
+               AND us - last_touch_packed // 10 <= 604800000000
+            THEN us - last_touch_packed // 10
+        END AS lag_us,
+        value
+      FROM t WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS attributed_revenue,
+           CAST(CAST(SUM(lag_us) AS BIGINT) AS DOUBLE)
+             / (COUNT(lag_us) * 60000000.0) AS avg_minutes_to_convert
+    FROM p GROUP BY channel
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent click/view/signup by the same user within a 7-day lookback,
+    else 'organic'. The marketing-analytics workhorse the reference's
+    star schema exists to feed (fact grain + visitor dim,
+    ``/root/reference/process_wistia_data_v2.py:69-84``), generalized
+    to an attribution rollup.
+
+    The as-of lookup packs (epoch_us, channel_code) into ONE BIGINT
+    (`us*10 + code`) so a single running MAX carries both the touch
+    time and its channel — no argmax struct (whose ordering semantics
+    differ across engines), no self-join. Revenue sums in decimal;
+    the time-to-convert average divides two exact integers once.
+
+    Scale: one shuffle on user_id shared with the whole window
+    family; the final rollup is 4 groups. Same plan shape as
+    events_asof_last_view, which is the pattern's unit-size proof.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value", "event_type")
+    )
+    us = F.unix_micros(F.col("ts"))
+    code = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .otherwise(3)
+    )
+    packed = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        us * 10 + code,
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    t = e.withColumn("us", us).withColumn(
+        "last_touch_packed", F.max(packed).over(w)
+    )
+    seven_days_us = 604800000000
+    # integer division: packed ~1.7e16 exceeds double's 2^53 exact
+    # range, so a float divide-then-floor could be off by a tick
+    touch_us = F.expr("last_touch_packed div 10")
+    in_window = F.col("last_touch_packed").isNotNull() & (
+        F.col("us") - touch_us <= seven_days_us
+    )
+    channel = F.when(~in_window | F.col("last_touch_packed").isNull(), "organic").otherwise(
+        F.when(F.col("last_touch_packed") % 10 == 1, "click")
+        .when(F.col("last_touch_packed") % 10 == 2, "view")
+        .otherwise("signup")
+    )
+    lag_us = F.when(in_window, F.col("us") - touch_us)
+    p = t.filter(F.col("event_type") == "purchase").select(
+        channel.alias("channel"), lag_us.alias("lag_us"), "value"
+    )
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(dec("value"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("attributed_revenue"),
+        (
+            F.sum("lag_us").cast("double")
+            / (F.count("lag_us") * F.lit(60000000.0))
+        ).alias("avg_minutes_to_convert"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS n_events
+      FROM e GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n_events,
+             CAST(SUM(n_events) OVER t AS BIGINT) AS s7,
+             CAST(SUM(n_events * n_events) OVER t AS BIGINT) AS ss7,
+             COUNT(*) OVER t AS n7
+      FROM d
+      WINDOW t AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events,
+           CASE WHEN n7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END AS mean7,
+           CASE WHEN n7 = 7 AND 7 * ss7 - s7 * s7 > 0 THEN
+             (7.0 * n_events - CAST(s7 AS DOUBLE))
+               / sqrt((7.0 * CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) * 7.0 / 6.0)
+           END AS zscore,
+           COALESCE(CASE WHEN n7 = 7 AND 7 * ss7 - s7 * s7 > 0 THEN
+             abs((7.0 * n_events - CAST(s7 AS DOUBLE))
+               / sqrt((7.0 * CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) * 7.0 / 6.0)) > 2.0
+           END, FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly detection: per event type, the z-score of
+    each day's event count against the trailing 7 observed days
+    (excluding the current day). Days with an incomplete trailing
+    frame or zero variance report NULL — no fake zeros.
+
+    Determinism across engines: the trailing mean/std are derived
+    from EXACT integer window sums (Σx, Σx², both BIGINT — counts are
+    integers, so no float accumulation order exists), then one shared
+    closed-form double expression:
+    z = (n·x − s) / sqrt((n·ss − s²)·n/(n−1)). The sample-stddev
+    z-score, algebraically: (x − s/n) / sqrt((ss − s²/n)/(n−1)).
+
+    Scale: the daily pre-aggregation is the only big shuffle
+    (map-side combinable count); the window then runs over
+    |event_types| × |days| rows — thousands of rows per year even at
+    100 TB of raw events, so the window sort is negligible. This is
+    the monitoring query a production ingest (SURVEY §2.10) runs
+    after every incremental load.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    t = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    x = F.col("n_events")
+    w = (
+        d.withColumn("s7", F.sum("n_events").over(t))
+        .withColumn("ss7", F.sum(x * x).over(t))
+        .withColumn("n7", F.count(F.lit(1)).over(t))
+    )
+    s7d = F.col("s7").cast("double")
+    ss7d = F.col("ss7").cast("double")
+    full = F.col("n7") == 7
+    posvar = 7 * F.col("ss7") - F.col("s7") * F.col("s7") > 0
+    z = (7.0 * x - s7d) / F.sqrt((7.0 * ss7d - s7d * s7d) * 7.0 / 6.0)
+    return w.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(full, s7d / 7.0).alias("mean7"),
+        F.when(full & posvar, z).alias("zscore"),
+        F.coalesce(
+            F.when(full & posvar, F.abs(z) > 2.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )
