@@ -1,0 +1,108 @@
+"""Structural invariants for the round-3 analytics additions
+(quality funnel, attribution, anomaly z-score, ABC/Pareto, pair-sim
+histogram) — the oracle gate proves value equality; these pin the
+properties a refactor could silently break."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wistia_data_pipeline_project_spark.plans import QUERIES
+from wistia_data_pipeline_project_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quality_funnel_is_monotone_and_chained(spark):
+    rows = {
+        r["stage_idx"]: r
+        for r in QUERIES["docs_quality_funnel"](spark, SF).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4]
+    n_docs = load_table(spark, SF, "documents").count()
+    assert rows[1]["n_in"] == n_docs
+    for i in (1, 2, 3, 4):
+        assert 0 <= rows[i]["n_kept"] <= rows[i]["n_in"]
+        if i > 1:  # each stage's input is the previous stage's survivors
+            assert rows[i]["n_in"] == rows[i - 1]["n_kept"]
+
+
+def test_attribution_conserves_purchases_and_revenue(spark):
+    out = QUERIES["events_attribution"](spark, SF).collect()
+    channels = {r["channel"] for r in out}
+    assert channels <= {"click", "view", "signup", "organic"}
+    e = load_table(spark, SF, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & (F.col("event_type") == "purchase")
+    )
+    n_purchases = e.count()
+    total_rev = float(
+        e.agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+        ).head()[0]
+    )
+    assert sum(r["n_purchases"] for r in out) == n_purchases
+    assert abs(sum(r["attributed_revenue"] for r in out) - total_rev) < 1e-6
+    for r in out:
+        if r["channel"] == "organic":
+            assert r["avg_minutes_to_convert"] is None
+        else:  # lookback window caps time-to-convert at 7 days
+            assert 0.0 <= r["avg_minutes_to_convert"] <= 7 * 24 * 60
+
+
+def test_anomaly_zscore_frame_discipline(spark):
+    out = QUERIES["events_anomaly_zscore"](spark, SF)
+    rows = out.collect()
+    # one row per observed (event_type, day) — nothing dropped
+    base = (
+        load_table(spark, SF, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == base
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r["day"])
+        for i, r in enumerate(rs):
+            if i < 7:  # incomplete trailing frame -> no score, no flag
+                assert r["zscore"] is None and r["mean7"] is None
+                assert r["is_anomaly"] is False
+            else:
+                assert r["mean7"] is not None
+
+
+def test_abc_pareto_partitions_revenue(spark):
+    out = {r["abc_class"]: r for r in QUERIES["orders_abc_pareto"](spark, SF).collect()}
+    assert set(out) == {"A", "B", "C"}
+    n_cust = (
+        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in out.values()) == n_cust
+    shares = {k: r["revenue_share"] for k, r in out.items()}
+    assert abs(sum(shares.values()) - 1.0) < 1e-9
+    # the head class must not exceed its boundary; B ends by 95%
+    assert shares["A"] <= 0.80 + 1e-9
+    assert shares["A"] + shares["B"] <= 0.95 + 1e-9
+    # Pareto shape: A averages more revenue per customer than C
+    avg = {
+        k: out[k]["class_revenue"] / out[k]["n_customers"] for k in out
+    }
+    assert avg["A"] > avg["C"]
+
+
+def test_pair_sim_hist_counts_strided_pairs(spark):
+    out = QUERIES["emb_pair_sim_hist"](spark, SF).collect()
+    n = load_table(spark, SF, "embeddings").count()
+    per_stride: dict[int, int] = {}
+    for r in out:
+        assert -10 <= r["sim_bin"] <= 9
+        per_stride[r["stride"]] = per_stride.get(r["stride"], 0) + r["n_pairs"]
+    # ids are dense 0..n-1, so stride s yields exactly n-s pairs
+    assert per_stride == {1: n - 1, 17: n - 17, 101: n - 101}
