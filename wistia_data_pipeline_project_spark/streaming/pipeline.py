@@ -447,3 +447,78 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     return q
+
+
+def volume_baseline(events: DataFrame) -> DataFrame:
+    """Per-event-type daily-volume baseline (mean/std of daily counts)
+    from a batch history scan — the static side of
+    ``streaming_volume_anomaly``, and the same closed-form
+    integer-Σx/Σx² arithmetic as the batch ``events_anomaly_zscore``
+    catalog entry (no float accumulation order to drift).
+
+    Scale: the daily pre-aggregation is the only fact-sized shuffle;
+    the baseline itself is |event_types| rows — always broadcastable.
+    """
+    d = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    x = F.col("n")
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var = (ss - s * s / nd) / (F.col("n_days") - 1)
+    return agg.filter(F.col("n_days") >= 2).select(
+        "event_type",
+        "n_days",
+        (s / nd).alias("mean_daily"),
+        F.sqrt(var).alias("std_daily"),
+    )
+
+
+def streaming_volume_anomaly(
+    events_stream: DataFrame,
+    baseline: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``events_anomaly_zscore``: tumbling-window
+    event counts per type, z-scored against a batch-built static
+    baseline (``volume_baseline``) via a stream-static broadcast join
+    — the live ingest monitor that pages before a bad feed poisons a
+    100 TB corpus, instead of the post-load batch audit finding it a
+    day later.
+
+    Append mode: a (window, type) row emits ONCE, when the watermark
+    passes the window end — so each closed window carries its final
+    count and verdict. State is |open windows| × |types| counters,
+    bounded by the watermark horizon, independent of event volume.
+    The baseline re-reads per micro-batch (slowly-changing baseline
+    picked up without restart, same property as the dim enrichment
+    stream).
+    """
+    e = events_stream.filter(F.col("ts").isNotNull()).withWatermark(
+        "ts", watermark
+    )
+    counts = e.groupBy(
+        F.window("ts", window).alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    j = counts.join(F.broadcast(baseline), "event_type", "left")
+    z = (F.col("n_events") - F.col("mean_daily")) / F.col("std_daily")
+    z = F.when(F.col("std_daily") > 0, z)
+    return j.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n_events",
+        "mean_daily",
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )
