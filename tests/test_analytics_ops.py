@@ -10,16 +10,13 @@ from pyspark.sql import functions as F
 from wistia_data_pipeline_project_spark.plans import QUERIES
 from wistia_data_pipeline_project_spark.sources.io import load_table
 
-SF = "/root/testdata/sf0.001"
-
-
-def test_quality_funnel_is_monotone_and_chained(spark):
+def test_quality_funnel_is_monotone_and_chained(spark, sf_dir):
     rows = {
         r["stage_idx"]: r
-        for r in QUERIES["docs_quality_funnel"](spark, SF).collect()
+        for r in QUERIES["docs_quality_funnel"](spark, sf_dir).collect()
     }
     assert sorted(rows) == [1, 2, 3, 4]
-    n_docs = load_table(spark, SF, "documents").count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
     assert rows[1]["n_in"] == n_docs
     for i in (1, 2, 3, 4):
         assert 0 <= rows[i]["n_kept"] <= rows[i]["n_in"]
@@ -27,11 +24,11 @@ def test_quality_funnel_is_monotone_and_chained(spark):
             assert rows[i]["n_in"] == rows[i - 1]["n_kept"]
 
 
-def test_attribution_conserves_purchases_and_revenue(spark):
-    out = QUERIES["events_attribution"](spark, SF).collect()
+def test_attribution_conserves_purchases_and_revenue(spark, sf_dir):
+    out = QUERIES["events_attribution"](spark, sf_dir).collect()
     channels = {r["channel"] for r in out}
     assert channels <= {"click", "view", "signup", "organic"}
-    e = load_table(spark, SF, "events").filter(
+    e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
         & (F.col("event_type") == "purchase")
@@ -53,12 +50,12 @@ def test_attribution_conserves_purchases_and_revenue(spark):
             assert 0.0 <= r["avg_minutes_to_convert"] <= 7 * 24 * 60
 
 
-def test_anomaly_zscore_frame_discipline(spark):
-    out = QUERIES["events_anomaly_zscore"](spark, SF)
+def test_anomaly_zscore_frame_discipline(spark, sf_dir):
+    out = QUERIES["events_anomaly_zscore"](spark, sf_dir)
     rows = out.collect()
     # one row per observed (event_type, day) — nothing dropped
     base = (
-        load_table(spark, SF, "events")
+        load_table(spark, sf_dir, "events")
         .filter(F.col("ts").isNotNull())
         .select("event_type", F.date_trunc("day", "ts").alias("day"))
         .distinct()
@@ -78,11 +75,11 @@ def test_anomaly_zscore_frame_discipline(spark):
                 assert r["mean7"] is not None
 
 
-def test_abc_pareto_partitions_revenue(spark):
-    out = {r["abc_class"]: r for r in QUERIES["orders_abc_pareto"](spark, SF).collect()}
+def test_abc_pareto_partitions_revenue(spark, sf_dir):
+    out = {r["abc_class"]: r for r in QUERIES["orders_abc_pareto"](spark, sf_dir).collect()}
     assert set(out) == {"A", "B", "C"}
     n_cust = (
-        load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+        load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
     )
     assert sum(r["n_customers"] for r in out.values()) == n_cust
     shares = {k: r["revenue_share"] for k, r in out.items()}
@@ -97,9 +94,9 @@ def test_abc_pareto_partitions_revenue(spark):
     assert avg["A"] > avg["C"]
 
 
-def test_pair_sim_hist_counts_strided_pairs(spark):
-    out = QUERIES["emb_pair_sim_hist"](spark, SF).collect()
-    n = load_table(spark, SF, "embeddings").count()
+def test_pair_sim_hist_counts_strided_pairs(spark, sf_dir):
+    out = QUERIES["emb_pair_sim_hist"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
     per_stride: dict[int, int] = {}
     for r in out:
         assert -10 <= r["sim_bin"] <= 9

@@ -13,11 +13,8 @@ from wistia_data_pipeline_project_spark.streaming.pipeline import (
     volume_baseline,
 )
 
-SF = "/root/testdata/sf0.001"
-
-
-def test_streaming_volume_anomaly_matches_batch(spark, tmp_path):
-    events = load_table(spark, SF, "events").select(
+def test_streaming_volume_anomaly_matches_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     src = str(tmp_path / "events_src")
@@ -51,8 +48,8 @@ def test_streaming_volume_anomaly_matches_batch(spark, tmp_path):
 
     # append mode: only windows the watermark closed emit — all but
     # the stream's last open day(s)
-    n_expected = len(expected)
-    assert len(got) >= n_expected - 2 * 5  # ≤2 trailing days × 5 types open
+    n_types = events.select("event_type").distinct().count()
+    assert len(got) >= len(expected) - 2 * n_types  # ≤2 trailing days open
     assert set(got) <= set(expected)
     for key, r in got.items():
         e = expected[key]
@@ -62,8 +59,8 @@ def test_streaming_volume_anomaly_matches_batch(spark, tmp_path):
         assert r["is_anomaly"] == (abs(z) > 2.0), key
 
 
-def test_streaming_anomaly_flags_planted_spike(spark, tmp_path):
-    events = load_table(spark, SF, "events").select(
+def test_streaming_anomaly_flags_planted_spike(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     baseline = volume_baseline(events)
@@ -97,3 +94,33 @@ def test_streaming_anomaly_flags_planted_spike(spark, tmp_path):
         if r["is_anomaly"]
     }
     assert (spike_day, "error") in flagged
+
+
+def test_streaming_anomaly_flags_unknown_event_type(spark, sf_dir, tmp_path):
+    """An event type absent from the baseline is the bad-feed case —
+    it must page (baseline_missing), not be coalesced to quiet."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    baseline = volume_baseline(events)
+    renamed = events.withColumn(
+        "event_type",
+        F.when(F.col("event_type") == "click", "clicks").otherwise(
+            F.col("event_type")
+        ),
+    )
+    src = str(tmp_path / "events_renamed")
+    renamed.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_volume_anomaly(stream, baseline, watermark="1 hour")
+    q = run_stream_to_memory(out, "vol_unknown", output_mode="append")
+    try:
+        rows = spark.table("vol_unknown").collect()
+    finally:
+        q.stop()
+    unknown = [r for r in rows if r["event_type"] == "clicks"]
+    assert unknown  # at least one closed window for the renamed feed
+    for r in unknown:
+        assert r["baseline_missing"] is True
+        assert r["is_anomaly"] is True
+        assert r["zscore"] is None

@@ -58,11 +58,21 @@ def diff(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     band = 0.15
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--band"):
-            band = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                band = float(a.split("=", 1)[1])
+            else:  # space-separated form: consume the next token too
+                band = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         print(__doc__)
         return 2

@@ -992,7 +992,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_window = F.col("last_touch_packed").isNotNull() & (
         F.col("us") - touch_us <= seven_days_us
     )
-    channel = F.when(~in_window | F.col("last_touch_packed").isNull(), "organic").otherwise(
+    # in_window is null-safe (isNotNull() & ... = false, not null, on
+    # a missing touch), so its negation alone routes nulls to organic
+    channel = F.when(~in_window, "organic").otherwise(
         F.when(F.col("last_touch_packed") % 10 == 1, "click")
         .when(F.col("last_touch_packed") % 10 == 2, "view")
         .otherwise("signup")
@@ -1029,23 +1031,34 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT event_type, day, n_events,
              CAST(SUM(n_events) OVER t AS BIGINT) AS s7,
-             CAST(SUM(n_events * n_events) OVER t AS BIGINT) AS ss7,
+             SUM(CAST(n_events AS DECIMAL(19,0))
+                 * CAST(n_events AS DECIMAL(19,0))) OVER t AS ss7,
              COUNT(*) OVER t AS n7
       FROM d
       WINDOW t AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    g AS (
+      SELECT event_type, day, n_events, s7, n7,
+             CAST(ss7 AS DOUBLE) AS ss7d, CAST(s7 AS DOUBLE) AS s7d,
+             (n7 = 7) AS full7,
+             (7 * ss7 - CAST(s7 AS DECIMAL(19,0)) * CAST(s7 AS DECIMAL(19,0)) > 0)
+               AS posvar
+      FROM w
     )
     SELECT event_type, day, n_events,
-           CASE WHEN n7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END AS mean7,
-           CASE WHEN n7 = 7 AND 7 * ss7 - s7 * s7 > 0 THEN
-             (7.0 * n_events - CAST(s7 AS DOUBLE))
-               / sqrt((7.0 * CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) * 7.0 / 6.0)
+           CASE WHEN full7 THEN s7d / 7.0 END AS mean7,
+           CASE WHEN full7 AND posvar
+                     AND (7.0 * ss7d - s7d * s7d) > 0 THEN
+             (7.0 * n_events - s7d)
+               / sqrt((7.0 * ss7d - s7d * s7d) * 7.0 / 6.0)
            END AS zscore,
-           COALESCE(CASE WHEN n7 = 7 AND 7 * ss7 - s7 * s7 > 0 THEN
-             abs((7.0 * n_events - CAST(s7 AS DOUBLE))
-               / sqrt((7.0 * CAST(ss7 AS DOUBLE) - CAST(s7 AS DOUBLE) * CAST(s7 AS DOUBLE)) * 7.0 / 6.0)) > 2.0
+           COALESCE(CASE WHEN full7 AND posvar
+                              AND (7.0 * ss7d - s7d * s7d) > 0 THEN
+             abs((7.0 * n_events - s7d)
+               / sqrt((7.0 * ss7d - s7d * s7d) * 7.0 / 6.0)) > 2.0
            END, FALSE) AS is_anomaly
-    FROM w
+    FROM g
     """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,11 +1068,18 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame or zero variance report NULL — no fake zeros.
 
     Determinism across engines: the trailing mean/std are derived
-    from EXACT integer window sums (Σx, Σx², both BIGINT — counts are
-    integers, so no float accumulation order exists), then one shared
+    from EXACT integer window sums (Σx as BIGINT; Σx² squared and
+    summed in DECIMAL(19,0)² — a count over ~3e9/day would overflow
+    int64 under the square, which Spark wraps silently and DuckDB
+    raises on, so neither engine is allowed near it), then one shared
     closed-form double expression:
     z = (n·x − s) / sqrt((n·ss − s²)·n/(n−1)). The sample-stddev
     z-score, algebraically: (x − s/n) / sqrt((ss − s²/n)/(n−1)).
+    Positivity is guarded TWICE, identically in both engines: exact
+    (decimal n·Σx² − s², immune to cancellation) and double (the
+    sqrt argument itself — which can round a tiny-positive variance
+    negative and would otherwise emit NaN, and Spark evaluates
+    NaN > threshold as TRUE).
 
     Scale: the daily pre-aggregation is the only big shuffle
     (map-side combinable count); the window then runs over
@@ -1078,23 +1098,26 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-7, -1)
     )
     x = F.col("n_events")
+    xd = x.cast("decimal(19,0)")
     w = (
         d.withColumn("s7", F.sum("n_events").over(t))
-        .withColumn("ss7", F.sum(x * x).over(t))
+        .withColumn("ss7", F.sum(xd * xd).over(t))
         .withColumn("n7", F.count(F.lit(1)).over(t))
     )
     s7d = F.col("s7").cast("double")
     ss7d = F.col("ss7").cast("double")
     full = F.col("n7") == 7
-    posvar = 7 * F.col("ss7") - F.col("s7") * F.col("s7") > 0
+    s7dec = F.col("s7").cast("decimal(19,0)")
+    posvar = (7 * F.col("ss7") - s7dec * s7dec) > 0
+    dpos = (7.0 * ss7d - s7d * s7d) > 0
     z = (7.0 * x - s7d) / F.sqrt((7.0 * ss7d - s7d * s7d) * 7.0 / 6.0)
     return w.select(
         "event_type",
         "day",
         "n_events",
         F.when(full, s7d / 7.0).alias("mean7"),
-        F.when(full & posvar, z).alias("zscore"),
+        F.when(full & posvar & dpos, z).alias("zscore"),
         F.coalesce(
-            F.when(full & posvar, F.abs(z) > 2.0), F.lit(False)
+            F.when(full & posvar & dpos, F.abs(z) > 2.0), F.lit(False)
         ).alias("is_anomaly"),
     )

@@ -471,6 +471,13 @@ def volume_baseline(events: DataFrame) -> DataFrame:
         F.sum(x * x).alias("ss"),
     )
     nd = F.col("n_days").cast("double")
+    # the exact-positivity guard stays in DECIMAL: n·Σx² − (Σx)²
+    # overflows int64 at ~1e9/day counts, and the double form can
+    # round a tiny-positive variance negative (sqrt → NaN, and Spark
+    # treats NaN > 0 as TRUE — a NaN std would page on every window)
+    sd = F.col("s").cast("decimal(19,0)")
+    ssd = F.col("ss").cast("decimal(19,0)")
+    posvar = (F.col("n_days") * ssd - sd * sd) > 0
     s = F.col("s").cast("double")
     ss = F.col("ss").cast("double")
     var = (ss - s * s / nd) / (F.col("n_days") - 1)
@@ -478,7 +485,7 @@ def volume_baseline(events: DataFrame) -> DataFrame:
         "event_type",
         "n_days",
         (s / nd).alias("mean_daily"),
-        F.sqrt(var).alias("std_daily"),
+        F.when(posvar & (var > 0), F.sqrt(var)).alias("std_daily"),
     )
 
 
@@ -513,6 +520,9 @@ def streaming_volume_anomaly(
     j = counts.join(F.broadcast(baseline), "event_type", "left")
     z = (F.col("n_events") - F.col("mean_daily")) / F.col("std_daily")
     z = F.when(F.col("std_daily") > 0, z)
+    # an event type the baseline has never seen IS the bad-feed case
+    # this monitor exists for — flag it, don't coalesce it to quiet
+    unknown = F.col("mean_daily").isNull()
     return j.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -520,5 +530,6 @@ def streaming_volume_anomaly(
         "n_events",
         "mean_daily",
         z.alias("zscore"),
-        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+        unknown.alias("baseline_missing"),
+        F.coalesce(F.abs(z) > z_threshold, unknown).alias("is_anomaly"),
     )
