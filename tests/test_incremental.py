@@ -531,3 +531,66 @@ def test_legacy_table_migrates_into_commit_log(spark, out_dir):
     assert stats["removed_files"] == 0  # legacy files were claimed
     assert read_fact_committed(spark, fact_path).count() == 2
     assert spark.read.parquet(fact_path).count() == 2
+
+
+def test_compact_parquet_recovers_interrupted_swap(spark, sf_dir, tmp_path):
+    """A crash between rename(path, old) and rename(tmp, path) leaves
+    the only copy at ._old — the next compact run must restore it,
+    not report success-shaped zeros."""
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    path = str(tmp_path / "t")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(5).write.parquet(path)
+    n = docs.count()
+
+    # simulate the crash window: live dir renamed aside, swap dies
+    os.rename(path, path + "._old")
+    assert not os.path.exists(path)
+
+    stats = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(path).count() == n
+    assert not os.path.exists(path + "._old")
+
+
+def test_compact_parquet_skips_swap_debris_partitions(spark, sf_dir, tmp_path):
+    """date=X._old / date=X._compact siblings are swap debris, not
+    partitions: the hive-layout recursion must recover the orphaned
+    one (live dir missing) and must NOT compact a stale copy whose
+    live partition still exists."""
+    import os
+    import shutil
+
+    from wistia_data_pipeline_project_spark.operators.incremental import (
+        compact_parquet,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    path = str(tmp_path / "t")
+    events = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "to_date(ts) AS date", "event_type"
+    )
+    events.write.partitionBy("date").parquet(path)
+    parts = sorted(
+        d for d in os.listdir(path) if d.startswith("date=")
+    )
+    n = spark.read.parquet(path).count()
+
+    # partition 0: crash window (live missing, only ._old remains)
+    p0 = os.path.join(path, parts[0])
+    os.rename(p0, p0 + "._old")
+    # partition 1: stale ._compact copy next to the live partition
+    p1 = os.path.join(path, parts[1])
+    shutil.copytree(p1, p1 + "._compact")
+
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    back = spark.read.parquet(path)
+    assert back.count() == n  # p0 restored, p1 not double-counted
+    assert os.path.isdir(p0)
+    assert not os.path.exists(p0 + "._old")

@@ -221,9 +221,11 @@ def write_fact_append_atomic(df: DataFrame, path: str, run_id: str) -> int:
     # the first gated append — otherwise the next run's rollback would
     # read them as crashed-run debris and delete committed data
     if not has_commit_log(path):
+        # "._" dirs are compact_parquet swap debris, never live data
         legacy = [
             os.path.relpath(f, path)
             for f in _glob.glob(os.path.join(path, "*=*", "*.parquet"))
+            if "._" not in os.path.basename(os.path.dirname(f))
         ]
         if legacy:
             os.makedirs(_commits_dir(path), exist_ok=True)
@@ -570,17 +572,36 @@ def compact_parquet(
             f"{path} is manifest-gated (_commits present); compacting "
             "would orphan its run manifests"
         )
+    tmp = path.rstrip("/") + "._compact"
+    old = path.rstrip("/") + "._old"
+    # crash recovery FIRST: a previous run killed between the two
+    # renames left the live path missing and the only copy at ._old —
+    # restore it before anything else (and before the stale cleanup
+    # below could destroy it)
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
     files = _glob.glob(os.path.join(path, "*.parquet"))
     if not files:
         # hive-partitioned layout (date=.../part-*.parquet): compact
         # each partition directory independently — preserves the
         # partition layout and bounds each rewrite to one partition
-        # (the backfill-sized unit of work)
+        # (the backfill-sized unit of work). "._" dirs are this
+        # function's own swap debris (date=X._old / date=X._compact),
+        # never live partitions — recursing into them as partitions
+        # would resurrect a stale copy under a bogus partition value.
         parts = sorted(
             d
             for d in _glob.glob(os.path.join(path, "*=*"))
-            if os.path.isdir(d)
+            if os.path.isdir(d) and "._" not in os.path.basename(d)
         )
+        # recover any partition whose swap was killed mid-rename
+        for d in sorted(_glob.glob(os.path.join(path, "*=*._old"))):
+            live = d[: -len("._old")]
+            if not os.path.exists(live):
+                os.rename(d, live)
+                if live not in parts:
+                    parts.append(live)
+        parts = sorted(parts)
         if parts:
             agg = {"files_before": 0, "files_after": 0}
             for d in parts:
@@ -591,8 +612,8 @@ def compact_parquet(
         return {"files_before": 0, "files_after": 0}
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
-    tmp = path.rstrip("/") + "._compact"
-    old = path.rstrip("/") + "._old"
+    # the live path exists here (files is non-empty), so any leftover
+    # ._compact/._old is genuinely stale debris, safe to clear
     for stale in (tmp, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)

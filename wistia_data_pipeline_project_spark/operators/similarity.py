@@ -130,12 +130,14 @@ def cosine_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    n = df.count()
+    # bounded guard: limit(N+1).count() short-circuits after 100,001
+    # rows instead of executing the full upstream plan a second time
+    n = df.limit(100_001).count()
     if n > 100_000:
         raise ValueError(
-            f"cosine_near_dup_pairs is the driver-collect small-corpus "
-            f"oracle (got {n} rows, limit 100000); use "
-            f"cosine_near_dup_blocked for production corpora"
+            "cosine_near_dup_pairs is the driver-collect small-corpus "
+            "oracle (input exceeds the 100000-row limit); use "
+            "cosine_near_dup_blocked for production corpora"
         )
     rows = df.select(key_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -781,10 +783,15 @@ def semdedup_stats(
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
     cluster, every vector that has a strictly-smaller-keyed cluster
-    member with cosine >= ``threshold`` (greedy keep-first — the
-    paper's "keep one representative per semantic duplicate group",
-    made deterministic by ordering on the key). Returns per-cluster
-    ``(centroid_id, n_members, n_dropped, n_kept)``.
+    member with cosine >= ``threshold`` — a DOMINANCE rule, evaluated
+    against ALL smaller-keyed members (kept or themselves dropped),
+    which is what makes it a single self-join instead of a sequential
+    scan. On a similarity CHAIN (a~b, b~c, a!~c) it therefore drops
+    one more member than sequential greedy keep-first would (b
+    disqualifies c even though b itself was dropped): drop counts are
+    an upper bound on the paper's greedy pass, deterministic on the
+    key order, and replayed identically by the oracle. Returns
+    per-cluster ``(centroid_id, n_members, n_dropped, n_kept)``.
 
     The blocking is DECLARED (1-NN assignment to the given centroids,
     ties on centroid_id), so an oracle can replay it exactly; the

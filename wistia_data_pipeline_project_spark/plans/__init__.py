@@ -85,12 +85,17 @@ def _priority_order(names: list[str]) -> list[str]:
         return (len(g), g[-1] if g else 0, insertion[n])
 
     order = sorted(names, key=key)
-    n_front = sum(1 for n in names if not greens.get(n))
-    assert n_front <= _WINDOW, (
-        f"{n_front} never-green entries exceed the {_WINDOW}-entry "
-        "correctness window — stop adding catalog entries until the "
-        "driver backlog drains"
-    )
+    # The backlog guard only means something against real driver
+    # history: a checkout without any CORRECTNESS_r*.json (fresh
+    # fork, packaged install) would count EVERY entry never-green and
+    # fail at import — degrade to registration order instead.
+    if greens:
+        n_front = sum(1 for n in names if not greens.get(n))
+        assert n_front <= _WINDOW, (
+            f"{n_front} never-green entries exceed the {_WINDOW}-entry "
+            "correctness window — stop adding catalog entries until the "
+            "driver backlog drains"
+        )
     return order
 
 

@@ -288,7 +288,7 @@ def docs_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_simhash_quality",
     oracle=f"""
     SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_floor_met
-    FROM ({JACCARD_SQL})
+    FROM ({JACCARD_CAPPED_SQL})
     """,
 )
 def docs_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,9 +296,9 @@ def docs_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r01 next-round 8): the exact Jaccard≥0.8 pair count must
     match SQL, and SimHash@Hamming≤3 must recover ≥ half of those
     pairs (the planted-pair recall floor asserted in pytest, now
-    driver-checked). The pair listing itself stays rows-only in
-    ``docs_simhash_near_dup`` (xxhash64 isn't SQL-reproducible); this
-    entry turns its QUALITY into a hash-checked fact."""
+    driver-checked). The pair listing itself is ALSO hash-checked —
+    ``docs_simhash_near_dup`` replays the md5-derived token hash in
+    SQL; this entry pins the pipeline's QUALITY as a separate fact."""
     docs = load_table(spark, sf_dir, "documents")
     exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     sh = (
@@ -736,11 +736,19 @@ def _dup_clusters_oracle(budget: int, overlap: int, width: int, threshold: float
              toks[chunk_idx*{stride} + 1 : chunk_idx*{stride} + {budget}] AS ctoks
       FROM c
     ),
-    sh AS (
+    sh0 AS (
       SELECT chunk_key,
              unnest(list_distinct([array_to_string(ctoks[i:i+{w1}], ' ')
                     FOR i IN generate_series(1, len(ctoks) - {w1})])) AS shingle
       FROM ch WHERE len(ctoks) >= {width}
+    ),
+    sh AS (
+      -- engine's hot-shingle cap (max_doc_freq=1000) replayed:
+      -- dropped from join AND sizes
+      SELECT chunk_key, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
     ),
     sizes AS (SELECT chunk_key, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
@@ -916,7 +924,7 @@ def docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))
                 AS BIGINT) AS prefix_editdist,
            p.jaccard
-    FROM ({JACCARD_SQL}) p
+    FROM ({JACCARD_CAPPED_SQL}) p
     JOIN documents da ON da.doc_id = p.doc_a
     JOIN documents db ON db.doc_id = p.doc_b
     """,
@@ -1212,12 +1220,20 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM documents
     ),
-    sh AS (
+    sh0 AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
                     FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
                AS shingle
       FROM t
+    ),
+    sh AS (
+      -- engine's hot-shingle cap (dedup._pair_intersections,
+      -- max_doc_freq=1000) replayed: dropped from join AND sizes
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
     inter AS (
@@ -1990,13 +2006,13 @@ def docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
       SELECT 1 AS stage_idx, 'word_count' AS stage, n0 AS n_in, k1 AS n_kept,
-             CAST(n0 - k1 AS DOUBLE) / n0 AS drop_frac FROM agg
+             CAST(n0 - k1 AS DOUBLE) / NULLIF(n0, 0) AS drop_frac FROM agg
       UNION ALL
-      SELECT 2, 'word_len', k1, k2, CAST(k1 - k2 AS DOUBLE) / k1 FROM agg
+      SELECT 2, 'word_len', k1, k2, CAST(k1 - k2 AS DOUBLE) / NULLIF(k1, 0) FROM agg
       UNION ALL
-      SELECT 3, 'stopwords', k2, k3, CAST(k2 - k3 AS DOUBLE) / k2 FROM agg
+      SELECT 3, 'stopwords', k2, k3, CAST(k2 - k3 AS DOUBLE) / NULLIF(k2, 0) FROM agg
       UNION ALL
-      SELECT 4, 'diversity', k3, k4, CAST(k3 - k4 AS DOUBLE) / k3 FROM agg
+      SELECT 4, 'diversity', k3, k4, CAST(k3 - k4 AS DOUBLE) / NULLIF(k3, 0) FROM agg
     )
     """,
 )
@@ -2041,7 +2057,11 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "n_in",
         "n_kept",
+        # nullif: an upstream stage that kills the whole corpus makes
+        # the next stage's denominator 0 — Spark would emit NaN where
+        # DuckDB emits NULL, so both engines null it explicitly
         (
-            (F.col("n_in") - F.col("n_kept")).cast("double") / F.col("n_in")
+            (F.col("n_in") - F.col("n_kept")).cast("double")
+            / F.nullif(F.col("n_in"), F.lit(0))
         ).alias("drop_frac"),
     )

@@ -761,7 +761,7 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
            TRUE AS merged_within_tol
-    FROM events GROUP BY 1
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
     """,
 )
 def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,9 +780,13 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: sketches are ~KB objects that combine map-side; the merge
     shuffles |event_type| x |days| sketch blobs instead of every
     (event_type, user) pair. The exact branch exists only to gate the
-    estimate.
+    estimate. NULL event_type is filtered in both engines: the
+    exact⋈merged equi-join would drop a null group that a plain
+    GROUP BY retains, which would diverge on a fixture with nulls.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("_d")
     ).agg(F.hll_sketch_agg("user_id", 12).alias("_sk"))
