@@ -431,3 +431,80 @@ def test_text_metric_invariants(spark, corpus):
         w = win[i]
         assert 0 < w.n_fingerprints <= w.n_grams
         assert abs(w.density - w.n_fingerprints / w.n_grams) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: Spark window argmax vs pure-Python fold
+
+
+attrib_event = st.tuples(
+    st.integers(min_value=0, max_value=4),  # user_id
+    # small offset range so same-timestamp collisions are COMMON —
+    # they exercise the packed-max tiebreak (higher channel code wins
+    # at equal us); a wide range would never generate a tie. A few
+    # offsets land beyond the 7-day lookback to cover 'organic'.
+    st.one_of(
+        st.integers(min_value=0, max_value=5000),
+        st.integers(min_value=0, max_value=12 * 86400),
+    ),
+    st.sampled_from(["click", "view", "signup", "purchase", "error"]),
+)
+
+
+def _attribution_fold(rows, touch_types=("click", "view", "signup"),
+                      lookback_days=7):
+    """Pure-Python reference: per user, sort by (ts, event_id), keep
+    the running last touch; ties at the same timestamp resolve to the
+    highest channel code (the packed-BIGINT max semantics)."""
+    code = {t: i + 1 for i, t in enumerate(touch_types)}
+    out = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        last = None  # (us, code)
+        for r in rs:
+            if r["event_type"] == "purchase":
+                us = int(r["ts"].timestamp() * 1_000_000)
+                if last is not None and us - last[0] <= lookback_days * 86400_000_000:
+                    out[r["event_id"]] = (touch_types[last[1] - 1], us - last[0])
+                else:
+                    out[r["event_id"]] = ("organic", None)
+            if r["event_type"] in code:
+                us = int(r["ts"].timestamp() * 1_000_000)
+                cand = (us, code[r["event_type"]])
+                # packed max: later us wins; same us -> higher code wins
+                if last is None or cand > last:
+                    last = cand
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(attrib_event, min_size=1, max_size=80))
+def test_last_touch_attribution_matches_python_fold(spark, raw):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        {
+            "event_id": i,
+            "user_id": u,
+            "ts": BASE + dt.timedelta(seconds=off),
+            "event_type": typ,
+        }
+        for i, (u, off, typ) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: (r["channel"], r["lag_us"])
+        for r in last_touch_attribution(df).collect()
+    }
+    assert got == _attribution_fold(rows)

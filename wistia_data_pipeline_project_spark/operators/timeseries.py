@@ -70,3 +70,63 @@ def resample_daily_ffill(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.last("_day_value", ignorenulls=True).over(w).alias("value_ffill"),
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    purchase_type: str = "purchase",
+    lookback_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-purchase last-touch attribution: for each ``purchase_type``
+    event, the channel of the most recent strictly-earlier touch event
+    by the same key within ``lookback_days``, else ``'organic'``.
+    Returns one row per purchase: every input column plus
+    (``channel``, ``lag_us`` — NULL for organic). Events must carry a
+    unique ``event_id`` column (the total-order tiebreak). This is
+    the pre-aggregation core of the ``events_attribution`` catalog
+    entry, factored out so a pure-Python fold can property-test it
+    (the watch-time pattern, ``fact.py``).
+
+    The as-of argmax packs (epoch_us, channel code) into ONE BIGINT
+    (``us*10 + code``, codes from position in ``touch_types``) so a
+    single running MAX over the key window carries both the touch
+    time and its channel: no argmax-struct (cross-engine ordering
+    hazard), no self-join, and ties at the same microsecond resolve
+    to the highest code in both engines. Requires
+    ``len(touch_types) <= 9`` (one decimal digit of packing).
+
+    Scale: one shuffle on the key shared with the whole window
+    family; payload past the window is three narrow columns.
+    """
+    if not 1 <= len(touch_types) <= 9:
+        raise ValueError("touch_types must carry 1..9 channels (one packed digit)")
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts_col))
+    code = F.lit(None)
+    for i, t in enumerate(touch_types):
+        code = F.when(F.col(type_col) == t, i + 1).otherwise(code)
+    packed = F.when(F.col(type_col).isin(*touch_types), us * 10 + code)
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(ts_col, "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    t = events.withColumn("_us", us).withColumn("_lt", F.max(packed).over(w))
+    lookback_us = lookback_days * 86400000000
+    touch_us = F.expr("_lt div 10")
+    in_window = F.col("_lt").isNotNull() & (F.col("_us") - touch_us <= lookback_us)
+    channel = F.lit("organic")
+    for i, tname in enumerate(touch_types):
+        channel = F.when(in_window & (F.col("_lt") % 10 == i + 1), tname).otherwise(
+            channel
+        )
+    return t.filter(F.col(type_col) == purchase_type).select(
+        *events.columns,
+        channel.alias("channel"),
+        F.when(in_window, F.col("_us") - touch_us).alias("lag_us"),
+    )

@@ -967,42 +967,12 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "event_id", "ts", "value", "event_type")
     )
-    us = F.unix_micros(F.col("ts"))
-    code = (
-        F.when(F.col("event_type") == "click", 1)
-        .when(F.col("event_type") == "view", 2)
-        .otherwise(3)
-    )
-    packed = F.when(
-        F.col("event_type").isin("click", "view", "signup"),
-        us * 10 + code,
-    )
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    t = e.withColumn("us", us).withColumn(
-        "last_touch_packed", F.max(packed).over(w)
-    )
-    seven_days_us = 604800000000
-    # integer division: packed ~1.7e16 exceeds double's 2^53 exact
-    # range, so a float divide-then-floor could be off by a tick
-    touch_us = F.expr("last_touch_packed div 10")
-    in_window = F.col("last_touch_packed").isNotNull() & (
-        F.col("us") - touch_us <= seven_days_us
-    )
-    # in_window is null-safe (isNotNull() & ... = false, not null, on
-    # a missing touch), so its negation alone routes nulls to organic
-    channel = F.when(~in_window, "organic").otherwise(
-        F.when(F.col("last_touch_packed") % 10 == 1, "click")
-        .when(F.col("last_touch_packed") % 10 == 2, "view")
-        .otherwise("signup")
-    )
-    lag_us = F.when(in_window, F.col("us") - touch_us)
-    p = t.filter(F.col("event_type") == "purchase").select(
-        channel.alias("channel"), lag_us.alias("lag_us"), "value"
-    )
+    p = TS.last_touch_attribution(
+        e,
+        touch_types=("click", "view", "signup"),
+        purchase_type="purchase",
+        lookback_days=7,
+    ).select("channel", "lag_us", "value")
     return p.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(dec("value"))
