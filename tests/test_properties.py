@@ -508,3 +508,75 @@ def test_last_touch_attribution_matches_python_fold(spark, raw):
         for r in last_touch_attribution(df).collect()
     }
     assert got == _attribution_fold(rows)
+
+
+def _linear_fold(rows, touch_types=("click", "view", "signup"), lookback_days=7):
+    """Pure-Python reference for linear_attribution: per purchase,
+    touches with us in [us_p - lookback, us_p - 1] share credit
+    equally (RANGE frame semantics: strictly earlier in TIME, unlike
+    last-touch's (ts, event_id) row order)."""
+    lb = lookback_days * 86400_000_000
+    out = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _, rs in by_user.items():
+        for r in rs:
+            if r["event_type"] != "purchase":
+                continue
+            us_p = int(r["ts"].timestamp() * 1_000_000)
+            k = {t: 0 for t in touch_types}
+            for o in rs:
+                if o["event_type"] in k:
+                    us_t = int(o["ts"].timestamp() * 1_000_000)
+                    if us_p - lb <= us_t <= us_p - 1:
+                        k[o["event_type"]] += 1
+            total = sum(k.values())
+            if total == 0:
+                out[r["event_id"]] = {"organic": (0, 1.0)}
+            else:
+                out[r["event_id"]] = {
+                    t: (n, n / total) for t, n in k.items() if n > 0
+                }
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(attrib_event, min_size=1, max_size=80))
+def test_linear_attribution_matches_python_fold(spark, raw):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        linear_attribution,
+    )
+
+    rows = [
+        {
+            "event_id": i,
+            "user_id": u,
+            "ts": BASE + dt.timedelta(seconds=off),
+            "event_type": typ,
+        }
+        for i, (u, off, typ) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got: dict[int, dict] = {}
+    for r in linear_attribution(df).collect():
+        got.setdefault(r["event_id"], {})[r["channel"]] = (
+            r["n_touches"],
+            r["credit"],
+        )
+    expected = _linear_fold(rows)
+    assert set(got) == set(expected)
+    for eid in expected:
+        assert set(got[eid]) == set(expected[eid]), eid
+        for ch, (n, credit) in expected[eid].items():
+            gn, gc = got[eid][ch]
+            assert gn == n, (eid, ch)
+            assert abs(gc - credit) < 1e-15, (eid, ch)
+        # credits for a purchase always sum to 1
+        assert abs(sum(c for _, c in got[eid].values()) - 1.0) < 1e-12

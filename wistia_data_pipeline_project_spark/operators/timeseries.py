@@ -130,3 +130,87 @@ def last_touch_attribution(
         channel.alias("channel"),
         F.when(in_window, F.col("_us") - touch_us).alias("lag_us"),
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    purchase_type: str = "purchase",
+    lookback_days: int = 7,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-purchase LINEAR multi-touch attribution: every touch by the
+    same key in the ``lookback_days`` window strictly before the
+    purchase shares the credit equally (1/k each); a purchase with no
+    window touch is ``'organic'``. Returns one row per purchase per
+    credited channel: every input column plus (``channel``,
+    ``n_touches`` — that channel's touch count in the window,
+    ``credit`` — n_touches/k_total, 1.0 for organic).
+
+    Construction: NO purchase⋈touch join. Per-channel touch counts
+    come from conditional COUNTs over a RANGE frame on the event-time
+    axis (``rangeBetween(-lookback_us, -1)`` ordered by epoch
+    micros) — the credit arithmetic is then a row-local integer
+    division. The range frame is the natural Spark expression of "all
+    touches in the trailing 7 days": one shuffle on the key, frame
+    scan bounded by per-key window density. Credits are exact
+    RATIONALS materialized as one integer/integer division per row —
+    both engines divide the same two integers, so no float-sum order
+    exists. (The time-decay variant factorizes as
+    2^((t−B)/h)·2^(−(p−B)/h) and rides the same frame, but needs a
+    per-key base B and a halflife ≫ key-span/1000 to keep the
+    exponents finite — documented, not shipped.)
+
+    Scale: RANGE frames sort within key like ROWS frames (same single
+    exchange); a bot key with millions of window touches makes the
+    frame scan quadratic in ITS OWN density only — the session-cap
+    knob documented at events_session_paths applies.
+    """
+    if not 1 <= len(touch_types) <= 9:
+        raise ValueError("touch_types must carry 1..9 channels")
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts_col))
+    lookback_us = lookback_days * 86400000000
+    t = events.withColumn("_us", us)
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("_us")
+        .rangeBetween(-lookback_us, -1)
+    )
+    counted = t.withColumns(
+        {
+            f"_k_{i}": F.count(
+                F.when(F.col(type_col) == typ, F.lit(1))
+            ).over(w)
+            for i, typ in enumerate(touch_types)
+        }
+    )
+    k_total = None
+    for i in range(len(touch_types)):
+        c = F.col(f"_k_{i}")
+        k_total = c if k_total is None else k_total + c
+    p = counted.filter(F.col(type_col) == purchase_type).withColumn(
+        "_k_total", k_total
+    )
+    credited = None
+    base_cols = [*events.columns]
+    for i, typ in enumerate(touch_types):
+        branch = p.filter(F.col(f"_k_{i}") > 0).select(
+            *base_cols,
+            F.lit(typ).alias("channel"),
+            F.col(f"_k_{i}").alias("n_touches"),
+            (
+                F.col(f"_k_{i}").cast("double") / F.col("_k_total")
+            ).alias("credit"),
+        )
+        credited = branch if credited is None else credited.unionByName(branch)
+    organic = p.filter(F.col("_k_total") == 0).select(
+        *base_cols,
+        F.lit("organic").alias("channel"),
+        F.lit(0).cast("long").alias("n_touches"),
+        F.lit(1.0).alias("credit"),
+    )
+    return credited.unionByName(organic)
