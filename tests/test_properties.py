@@ -580,3 +580,76 @@ def test_linear_attribution_matches_python_fold(spark, raw):
             assert abs(gc - credit) < 1e-15, (eid, ch)
         # credits for a purchase always sum to 1
         assert abs(sum(c for _, c in got[eid].values()) - 1.0) < 1e-12
+
+
+def _decay_fold(rows, touch_types=("click", "view", "signup"),
+                lookback_days=7, halflife_hours=24.0):
+    """Pure-Python reference for time_decay_attribution (direct
+    2^(-age/halflife) weights — no factorization, so agreement also
+    validates the base-shift algebra)."""
+    lb = lookback_days * 86400_000_000
+    h = halflife_hours * 3600 * 1e6
+    out = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for _, rs in by_user.items():
+        for r in rs:
+            if r["event_type"] != "purchase":
+                continue
+            us_p = int(r["ts"].timestamp() * 1_000_000)
+            s = {t: 0.0 for t in touch_types}
+            for o in sorted(rs, key=lambda x: int(x["ts"].timestamp() * 1e6)):
+                if o["event_type"] in s:
+                    us_t = int(o["ts"].timestamp() * 1_000_000)
+                    if us_p - lb <= us_t <= us_p - 1:
+                        s[o["event_type"]] += 2.0 ** (-(us_p - us_t) / h)
+            total = sum(s.values())
+            if total == 0.0:
+                out[r["event_id"]] = {"organic": (0.0, 1.0)}
+            else:
+                out[r["event_id"]] = {
+                    t: (wt, wt / total) for t, wt in s.items() if wt > 0.0
+                }
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(attrib_event, min_size=1, max_size=80))
+def test_time_decay_attribution_matches_python_fold(spark, raw):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        time_decay_attribution,
+    )
+
+    rows = [
+        {
+            "event_id": i,
+            "user_id": u,
+            "ts": BASE + dt.timedelta(seconds=off),
+            "event_type": typ,
+        }
+        for i, (u, off, typ) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got: dict[int, dict] = {}
+    for r in time_decay_attribution(df).collect():
+        assert r["decay_overflow"] is False  # 12-day spans, 24h halflife
+        got.setdefault(r["event_id"], {})[r["channel"]] = (
+            r["weight"],
+            r["credit"],
+        )
+    expected = _decay_fold(rows)
+    assert set(got) == set(expected)
+    for eid in expected:
+        assert set(got[eid]) == set(expected[eid]), eid
+        for ch, (wt, credit) in expected[eid].items():
+            gw, gc = got[eid][ch]
+            assert gw == pytest.approx(wt, rel=1e-9), (eid, ch)
+            assert gc == pytest.approx(credit, rel=1e-9), (eid, ch)
+        assert sum(c for _, c in got[eid].values()) == pytest.approx(1.0)

@@ -158,10 +158,8 @@ def linear_attribution(
     scan bounded by per-key window density. Credits are exact
     RATIONALS materialized as one integer/integer division per row —
     both engines divide the same two integers, so no float-sum order
-    exists. (The time-decay variant factorizes as
-    2^((t−B)/h)·2^(−(p−B)/h) and rides the same frame, but needs a
-    per-key base B and a halflife ≫ key-span/1000 to keep the
-    exponents finite — documented, not shipped.)
+    exists. (``time_decay_attribution`` rides the same frame via the
+    2^((t−B)/h)·2^(−(p−B)/h) factorization.)
 
     Scale: RANGE frames sort within key like ROWS frames (same single
     exchange); a bot key with millions of window touches makes the
@@ -212,5 +210,96 @@ def linear_attribution(
         F.lit("organic").alias("channel"),
         F.lit(0).cast("long").alias("n_touches"),
         F.lit(1.0).alias("credit"),
+    )
+    return credited.unionByName(organic)
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view", "signup"),
+    purchase_type: str = "purchase",
+    lookback_days: int = 7,
+    halflife_hours: float = 24.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-purchase TIME-DECAY multi-touch attribution: each window
+    touch carries weight 2^(−age/halflife); credits are the
+    channel-weight shares. Same output shape as
+    ``linear_attribution`` (``channel``, ``weight`` — the channel's
+    decayed weight sum, ``credit``), 'organic' when no window touch.
+
+    The decay factorizes: 2^(−(p−t)/h) = 2^((t−B)/h) · 2^(−(p−B)/h)
+    for any per-key constant B — and the second factor CANCELS in the
+    credit normalization, so per-channel decayed sums are plain
+    conditional window SUMs of w_t = 2^((t−B)/h) over the SAME range
+    frame as the linear variant, with B = the key's first event time
+    (one extra unbounded-window MIN, no join). The reported absolute
+    ``weight`` re-applies the 2^(−(p−B)/h) factor row-locally.
+
+    Numeric bound: exponents span (key activity span)/halflife
+    doublings; beyond ~900 the weights overflow double. Rows past the
+    bound report NULL credit with ``decay_overflow = true`` instead
+    of Inf/NaN arithmetic (re-run those keys with a larger halflife,
+    or pre-split their history). At halflife 24h that bound is ~2.5
+    years of per-key history — generous for attribution windows.
+
+    Scale: identical shuffle profile to ``linear_attribution`` (one
+    key exchange shared by both windows).
+    """
+    if not 1 <= len(touch_types) <= 9:
+        raise ValueError("touch_types must carry 1..9 channels")
+    from pyspark.sql import Window as W
+
+    h_us = halflife_hours * 3600.0 * 1e6
+    us = F.unix_micros(F.col(ts_col))
+    lookback_us = lookback_days * 86400000000
+    t = events.withColumn("_us", us)
+    wk = W.partitionBy(key_col)
+    t = t.withColumn("_b", F.min("_us").over(wk))
+    expo = (F.col("_us") - F.col("_b")) / F.lit(h_us)
+    t = t.withColumn("_w", F.pow(F.lit(2.0), expo)).withColumn(
+        "_overflow_row", expo > 900.0
+    )
+    w = W.partitionBy(key_col).orderBy("_us").rangeBetween(-lookback_us, -1)
+    sums = {
+        f"_s_{i}": F.sum(
+            F.when(F.col(type_col) == typ, F.col("_w"))
+        ).over(w)
+        for i, typ in enumerate(touch_types)
+    }
+    sums["_any_overflow"] = (
+        F.max(F.when(F.col("_overflow_row"), F.lit(1)).otherwise(0)).over(w) == 1
+    )
+    counted = t.withColumns(sums)
+    s_total = None
+    for i in range(len(touch_types)):
+        c = F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
+        s_total = c if s_total is None else s_total + c
+    p = counted.filter(F.col(type_col) == purchase_type).withColumn(
+        "_s_total", s_total
+    )
+    bad = F.col("_any_overflow") | F.col("_overflow_row")
+    unscale = F.pow(F.lit(2.0), -(F.col("_us") - F.col("_b")) / F.lit(h_us))
+    base_cols = [*events.columns]
+    credited = None
+    for i, typ in enumerate(touch_types):
+        branch = p.filter(
+            F.coalesce(F.col(f"_s_{i}"), F.lit(0.0)) > 0
+        ).select(
+            *base_cols,
+            F.lit(typ).alias("channel"),
+            F.when(~bad, F.col(f"_s_{i}") * unscale).alias("weight"),
+            F.when(~bad, F.col(f"_s_{i}") / F.col("_s_total")).alias("credit"),
+            bad.alias("decay_overflow"),
+        )
+        credited = branch if credited is None else credited.unionByName(branch)
+    organic = p.filter(F.col("_s_total") == 0).select(
+        *base_cols,
+        F.lit("organic").alias("channel"),
+        F.lit(0.0).alias("weight"),
+        F.lit(1.0).alias("credit"),
+        F.lit(False).alias("decay_overflow"),
     )
     return credited.unionByName(organic)
