@@ -144,3 +144,66 @@ def test_shard_writer_deterministic_and_verifiable(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert manifest2 == manifest
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """Exact agreement with a hashlib reference: membership AND rank,
+    per stratum, weight = n_chars."""
+    import hashlib
+
+    from wistia_data_pipeline_project_spark.operators.training import (
+        weighted_sample,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in weighted_sample(
+            docs, "n_chars", k=5, strata_col="lang"
+        ).collect()
+    }
+
+    rows = docs.select("doc_id", "lang", "n_chars").collect()
+    import math
+
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        hx = hashlib.md5(f"{r['doc_id']}:wsample".encode()).hexdigest()[:13]
+        u = int(hx, 16) / 16**13 + 2**-53
+        w = r["n_chars"]
+        key = math.log(u) / w if w and w > 0 else float("-inf")
+        by_lang.setdefault(r["lang"], []).append((key, r["doc_id"]))
+    want = {}
+    for lang, ks in by_lang.items():
+        ks.sort(key=lambda t: (-t[0], t[1]))  # desc key, asc doc_id
+        for i, (_, did) in enumerate(ks[:5], start=1):
+            want[(lang, did)] = i
+    assert got == want
+
+
+def test_weighted_sample_scale_invariant_and_excludes_nonpositive(spark, sf_dir):
+    """E-S property: scaling every weight by a constant leaves the
+    sample identical; rows with weight <= 0 are never drawn while a
+    positive-weight rival remains."""
+    from pyspark.sql import functions as F
+
+    from wistia_data_pipeline_project_spark.operators.training import (
+        weighted_sample,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "w", F.when(F.col("doc_id") % 7 == 0, F.lit(0)).otherwise(F.col("n_chars"))
+    )
+    a = {r["doc_id"] for r in weighted_sample(docs, "w", k=30).collect()}
+    scaled = docs.withColumn("w", F.col("w") * 1000.0)
+    b = {r["doc_id"] for r in weighted_sample(scaled, "w", k=30).collect()}
+    assert a == b
+    assert all(d % 7 != 0 for d in a)
+    # determinism under repartitioning
+    c = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(13), "w", k=30).collect()
+    }
+    assert a == c

@@ -303,3 +303,50 @@ def write_training_shards(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(fp).alias("content_sum"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 20,
+    strata_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006): each row draws a content-addressed
+    uniform u ∈ (0,1) from md5(key:salt) and is ranked by the
+    exponential-sort key u^(1/w) — the top-k by that key are a
+    weight-proportional sample, globally or per stratum. The
+    importance-sampling executor for ``docs_dsir_weights``-style
+    scores: rows with twice the weight are (exactly, not
+    asymptotically) twice as likely to beat any given rival.
+
+    Rank key math in log space (``log(u)/w`` — monotone transform of
+    u^(1/w), avoids pow underflow at tiny weights); u derives from
+    the first 13 md5 hex chars (52 bits — exactly double's mantissa,
+    portable to any engine with md5; +2^-53 keeps log(0) out).
+    Non-positive/NULL weights never win: their key is -Infinity.
+
+    Scale: same WindowGroupLimit shape as ``stratified_sample`` —
+    per-task k-row heaps before the one shuffle, ~k rows per stratum
+    per mapper on the wire, corpus never sorted. Changing ``salt``
+    redraws; membership is stable across runs/partitionings/engines.
+    """
+    hx = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))), 1, 13
+    )
+    u = F.conv(hx, 16, 10).cast("double") / F.lit(float(16**13)) + F.lit(2.0**-53)
+    w = F.col(weight_col).cast("double")
+    rank_key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    part = W.partitionBy(strata_col) if strata_col else W.partitionBy()
+    rk = F.row_number().over(
+        part.orderBy(F.desc_nulls_last("_ws_key"), F.col(key_col))
+    )
+    return (
+        df.withColumn("_ws_key", rank_key)
+        .withColumn("sample_rank", rk)
+        .filter(F.col("sample_rank") <= k)
+        .drop("_ws_key")
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )
