@@ -326,3 +326,99 @@ def with_bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ((n_word + n_digit + n_other) * 100).cast("long") / n_ws,
         ).alias("bpe_per_100_ws"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules from the corpus — the tokenizer-induction
+    step upstream of every ``docs_bpe_token_stats``-style budget
+    query. Returns [(left, right, pair_freq), ...] in merge order.
+
+    Distributed shape: the corpus collapses ONCE to the distinct-word
+    frequency table (the only corpus-sized shuffle; at 100 TB the
+    vocab table is ~1e8 rows — executor-sized, not driver-sized).
+    Each round then runs on the vocab table only:
+
+    1. adjacent symbol pairs via ``zip_with(slice, slice)`` + explode,
+       weighted by word freq, groupBy-sum, top-1 (freq desc, pair asc
+       — the deterministic tie-break a re-run must reproduce);
+    2. ONE row (the winning pair) returns to the driver;
+    3. the merge applies to the symbol arrays in an Arrow-batched
+       ``mapInPandas`` (left-to-right greedy, standard BPE overlap
+       rule) — a string-list rewrite with no vectorizable built-in,
+       the sanctioned Pandas-path case;
+    4. ``localCheckpoint`` each round pins the table and stops
+       iterative plan growth (the ``kmeans_fit`` lesson).
+
+    The HOF pair-builder is interpreted (CodegenFallback) but runs on
+    the VOCAB table, not the corpus — the volume regime where that's
+    irrelevant (cf. dot_unrolled, which exists because pair-volume
+    HOFs are not).
+    """
+    import pandas as pd
+
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # split(w, "(?!^)") keeps a trailing "" (the lookahead also
+    # matches the end-of-string position and Spark's default limit is
+    # -1) — strip it or it becomes a phantom symbol in pair counts
+    state = words.select(
+        F.array_remove(F.split(F.col("w"), "(?!^)"), "").alias("syms"),
+        "freq",
+    ).localCheckpoint()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        n = F.size("syms")
+        pairs = state.filter(n >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n - 1),
+                    F.slice("syms", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("f"))
+            .orderBy(F.desc("f"), F.asc("p.l"), F.asc("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["f"] < min_freq:
+            break
+        left, right, f = top[0]["p"]["l"], top[0]["p"]["r"], int(top[0]["f"])
+        merges.append((left, right, f))
+
+        def apply_merge(batches, _l=left, _r=right):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    res, i, m = [], 0, len(syms)
+                    while i < m:
+                        if i + 1 < m and syms[i] == _l and syms[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(syms[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+        state = state.mapInPandas(
+            apply_merge, "syms array<string>, freq long"
+        ).localCheckpoint()
+    return merges
