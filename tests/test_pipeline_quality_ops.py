@@ -311,3 +311,48 @@ def test_bpe_train_overlap_rule(spark):
 
     wf = Counter({"aaa": 3, "aab": 3})
     assert got == _bpe_reference(wf, 3, 2)
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    """Encoding a corpus with its own learned merges must reproduce
+    the training segmentation: re-counting pair frequencies over the
+    encoded output finds NO mergeable pair from the learned table
+    (all learned rules fully applied), and every multi-char token is
+    a concatenation produced by some rule."""
+    from wistia_data_pipeline_project_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest new newer"),
+            (1, "low low newer newest"),
+            (2, "wider wide widest new"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=8, min_freq=2)
+    assert merges
+    learned = {(l, r) for l, r, _ in merges}
+    vocab = {l + r for l, r, _ in merges}
+    out = bpe_encode(docs, merges).collect()
+    for row in out:
+        toks = row["bpe_tokens"]
+        assert "".join(toks) == row["text"].replace(" ", "")
+        for t in toks:
+            if len(t) > 1:
+                assert t in vocab, t
+        # no adjacent pair within a word should still be mergeable;
+        # reconstruct word boundaries by walking the original text
+        words = row["text"].split()
+        i = 0
+        for w in words:
+            j, acc = i, ""
+            while len(acc) < len(w):
+                acc += toks[j]
+                j += 1
+            assert acc == w
+            for a, b in zip(toks[i:j], toks[i + 1 : j]):
+                assert (a, b) not in learned, (w, a, b)
+            i = j

@@ -422,3 +422,78 @@ def bpe_train(
             apply_merge, "syms array<string>, freq long"
         ).localCheckpoint()
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges (``bpe_train`` output) to tokenize:
+    per whitespace word, start from characters and replay merges in
+    RANK ORDER (each rule greedily left-to-right — the exact inverse
+    of training, so encoding a training word reproduces its final
+    training segmentation). Adds ``out_col`` (array<string>).
+
+    The merge table broadcasts as a rank dict (tokenizers are
+    KB-to-MB at any corpus size); the rewrite is the same
+    Arrow-batched Pandas path as the training apply — per word,
+    repeatedly merge the best-ranked adjacent pair (the standard
+    priority-queue-free formulation: O(merges·len) worst case,
+    fine at word length).
+
+    Scale: embarrassingly parallel single scan, no shuffle; encoding
+    throughput is the Python-worker pool, the documented trade for a
+    rule system no built-in expresses.
+    """
+    import pandas as pd
+
+    ranks = {(l, r): i for i, (l, r, *_) in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
+
+    def encode(batches):
+        rk = bc.value
+
+        def word_to_tokens(w: str) -> list[str]:
+            syms = list(w)
+            while len(syms) >= 2:
+                best, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = rk.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                l, r_ = syms[best_i], syms[best_i + 1]
+                # merge ALL occurrences of the winning pair, greedy L->R
+                res, i, m = [], 0, len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == l and syms[i + 1] == r_:
+                        res.append(l + r_)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return syms
+
+        for pdf in batches:
+            toks = [
+                [t for w in (txt or "").split() for t in word_to_tokens(w)]
+                for txt in pdf["_txt"]
+            ]
+            out = pdf.drop(columns=["_txt"])
+            out[out_col] = toks
+            yield out
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+    return df.withColumn("_txt", F.col(text_col)).mapInPandas(
+        lambda it: encode(it), schema
+    )
