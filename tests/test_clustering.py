@@ -140,3 +140,55 @@ def test_cohort_ltv_cumulative_invariants(spark, sf_dir):
         for r in rs:
             run += r.revenue
             assert abs(r.cum_revenue - run) < 1e-6
+
+
+def _pagerank_reference(edges, n_iter=10, d=0.85):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r[u] for u in nodes if u not in out)
+        nxt = {u: 0.0 for u in nodes}
+        for u, vs in out.items():
+            share = r[u] / len(vs)
+            for v in vs:
+                nxt[v] += share
+        r = {
+            u: (1 - d) / n + d * (nxt[u] + dangling / n)
+            for u in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_reference_and_sums_to_one(spark):
+    """Chain + hub + dangling node: Spark power iteration matches the
+    plain-Python reference and conserves probability mass."""
+    from wistia_data_pipeline_project_spark.operators.clustering import pagerank
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # cycle
+        (4, 1), (5, 1), (6, 1),          # hub fan-in
+        (1, 7),                          # 7 is dangling (no out-edges)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    want = _pagerank_reference(edges, n_iter=12)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-9), u
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # structure: the cycle member fed by the hub outranks leaf sources
+    assert got[1] > got[4]
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    from wistia_data_pipeline_project_spark.operators.clustering import pagerank
+
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(cyc, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    for v in got.values():
+        assert v == pytest.approx(0.2, rel=1e-12)
