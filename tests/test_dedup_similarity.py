@@ -409,3 +409,88 @@ def test_knn_neg_label_fold_path(spark):
     assert (0, 1) not in pairs and (1, 0) not in pairs
     assert all(3 not in p for p in pairs)
     assert (0, 2) in pairs and (2, 0) in pairs
+
+
+def _remove_spans_reference(docs, width=4, min_df=2):
+    """Plain-Python reference for remove_duplicated_spans."""
+    toks = {d: t.strip().split() if t.strip() else [] for d, t in docs.items()}
+    wins: dict[int, list] = {}
+    for d, ts in toks.items():
+        wins[d] = [
+            " ".join(ts[i : i + width]) for i in range(len(ts) - width + 1)
+        ] if len(ts) >= width else []
+    df_count: dict[str, set] = {}
+    for d, ws in wins.items():
+        for w in set(ws):
+            df_count.setdefault(w, set()).add(d)
+    dup = {w for w, ds in df_count.items() if len(ds) >= min_df}
+    out = {}
+    for d, ts in toks.items():
+        covered = set()
+        for i, w in enumerate(wins[d]):
+            if w in dup:
+                covered.update(range(i, i + width))
+        kept = [t for i, t in enumerate(ts) if i not in covered]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_duplicated_spans_matches_reference(spark):
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    shared = "x1 x2 x3 x4"  # a 4-token span planted in three docs
+    docs = {
+        0: f"a b c {shared} d e f",
+        1: f"p q {shared} r s t u",
+        2: f"{shared}",
+        3: "unique tokens only here nothing shared at all",
+        4: "",
+        5: "short one",  # < width, no windows
+    }
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicated_spans(sdf, width=4).collect()
+    }
+    want = _remove_spans_reference(docs, width=4)
+    assert got == want
+    # the planted span is gone from every document
+    for d in (0, 1, 2):
+        assert "x1" not in got[d][0]
+    assert got[2][0] == ""              # fully-duplicated doc -> empty
+    assert got[3][2] == 0               # untouched doc
+    assert got[4] == ("", 0, 0)
+
+
+def test_remove_duplicated_spans_monotone_and_subsequence(spark):
+    """Removal only deletes (clean text is a subsequence of the
+    original) and accounting conserves. NOTE removal is deliberately
+    NOT idempotent: deleting a span splices its neighbors together,
+    which can form NEW cross-document windows — the documented reason
+    production pipelines run one pass (Lee et al. 2022), not a
+    fixpoint loop."""
+    from pyspark.sql import functions as F
+
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+        F.col("doc_id") < 120  # deterministic subset (limit() isn't)
+    )
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = remove_duplicated_spans(docs, width=8).collect()
+    assert {r["doc_id"] for r in out} == set(orig)
+    for r in out:
+        src = orig[r["doc_id"]].split()
+        cln = r["clean_text"].split() if r["clean_text"] else []
+        assert r["n_tokens"] == len(src)
+        assert r["n_tokens_removed"] == len(src) - len(cln)
+        # subsequence check
+        it = iter(src)
+        assert all(tok in it for tok in cln)

@@ -642,3 +642,101 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 32,
+    min_df: int = 2,
+) -> DataFrame:
+    """Surgical substring dedup (Lee et al. 2022, *Deduplicating
+    Training Data Makes Language Models Better*): REMOVE every token
+    covered by a ``width``-token window that appears in ≥ ``min_df``
+    distinct documents — the editing counterpart of the
+    ``docs_substring_dedup`` scoring signal. Returns (key,
+    clean_text, n_tokens, n_tokens_removed).
+
+    Construction (all equi-joins, no pair expansion):
+
+    1. windows with POSITIONS (posexplode of the shingle array — the
+       same window twice in one doc removes both occurrences);
+    2. corpus document frequency per window fingerprint (distinct
+       (doc, fp) first, so within-doc repeats don't inflate df);
+    3. duplicated-window hits explode to covered token indices
+       (pos..pos+width-1 — fan-out ≤ width × duplicated-window
+       count, linear);
+    4. the kept tokens rebuild via a deterministic position-sorted
+       ``array_sort(collect_list(struct(idx, tok)))`` per doc.
+
+    Scale: windows shuffle as 16-byte md5 fingerprints; the covered-
+    index explode is bounded by duplication volume, not corpus size;
+    the rebuild groups on the doc key (text payload touched exactly
+    twice: the scan and the rebuild). A fully-duplicated document
+    comes back as the empty string — the caller's drop policy, not
+    silently missing.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(
+        F.col(key_col),
+        F.when(F.length(F.trim(F.col(text_col))) == 0,
+               F.array().cast("array<string>")).otherwise(toks).alias("_toks"),
+    )
+    n = F.size("_toks")
+    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
+    wins = t.filter(n >= width).select(
+        F.col(key_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.array_join(F.slice("_toks", i + 1, width), " ")
+                ),
+            )
+        ).alias("pos", "wfp"),
+    )
+    docfreq = (
+        wins.select(key_col, "wfp")
+        .distinct()
+        .groupBy("wfp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("wfp")
+    )
+    covered = (
+        wins.join(docfreq, "wfp")
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + width - 1)
+            ).alias("tokidx"),
+        )
+        .distinct()
+    )
+    tok_rows = t.select(
+        key_col, F.posexplode("_toks").alias("tokidx", "tok")
+    )
+    kept = tok_rows.join(covered, [key_col, "tokidx"], "left_anti")
+    rebuilt = kept.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokidx", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = t.select(key_col, n.alias("n_tokens"))
+    return (
+        totals.join(rebuilt, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
