@@ -70,3 +70,27 @@ def test_nulls_do_not_count_as_duplicates_or_orphans(spark):
     rep = report(df, [Q.unique("k"), Q.references("k", dim, "k")])
     assert rep["unique(k)"]["passed"]  # two NULL keys are not dupes
     assert rep["references(k->k)"]["passed"]  # NULLs are not orphans
+
+
+def test_freshness_expectation(spark):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.quality import (
+        freshness,
+        run_expectations,
+    )
+
+    base = dt.datetime(2024, 1, 30, 12, 0, 0)
+    df = spark.createDataFrame(
+        [(1, base), (2, base - dt.timedelta(days=3))], "id long, ts timestamp"
+    )
+    as_of = base + dt.timedelta(hours=5)
+    # max(ts) is 5h behind as_of: passes the 6h SLA, fails the 4h one
+    r6 = run_expectations(df, [freshness("ts", as_of, 6.0)]).collect()[0]
+    r4 = run_expectations(df, [freshness("ts", as_of, 4.0)]).collect()[0]
+    assert r6["passed"] is True and abs(r6["metric"] - 5.0) < 1e-9
+    assert r4["passed"] is False
+
+    empty = spark.createDataFrame([], "id long, ts timestamp")
+    re_ = run_expectations(empty, [freshness("ts", as_of, 1e9)]).collect()[0]
+    assert re_["passed"] is False and re_["metric"] == float("inf")

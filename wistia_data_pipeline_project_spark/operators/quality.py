@@ -76,6 +76,20 @@ def references(col: str, dim: DataFrame, dim_key: str) -> Expectation:
     )
 
 
+def freshness(ts_col: str, as_of, max_lag_hours: float) -> Expectation:
+    """Data freshness: ``max(ts_col)`` is within ``max_lag_hours`` of
+    ``as_of`` (an explicit datetime — never wall-clock, so the check
+    is deterministic and replayable; callers pass the scheduler's
+    logical run time). Metric = observed lag in hours; an empty or
+    all-NULL column fails (infinite lag), because "no data at all" is
+    the staleness incident this check exists to page on."""
+    return Expectation(
+        f"freshness({ts_col})",
+        "freshness",
+        {"col": ts_col, "as_of": as_of, "max": float(max_lag_hours)},
+    )
+
+
 def _frac(cond: Column) -> Column:
     return F.sum(F.when(cond, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
 
@@ -141,6 +155,27 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             # non-NULL row count so NULLs don't read as duplicates
             dupes = (r["_n"] - r["_nulls"]) - r["_d"]
             by_idx[idx] = (e.name, dupes == 0, float(dupes), 0.0, r["_n"])
+        elif e.kind == "freshness":
+            r = df.agg(F.max(F.col(e.params["col"])).alias("_mx")).collect()[0]
+            as_of = e.params["as_of"]
+            if r["_mx"] is None:
+                lag_h = float("inf")
+            else:
+                mx = r["_mx"]
+                # compare naive-vs-aware safely: strip tzinfo from both
+                # (session TZ is UTC; as_of documented as UTC)
+                if getattr(as_of, "tzinfo", None) is not None:
+                    as_of = as_of.replace(tzinfo=None)
+                if getattr(mx, "tzinfo", None) is not None:
+                    mx = mx.replace(tzinfo=None)
+                lag_h = (as_of - mx).total_seconds() / 3600.0
+            by_idx[idx] = (
+                e.name,
+                lag_h <= e.params["max"],
+                lag_h,
+                e.params["max"],
+                total,
+            )
         elif e.kind == "references":
             col, dim, dim_key = (
                 e.params["col"],
