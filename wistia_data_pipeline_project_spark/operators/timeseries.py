@@ -193,25 +193,40 @@ def linear_attribution(
     p = counted.filter(F.col(type_col) == purchase_type).withColumn(
         "_k_total", k_total
     )
-    credited = None
+    # ONE pass: explode a (k+1)-entry channel array and keep the live
+    # rows with a codegen'd filter — k+1 union branches would re-scan
+    # the window output per channel (and an F.filter HOF on the array
+    # would run interpreted per purchase, the documented hot-path trap)
     base_cols = [*events.columns]
-    for i, typ in enumerate(touch_types):
-        branch = p.filter(F.col(f"_k_{i}") > 0).select(
-            *base_cols,
-            F.lit(typ).alias("channel"),
-            F.col(f"_k_{i}").alias("n_touches"),
-            (
-                F.col(f"_k_{i}").cast("double") / F.col("_k_total")
-            ).alias("credit"),
-        )
-        credited = branch if credited is None else credited.unionByName(branch)
-    organic = p.filter(F.col("_k_total") == 0).select(
-        *base_cols,
-        F.lit("organic").alias("channel"),
-        F.lit(0).cast("long").alias("n_touches"),
-        F.lit(1.0).alias("credit"),
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(typ).alias("channel"),
+                F.col(f"_k_{i}").alias("n_touches"),
+            )
+            for i, typ in enumerate(touch_types)
+        ],
+        F.struct(
+            F.lit("organic").alias("channel"),
+            F.lit(0).cast("long").alias("n_touches"),
+        ),
     )
-    return credited.unionByName(organic)
+    exploded = p.select(
+        *base_cols, "_k_total", F.explode(entries).alias("_e")
+    ).filter(
+        (F.col("_e.n_touches") > 0)
+        | ((F.col("_e.channel") == "organic") & (F.col("_k_total") == 0))
+    )
+    return exploded.select(
+        *base_cols,
+        F.col("_e.channel").alias("channel"),
+        F.col("_e.n_touches").alias("n_touches"),
+        F.when(
+            F.col("_e.channel") == "organic", F.lit(1.0)
+        ).otherwise(
+            F.col("_e.n_touches").cast("double") / F.col("_k_total")
+        ).alias("credit"),
+    )
 
 
 def time_decay_attribution(
@@ -282,24 +297,40 @@ def time_decay_attribution(
     )
     bad = F.col("_any_overflow") | F.col("_overflow_row")
     unscale = F.pow(F.lit(2.0), -(F.col("_us") - F.col("_b")) / F.lit(h_us))
+    # single-pass explode + codegen filter (see linear_attribution)
     base_cols = [*events.columns]
-    credited = None
-    for i, typ in enumerate(touch_types):
-        branch = p.filter(
-            F.coalesce(F.col(f"_s_{i}"), F.lit(0.0)) > 0
-        ).select(
-            *base_cols,
-            F.lit(typ).alias("channel"),
-            F.when(~bad, F.col(f"_s_{i}") * unscale).alias("weight"),
-            F.when(~bad, F.col(f"_s_{i}") / F.col("_s_total")).alias("credit"),
-            bad.alias("decay_overflow"),
-        )
-        credited = branch if credited is None else credited.unionByName(branch)
-    organic = p.filter(F.col("_s_total") == 0).select(
-        *base_cols,
-        F.lit("organic").alias("channel"),
-        F.lit(0.0).alias("weight"),
-        F.lit(1.0).alias("credit"),
-        F.lit(False).alias("decay_overflow"),
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(typ).alias("channel"),
+                F.coalesce(F.col(f"_s_{i}"), F.lit(0.0)).alias("s"),
+            )
+            for i, typ in enumerate(touch_types)
+        ],
+        F.struct(F.lit("organic").alias("channel"), F.lit(-1.0).alias("s")),
     )
-    return credited.unionByName(organic)
+    exploded = p.select(
+        *base_cols,
+        "_s_total",
+        "_us",
+        "_b",
+        bad.alias("_bad"),
+        F.explode(entries).alias("_e"),
+    ).filter(
+        (F.col("_e.s") > 0)
+        | ((F.col("_e.channel") == "organic") & (F.col("_s_total") == 0))
+    )
+    is_org = F.col("_e.channel") == "organic"
+    return exploded.select(
+        *base_cols,
+        F.col("_e.channel").alias("channel"),
+        F.when(is_org, F.lit(0.0))
+        .otherwise(F.when(~F.col("_bad"), F.col("_e.s") * unscale))
+        .alias("weight"),
+        F.when(is_org, F.lit(1.0))
+        .otherwise(F.when(~F.col("_bad"), F.col("_e.s") / F.col("_s_total")))
+        .alias("credit"),
+        F.when(is_org, F.lit(False)).otherwise(F.col("_bad")).alias(
+            "decay_overflow"
+        ),
+    )
