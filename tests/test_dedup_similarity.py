@@ -494,3 +494,85 @@ def test_remove_duplicated_spans_monotone_and_subsequence(spark):
         # subsequence check
         it = iter(src)
         assert all(tok in it for tok in cln)
+
+
+def _mmr_reference(cands, k=5, lam=0.5):
+    """Plain-Python MMR with the smaller-key tiebreak."""
+    import math
+
+    def _norm(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n else v
+
+    items = [(i, r, _norm(v)) for i, r, v in cands]
+    out, max_sim = [], {i: 0.0 for i, _, _ in items}
+    picked = set()
+    for rank in range(1, min(k, len(items)) + 1):
+        best, best_score = None, None
+        for i, r, _ in items:
+            if i in picked:
+                continue
+            s = lam * r - (1 - lam) * max_sim[i]
+            if best is None or s > best_score or (s == best_score and i < best):
+                best, best_score = i, s
+        picked.add(best)
+        out.append((best, rank, best_score))
+        bv = next(v for i, _, v in items if i == best)
+        for i, _, v in items:
+            max_sim[i] = max(max_sim[i], sum(a * b for a, b in zip(v, bv)))
+    return out
+
+
+def test_mmr_rerank_matches_reference_per_query(spark):
+    import random
+
+    from wistia_data_pipeline_project_spark.operators.similarity import mmr_rerank
+
+    rng = random.Random(7)
+    rows = []
+    per_query = {}
+    for q in range(4):
+        cands = []
+        for i in range(12):
+            vec = [rng.gauss(0, 1) for _ in range(8)]
+            rel = round(rng.random(), 6)
+            cands.append((q * 100 + i, rel, vec))
+            rows.append((q, q * 100 + i, rel, vec))
+        per_query[q] = cands
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel_score double, embedding array<double>"
+    )
+    got = {}
+    for r in mmr_rerank(df, k=5, lam=0.5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["mmr_rank"], r["mmr_score"])
+        )
+    for q, cands in per_query.items():
+        want = _mmr_reference(cands, k=5, lam=0.5)
+        got_q = sorted(got[q], key=lambda t: t[1])
+        assert [t[0] for t in got_q] == [t[0] for t in want], q
+        for (gi, gr, gs), (wi, wr, ws) in zip(got_q, want):
+            assert abs(gs - ws) < 1e-9
+
+
+def test_mmr_rerank_diversifies_duplicate_candidates(spark):
+    """Two near-identical high-relevance candidates: pure relevance
+    would take both; MMR at lam=0.5 takes one, then the distinct
+    lower-relevance candidate."""
+    from wistia_data_pipeline_project_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0, 0.0]),
+        (0, 2, 0.98, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (0, 3, 0.60, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel_score double, embedding array<double>"
+    )
+    got = [
+        r["vec_id"]
+        for r in sorted(
+            mmr_rerank(df, k=2, lam=0.5).collect(), key=lambda r: r["mmr_rank"]
+        )
+    ]
+    assert got == [1, 3]

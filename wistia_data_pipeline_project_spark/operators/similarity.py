@@ -888,3 +888,75 @@ def semdedup_stats(
             ).alias("n_kept"),
         )
     )
+
+
+def mmr_rerank(
+    df: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel_score",
+) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein
+    1998): per query, greedily select ``k`` candidates maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_selected`` — the
+    post-retrieval diversification pass that keeps a near-dup-heavy
+    top-k from collapsing to one semantic cluster (the retrieval-side
+    complement of SemDeDup's corpus-side fix). Ties break on the
+    smaller key; selection order returns as ``mmr_rank`` (1-based)
+    with the marginal ``mmr_score`` that won each round.
+
+    Scale shape: reranking is inherently PER-QUERY SEQUENTIAL over a
+    BOUNDED candidate list (the retriever's top-N, N ≤ ~1k), so the
+    distribution axis is queries, not candidates: one shuffle on
+    ``query_col``, then an Arrow-batched ``applyInPandas`` runs the
+    O(k·N) greedy with normalized-matrix dot products per group.
+    Millions of queries parallelize perfectly; nothing touches the
+    driver. (Contrast ``cosine_near_dup_pairs``, whose driver-collect
+    is guarded at 1e5 rows — here the per-GROUP bound is structural:
+    the retriever already capped N.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_fields = (
+        f"{query_col} long, {key_col} long, {rel_col} double, "
+        "mmr_rank long, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[query_col].iloc[0]
+        ids = pdf[key_col].to_numpy(dtype=np.int64)
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        n = len(ids)
+        selected: list[int] = []
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        rows = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (1.0 - lam) * max_sim
+            score[picked] = -np.inf
+            # argmax with smaller-key tiebreak: order candidates by
+            # (-score, id) via lexsort
+            order = np.lexsort((ids, -score))
+            best = order[0]
+            picked[best] = True
+            selected.append(best)
+            rows.append((q, ids[best], rel[best], rank, score[best]))
+            sims = mat @ mat[best]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            rows, columns=[query_col, key_col, rel_col, "mmr_rank", "mmr_score"]
+        )
+
+    return (
+        df.select(query_col, key_col, rel_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(rerank, out_fields)
+    )
