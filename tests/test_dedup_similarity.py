@@ -576,3 +576,26 @@ def test_mmr_rerank_diversifies_duplicate_candidates(spark):
         )
     ]
     assert got == [1, 3]
+
+
+def test_ndcg_at_k_matches_hand_computation(spark):
+    import math
+
+    from wistia_data_pipeline_project_spark.operators.similarity import ndcg_at_k
+
+    results = spark.createDataFrame(
+        # q0 ranks a mediocre doc first; q1 ranks perfectly
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (1, 20, 1), (1, 21, 2)],
+        "query_id long, vec_id long, rank long",
+    )
+    ideal = spark.createDataFrame(
+        [(0, 10, 1.0), (0, 11, 3.0), (0, 13, 2.0), (1, 20, 2.0), (1, 21, 1.0)],
+        "query_id long, vec_id long, gain double",
+    )
+    got = {r["query_id"]: r for r in ndcg_at_k(results, ideal, k=3).collect()}
+    dcg0 = 1.0 / math.log2(2) + 3.0 / math.log2(3) + 0.0
+    idcg0 = 3.0 / math.log2(2) + 2.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert abs(got[0]["dcg"] - dcg0) < 1e-12
+    assert abs(got[0]["idcg"] - idcg0) < 1e-12
+    assert abs(got[0]["ndcg"] - dcg0 / idcg0) < 1e-12
+    assert abs(got[1]["ndcg"] - 1.0) < 1e-12  # perfect ranking

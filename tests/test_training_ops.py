@@ -207,3 +207,34 @@ def test_weighted_sample_scale_invariant_and_excludes_nonpositive(spark, sf_dir)
         for r in weighted_sample(docs.repartition(13), "w", k=30).collect()
     }
     assert a == c
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    from wistia_data_pipeline_project_spark.operators.training import (
+        temperature_weights,
+    )
+
+    # strictly skewed synthetic corpus: 60 / 30 / 9 / 1 rows
+    sizes = {"big": 60, "mid": 30, "small": 9, "tiny": 1}
+    rows = [
+        (f"{s}-{i}", s) for s, n in sizes.items() for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    w1 = {r["source"]: r for r in temperature_weights(docs, alpha=1.0).collect()}
+    w3 = {r["source"]: r for r in temperature_weights(docs, alpha=0.3).collect()}
+    w0 = {r["source"]: r for r in temperature_weights(docs, alpha=0.0).collect()}
+    # probabilities are distributions
+    for w in (w1, w3, w0):
+        assert abs(sum(r["sample_prob"] for r in w.values()) - 1.0) < 1e-12
+    # alpha=1 reproduces natural shares; alpha=0 is uniform
+    for s, r in w1.items():
+        assert abs(r["sample_prob"] - r["natural_share"]) < 1e-12
+    n_groups = len(w0)
+    for r in w0.values():
+        assert abs(r["sample_prob"] - 1.0 / n_groups) < 1e-12
+    # 0 < alpha < 1 sits strictly between: big sources shrink,
+    # small sources grow
+    big = max(w1, key=lambda s: w1[s]["n_rows"])
+    small = min(w1, key=lambda s: w1[s]["n_rows"])
+    assert w3[big]["sample_prob"] < w1[big]["natural_share"]
+    assert w3[small]["sample_prob"] > w1[small]["natural_share"]

@@ -960,3 +960,53 @@ def mmr_rerank(
         .groupBy(query_col)
         .applyInPandas(rerank, out_fields)
     )
+
+
+def ndcg_at_k(
+    results: DataFrame,
+    ideal: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    key_col: str = "vec_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+) -> DataFrame:
+    """NDCG@k per query: ``results`` carries the system ranking
+    (query, key, rank), ``ideal`` the graded relevance (query, key,
+    gain ≥ 0). DCG = Σ gain/log2(rank+1) over the top-k; IDCG ranks
+    the ideal gains by (gain desc, key asc) — the deterministic
+    tie-break rule used across the catalog. Output: (query, dcg,
+    idcg, ndcg) — the graded companion of the exact-overlap
+    recall@10 entries (emb_ivf_recall / emb_matryoshka_recall /
+    emb_pq_recall), for when near-misses should score partial credit.
+
+    Scale: two shuffles on the query key (results⋈gains equi-join +
+    the ideal-ranking window, both bounded by k and the per-query
+    judgment count); the division is one double op per query. Σ over
+    ≤k bounded gains has a fixed addition order (rank order) in both
+    this and any replaying engine.
+    """
+    lg = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+    sys_k = results.filter(F.col(rank_col) <= k).join(
+        ideal.select(query_col, key_col, gain_col), [query_col, key_col], "left"
+    )
+    dcg = sys_k.groupBy(query_col).agg(
+        F.sum(
+            F.coalesce(F.col(gain_col), F.lit(0.0)) / lg(F.col(rank_col))
+        ).alias("dcg")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(gain_col), F.asc(key_col)
+    )
+    ideal_k = ideal.withColumn("_ir", F.row_number().over(w)).filter(
+        F.col("_ir") <= k
+    )
+    idcg = ideal_k.groupBy(query_col).agg(
+        F.sum(F.col(gain_col) / lg(F.col("_ir"))).alias("idcg")
+    )
+    return dcg.join(idcg, query_col, "left").select(
+        query_col,
+        "dcg",
+        F.coalesce("idcg", F.lit(0.0)).alias("idcg"),
+        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )

@@ -350,3 +350,40 @@ def weighted_sample(
         .drop("_ws_key")
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture weights (the multilingual-sampling
+    formula, e.g. mBERT/XLM-R: p_i ∝ n_i^α): per group, its corpus
+    share, the temperature-flattened sampling probability, and the
+    per-ROW weight (prob_i / n_i — feed straight into
+    ``weighted_sample``'s weight column to materialize the mixture).
+    α=1 keeps natural proportions, α→0 approaches uniform over
+    groups — the knob that stops high-resource groups from drowning
+    the tail.
+
+    Determinism: shares and probabilities divide exact integer counts
+    only after the Σ n_i^α reduction, which sums ≤|groups| doubles in
+    a groupBy — at most one double-sum whose order Spark doesn't pin,
+    so the output is stable to ~1e-15 relative (document, don't
+    hash-gate). Scale: one map-side-combinable count per group;
+    |groups| rows everywhere after that.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    powed = counts.withColumn(
+        "_p", F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    )
+    tot = powed.agg(
+        F.sum("_p").alias("_tp"), F.sum("n_rows").alias("_tn")
+    )
+    return powed.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        (F.col("n_rows") / F.col("_tn")).alias("natural_share"),
+        (F.col("_p") / F.col("_tp")).alias("sample_prob"),
+        ((F.col("_p") / F.col("_tp")) / F.col("n_rows")).alias("row_weight"),
+    )
