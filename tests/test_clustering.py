@@ -192,3 +192,10 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
     for v in got.values():
         assert v == pytest.approx(0.2, rel=1e-12)
+
+
+def test_pagerank_empty_graph(spark):
+    from wistia_data_pipeline_project_spark.operators.clustering import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty, n_iter=3).count() == 0

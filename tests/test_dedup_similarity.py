@@ -599,3 +599,33 @@ def test_ndcg_at_k_matches_hand_computation(spark):
     assert abs(got[0]["idcg"] - idcg0) < 1e-12
     assert abs(got[0]["ndcg"] - dcg0 / idcg0) < 1e-12
     assert abs(got[1]["ndcg"] - 1.0) < 1e-12  # perfect ranking
+
+
+def test_ndcg_scores_zero_for_unanswered_judged_query(spark):
+    from wistia_data_pipeline_project_spark.operators.similarity import ndcg_at_k
+
+    results = spark.createDataFrame(
+        [(0, 10, 1)], "query_id long, vec_id long, rank long"
+    )
+    ideal = spark.createDataFrame(
+        [(0, 10, 1.0), (9, 90, 2.0)],  # query 9 judged, never answered
+        "query_id long, vec_id long, gain double",
+    )
+    got = {r["query_id"]: r for r in ndcg_at_k(results, ideal, k=3).collect()}
+    assert got[9]["dcg"] == 0.0 and got[9]["ndcg"] == 0.0
+    assert got[0]["ndcg"] == 1.0
+
+
+def test_remove_duplicated_spans_null_text(spark):
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicated_spans(df, width=4).collect()
+    }
+    assert got[1] == ("", 0, 0)  # NULL text == empty, never NULL counts

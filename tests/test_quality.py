@@ -94,3 +94,21 @@ def test_freshness_expectation(spark):
     empty = spark.createDataFrame([], "id long, ts timestamp")
     re_ = run_expectations(empty, [freshness("ts", as_of, 1e9)]).collect()[0]
     assert re_["passed"] is False and re_["metric"] == float("inf")
+
+
+def test_freshness_converts_aware_as_of_to_utc(spark):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.quality import (
+        freshness,
+        run_expectations,
+    )
+
+    mx = dt.datetime(2024, 1, 30, 11, 30, 0)  # stored as UTC
+    df = spark.createDataFrame([(1, mx)], "id long, ts timestamp")
+    # 17:00 at UTC+5 == 12:00 UTC -> true lag 0.5h (a tz-strip bug
+    # would read 5.5h and fail the 1h SLA)
+    tz5 = dt.timezone(dt.timedelta(hours=5))
+    as_of = dt.datetime(2024, 1, 30, 17, 0, tzinfo=tz5)
+    r = run_expectations(df, [freshness("ts", as_of, 1.0)]).collect()[0]
+    assert r["passed"] is True and abs(r["metric"] - 0.5) < 1e-9

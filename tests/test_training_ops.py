@@ -238,3 +238,14 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     small = min(w1, key=lambda s: w1[s]["n_rows"])
     assert w3[big]["sample_prob"] < w1[big]["natural_share"]
     assert w3[small]["sample_prob"] > w1[small]["natural_share"]
+
+
+def test_weighted_sample_short_stratum_never_pads_with_zero_weight(spark):
+    from wistia_data_pipeline_project_spark.operators.training import (
+        weighted_sample,
+    )
+
+    rows = [(1, 10.0), (2, 5.0), (3, 0.0), (4, 0.0), (5, None), (6, -1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, "w", k=5).collect()
+    assert {r["doc_id"] for r in got} == {1, 2}  # short sample, no padding

@@ -189,6 +189,8 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty ranks, not a ZeroDivisionError
+        return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

@@ -677,25 +677,20 @@ def remove_duplicated_spans(
     comes back as the empty string — the caller's drop policy, not
     silently missing.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    t = df.select(
-        F.col(key_col),
-        F.when(F.length(F.trim(F.col(text_col))) == 0,
-               F.array().cast("array<string>")).otherwise(toks).alias("_toks"),
-    )
+    # tokens()/shingle_array() are the module's single-source
+    # tokenization (text.py) — re-inlining them here could drift.
+    # NULL text normalizes to "" so accounting reports (\"\", 0, 0),
+    # same as the empty-string path, never NULL counts.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    t = df.select(F.col(key_col), tokens(txt).alias("_toks"))
     n = F.size("_toks")
-    idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
-    wins = t.filter(n >= width).select(
+    wins = df.select(
         F.col(key_col),
+        tokens(txt).alias("_toks"),
         F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.md5(
-                    F.array_join(F.slice("_toks", i + 1, width), " ")
-                ),
-            )
+            F.transform(shingle_array(txt, width), F.md5)
         ).alias("pos", "wfp"),
-    )
+    ).filter(F.size("_toks") >= width).select(key_col, "pos", "wfp")
     docfreq = (
         wins.select(key_col, "wfp")
         .distinct()

@@ -161,13 +161,18 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             if r["_mx"] is None:
                 lag_h = float("inf")
             else:
+                import datetime as _dt
+
                 mx = r["_mx"]
-                # compare naive-vs-aware safely: strip tzinfo from both
-                # (session TZ is UTC; as_of documented as UTC)
+                # normalize both to naive UTC: an aware as_of CONVERTS
+                # (astimezone), never strips — replace(tzinfo=None) on
+                # a +05:00 datetime would shift the SLA by 5 hours
                 if getattr(as_of, "tzinfo", None) is not None:
-                    as_of = as_of.replace(tzinfo=None)
+                    as_of = as_of.astimezone(_dt.timezone.utc).replace(
+                        tzinfo=None
+                    )
                 if getattr(mx, "tzinfo", None) is not None:
-                    mx = mx.replace(tzinfo=None)
+                    mx = mx.astimezone(_dt.timezone.utc).replace(tzinfo=None)
                 lag_h = (as_of - mx).total_seconds() / 3600.0
             by_idx[idx] = (
                 e.name,

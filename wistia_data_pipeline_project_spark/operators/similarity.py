@@ -921,14 +921,17 @@ def mmr_rerank(
     import numpy as np
     import pandas as pd
 
+    # derive the passthrough column types from the input — hardcoding
+    # long/double would break string query/document ids at Arrow time
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_fields = (
-        f"{query_col} long, {key_col} long, {rel_col} double, "
-        "mmr_rank long, mmr_score double"
+        f"{query_col} {in_types[query_col]}, {key_col} {in_types[key_col]}, "
+        f"{rel_col} {in_types[rel_col]}, mmr_rank long, mmr_score double"
     )
 
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf[query_col].iloc[0]
-        ids = pdf[key_col].to_numpy(dtype=np.int64)
+        ids = pdf[key_col].to_numpy()
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1004,9 +1007,14 @@ def ndcg_at_k(
     idcg = ideal_k.groupBy(query_col).agg(
         F.sum(F.col(gain_col) / lg(F.col("_ir"))).alias("idcg")
     )
-    return dcg.join(idcg, query_col, "left").select(
+    # anchor on the JUDGED query set: a query with judgments but no
+    # system results is the failure NDCG must punish — it scores 0,
+    # it doesn't vanish (which would inflate a mean-over-queries).
+    # Queries with results but no judgments are unscorable and drop.
+    return idcg.join(dcg, query_col, "left").select(
         query_col,
-        "dcg",
-        F.coalesce("idcg", F.lit(0.0)).alias("idcg"),
-        F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg")).alias("ndcg"),
+        F.coalesce("dcg", F.lit(0.0)).alias("dcg"),
+        "idcg",
+        F.when(F.col("idcg") > 0, F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"))
+        .alias("ndcg"),
     )

@@ -166,8 +166,8 @@ def linear_attribution(
     frame scan quadratic in ITS OWN density only — the session-cap
     knob documented at events_session_paths applies.
     """
-    if not 1 <= len(touch_types) <= 9:
-        raise ValueError("touch_types must carry 1..9 channels")
+    if not touch_types:
+        raise ValueError("touch_types must not be empty")
     from pyspark.sql import Window as W
 
     us = F.unix_micros(F.col(ts_col))
@@ -263,8 +263,8 @@ def time_decay_attribution(
     Scale: identical shuffle profile to ``linear_attribution`` (one
     key exchange shared by both windows).
     """
-    if not 1 <= len(touch_types) <= 9:
-        raise ValueError("touch_types must carry 1..9 channels")
+    if not touch_types:
+        raise ValueError("touch_types must not be empty")
     from pyspark.sql import Window as W
 
     h_us = halflife_hours * 3600.0 * 1e6

@@ -326,7 +326,8 @@ def weighted_sample(
     u^(1/w), avoids pow underflow at tiny weights); u derives from
     the first 13 md5 hex chars (52 bits — exactly double's mantissa,
     portable to any engine with md5; +2^-53 keeps log(0) out).
-    Non-positive/NULL weights never win: their key is -Infinity.
+    Non-positive/NULL weights are EXCLUDED before ranking (never
+    returned, even when a stratum has fewer than k eligible rows).
 
     Scale: same WindowGroupLimit shape as ``stratified_sample`` —
     per-task k-row heaps before the one shuffle, ~k rows per stratum
@@ -338,13 +339,16 @@ def weighted_sample(
     )
     u = F.conv(hx, 16, 10).cast("double") / F.lit(float(16**13)) + F.lit(2.0**-53)
     w = F.col(weight_col).cast("double")
-    rank_key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
     part = W.partitionBy(strata_col) if strata_col else W.partitionBy()
     rk = F.row_number().over(
         part.orderBy(F.desc_nulls_last("_ws_key"), F.col(key_col))
     )
     return (
-        df.withColumn("_ws_key", rank_key)
+        # probability-zero rows are EXCLUDED, not merely outranked: a
+        # stratum with fewer than k positive-weight rows must return a
+        # short sample, never pad it with weight-0/NULL members
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_ws_key", F.log(u) / w)
         .withColumn("sample_rank", rk)
         .filter(F.col("sample_rank") <= k)
         .drop("_ws_key")
