@@ -356,3 +356,36 @@ def test_bpe_encode_reproduces_training_segmentation(spark):
             for a, b in zip(toks[i:j], toks[i + 1 : j]):
                 assert (a, b) not in learned, (w, a, b)
             i = j
+
+
+def test_vocab_overlap_sketch_tracks_exact_jaccard(spark, sf_dir):
+    """Sketch-estimated pairwise vocabulary Jaccard must sit within
+    sketch tolerance of the exact computation for every source pair
+    (3-sigma-ish band: 5% absolute at lg_k=12 plus intersection
+    amplification)."""
+    from collections import defaultdict
+
+    from wistia_data_pipeline_project_spark.operators.text import (
+        vocab_overlap_sketch,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in vocab_overlap_sketch(docs).collect()
+    }
+    vocab = defaultdict(set)
+    for r in docs.select("source", "text").collect():
+        vocab[r["source"]].update((r["text"] or "").split())
+    srcs = sorted(vocab)
+    n_pairs = 0
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            va, vb = vocab[sa], vocab[sb]
+            exact_j = len(va & vb) / len(va | vb)
+            r = got[(sa, sb)]
+            assert abs(r["jaccard_est"] - exact_j) < 0.05, (sa, sb, exact_j)
+            assert abs(r["est_union"] - len(va | vb)) / len(va | vb) < 0.05
+            n_pairs += 1
+    assert n_pairs == len(got) == len(srcs) * (len(srcs) - 1) // 2

@@ -497,3 +497,57 @@ def bpe_encode(
     return df.withColumn("_txt", F.col(text_col)).mapInPandas(
         lambda it: encode(it), schema
     )
+
+
+def vocab_overlap_sketch(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between groups via HLL sketch
+    algebra: one Datasketches HLL per group over its distinct tokens,
+    then for each group pair the inclusion–exclusion estimates
+    |A|, |B|, |A∪B| → |A∩B| and Jaccard — the corpus-composition
+    diagnostic (which sources share a vocabulary, which crawl slice
+    duplicates which) that would otherwise need a distinct-token
+    self-join per pair. Emits (group_a < group_b, est_a, est_b,
+    est_union, est_intersection, jaccard_est).
+
+    Scale: tokens shuffle once into |groups| KB-sized sketches
+    (map-side combinable `hll_sketch_agg`); the pair join runs on
+    |groups|² sketch rows — thousands of pairs of KB blobs, never
+    token data. Sketch error is ~1.04/sqrt(2^lg_k) per estimate
+    (~1.6% at lg_k=12); the intersection, as a difference of
+    estimates, inherits ~3× that relative error on small overlaps —
+    use exact joins below ~5% Jaccard, sketches above (the
+    documented trade of every inclusion–exclusion sketch).
+    """
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("tk"),
+    )
+    sk = tok.groupBy("g").agg(F.hll_sketch_agg("tk", F.lit(lg_k)).alias("sk"))
+    a = sk.select(
+        F.col("g").alias("group_a"),
+        F.col("sk").alias("_ska"),
+        F.hll_sketch_estimate("sk").alias("est_a"),
+    )
+    b = sk.select(
+        F.col("g").alias("group_b"),
+        F.col("sk").alias("_skb"),
+        F.hll_sketch_estimate("sk").alias("est_b"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    u = F.hll_sketch_estimate(F.hll_union("_ska", "_skb"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "est_a",
+        "est_b",
+        u.alias("est_union"),
+        (F.col("est_a") + F.col("est_b") - u).alias("est_intersection"),
+        F.greatest(
+            (F.col("est_a") + F.col("est_b") - u) / u, F.lit(0.0)
+        ).alias("jaccard_est"),
+    )
