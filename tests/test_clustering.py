@@ -199,3 +199,51 @@ def test_pagerank_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty, n_iter=3).count() == 0
+
+
+def test_triangle_stats_known_graphs(spark):
+    from wistia_data_pipeline_project_spark.operators.clustering import (
+        triangle_stats,
+    )
+
+    # K4: 4 triangles, 12 wedges, coefficient 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_stats(spark.createDataFrame(k4, "src long, dst long")).head()
+    assert (r["n_triangles"], r["n_wedges"]) == (4, 12)
+    assert abs(r["clustering_coeff"] - 1.0) < 1e-12
+    # C5 cycle: no triangles, 5 wedges
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    r = triangle_stats(spark.createDataFrame(c5, "src long, dst long")).head()
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 5
+    assert r["clustering_coeff"] == 0.0
+
+
+def test_triangle_stats_matches_reference_on_random_graph(spark):
+    import itertools
+    import random
+
+    from wistia_data_pipeline_project_spark.operators.clustering import (
+        triangle_stats,
+    )
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = [
+        (u, v) for u, v in itertools.combinations(nodes, 2) if rng.random() < 0.2
+    ]
+    # feed DUPLICATED and reversed edges + self loops: must normalize
+    noisy = edges + [(v, u) for u, v in edges[:20]] + [(3, 3)]
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = sum(
+        1
+        for u, v, w in itertools.combinations(nodes, 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    r = triangle_stats(spark.createDataFrame(noisy, "src long, dst long")).head()
+    assert r["n_triangles"] == want
+    assert r["n_edges"] == len(edges)
+    wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
+    assert r["n_wedges"] == wedges

@@ -233,3 +233,77 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Triangle count + global clustering coefficient over an
+    undirected graph (edges in either/both directions; self-loops
+    dropped) — the graph-density diagnostic for near-dup pair graphs
+    (a high coefficient says duplicates come in CLUSTERS, so
+    transitive closure will collapse far more than the pair count
+    suggests; a low one says scattered pairs). One row:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_coeff =
+    3·triangles/wedges).
+
+    Algorithm: degree orientation (Suri & Vassilvitskii 2011, the
+    MapReduce standard) — orient every undirected edge from the
+    lower-(degree, id) endpoint to the higher, so each triangle is
+    counted EXACTLY once and per-node wedge generation is bounded by
+    oriented out-degree ≤ O(sqrt(|E|)) even on power-law hubs (a
+    celebrity node's quadratic wedge explosion is the failure this
+    orientation exists to prevent).
+
+    Scale: three shuffles — the dedup/degree pass, the wedge
+    self-join keyed on the wedge apex, and the wedge⋈edge semi-join
+    keyed on the closing pair. Wedge volume Σ outdeg² is the honest
+    cost; with degree orientation it's O(|E|^1.5) worst case, the
+    best known for exact counting.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .union(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    j = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = j.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("w1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("w2"))
+    wedges = o1.join(o2, "a").filter(F.col("w1") < F.col("w2"))
+    closing = oriented.select(
+        F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
+    ).distinct()
+    n_tri = wedges.join(closing, ["w1", "w2"], "left_semi").count()
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
+    ).head()
+    n_edges = und.count()
+    spark = edges.sparkSession
+    n_wedges = int(stats["n_wedges"] or 0)
+    coeff = (3.0 * n_tri / n_wedges) if n_wedges else None
+    return spark.createDataFrame(
+        [(int(stats["n_nodes"] or 0), n_edges, n_wedges, n_tri, coeff)],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
+        "clustering_coeff double",
+    )
