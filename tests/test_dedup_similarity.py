@@ -629,3 +629,41 @@ def test_remove_duplicated_spans_null_text(spark):
         for r in remove_duplicated_spans(df, width=4).collect()
     }
     assert got[1] == ("", 0, 0)  # NULL text == empty, never NULL counts
+
+
+def test_prefix_filter_equals_exact_jaccard(spark, sf_dir):
+    """Prefix filtering is lossless: its verified pairs must equal the
+    UNCAPPED exact all-pairs Jaccard (MinHash equality is only
+    up-to-recall; this one is a guarantee)."""
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        prefix_jaccard_pairs,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = pairs(prefix_jaccard_pairs(docs, threshold=0.8), "doc_a", "doc_b")
+    # minhash output == exact all-pairs on this corpus (pinned by
+    # test_minhash_equals_exact_jaccard above)
+    exact = pairs(minhash_near_dup_pairs(docs, threshold=0.8), "doc_a", "doc_b")
+    assert got == exact and got
+
+
+def test_prefix_filter_survives_hot_shingle(spark):
+    """A boilerplate shingle in EVERY doc must not enter the prefix
+    join (it ranks most-frequent), and the true planted pair is still
+    found — the exactness the df-cap path gives up."""
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"  # one shared 8-token shingle
+    rows = [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g") for i in range(40)]
+    # plant a genuine near-dup pair (identical long text)
+    twin = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13 x14 x15 x16"
+    rows += [(100, twin), (101, twin)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pairs(prefix_jaccard_pairs(docs, threshold=0.8), "doc_a", "doc_b")
+    assert (100, 101) in got
+    # the boilerplate docs share only 1-of-9ish shingles -> J << 0.8
+    assert all(a >= 100 for a, b in got)
