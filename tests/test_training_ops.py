@@ -249,3 +249,59 @@ def test_weighted_sample_short_stratum_never_pads_with_zero_weight(spark):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     got = weighted_sample(df, "w", k=5).collect()
     assert {r["doc_id"] for r in got} == {1, 2}  # short sample, no padding
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from wistia_data_pipeline_project_spark.operators.training import (
+        leakage_safe_split,
+        split_assign,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == docs.count()
+    # every cluster is split-homogeneous
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["split_group"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # the clusters are real (some group has >1 member)
+    from collections import Counter
+
+    sizes = Counter(r["split_group"] for r in out)
+    assert max(sizes.values()) > 1
+    # fractions still roughly honored
+    frac_train = sum(1 for r in out if r["split"] == "train") / len(out)
+    assert 0.8 < frac_train < 0.97
+    # a plain per-doc split DOES leak on this corpus (the hazard)
+    plain = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    leaked = sum(
+        1
+        for r in pairs.collect()
+        if plain[r["doc_a"]] != plain[r["doc_b"]]
+    )
+    safe = {r["doc_id"]: r["split"] for r in out}
+    assert all(safe[r["doc_a"]] == safe[r["doc_b"]] for r in pairs.collect())
+    # (leaked may be 0 by luck on tiny corpora; assert only the safe side)
+
+
+def test_leakage_safe_split_degrades_to_plain_on_pairfree_corpus(spark, sf_dir):
+    from wistia_data_pipeline_project_spark.operators.training import (
+        leakage_safe_split,
+        split_assign,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(docs, empty).collect()
+    }
+    want = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    assert got == want

@@ -391,3 +391,46 @@ def temperature_weights(
         (F.col("_p") / F.col("_tp")).alias("sample_prob"),
         ((F.col("_p") / F.col("_tp")) / F.col("n_rows")).alias("row_weight"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    key_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """Train/val/test split with NEAR-DUP LEAKAGE PREVENTION: every
+    member of a duplicate cluster lands in the SAME split, because
+    the content-addressed draw runs on the CLUSTER id (its min
+    member), not the document id. A plain per-document split leaks a
+    near-copy of a test document into train with probability
+    1-Σfrac² per cluster — exactly the eval contamination near-dup
+    detection exists to prevent, thrown away at the last step.
+
+    ``dup_pairs`` is any pair list from the dedup family (exact
+    Jaccard, MinHash-verified, SimHash, prefix-filter); the
+    transitive closure (``clustering.dup_clusters``) groups them.
+    Singletons keep their own key as the cluster id, so for a
+    pair-free corpus this degrades to exactly ``split_assign``.
+    Output: input columns + ``split_group`` (the id the draw used) +
+    ``split``.
+
+    Scale: one CC run over the pair graph (pair-volume, not corpus),
+    one broadcast-or-shuffle left join of the corpus against the
+    cluster labels (clustered docs are a small fraction), then the
+    same codegen'd md5 draw as ``split_assign``.
+    """
+    from .clustering import connected_components
+
+    cc = connected_components(dup_pairs, pair_a, pair_b).select(
+        F.col("node").alias(key_col), F.col("component").alias("_grp")
+    )
+    joined = df.join(cc, key_col, "left").withColumn(
+        "split_group", F.coalesce(F.col("_grp"), F.col(key_col))
+    )
+    return split_assign(
+        joined.drop("_grp"), key_col="split_group", train=train, val=val
+    )
