@@ -667,3 +667,32 @@ def test_prefix_filter_survives_hot_shingle(spark):
     assert (100, 101) in got
     # the boilerplate docs share only 1-of-9ish shingles -> J << 0.8
     assert all(a >= 100 for a, b in got)
+
+
+def test_mmr_rerank_integer_rel_col_safe_arrow_cast(spark):
+    """An INTEGER rel column must round-trip: the output emits the
+    original values, not the float64 scoring copy — under
+    convertToArrowArraySafely=true a float64->long cast would fail
+    (ADVICE r03)."""
+    from wistia_data_pipeline_project_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 10, 3, [1.0, 0.0]),
+        (1, 11, 2, [0.0, 1.0]),
+        (1, 12, 1, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel_score long, embedding array<double>"
+    )
+    key = "spark.sql.execution.pandas.convertToArrowArraySafely"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        got = sorted(
+            mmr_rerank(df, k=3, lam=0.5).collect(), key=lambda r: r["mmr_rank"]
+        )
+    finally:
+        spark.conf.set(key, prev)
+    assert [r["vec_id"] for r in got] == [10, 11, 12]
+    assert [r["rel_score"] for r in got] == [3, 2, 1]
+    assert all(isinstance(r["rel_score"], int) for r in got)

@@ -124,3 +124,70 @@ def test_streaming_anomaly_flags_unknown_event_type(spark, sf_dir, tmp_path):
         assert r["baseline_missing"] is True
         assert r["is_anomaly"] is True
         assert r["zscore"] is None
+
+
+def test_streaming_anomaly_scales_baseline_to_window(spark, tmp_path):
+    """A non-day window must z-score against the baseline SCALED to
+    the window length (mean x f, std x sqrt(f)), and a known type
+    with a degenerate (NULL-std) baseline must surface its own flag
+    instead of reading quietly not-anomalous (ADVICE r03)."""
+    import datetime as dt
+
+    baseline = spark.createDataFrame(
+        [("click", 5, 48.0, 4.0), ("error", 5, 10.0, None)],
+        "event_type string, n_days long, mean_daily double, std_daily double",
+    )
+    T = dt.datetime
+    rows = []
+    eid = 0
+    # 40 clicks + 3 errors inside the 00:00-12:00 window of 2024-01-10
+    for m in range(40):
+        rows.append((eid, T(2024, 1, 10, 1, m), 1, "click", 1.0)); eid += 1
+    for m in range(3):
+        rows.append((eid, T(2024, 1, 10, 2, m), 1, "error", 1.0)); eid += 1
+    # late sentinel advances the watermark past the window end
+    rows.append((eid, T(2024, 1, 12, 0, 0), 1, "click", 1.0))
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    src = str(tmp_path / "events_halfday")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_volume_anomaly(
+        stream, baseline, window="12 hours", watermark="1 hour", z_threshold=3.0
+    )
+    q = run_stream_to_memory(out, "vol_halfday", output_mode="append")
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): r
+            for r in spark.table("vol_halfday").collect()
+        }
+    finally:
+        q.stop()
+    w0 = T(2024, 1, 10, 0, 0)
+    click = got[(w0, "click")]
+    # f = 0.5: mean 48*0.5 = 24, std 4*sqrt(0.5); z = (40-24)/2.8284...
+    z = (40 - 24.0) / (4.0 * 0.5**0.5)
+    assert abs(click["zscore"] - z) < 1e-12
+    assert click["is_anomaly"] is True
+    assert click["baseline_degenerate"] is False
+    err = got[(w0, "error")]
+    assert err["zscore"] is None
+    assert err["baseline_missing"] is False
+    assert err["baseline_degenerate"] is True
+    assert err["is_anomaly"] is False
+
+
+def test_streaming_anomaly_rejects_unsizable_window(spark):
+    import pytest as _pytest
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        _window_seconds,
+    )
+
+    assert _window_seconds("1 day") == 86400.0
+    assert _window_seconds("12 hours") == 43200.0
+    assert _window_seconds("30 minutes") == 1800.0
+    for bad in ("1 fortnight", "day", "0 hours", "-1 days", "x hours"):
+        with _pytest.raises(ValueError):
+            _window_seconds(bad)

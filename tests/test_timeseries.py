@@ -46,3 +46,30 @@ def test_day_closing_value_breaks_ties_on_event_id(spark):
     )
     [r] = resample_daily_ffill(df).collect()
     assert (r.n_events, r.value_ffill) == (2, 2.0)
+
+
+def test_last_touch_attribution_pre_epoch_timestamps(spark):
+    """Pre-1970 timestamps pack to NEGATIVE bigints; the decode must
+    floor-divide (pmod), not truncate toward zero, or both the touch
+    time and the channel code come out wrong (ADVICE r03)."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        last_touch_attribution,
+    )
+
+    T = dt.datetime
+    rows = [
+        # user 1: click 6h before the purchase -> 'click', lag 6h
+        {"event_id": 0, "user_id": 1, "ts": T(1969, 12, 31, 12), "event_type": "click"},
+        {"event_id": 1, "user_id": 1, "ts": T(1969, 12, 31, 18), "event_type": "purchase"},
+        # user 2: view 11 days before -> outside 7-day lookback -> organic
+        {"event_id": 2, "user_id": 2, "ts": T(1969, 12, 20), "event_type": "view"},
+        {"event_id": 3, "user_id": 2, "ts": T(1969, 12, 31), "event_type": "purchase"},
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: (r["channel"], r["lag_us"])
+        for r in last_touch_attribution(df).collect()
+    }
+    assert got == {1: ("click", 6 * 3600 * 1_000_000), 3: ("organic", None)}

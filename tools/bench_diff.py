@@ -64,12 +64,15 @@ def main() -> int:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--band"):
+        if a == "--band" or a.startswith("--band="):
             if "=" in a:
                 band = float(a.split("=", 1)[1])
-            else:  # space-separated form: consume the next token too
+            elif i + 1 < len(argv):  # space-separated form
                 band = float(argv[i + 1])
                 i += 1
+            else:
+                print(__doc__)
+                return 2
         else:
             args.append(a)
         i += 1

@@ -156,24 +156,26 @@ def run_expectations(df: DataFrame, suite: list[Expectation]) -> DataFrame:
             dupes = (r["_n"] - r["_nulls"]) - r["_d"]
             by_idx[idx] = (e.name, dupes == 0, float(dupes), 0.0, r["_n"])
         elif e.kind == "freshness":
-            r = df.agg(F.max(F.col(e.params["col"])).alias("_mx")).collect()[0]
+            # collect the max as EPOCH MICROS, not a datetime: Spark
+            # renders a collected TimestampType in the DRIVER's OS
+            # timezone as a NAIVE datetime, so tz-normalizing it
+            # driver-side silently skews the lag by the host's UTC
+            # offset on non-UTC hosts. unix_micros is tz-unambiguous.
+            r = df.agg(
+                F.max(F.unix_micros(F.col(e.params["col"]))).alias("_mx")
+            ).collect()[0]
             as_of = e.params["as_of"]
             if r["_mx"] is None:
                 lag_h = float("inf")
             else:
                 import datetime as _dt
 
-                mx = r["_mx"]
-                # normalize both to naive UTC: an aware as_of CONVERTS
-                # (astimezone), never strips — replace(tzinfo=None) on
-                # a +05:00 datetime would shift the SLA by 5 hours
-                if getattr(as_of, "tzinfo", None) is not None:
-                    as_of = as_of.astimezone(_dt.timezone.utc).replace(
-                        tzinfo=None
-                    )
-                if getattr(mx, "tzinfo", None) is not None:
-                    mx = mx.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-                lag_h = (as_of - mx).total_seconds() / 3600.0
+                # a naive as_of is treated as UTC (the engine-wide
+                # convention); an aware one converts exactly
+                if getattr(as_of, "tzinfo", None) is None:
+                    as_of = as_of.replace(tzinfo=_dt.timezone.utc)
+                as_of_us = as_of.timestamp() * 1_000_000.0
+                lag_h = (as_of_us - r["_mx"]) / 3_600_000_000.0
             by_idx[idx] = (
                 e.name,
                 lag_h <= e.params["max"],

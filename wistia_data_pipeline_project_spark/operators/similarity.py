@@ -932,6 +932,10 @@ def mmr_rerank(
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         q = pdf[query_col].iloc[0]
         ids = pdf[key_col].to_numpy()
+        # float64 copy is for score arithmetic ONLY; the output emits
+        # the ORIGINAL values so an integer rel_col round-trips Arrow
+        # without an unsafe float64->long cast
+        rel_orig = pdf[rel_col].reset_index(drop=True)
         rel = pdf[rel_col].to_numpy(dtype=np.float64)
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -951,7 +955,7 @@ def mmr_rerank(
             best = order[0]
             picked[best] = True
             selected.append(best)
-            rows.append((q, ids[best], rel[best], rank, score[best]))
+            rows.append((q, ids[best], rel_orig.iloc[best], rank, score[best]))
             sims = mat @ mat[best]
             max_sim = np.maximum(max_sim, sims)
         return pd.DataFrame(

@@ -118,13 +118,17 @@ def last_touch_attribution(
     )
     t = events.withColumn("_us", us).withColumn("_lt", F.max(packed).over(w))
     lookback_us = lookback_days * 86400000000
-    touch_us = F.expr("_lt div 10")
+    # FLOOR-division decode (via pmod, exact on bigints): `div`
+    # truncates toward zero, so a pre-1970 (negative epoch-micros)
+    # packed value would decode to the wrong touch time AND the wrong
+    # channel code; `(_lt - pmod(_lt,10)) div 10` floors for any sign
+    # and matches the DuckDB oracle's `//`.
+    lt_code = F.expr("pmod(_lt, 10)")
+    touch_us = F.expr("(_lt - pmod(_lt, 10)) div 10")
     in_window = F.col("_lt").isNotNull() & (F.col("_us") - touch_us <= lookback_us)
     channel = F.lit("organic")
     for i, tname in enumerate(touch_types):
-        channel = F.when(in_window & (F.col("_lt") % 10 == i + 1), tname).otherwise(
-            channel
-        )
+        channel = F.when(in_window & (lt_code == i + 1), tname).otherwise(channel)
     return t.filter(F.col(type_col) == purchase_type).select(
         *events.columns,
         channel.alias("channel"),

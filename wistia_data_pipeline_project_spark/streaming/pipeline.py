@@ -511,6 +511,12 @@ def streaming_volume_anomaly(
     picked up without restart, same property as the dim enrichment
     stream).
     """
+    # the baseline is PER-DAY (volume_baseline): z-scoring an hourly
+    # count against a daily mean/std would silently flag everything
+    # (or nothing), so scale the baseline to the window length —
+    # mean linearly, std by sqrt (independent-increments model) — and
+    # refuse windows the string parser can't size.
+    f = _window_seconds(window) / 86400.0
     e = events_stream.filter(F.col("ts").isNotNull()).withWatermark(
         "ts", watermark
     )
@@ -518,11 +524,17 @@ def streaming_volume_anomaly(
         F.window("ts", window).alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
     j = counts.join(F.broadcast(baseline), "event_type", "left")
-    z = (F.col("n_events") - F.col("mean_daily")) / F.col("std_daily")
-    z = F.when(F.col("std_daily") > 0, z)
+    mean_w = F.col("mean_daily") * F.lit(f)
+    std_w = F.col("std_daily") * F.lit(f**0.5)
+    z = (F.col("n_events") - mean_w) / std_w
+    z = F.when(std_w > 0, z)
     # an event type the baseline has never seen IS the bad-feed case
     # this monitor exists for — flag it, don't coalesce it to quiet
     unknown = F.col("mean_daily").isNull()
+    # known type whose baseline carries no usable spread (std NULL —
+    # zero day-to-day variance — or non-positive): z is undefined, so
+    # surface it as its own flag instead of quietly not-anomalous
+    degenerate = ~unknown & ~F.coalesce(F.col("std_daily") > 0, F.lit(False))
     return j.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
@@ -531,5 +543,38 @@ def streaming_volume_anomaly(
         "mean_daily",
         z.alias("zscore"),
         unknown.alias("baseline_missing"),
+        degenerate.alias("baseline_degenerate"),
         F.coalesce(F.abs(z) > z_threshold, unknown).alias("is_anomaly"),
     )
+
+
+def _window_seconds(window: str) -> float:
+    """Parse a tumbling-window duration string ('1 day', '6 hours',
+    '30 minutes', '90 seconds') into seconds; raises ValueError on
+    anything it can't size exactly (so a baseline can't be silently
+    mis-scaled)."""
+    units = {
+        "second": 1.0,
+        "seconds": 1.0,
+        "minute": 60.0,
+        "minutes": 60.0,
+        "hour": 3600.0,
+        "hours": 3600.0,
+        "day": 86400.0,
+        "days": 86400.0,
+        "week": 604800.0,
+        "weeks": 604800.0,
+    }
+    parts = window.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in units:
+        raise ValueError(
+            f"cannot size window {window!r} to scale the per-day baseline; "
+            "use '<n> seconds|minutes|hours|days|weeks'"
+        )
+    try:
+        n = float(parts[0])
+    except ValueError:
+        raise ValueError(f"cannot size window {window!r}") from None
+    if n <= 0:
+        raise ValueError(f"window {window!r} must be positive")
+    return n * units[parts[1]]
