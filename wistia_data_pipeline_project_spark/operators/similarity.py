@@ -503,6 +503,60 @@ def rrf_fuse(
     )
 
 
+def _parse_size_bytes(raw: str) -> int:
+    """Parse a Spark size conf string ('10MB', '10485760', '1g',
+    '-1') into bytes, mirroring Spark's byteStringAs suffixes."""
+    s = str(raw).strip().lower()
+    units = {
+        "b": 1,
+        "k": 1 << 10,
+        "kb": 1 << 10,
+        "m": 1 << 20,
+        "mb": 1 << 20,
+        "g": 1 << 30,
+        "gb": 1 << 30,
+        "t": 1 << 40,
+        "tb": 1 << 40,
+    }
+    for suf in sorted(units, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * units[suf])
+    return int(float(s))
+
+
+def _pair_build_bytes(
+    df: DataFrame,
+    n_assign: int,
+    dim: int | None,
+    n_rows: int | None,
+    pair_cols: list[str],
+) -> int:
+    """Estimated bytes of the pair join's BUILD side (the ``assigned``
+    relation: every vector replicated into its ``n_assign`` probed
+    cells, flattened to ``dim`` doubles + norm when dim is known).
+
+    With an exact ``n_rows`` (callers that already hold a cached
+    count) the estimate is rows × exact flattened row width; otherwise
+    it falls back to Catalyst's sizeInBytes for the pruned projection
+    (the same statistic the planner's own broadcast decision reads) —
+    an underestimate for compressed sources, which the 1.5× inflation
+    partially restores. Either way the estimate is computed ONCE at
+    plan-build time, so the join regime cannot flip run-to-run the way
+    AQE's runtime-size decision does near the threshold.
+    """
+    if n_rows is not None and dim is not None:
+        # key + centroid_id + norm + dim doubles + per-row overhead
+        return n_rows * n_assign * ((dim + 2) * 8 + 48)
+    stats = (
+        df.select(*pair_cols)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    return int(min(int(stats), 1 << 60) * n_assign * 1.5)
+
+
 def knn_join_blocked(
     df: DataFrame,
     centroids: DataFrame,
@@ -512,7 +566,8 @@ def knn_join_blocked(
     key_col: str = "vec_id",
     dim: int | None = None,
     neg_label_col: str | None = None,
-    broadcast_pairs: bool = False,
+    broadcast_pairs: bool | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate KNN self-join (the kNN-graph builder behind semantic
     dedup and diversity sampling): every vector gets its top-k cosine
@@ -542,17 +597,31 @@ def knn_join_blocked(
     negatives in its probed cells). Rows with a NULL label never form
     pairs (SQL null-comparison semantics, identical in the oracle).
 
-    ``broadcast_pairs``: force the build side of the pair join to
-    broadcast. The SMJ fallback parallelizes by CELL COUNT, and the
-    scaled-centroid formula bottoms out at 8 cells on small corpora —
-    AQE then coalesces the pair expansion to 1-2 tasks and the join
-    strategy flips run-to-run near the 10 MB threshold (measured
-    3.8 s vs 12-15 s for the SAME plan build at sf0.1). Set it when
-    the corpus fits an executor (the catalog's regime); leave it off
-    at production N, where k = N//250 gives thousands of cells and
-    cell-count parallelism is the memory-safe plan.
+    ``broadcast_pairs``: the pair join has two regimes — broadcast
+    (small corpora: the scaled cell count bottoms out at 8 and
+    SMJ/cell-count parallelism collapses, AQE coalesces the pair
+    expansion to 1-2 tasks and the strategy flips run-to-run near the
+    10 MB threshold, measured 3.8 s vs 12-15 s for the SAME plan at
+    sf0.1) and sort-merge on the cell id (production N: thousands of
+    cells, memory-safe, broadcasting would OOM the driver). By default
+    (``None``) the regime is CHOSEN AT PLAN-BUILD TIME from the
+    estimated build-side bytes (``_pair_build_bytes``: exact when the
+    caller passes its cached ``n_rows``, Catalyst sizeInBytes
+    otherwise) vs ``spark.sql.autoBroadcastJoinThreshold`` — and then
+    PINNED with an explicit broadcast/merge hint so AQE's runtime-size
+    re-decision can't flip it. Pass True/False to override.
     """
     label_cols = [neg_label_col] if neg_label_col else []
+    if broadcast_pairs is None:
+        thr = _parse_size_bytes(
+            df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        est = _pair_build_bytes(
+            df, n_assign, dim, n_rows, [key_col, vec_col, *label_cols]
+        )
+        broadcast_pairs = 0 < est <= thr
     sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
     scored = df.select(key_col, vec_col, *label_cols).crossJoin(
         F.broadcast(centroids)
@@ -601,7 +670,14 @@ def knn_join_blocked(
     # broadcasting would OOM the driver.
     par = df.sparkSession.sparkContext.defaultParallelism
     a = assigned.repartition(par).alias("a")
-    b = F.broadcast(assigned.alias("b")) if broadcast_pairs else assigned.alias("b")
+    # both regimes PINNED by hint: without one, the planner's static
+    # estimate and AQE's runtime size can disagree near the threshold
+    # and the strategy flips run-to-run (the measured 3.8s <-> 15s)
+    b = (
+        F.broadcast(assigned.alias("b"))
+        if broadcast_pairs
+        else assigned.alias("b").hint("merge")
+    )
     if dim is not None:
         pair_dot: Column = F.lit(0.0)
         for i in range(dim):

@@ -475,12 +475,12 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(_query_vec(spark, sf_dir, 0))
-    # broadcast_pairs: catalog corpora sit in the small-N regime where
-    # the scaled cell count bottoms out at 8 and SMJ parallelism
-    # collapses (see knn_join_blocked docstring)
+    # regime (broadcast vs cell-count SMJ) is auto-chosen from the
+    # exact cached row count (see knn_join_blocked docstring); catalog
+    # corpora land in the broadcast regime, sf1+ flips to SMJ
     return S.knn_join_blocked(
         emb, _centroids_scaled(sf_dir, emb), k=3, n_assign=4, dim=dim,
-        broadcast_pairs=True,
+        n_rows=_nvec(sf_dir, emb),
     )
 
 
@@ -1031,7 +1031,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_assign=4,
         dim=dim,
         neg_label_col="label",
-        broadcast_pairs=True,
+        n_rows=_nvec(sf_dir, emb),
     )
 
 
