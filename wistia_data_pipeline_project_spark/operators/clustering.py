@@ -160,6 +160,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    quantize: int | None = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over a directed edge list — the
     graph-importance scorer that complements ``connected_components``
@@ -196,13 +197,22 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     base = (1.0 - damping) / n_nodes
+    # quantize: round each per-edge contribution (and the dangling
+    # terms) to that many decimals and sum in DECIMAL — the hash-gated
+    # catalog path, where double-sum addition order would otherwise
+    # drift between engines over the iterations (ndcg_at_k pattern).
+    if quantize is not None:
+        qd = f"decimal(28,{quantize})"
+        cexpr = F.round(F.col("rank") / F.col("outdeg"), quantize).cast(qd)
+        dexpr = F.sum(F.round(F.col("rank"), quantize).cast(qd))
+    else:
+        cexpr = F.col("rank") / F.col("outdeg")
+        dexpr = F.sum("rank")
     for _ in range(n_iter):
         with_deg = ranks.join(outdeg, "node", "left")
         # dangling mass: ranks of nodes with no out-edges (one scalar)
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.sum("rank"))
-            .head()[0]
+        dangling = float(
+            with_deg.filter(F.col("outdeg").isNull()).agg(dexpr).head()[0]
             or 0.0
         )
         contrib = (
@@ -210,12 +220,9 @@ def pagerank(
                 with_deg.filter(F.col("outdeg").isNotNull()),
                 edges[src_col] == F.col("node"),
             )
-            .select(
-                F.col(dst_col).alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
-            )
+            .select(F.col(dst_col).alias("node"), cexpr.alias("c"))
             .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
+            .agg(F.sum("c").cast("double").alias("in_mass"))
         )
         ranks = (
             nodes.join(contrib, "node", "left")

@@ -1053,6 +1053,7 @@ def ndcg_at_k(
     key_col: str = "vec_id",
     rank_col: str = "rank",
     gain_col: str = "gain",
+    quantize: int | None = None,
 ) -> DataFrame:
     """NDCG@k per query: ``results`` carries the system ranking
     (query, key, rank), ``ideal`` the graded relevance (query, key,
@@ -1065,17 +1066,29 @@ def ndcg_at_k(
 
     Scale: two shuffles on the query key (results⋈gains equi-join +
     the ideal-ranking window, both bounded by k and the per-query
-    judgment count); the division is one double op per query. Σ over
-    ≤k bounded gains has a fixed addition order (rank order) in both
-    this and any replaying engine.
+    judgment count); the division is one double op per query.
+
+    ``quantize``: round each DCG/IDCG term to that many decimals and
+    sum in DECIMAL — Spark's double aggregation has no pinned
+    addition order, so a hash-gated catalog entry needs the exact
+    associative sum (the ``docs_unigram_nll`` pattern). Default None
+    keeps raw double sums (production use, where last-ulp
+    reproducibility doesn't matter).
     """
     lg = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+    if quantize is not None:
+        qd = f"decimal(18,{quantize})"
+        term = lambda g, r: F.sum(  # noqa: E731
+            F.round(g / lg(r), quantize).cast(qd)
+        ).cast("double")
+    else:
+        term = lambda g, r: F.sum(g / lg(r))  # noqa: E731
     sys_k = results.filter(F.col(rank_col) <= k).join(
         ideal.select(query_col, key_col, gain_col), [query_col, key_col], "left"
     )
     dcg = sys_k.groupBy(query_col).agg(
-        F.sum(
-            F.coalesce(F.col(gain_col), F.lit(0.0)) / lg(F.col(rank_col))
+        term(
+            F.coalesce(F.col(gain_col), F.lit(0.0)), F.col(rank_col)
         ).alias("dcg")
     )
     w = Window.partitionBy(query_col).orderBy(
@@ -1085,7 +1098,7 @@ def ndcg_at_k(
         F.col("_ir") <= k
     )
     idcg = ideal_k.groupBy(query_col).agg(
-        F.sum(F.col(gain_col) / lg(F.col("_ir"))).alias("idcg")
+        term(F.col(gain_col), F.col("_ir")).alias("idcg")
     )
     # anchor on the JUDGED query set: a query with judgments but no
     # system results is the failure NDCG must punish — it scores 0,

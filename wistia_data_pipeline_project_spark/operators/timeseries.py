@@ -242,12 +242,23 @@ def time_decay_attribution(
     key_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Per-purchase TIME-DECAY multi-touch attribution: each window
     touch carries weight 2^(−age/halflife); credits are the
     channel-weight shares. Same output shape as
     ``linear_attribution`` (``channel``, ``weight`` — the channel's
     decayed weight sum, ``credit``), 'organic' when no window touch.
+
+    ``quantize``: round each touch weight w_t to that many decimals
+    and run the window sums in DECIMAL(38,q) — double window sums
+    have no pinned addition order across engines, so the hash-gated
+    catalog entry needs the exact associative form (the
+    ``docs_unigram_nll`` pattern). Bound: the decimal holds w_t up to
+    ~10^(38-q-margin), i.e. key activity spans up to ~(38-q)·log2(10)
+    halflives (~106 doublings at q=6) — far tighter than the double
+    path's 900 but generous for real attribution windows; past it the
+    decimal cast NULLs and the row surfaces via NULL credit.
 
     The decay factorizes: 2^(−(p−t)/h) = 2^((t−B)/h) · 2^(−(p−B)/h)
     for any per-key constant B — and the second factor CANCELS in the
@@ -278,9 +289,16 @@ def time_decay_attribution(
     wk = W.partitionBy(key_col)
     t = t.withColumn("_b", F.min("_us").over(wk))
     expo = (F.col("_us") - F.col("_b")) / F.lit(h_us)
-    t = t.withColumn("_w", F.pow(F.lit(2.0), expo)).withColumn(
-        "_overflow_row", expo > 900.0
-    )
+    raw_w = F.pow(F.lit(2.0), expo)
+    if quantize is not None:
+        qd = f"decimal(38,{quantize})"
+        raw_w = F.round(raw_w, quantize).cast(qd)
+        zero = F.lit(0).cast(qd)
+        neg_one = F.lit(-1).cast(qd)
+    else:
+        zero = F.lit(0.0)
+        neg_one = F.lit(-1.0)
+    t = t.withColumn("_w", raw_w).withColumn("_overflow_row", expo > 900.0)
     w = W.partitionBy(key_col).orderBy("_us").rangeBetween(-lookback_us, -1)
     sums = {
         f"_s_{i}": F.sum(
@@ -294,7 +312,7 @@ def time_decay_attribution(
     counted = t.withColumns(sums)
     s_total = None
     for i in range(len(touch_types)):
-        c = F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
+        c = F.coalesce(F.col(f"_s_{i}"), zero)
         s_total = c if s_total is None else s_total + c
     p = counted.filter(F.col(type_col) == purchase_type).withColumn(
         "_s_total", s_total
@@ -307,11 +325,11 @@ def time_decay_attribution(
         *[
             F.struct(
                 F.lit(typ).alias("channel"),
-                F.coalesce(F.col(f"_s_{i}"), F.lit(0.0)).alias("s"),
+                F.coalesce(F.col(f"_s_{i}"), zero).alias("s"),
             )
             for i, typ in enumerate(touch_types)
         ],
-        F.struct(F.lit("organic").alias("channel"), F.lit(-1.0).alias("s")),
+        F.struct(F.lit("organic").alias("channel"), neg_one.alias("s")),
     )
     exploded = p.select(
         *base_cols,
@@ -325,14 +343,20 @@ def time_decay_attribution(
         | ((F.col("_e.channel") == "organic") & (F.col("_s_total") == 0))
     )
     is_org = F.col("_e.channel") == "organic"
+    # explicit double casts: in the quantized path s/s_total are
+    # decimals, and the credit must be ONE double/double division of
+    # bit-identical operands in every engine (decimal division has
+    # engine-specific scale rules)
+    s_d = F.col("_e.s").cast("double")
+    st_d = F.col("_s_total").cast("double")
     return exploded.select(
         *base_cols,
         F.col("_e.channel").alias("channel"),
         F.when(is_org, F.lit(0.0))
-        .otherwise(F.when(~F.col("_bad"), F.col("_e.s") * unscale))
+        .otherwise(F.when(~F.col("_bad"), s_d * unscale))
         .alias("weight"),
         F.when(is_org, F.lit(1.0))
-        .otherwise(F.when(~F.col("_bad"), F.col("_e.s") / F.col("_s_total")))
+        .otherwise(F.when(~F.col("_bad"), s_d / st_d))
         .alias("credit"),
         F.when(is_org, F.lit(False)).otherwise(F.col("_bad")).alias(
             "decay_overflow"

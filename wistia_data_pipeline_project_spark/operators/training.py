@@ -360,6 +360,7 @@ def temperature_weights(
     df: DataFrame,
     group_col: str = "source",
     alpha: float = 0.3,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Temperature-based mixture weights (the multilingual-sampling
     formula, e.g. mBERT/XLM-R: p_i ∝ n_i^α): per group, its corpus
@@ -378,18 +379,24 @@ def temperature_weights(
     |groups| rows everywhere after that.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
-    powed = counts.withColumn(
-        "_p", F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
-    )
+    p = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    if quantize is not None:
+        # hash-gated path: quantized n^alpha terms, exact decimal
+        # Σ n_i^alpha (the one order-free double sum in the docstring
+        # caveat), single double divisions at the end
+        p = F.round(p, quantize).cast(f"decimal(28,{quantize})")
+    powed = counts.withColumn("_p", p)
     tot = powed.agg(
-        F.sum("_p").alias("_tp"), F.sum("n_rows").alias("_tn")
+        F.sum("_p").cast("double").alias("_tp"),
+        F.sum("n_rows").alias("_tn"),
     )
+    pd_ = F.col("_p").cast("double")
     return powed.crossJoin(F.broadcast(tot)).select(
         group_col,
         "n_rows",
         (F.col("n_rows") / F.col("_tn")).alias("natural_share"),
-        (F.col("_p") / F.col("_tp")).alias("sample_prob"),
-        ((F.col("_p") / F.col("_tp")) / F.col("n_rows")).alias("row_weight"),
+        (pd_ / F.col("_tp")).alias("sample_prob"),
+        ((pd_ / F.col("_tp")) / F.col("n_rows")).alias("row_weight"),
     )
 
 

@@ -1091,3 +1091,175 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(full & posvar & dpos, F.abs(z) > 2.0), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_linear_attribution",
+    oracle=E_CTE
+    + """,
+    t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM e),
+    c AS (
+      SELECT event_type,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER w AS k0,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END)
+               OVER w AS k1,
+             COUNT(CASE WHEN event_type = 'signup' THEN 1 END)
+               OVER w AS k2
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT k0, k1, k2, k0 + k1 + k2 AS kt
+      FROM c WHERE event_type = 'purchase'
+    ),
+    x AS (
+      SELECT u.ch AS channel, u.n AS n_touches, kt
+      FROM p, unnest([{'ch': 'click', 'n': k0}, {'ch': 'view', 'n': k1},
+                      {'ch': 'signup', 'n': k2},
+                      {'ch': 'organic', 'n': 0::BIGINT}]) AS t2(u)
+      WHERE u.n > 0 OR (u.ch = 'organic' AND kt = 0)
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(n_touches) AS BIGINT) AS total_touches,
+           CAST(SUM(CASE WHEN channel = 'organic'
+                         THEN CAST(1 AS DECIMAL(18,6))
+                         ELSE CAST(ROUND(CAST(n_touches AS DOUBLE) / kt, 6)
+                                   AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS credit_sum
+    FROM x GROUP BY channel
+    """,
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution rollup (the fractional-credit
+    companion of ``events_attribution``'s last-touch): every
+    click/view/signup in the 7-day window strictly before a purchase
+    shares the credit equally; purchases with no window touch are
+    'organic' with full credit. Per channel: purchase rows credited,
+    total window touches, and the summed fractional credit.
+
+    Determinism: per-channel window counts are exact integers from a
+    RANGE frame both engines define identically; each credit is ONE
+    integer/integer double division, quantized to 6 decimals and
+    summed in DECIMAL (the catalog's double-sum rule). Rounding is
+    half-away-from-zero in both engines on positive credits.
+
+    Scale: one shuffle on user_id shared with the whole window
+    family (the range frame sorts within key); the explode is
+    row-local and the rollup is 4 groups.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value", "event_type")
+    )
+    p = TS.linear_attribution(
+        e,
+        touch_types=("click", "view", "signup"),
+        purchase_type="purchase",
+        lookback_days=7,
+    ).select("channel", "n_touches", "credit")
+    credit_q = F.when(
+        F.col("channel") == "organic", F.lit(1).cast("decimal(18,6)")
+    ).otherwise(F.round(F.col("credit"), 6).cast("decimal(18,6)"))
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("n_touches").alias("total_touches"),
+        F.sum(credit_q).cast("double").alias("credit_sum"),
+    )
+
+
+@query(
+    "events_time_decay_attribution",
+    oracle=E_CTE
+    + """,
+    t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM e),
+    b AS (SELECT *, MIN(us) OVER (PARTITION BY user_id) AS bs FROM t),
+    wq AS (
+      SELECT *,
+             CAST(ROUND(POW(2e0, CAST(us - bs AS DOUBLE) / 8.64e10), 6)
+                  AS DECIMAL(38,6)) AS w
+      FROM b
+    ),
+    c AS (
+      SELECT event_type, us, bs,
+             SUM(CASE WHEN event_type = 'click' THEN w END) OVER win AS s0,
+             SUM(CASE WHEN event_type = 'view' THEN w END) OVER win AS s1,
+             SUM(CASE WHEN event_type = 'signup' THEN w END) OVER win AS s2
+      FROM wq
+      WINDOW win AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT us, bs,
+             COALESCE(s0, 0::DECIMAL(38,6)) AS s0,
+             COALESCE(s1, 0::DECIMAL(38,6)) AS s1,
+             COALESCE(s2, 0::DECIMAL(38,6)) AS s2,
+             COALESCE(s0, 0::DECIMAL(38,6)) + COALESCE(s1, 0::DECIMAL(38,6))
+               + COALESCE(s2, 0::DECIMAL(38,6)) AS st
+      FROM c WHERE event_type = 'purchase'
+    ),
+    x AS (
+      SELECT u.ch AS channel, u.s AS s, st, us, bs
+      FROM p, unnest([{'ch': 'click', 's': s0}, {'ch': 'view', 's': s1},
+                      {'ch': 'signup', 's': s2},
+                      {'ch': 'organic', 's': CAST(-1 AS DECIMAL(38,6))}])
+             AS t2(u)
+      WHERE u.s > 0 OR (u.ch = 'organic' AND st = 0)
+    )
+    SELECT channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN channel = 'organic'
+                         THEN CAST(1 AS DECIMAL(18,6))
+                         ELSE CAST(ROUND(CAST(s AS DOUBLE)
+                                         / CAST(st AS DOUBLE), 6)
+                                   AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS credit_sum,
+           CAST(SUM(CASE WHEN channel = 'organic'
+                         THEN CAST(0 AS DECIMAL(18,6))
+                         ELSE CAST(ROUND(CAST(s AS DOUBLE)
+                                         * POW(2e0, -CAST(us - bs AS DOUBLE)
+                                                     / 8.64e10), 6)
+                                   AS DECIMAL(18,6)) END)
+                AS DOUBLE) AS weight_sum
+    FROM x GROUP BY channel
+    """,
+)
+def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution rollup (24 h half-life,
+    7-day lookback): each window touch carries 2^(−age/halflife),
+    credits are channel-weight shares. Runs the operator's QUANTIZED
+    path (``time_decay_attribution(quantize=6)``): the factorized
+    weights 2^((t−B)/h) are rounded to 6 decimals and window-summed
+    in DECIMAL(38,6), so the per-purchase channel sums — and hence
+    every credit division — are bit-identical in both engines; the
+    per-purchase credit and absolute weight are then re-quantized for
+    the final decimal rollup. The only cross-engine gamble is POW's
+    last ulp surviving a 6-decimal round (the ``docs_unigram_nll``
+    LN precedent).
+
+    Scale: identical shuffle profile to events_linear_attribution
+    (one user_id exchange feeding both the base-time MIN and the
+    range-frame sums).
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts", "value", "event_type")
+    )
+    p = TS.time_decay_attribution(
+        e,
+        touch_types=("click", "view", "signup"),
+        purchase_type="purchase",
+        lookback_days=7,
+        halflife_hours=24.0,
+        quantize=6,
+    ).select("channel", "weight", "credit")
+    q6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    return p.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(q6(F.col("credit"))).cast("double").alias("credit_sum"),
+        F.sum(q6(F.col("weight"))).cast("double").alias("weight_sum"),
+    )
