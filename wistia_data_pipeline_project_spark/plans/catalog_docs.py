@@ -2065,3 +2065,217 @@ def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("n_in"), F.lit(0))
         ).alias("drop_frac"),
     )
+
+
+@query("docs_prefix_jaccard", oracle=JACCARD_SQL)
+def docs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 pairs via PREFIX FILTERING (SSJoin/PPJoin,
+    ``dedup.prefix_jaccard_pairs``) — the third candidate strategy
+    next to the df-capped all-pairs join and MinHash-LSH. The oracle
+    is the UNCAPPED exact all-pairs SQL: prefix filtering is LOSSLESS
+    (two sets with J ≥ t must share a prefix shingle), so the output
+    must equal the exact answer bit-for-bit — no recall bound, no
+    df-cap proviso.
+
+    Scale: only each document's rarest ~20% of shingles (by global
+    document frequency) enter the join, which bounds fan-out exactly
+    where the naive join explodes; the verify stage is
+    candidate-bounded (the MinHash-verify shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(docs, threshold=0.8)
+
+
+@query(
+    "docs_span_removal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    ti AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 31)) AS i
+      FROM t WHERE len(toks) >= 32
+    ),
+    w AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+31], ' ')) AS wfp
+      FROM ti
+    ),
+    freq AS (
+      SELECT wfp FROM (SELECT DISTINCT doc_id, wfp FROM w)
+      GROUP BY wfp HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT w.doc_id, w.pos + j.j AS tokidx
+      FROM w JOIN freq USING (wfp),
+           (SELECT unnest(generate_series(0, 31)) AS j) j
+    ),
+    tokrows AS (
+      SELECT doc_id, i - 1 AS tokidx, toks[i] AS tok
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks))) AS i FROM t)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.tokidx, k.tok
+      FROM tokrows k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.tokidx = k.tokidx
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY tokidx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM t)
+    SELECT totals.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           totals.n_tokens,
+           CAST(totals.n_tokens - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM totals LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def docs_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring REMOVAL (Lee et al. 2022,
+    ``dedup.remove_duplicated_spans``): every token covered by a
+    32-token window appearing in ≥2 distinct documents is edited OUT,
+    returning the cleaned text with token accounting — the editing
+    counterpart of the ``docs_substring_dedup`` scoring signal. The
+    oracle replays the whole pipeline (positional windows, distinct
+    per-doc fingerprints, covered-index explode, position-ordered
+    rebuild) on md5 fingerprints, so the rebuilt text hash-checks
+    byte-for-byte.
+
+    Scale: windows shuffle as 16-byte fingerprints; the covered-index
+    explode is bounded by duplication volume; the rebuild groups on
+    the doc key (text touched exactly twice).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicated_spans(docs, width=32, min_df=2)
+
+
+def _leakage_split_oracle(train: float = 0.9, val: float = 0.05) -> str:
+    """Generated from the SAME cut derivation as split_assign — and
+    the SAME capped-Jaccard pair SQL + recursive-CTE closure as
+    docs_dedup_keep_best — so neither the draw nor the clustering can
+    drift between engines."""
+    t_cut, v_cut = TR.split_cuts(train, val)
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.da
+      JOIN sizes sb ON sb.doc_id = inter.db
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (SELECT da AS u, db AS v FROM pairs
+              UNION SELECT db, da FROM pairs),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+    ),
+    cc AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+    g AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS split_group
+      FROM documents d LEFT JOIN cc ON cc.u = d.doc_id
+    ),
+    s AS (
+      SELECT split_group,
+             CASE WHEN substr(md5(CAST(split_group AS VARCHAR)), 1, 2)
+                       < '{t_cut}' THEN 'train'
+                  WHEN substr(md5(CAST(split_group AS VARCHAR)), 1, 2)
+                       < '{v_cut}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT split_group) AS n_groups
+    FROM s GROUP BY 1
+    """
+
+
+@query("docs_leakage_safe_split", oracle=_leakage_split_oracle())
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split with NEAR-DUP LEAKAGE PREVENTION
+    (``training.leakage_safe_split``): the content-addressed draw
+    runs on the duplicate-CLUSTER id (min member via connected
+    components over the capped-Jaccard pair graph), so every member
+    of a cluster lands in the same split — the eval-contamination
+    guard a per-document split throws away. Reports per split the
+    document count and the distinct draw-group count (n_groups <
+    n_docs exactly where clusters were kept atomic).
+
+    Scale: CC runs on the pair graph (pair-volume, not corpus); the
+    corpus joins the cluster labels once; the draw is the codegen'd
+    md5 bucket shared with docs_train_split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    out = TR.leakage_safe_split(docs, pairs)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("split_group").alias("n_groups"),
+    )
+
+
+@query(
+    "docs_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id,
+             ln(CAST(list_sum([(strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'), i, 1))
+                      - 1)::BIGINT * (1::BIGINT << (4 * (13 - i)))
+                 FOR i IN generate_series(1, 13)]) AS DOUBLE)
+              / 4503599627370496e0 + 1.1102230246251565e-16)
+             / CAST(n_chars AS DOUBLE) AS key
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT source, doc_id, sample_rank FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS sample_rank
+      FROM w
+    ) WHERE sample_rank <= 5
+    """,
+)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis, ``training.weighted_sample``): 5 documents
+    per source, selection probability proportional to ``n_chars``,
+    via the content-addressed exponential-sort key log(u)/w with
+    u = md5(doc_id:salt) mapped onto double's full 52-bit mantissa.
+    The oracle replays the hex→uniform fold digit-by-digit (the
+    SimHash strpos pattern), so membership AND rank hash-match —
+    the sample is a pure function of content, not of engine RNG.
+
+    Determinism note: u and the /2^52 + 2^-53 map are exact IEEE in
+    both engines; ln() may differ in the last ulp, which cannot
+    reorder keys whose gaps are ~1e-2 — and no float column is
+    emitted. Scale: per-task k-row heaps (WindowGroupLimit) before
+    the one stratum shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return TR.weighted_sample(
+        docs, weight_col="n_chars", k=5, strata_col="source"
+    ).select("source", "doc_id", "sample_rank")
