@@ -2279,3 +2279,212 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TR.weighted_sample(
         docs, weight_col="n_chars", k=5, strata_col="source"
     ).select("source", "doc_id", "sample_rank")
+
+
+@query(
+    "docs_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY 1),
+    p AS (
+      SELECT source, n_rows,
+             CAST(ROUND(POW(CAST(n_rows AS DOUBLE), 3e-1), 6)
+                  AS DECIMAL(28,6)) AS pq
+      FROM c
+    ),
+    t AS (SELECT CAST(SUM(pq) AS DOUBLE) AS tp, SUM(n_rows) AS tn FROM p)
+    SELECT source, n_rows,
+           n_rows / tn AS natural_share,
+           CAST(pq AS DOUBLE) / tp AS sample_prob,
+           CAST(pq AS DOUBLE) / tp / n_rows AS row_weight
+    FROM p, t
+    """,
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (p_i ∝ n_i^0.3, the
+    multilingual-sampling formula; ``training.temperature_weights``
+    on its quantized path): per source its corpus share, the
+    temperature-flattened sampling probability, and the per-row
+    weight that feeds ``weighted_sample`` to materialize the mixture.
+    quantize=6 rounds each n^α term and sums them in DECIMAL, so the
+    one order-free double sum in the formula (Σ n_i^α) is exact and
+    every downstream division is a single double op on bit-identical
+    operands; POW's last ulp surviving the round is the accepted
+    LN-precedent gamble.
+
+    Scale: one map-side-combinable count per group; |groups| rows
+    everywhere after that.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return TR.temperature_weights(docs, group_col="source", alpha=0.3, quantize=6)
+
+
+@query(
+    "docs_triangle_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.da
+      JOIN sizes sb ON sb.doc_id = inter.db
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    und AS (
+      SELECT DISTINCT least(da, db) AS u, greatest(da, db) AS v
+      FROM pairs WHERE da <> db
+    ),
+    deg AS (
+      SELECT n, COUNT(*) AS d
+      FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                  THEN v ELSE u END AS b
+      FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+    ),
+    wed AS (
+      SELECT o1.a, o1.b AS w1, o2.b AS w2
+      FROM o o1 JOIN o o2 USING (a) WHERE o1.b < o2.b
+    ),
+    clos AS (SELECT DISTINCT least(a, b) AS w1, greatest(a, b) AS w2 FROM o),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM wed WHERE EXISTS (
+        SELECT 1 FROM clos WHERE clos.w1 = wed.w1 AND clos.w2 = wed.w2
+      )
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM und) AS n_edges,
+           (SELECT CAST(COALESCE(SUM(d * (d - 1)), 0) / 2 AS BIGINT)
+              FROM deg) AS n_wedges,
+           (SELECT CAST(n_tri AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CASE WHEN COALESCE(SUM(d * (d - 1)), 0) > 0
+                        THEN 3e0 * (SELECT n_tri FROM tri)
+                             / CAST(COALESCE(SUM(d * (d - 1)), 0) / 2
+                                    AS BIGINT) END
+              FROM deg) AS clustering_coeff
+    """,
+)
+def docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the near-dup
+    pair graph (``clustering.triangle_stats``, degree-oriented wedge
+    counting per Suri & Vassilvitskii 2011): the density diagnostic
+    that says whether duplicates come in CLUSTERS (high coefficient —
+    transitive closure will collapse far more than the pair count
+    suggests) or scattered pairs. The oracle replays the capped
+    Jaccard pairs and the exact orientation/wedge/closing pipeline.
+
+    Scale: wedge generation is bounded by oriented out-degree
+    (≤ O(sqrt(E)) on power-law hubs); three shuffles total.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return C.triangle_stats(pairs, src_col="doc_a", dst_col="doc_b")
+
+
+@query(
+    "docs_pagerank",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM t
+    ),
+    sh AS (
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.da
+      JOIN sizes sb ON sb.doc_id = inter.db
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ),
+    edges AS (SELECT da AS src, db AS dst FROM pairs
+              UNION ALL SELECT db, da FROM pairs),
+    nodes AS (SELECT DISTINCT n
+              FROM (SELECT src AS n FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT COUNT(*) AS c FROM nodes),
+    outdeg AS (SELECT src AS n, COUNT(*) AS d FROM edges GROUP BY 1),
+    pr(it, node, rank) AS (
+      SELECT 0, n, 1e0 / nn.c FROM nodes, nn
+      UNION ALL
+      SELECT p.it + 1, nd.n,
+             (1e0 - 8.5e-1) / nn.c + 8.5e-1 * (
+               COALESCE((SELECT CAST(SUM(CAST(ROUND(p2.rank / o.d, 12)
+                                              AS DECIMAL(28,12))) AS DOUBLE)
+                         FROM pr p2
+                         JOIN edges e ON e.dst = nd.n AND e.src = p2.node
+                         JOIN outdeg o ON o.n = p2.node), 0e0)
+               + COALESCE((SELECT CAST(SUM(CAST(ROUND(p3.rank, 12)
+                                               AS DECIMAL(28,12))) AS DOUBLE)
+                           FROM pr p3
+                           WHERE p3.node NOT IN (SELECT n FROM outdeg)),
+                          0e0) / nn.c
+             )
+      FROM (SELECT DISTINCT it FROM pr) p, nodes nd, nn
+      WHERE p.it < 6
+    )
+    SELECT node, rank FROM pr WHERE it = 6
+    """,
+)
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph (symmetric edges,
+    6 rounds, damping 0.85; ``clustering.pagerank`` on its quantized
+    path) — the authority signal for canonical-document choice that
+    complements connected components' plain grouping. quantize=12
+    rounds every per-edge contribution and dangling term before an
+    exact DECIMAL sum, so each iteration's ranks — and therefore the
+    final doubles — are bit-identical between the checkpointed Spark
+    power iteration and the oracle's recursive CTE.
+
+    Scale: per round one edges⋈ranks shuffle + a map-side-combinable
+    dst sum; the dangling aggregate is one scalar per round (zero on
+    this symmetric graph, computed anyway for parity);
+    localCheckpoint pins the iterative plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+    return C.pagerank(
+        edges, n_iter=6, damping=0.85,
+        src_col="doc_a", dst_col="doc_b", quantize=12,
+    )
