@@ -103,6 +103,12 @@ MATERIALIZING = {
     # interpreted (see similarity.semdedup_stats). Executor-local and
     # disk-spillable, not a driver collect.
     "emb_semdedup",
+    # inherits connected_components' per-iteration localCheckpoint
+    # (cluster-label table of the near-dup subset, not the corpus)
+    "docs_leakage_safe_split",
+    # pagerank's per-round checkpointed rank table (two columns,
+    # graph-node-sized) — the iterative-plan pin, not a collect
+    "docs_pagerank",
 }
 
 

@@ -1,0 +1,84 @@
+"""Scale-rehearsal data generator: a deterministic ~10x corpus from
+sf0.1, written to /tmp/sf1 (documents + embeddings — the tables the
+dedup/similarity family reads).
+
+Design: naive 10x replication would EXPLODE quadratic structure
+(every near-dup cluster x10 copies -> x100 pairs), measuring pair
+inflation instead of scaling. Instead each copy k is made disjoint
+from the others while preserving within-copy structure:
+
+- documents: every token gets a per-copy suffix (``tok_k``), so
+  cross-copy shingles never match but a planted near-dup pair inside
+  copy k still shares its shingles (pair volume scales ~10x, like a
+  real 10x crawl with its own duplicates);
+- embeddings: vectors are np.roll'ed by k positions (random gaussians
+  rolled are effectively independent; cosine structure within a copy
+  is preserved exactly). vec_id/doc_id offset by copy stride.
+
+Usage: python tools/make_sf1.py [src_sf_dir] [dst_dir] [n_copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def make(src: str, dst: str, n_copies: int = 10) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    docs = con.sql(
+        f"SELECT * FROM read_parquet('{src}/documents.parquet')"
+    ).df()
+    n_docs = len(docs)
+    out = []
+    for k in range(n_copies):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + k * n_docs
+        if k > 0:  # copy 0 keeps original text (and ids) verbatim
+            suf = f"_{k}"
+            c["text"] = [
+                " ".join(t + suf for t in txt.split()) for txt in c["text"]
+            ]
+            c["n_chars"] = [len(t) for t in c["text"]]
+        out.append(c)
+    big = out[0] if n_copies == 1 else __import__("pandas").concat(out)
+    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
+                   f"{dst}/documents.parquet")
+
+    emb = con.sql(
+        f"SELECT * FROM read_parquet('{src}/embeddings.parquet')"
+    ).df()
+    n_vec = len(emb)
+    mats = np.array(list(emb["embedding"]), dtype=np.float32)
+    parts = []
+    for k in range(n_copies):
+        c = emb.copy()
+        c["vec_id"] = c["vec_id"] + k * n_vec
+        if k > 0:
+            c["embedding"] = list(np.roll(mats, k, axis=1))
+        parts.append(c)
+    bige = parts[0] if n_copies == 1 else __import__("pandas").concat(parts)
+    tbl = pa.Table.from_pandas(bige, preserve_index=False)
+    # embedding column must stay list<float32> (the driver's schema)
+    idx = tbl.schema.get_field_index("embedding")
+    tbl = tbl.set_column(
+        idx, "embedding",
+        pa.array([list(map(float, v)) for v in bige["embedding"]],
+                 type=pa.list_(pa.float32())),
+    )
+    pq.write_table(tbl, f"{dst}/embeddings.parquet")
+    print(f"wrote {len(big)} docs, {len(bige)} vectors to {dst}")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    make(src, dst, n)

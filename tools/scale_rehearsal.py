@@ -1,0 +1,73 @@
+"""Scale rehearsal: run the dedup/similarity family at two scale
+factors and report per-entry wall-clock ratios + the scaling exponent
+(log-time / log-data) — the cheapest way to catch a quadratic regime
+or an AQE/join-strategy flip before the driver does (SCALE.md).
+
+Usage:
+    python tools/make_sf1.py                      # build /tmp/sf1
+    python tools/scale_rehearsal.py [small_dir] [big_dir] [entry ...]
+
+Prints one line per entry: small_s, big_s, ratio, exponent (data is
+10x, so exponent = log10(ratio); linear ~1, quadratic ~2).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+DEFAULT_ENTRIES = [
+    "docs_ngram_jaccard",
+    "docs_minhash_near_dup",
+    "docs_prefix_jaccard",
+    "docs_dedup_keep_best",
+    "emb_semdedup",
+    "emb_hard_negatives",
+    "emb_knn_join",
+]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    small = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    big = args[1] if len(args) > 1 else "/tmp/sf1"
+    names = args[2:] or DEFAULT_ENTRIES
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as m
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = m.queries()
+
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        return time.monotonic() - t0, n
+
+    print(f"{'entry':28} {'small_s':>8} {'big_s':>8} {'ratio':>7} "
+          f"{'exp':>5}  rows small->big")
+    for name in names:
+        try:
+            ts, ns = run(name, small)
+            tb, nb = run(name, big)
+            ratio = tb / ts if ts > 0 else float("inf")
+            exp = math.log10(ratio) if ratio > 0 else float("nan")
+            print(f"{name:28} {ts:8.1f} {tb:8.1f} {ratio:7.2f} "
+                  f"{exp:5.2f}  {ns}->{nb}")
+        except Exception as exc:  # keep going; rehearsal is a survey
+            print(f"{name:28} ERROR: {exc}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

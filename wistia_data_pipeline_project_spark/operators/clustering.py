@@ -300,17 +300,32 @@ def triangle_stats(
     closing = oriented.select(
         F.least("a", "b").alias("w1"), F.greatest("a", "b").alias("w2")
     ).distinct()
-    n_tri = wedges.join(closing, ["w1", "w2"], "left_semi").count()
+    # one LAZY plan: the three scalar aggregates stay DataFrames and
+    # crossJoin into the single stats row — no driver collect, no
+    # separate jobs (at scale the three branches share the dedup'd
+    # edge scan; the coefficient is computed as a column expression)
+    tri = (
+        wedges.join(closing, ["w1", "w2"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges"),
-    ).head()
-    n_edges = und.count()
-    spark = edges.sparkSession
-    n_wedges = int(stats["n_wedges"] or 0)
-    coeff = (3.0 * n_tri / n_wedges) if n_wedges else None
-    return spark.createDataFrame(
-        [(int(stats["n_nodes"] or 0), n_edges, n_wedges, n_tri, coeff)],
-        "n_nodes long, n_edges long, n_wedges long, n_triangles long, "
-        "clustering_coeff double",
+        F.coalesce(
+            (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long"), F.lit(0)
+        ).alias("n_wedges"),
+    )
+    ecount = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(ecount)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).alias("clustering_coeff"),
+        )
     )

@@ -982,7 +982,11 @@ def mmr_rerank(
     top-k from collapsing to one semantic cluster (the retrieval-side
     complement of SemDeDup's corpus-side fix). Ties break on the
     smaller key; selection order returns as ``mmr_rank`` (1-based)
-    with the marginal ``mmr_score`` that won each round.
+    with the marginal ``mmr_score`` that won each round. The
+    redundancy penalty is CLAMPED at 0 (max_sim starts at zero): a
+    candidate anti-correlated with everything picked counts as
+    non-redundant, never as a bonus — the semantics the
+    ``emb_mmr_rerank`` oracle replays with greatest(…, 0).
 
     Scale shape: reranking is inherently PER-QUERY SEQUENTIAL over a
     BOUNDED candidate list (the retriever's top-N, N ≤ ~1k), so the

@@ -2488,3 +2488,94 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, n_iter=6, damping=0.85,
         src_col="doc_a", dst_col="doc_b", quantize=12,
     )
+
+
+@query(
+    "docs_vocab_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source AS g, unnest({TOKS_SQL}) AS tk FROM documents
+    ),
+    d AS (SELECT DISTINCT g, tk FROM tok),
+    sz AS (SELECT g, COUNT(*) AS n FROM d GROUP BY 1),
+    inter AS (
+      SELECT x.g AS ga, y.g AS gb, COUNT(*) AS ni
+      FROM d x JOIN d y ON x.tk = y.tk AND x.g < y.g
+      GROUP BY 1, 2
+    )
+    SELECT sa.g AS group_a, sb.g AS group_b,
+           sa.n AS exact_a, sb.n AS exact_b,
+           sa.n + sb.n - COALESCE(i.ni, 0) AS exact_union,
+           COALESCE(i.ni, 0) AS exact_intersection,
+           TRUE AS union_in_tol, TRUE AS inter_in_tol
+    FROM sz sa JOIN sz sb ON sa.g < sb.g
+    LEFT JOIN inter i ON i.ga = sa.g AND i.gb = sb.g
+    """,
+)
+def docs_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources via HLL sketch
+    algebra (``text.vocab_overlap_sketch``), gated structurally like
+    ``events_hll_rollup``: the sketch-estimated union and
+    inclusion–exclusion intersection must sit within tolerance of
+    the exact distinct-token join (union ±5%, intersection ±15% of
+    the union — 3x the per-estimate sigma, since the intersection is
+    a difference of three estimates), or the hash differs. Exact
+    values ride along for the corpus-composition readout.
+
+    Scale: the sketch path shuffles |groups| KB sketches instead of
+    token data; the exact branch exists only to gate the estimate
+    (at 100 TB you'd sample it or drop it — the sketch is the
+    product).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sk = X.vocab_overlap_sketch(docs, group_col="source", lg_k=12).select(
+        "group_a", "group_b", "est_a", "est_b", "est_union",
+        "est_intersection",
+    )
+    d = docs.select(
+        F.col("source").alias("g"),
+        F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("tk"),
+    ).distinct()
+    sz = d.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.tk") == F.col("y.tk")) & (F.col("x.g") < F.col("y.g")),
+        )
+        .groupBy(
+            F.col("x.g").alias("ga"), F.col("y.g").alias("gb")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sz.select(F.col("g").alias("group_a"), F.col("n").alias("exact_a"))
+    sb = sz.select(F.col("g").alias("group_b"), F.col("n").alias("exact_b"))
+    exact = (
+        sa.join(sb, F.col("group_a") < F.col("group_b"))
+        .join(
+            inter,
+            (F.col("ga") == F.col("group_a")) & (F.col("gb") == F.col("group_b")),
+            "left",
+        )
+        .select(
+            "group_a", "group_b", "exact_a", "exact_b",
+            (
+                F.col("exact_a") + F.col("exact_b")
+                - F.coalesce("ni", F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce("ni", F.lit(0)).alias("exact_intersection"),
+        )
+    )
+    j = exact.join(sk, ["group_a", "group_b"])
+    return j.select(
+        "group_a", "group_b", "exact_a", "exact_b",
+        "exact_union", "exact_intersection",
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= 0.05 * F.col("exact_union")
+        ).alias("union_in_tol"),
+        (
+            F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+            <= 0.15 * F.col("exact_union")
+        ).alias("inter_in_tol"),
+    )

@@ -1353,3 +1353,197 @@ def emb_pair_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("stride", sim_bin).groupBy("stride", "sim_bin").agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@query(
+    "emb_ndcg",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    body AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    exact AS (
+      SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+      FROM (SELECT vec_id, sim FROM body ORDER BY sim DESC, vec_id LIMIT 10)
+    ),
+    ideal AS (SELECT vec_id, CAST(11 - r AS DOUBLE) AS gain, r FROM exact),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC, centroid_id
+      LIMIT 2
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT b.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                 list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.centroid_id) AS rn
+        FROM body b, c
+      ) WHERE rn = 1
+    ),
+    ivf AS (
+      SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank
+      FROM (
+        SELECT body.vec_id, body.sim
+        FROM body JOIN assign USING (vec_id) JOIN probe USING (centroid_id)
+        ORDER BY sim DESC, vec_id LIMIT 10
+      )
+    ),
+    dcg AS (
+      SELECT CAST(COALESCE(SUM(CAST(ROUND(COALESCE(i.gain, 0e0)
+                                          / log2(ivf.rank + 1), 6)
+                                    AS DECIMAL(18,6))), 0) AS DOUBLE) AS dcg
+      FROM ivf LEFT JOIN ideal i USING (vec_id)
+    ),
+    idcg AS (
+      SELECT CAST(SUM(CAST(ROUND(gain / log2(r + 1), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+      FROM ideal
+    )
+    SELECT CAST(0 AS BIGINT) AS query_id, dcg.dcg, idcg.idcg,
+           CASE WHEN idcg.idcg > 0 THEN dcg.dcg / idcg.idcg END AS ndcg
+    FROM dcg, idcg
+    """,
+)
+def emb_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the 2-probe IVF retriever against graded judgments
+    derived from the exact brute-force ranking (gain = 11 − exact
+    rank; ``similarity.ndcg_at_k`` on its quantized path) — the
+    graded companion of emb_ivf_recall: near-misses score partial
+    credit instead of the recall entries' hit-or-miss overlap.
+    quantize=6 rounds each gain/log2(rank+1) term and sums in
+    DECIMAL, so both engines' DCG/IDCG — and the final division —
+    are bit-identical (LOG2's last ulp surviving the round is the
+    LN-precedent gamble).
+
+    Scale: both rankings are top-k scans; the scoring joins touch
+    ≤ k rows per query.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    body = emb.filter(F.col("vec_id") != 0)
+    w = W.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    results = (
+        S.ivf_topk_cosine(
+            body, qv, k=10, n_probe_centroids=2, centroids=_centroids(emb)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .select(F.lit(0).cast("long").alias("query_id"), "vec_id", "rank")
+    )
+    ideal = (
+        S.topk_cosine(body, qv, k=10)
+        .withColumn("_r", F.row_number().over(w))
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "vec_id",
+            (F.lit(11) - F.col("_r")).cast("double").alias("gain"),
+        )
+    )
+    return S.ndcg_at_k(results, ideal, k=10, quantize=6)
+
+
+@query(
+    "emb_mmr_rerank",
+    oracle="""
+    WITH RECURSIVE q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id
+      LIMIT 12
+    ),
+    pair AS (
+      SELECT a.vec_id AS ca,
+             map(list(b.vec_id ORDER BY b.vec_id),
+                 list(list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v)))
+                      ORDER BY b.vec_id)) AS simmap
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      GROUP BY a.vec_id
+    ),
+    c2 AS (SELECT cand.vec_id, rel, simmap
+           FROM cand JOIN pair ON pair.ca = cand.vec_id),
+    sel AS (
+      (SELECT 1::BIGINT AS mmr_rank, [vec_id] AS picked, vec_id,
+              5e-1 * rel AS mmr_score
+       FROM c2 ORDER BY 5e-1 * rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      (SELECT s.mmr_rank + 1, list_append(s.picked, c.vec_id), c.vec_id,
+              5e-1 * c.rel
+              - 5e-1 * greatest(list_max([c.simmap[p][1] FOR p IN s.picked]),
+                                0e0)
+       FROM sel s JOIN c2 c ON NOT list_contains(s.picked, c.vec_id)
+       WHERE s.mmr_rank < 5
+       ORDER BY 5e-1 * c.rel
+                - 5e-1 * greatest(list_max([c.simmap[p][1]
+                                            FOR p IN s.picked]), 0e0) DESC,
+                c.vec_id
+       LIMIT 1)
+    )
+    SELECT mmr_rank, vec_id, ROUND(mmr_score, 6) AS mmr_score_q FROM sel
+    """,
+)
+def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (lam=0.5, k=5) of the exact top-12 cosine
+    candidates for query vector 0 (``similarity.mmr_rerank``) — the
+    post-retrieval pass that keeps a near-dup-heavy top-k from
+    collapsing to one semantic cluster. The oracle replays the greedy
+    argmax as a recursive CTE carrying the picked set, with the
+    candidate rels from the SAME bit-reproducible cosine both engines
+    share. The redundancy penalty CLAMPS at 0 (the kernel's
+    max_sim starts at zero, so a candidate anti-correlated with
+    everything picked is merely non-redundant, never BONUSED) — the
+    oracle replays the clamp with greatest(…, 0). Scores are
+    ROUND(…, 6): the operator's Arrow kernel
+    normalizes then dots in numpy (BLAS order) while the oracle dots
+    then divides — last-ulp differences that a 6-decimal round
+    absorbs, and that cannot flip an argmax whose score gaps are
+    ~1e-2 (exact-duplicate candidates produce exactly equal scores on
+    both sides and fall to the shared smaller-key tie-break).
+
+    Scale: reranking distributes over QUERIES (one applyInPandas
+    group per query, candidate lists bounded by the retriever's
+    top-N); this entry is the single-query fixture of that shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    body = emb.filter(F.col("vec_id") != 0)
+    cands = (
+        S.topk_cosine(body, qv, k=12)
+        .join(body.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.lit(0).cast("long").alias("query_id"),
+            "vec_id",
+            F.col("cosine_sim").alias("rel_score"),
+            "embedding",
+        )
+    )
+    out = S.mmr_rerank(cands, k=5, lam=0.5)
+    return out.select(
+        "mmr_rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score_q")
+    )
