@@ -1840,10 +1840,13 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the fingerprint.
     """
     docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
+    # the batch-id offset (corpus row count) stays IN the plan as a
+    # broadcast 1-row aggregate — no fixture-side count() job before
+    # the query (this was the catalog's only pre-query side job)
+    cnt = docs.agg(F.count(F.lit(1)).alias("_n"))
     ex = docs.select(X.fingerprint(F.col("text")).alias("fp"))
-    batch = docs.select(
-        (F.col("doc_id") + F.lit(n)).alias("doc_id"),
+    batch = docs.crossJoin(F.broadcast(cnt)).select(
+        (F.col("doc_id") + F.col("_n")).alias("doc_id"),
         "source",
         X.fingerprint(
             F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
