@@ -1263,3 +1263,80 @@ def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(q6(F.col("credit"))).cast("double").alias("credit_sum"),
         F.sum(q6(F.col("weight"))).cast("double").alias("weight_sum"),
     )
+
+
+@query(
+    "events_volume_anomaly_batch",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE ts IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM e GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n * n) AS BIGINT) AS ss
+      FROM d GROUP BY 1
+    ),
+    bl AS (
+      SELECT event_type, n_days,
+             CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily,
+             CASE WHEN n_days * CAST(ss AS DECIMAL(19,0))
+                       - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+                       > 0
+                   AND (CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n_days AS DOUBLE)) / (n_days - 1) > 0
+                  THEN sqrt((CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n_days AS DOUBLE)) / (n_days - 1))
+             END AS std_daily
+      FROM agg WHERE n_days >= 2
+    ),
+    c AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             COUNT(*) AS n_events
+      FROM e GROUP BY 1, 2
+    ),
+    j AS (SELECT c.*, bl.mean_daily, bl.std_daily
+          FROM c LEFT JOIN bl USING (event_type))
+    SELECT window_start,
+           window_start + INTERVAL 1 DAY AS window_end,
+           event_type, n_events, mean_daily,
+           CASE WHEN std_daily * 1e0 > 0
+                THEN (n_events - mean_daily * 1e0) / (std_daily * 1e0)
+           END AS zscore,
+           mean_daily IS NULL AS baseline_missing,
+           mean_daily IS NOT NULL
+             AND NOT COALESCE(std_daily > 0, FALSE) AS baseline_degenerate,
+           COALESCE(ABS(CASE WHEN std_daily * 1e0 > 0
+                             THEN (n_events - mean_daily * 1e0)
+                                  / (std_daily * 1e0) END) > 3e0,
+                    mean_daily IS NULL) AS is_anomaly
+    FROM j
+    """,
+)
+def events_volume_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING volume-anomaly monitor
+    (``streaming.volume_anomaly_batch``), run with the monitor's
+    exact parameterization (1-day tumbling windows, z ≥ 3, per-day
+    baseline from ``volume_baseline``) — the oracle hash-checks the
+    semantics the append-mode stream shares structurally (both
+    select the SAME ``_score_against_baseline`` expression; the
+    streaming tests pin window-for-window equality). Every double is
+    deterministic: the baseline's Σx/Σx² are exact integers, the
+    variance/σ are fixed-order expressions both engines evaluate
+    identically (sqrt is correctly-rounded IEEE), and each z-score is
+    arithmetic on those.
+
+    Scale: the daily pre-aggregation is the only fact-sized shuffle;
+    the baseline join broadcasts |event_types| rows.
+    """
+    from ..streaming.pipeline import volume_anomaly_batch, volume_baseline
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    baseline = volume_baseline(e)
+    return volume_anomaly_batch(e, baseline, window="1 day", z_threshold=3.0)

@@ -524,6 +524,15 @@ def streaming_volume_anomaly(
         F.window("ts", window).alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
     j = counts.join(F.broadcast(baseline), "event_type", "left")
+    return _score_against_baseline(j, f, z_threshold)
+
+
+def _score_against_baseline(
+    j: DataFrame, f: float, z_threshold: float
+) -> DataFrame:
+    """The one scoring expression BOTH the streaming monitor and its
+    batch twin (``volume_anomaly_batch``) select — shared so their
+    equivalence is structural, not test-enforced."""
     mean_w = F.col("mean_daily") * F.lit(f)
     std_w = F.col("std_daily") * F.lit(f**0.5)
     z = (F.col("n_events") - mean_w) / std_w
@@ -546,6 +555,33 @@ def streaming_volume_anomaly(
         degenerate.alias("baseline_degenerate"),
         F.coalesce(F.abs(z) > z_threshold, unknown).alias("is_anomaly"),
     )
+
+
+def volume_anomaly_batch(
+    events: DataFrame,
+    baseline: DataFrame,
+    window: str = "1 day",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Batch twin of ``streaming_volume_anomaly`` with the monitor's
+    EXACT parameterization and scoring expression (shared
+    ``_score_against_baseline``): tumbling-window counts per type,
+    z-scored against the static per-day baseline — what the monitor
+    emits once every window has closed, computable over history for
+    backtesting thresholds (and for the hash-gated catalog oracle the
+    append-mode stream can't expose directly).
+
+    Scale: one fact-sized shuffle for the window counts; the baseline
+    join broadcasts |event_types| rows.
+    """
+    f = _window_seconds(window) / 86400.0
+    counts = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    j = counts.join(F.broadcast(baseline), "event_type", "left")
+    return _score_against_baseline(j, f, z_threshold)
 
 
 def _window_seconds(window: str) -> float:
