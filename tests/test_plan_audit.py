@@ -109,6 +109,11 @@ MATERIALIZING = {
     # pagerank's per-round checkpointed rank table (two columns,
     # graph-node-sized) — the iterative-plan pin, not a collect
     "docs_pagerank",
+    # bpe_train is inherently driver-coordinated (ONE winning pair
+    # returns per round) and the entry's output IS that driver-side
+    # merge list; the corpus-sized work all happens in the vocab
+    # collapse + per-round vocab scans
+    "docs_bpe_merges",
 }
 
 

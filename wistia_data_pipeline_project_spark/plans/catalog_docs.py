@@ -2582,3 +2582,75 @@ def docs_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.15 * F.col("exact_union")
         ).alias("inter_in_tol"),
     )
+
+
+@query(
+    "docs_bpe_merges",
+    oracle=r"""
+    WITH RECURSIVE vocab AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    bpe(it, syms, freq, ml, mr, mf) AS (
+      SELECT 0, [substr(w, i, 1) FOR i IN generate_series(1, length(w))],
+             freq, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+      FROM vocab
+      UNION ALL
+      SELECT s.it + 1,
+             flatten([
+               CASE
+                 WHEN list_contains(st.starts, i) THEN [w.l || w.r]
+                 WHEN list_contains(st.starts, i - 1) THEN []
+                 ELSE [s.syms[i]]
+               END
+               FOR i IN generate_series(1, len(s.syms))]),
+             s.freq, w.l, w.r, w.f
+      FROM bpe s
+      JOIN (
+        SELECT l, r, f FROM (
+          SELECT u.pr.l AS l, u.pr.r AS r, SUM(s2.freq) AS f
+          FROM bpe s2,
+               unnest([{'l': s2.syms[i], 'r': s2.syms[i+1]}
+                       FOR i IN generate_series(1, len(s2.syms) - 1)]) AS u(pr)
+          GROUP BY 1, 2
+        ) WHERE f >= 2
+        ORDER BY f DESC, l, r LIMIT 1
+      ) w ON true
+      CROSS JOIN LATERAL (
+        SELECT [i FOR i IN generate_series(1, len(s.syms) - 1)
+                IF s.syms[i] = w.l AND s.syms[i+1] = w.r
+                   AND (w.l <> w.r OR
+                        (i - (1 + coalesce(list_max(
+                           [j FOR j IN generate_series(1, i - 1)
+                            IF s.syms[j] <> w.l]), 0))) % 2 = 0)] AS starts
+      ) st
+      WHERE s.it < 16
+    )
+    SELECT it AS merge_rank, ml AS lhs, mr AS rhs, mf AS pair_freq
+    FROM (SELECT DISTINCT it, ml, mr, mf FROM bpe WHERE it >= 1)
+    """,
+)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016; ``text.bpe_train``,
+    16 merges, min pair freq 2): the learned merge table itself,
+    hash-checked rule-for-rule against a DuckDB recursive CTE that
+    replays the whole induction — per-round weighted pair counts over
+    the distinct-word vocab, the (freq DESC, pair ASC) winner, and
+    the greedy left-to-right NON-OVERLAPPING rewrite. Overlap only
+    chains when lhs == rhs (runs of one symbol), which the oracle
+    resolves with the run-parity rule; for lhs ≠ rhs matches are
+    provably disjoint and rewrite independently. Everything is exact
+    integer/string arithmetic — no float gamble anywhere.
+
+    Scale: the corpus collapses ONCE to the vocab table (the only
+    corpus-sized shuffle — ~1e8 rows at 100 TB, executor-sized);
+    each round is a vocab-table scan plus a 1-row driver fetch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    merges = X.bpe_train(docs, n_merges=16, min_freq=2)
+    return spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges, 1)],
+        "merge_rank long, lhs string, rhs string, pair_freq long",
+    )
