@@ -2649,8 +2649,119 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is a vocab-table scan plus a 1-row driver fetch.
     """
     docs = load_table(spark, sf_dir, "documents")
-    merges = X.bpe_train(docs, n_merges=16, min_freq=2)
+    merges = _bpe_merges_cached(sf_dir, docs)
     return spark.createDataFrame(
         [(i, l, r, f) for i, (l, r, f) in enumerate(merges, 1)],
         "merge_rank long, lhs string, rhs string, pair_freq long",
+    )
+
+
+_BPE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_merges_cached(sf_dir: str, docs: DataFrame) -> list:
+    """bpe_train memoized by (path, mtime, size, params) — the
+    _NVEC_CACHE pattern: docs_bpe_merges and docs_bpe_encode share
+    one training run per corpus file, and a regenerated parquet can
+    never serve stale merges."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, 16, 2)
+    except OSError:
+        key = None
+    if key is not None and key in _BPE_CACHE:
+        return _BPE_CACHE[key]
+    merges = X.bpe_train(docs, n_merges=16, min_freq=2)
+    if key is not None:
+        _BPE_CACHE[key] = merges
+    return merges
+
+
+@query(
+    "docs_bpe_encode",
+    oracle=r"""
+    WITH RECURSIVE vocab AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0 GROUP BY w
+    ),
+    bpe(it, w, syms, freq) AS (
+      SELECT 0, w, [substr(w, i, 1) FOR i IN generate_series(1, length(w))],
+             freq
+      FROM vocab
+      UNION ALL
+      SELECT s.it + 1, s.w,
+             flatten([
+               CASE
+                 WHEN list_contains(st.starts, i) THEN [wn.l || wn.r]
+                 WHEN list_contains(st.starts, i - 1) THEN []
+                 ELSE [s.syms[i]]
+               END
+               FOR i IN generate_series(1, len(s.syms))]),
+             s.freq
+      FROM bpe s
+      JOIN (
+        SELECT l, r FROM (
+          SELECT u.pr.l AS l, u.pr.r AS r, SUM(s2.freq) AS f
+          FROM bpe s2,
+               unnest([{'l': s2.syms[i], 'r': s2.syms[i+1]}
+                       FOR i IN generate_series(1, len(s2.syms) - 1)]) AS u(pr)
+          GROUP BY 1, 2
+        ) WHERE f >= 2
+        ORDER BY f DESC, l, r LIMIT 1
+      ) wn ON true
+      CROSS JOIN LATERAL (
+        SELECT [i FOR i IN generate_series(1, len(s.syms) - 1)
+                IF s.syms[i] = wn.l AND s.syms[i+1] = wn.r
+                   AND (wn.l <> wn.r OR
+                        (i - (1 + coalesce(list_max(
+                           [j FOR j IN generate_series(1, i - 1)
+                            IF s.syms[j] <> wn.l]), 0))) % 2 = 0)] AS starts
+      ) st
+      WHERE s.it < 16
+    ),
+    final AS (
+      SELECT w, len(syms) AS n_sub FROM bpe
+      WHERE it = (SELECT MAX(it) FROM bpe)
+    ),
+    docw AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(f.n_sub) AS BIGINT) AS n_bpe_tokens,
+           COUNT(*) AS n_words
+    FROM docw d JOIN final f USING (w)
+    WHERE length(d.w) > 0
+    GROUP BY doc_id
+    """,
+)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING of the corpus with the learned merges
+    (``text.bpe_encode`` over ``bpe_train``'s 16 rules): per document
+    the sub-token count under the induced tokenizer — the budget
+    number a packing/chunking pipeline actually consumes. The oracle
+    never runs the encoder: it reuses the TRAINING CTE's final
+    per-word segmentation, so the hash check IS the classical
+    train/encode equivalence invariant (rank-order replay of the
+    merges reproduces every training word's final segmentation); a
+    divergence in the priority-based encoder would hash-mismatch.
+
+    Scale: merges broadcast as a rank dict (KB at any corpus size);
+    encoding is an embarrassingly parallel Arrow-batched scan, no
+    shuffle before the per-doc count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(sf_dir, docs)
+    enc = X.bpe_encode(docs, merges)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    words = F.size(F.filter(toks, lambda w: F.length(w) > 0))
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        words.cast("long").alias("n_words"),
     )
