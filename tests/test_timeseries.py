@@ -73,3 +73,74 @@ def test_last_touch_attribution_pre_epoch_timestamps(spark):
         for r in last_touch_attribution(df).collect()
     }
     assert got == {1: ("click", 6 * 3600 * 1_000_000), 3: ("organic", None)}
+
+
+def test_time_decay_quantized_overflow_gates_at_decimal_capacity(spark):
+    """decimal(38,6) holds weights only to ~10^32 (≈105 doublings) —
+    far below the double path's 900-doubling bound. A touch past the
+    decimal capacity NULLs on the cast and SUM would skip it, so the
+    overflow gate must fire at the decimal bound: the purchase
+    reports NULL credit with decay_overflow=true instead of silently
+    mis-attributing (or masquerading as organic)."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        time_decay_attribution,
+    )
+
+    T = dt.datetime
+    base = T(2024, 1, 1)
+    rows = [
+        # user 1: base event pins B; the in-window click sits 119
+        # doublings past B (halflife 24h) -> beyond decimal(38,6)
+        # capacity but well under the double path's 900
+        {"event_id": 0, "user_id": 1, "ts": base, "event_type": "click"},
+        {
+            "event_id": 1,
+            "user_id": 1,
+            "ts": base + dt.timedelta(days=119),
+            "event_type": "click",
+        },
+        {
+            "event_id": 2,
+            "user_id": 1,
+            "ts": base + dt.timedelta(days=119, hours=1),
+            "event_type": "purchase",
+        },
+        # user 2: same shape, 10-doubling span -> quantized path fine
+        {"event_id": 3, "user_id": 2, "ts": base, "event_type": "click"},
+        {
+            "event_id": 4,
+            "user_id": 2,
+            "ts": base + dt.timedelta(days=10),
+            "event_type": "click",
+        },
+        {
+            "event_id": 5,
+            "user_id": 2,
+            "ts": base + dt.timedelta(days=10, hours=1),
+            "event_type": "purchase",
+        },
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+
+    got = {
+        r["event_id"]: r
+        for r in time_decay_attribution(df, quantize=6).collect()
+    }
+    # past-capacity window: flagged, no numbers, and NOT 'organic'
+    # with credit 1.0 (the silent failure this test pins)
+    bad = got[2]
+    assert bad["decay_overflow"] is True
+    assert bad["credit"] is None and bad["weight"] is None
+    # healthy window on the same run: exact single-channel credit
+    ok = got[5]
+    assert ok["decay_overflow"] is False
+    assert ok["channel"] == "click" and ok["credit"] == 1.0
+
+    # the double path is NOT capacity-limited at 119 doublings
+    got_d = {
+        r["event_id"]: r for r in time_decay_attribution(df).collect()
+    }
+    assert got_d[2]["decay_overflow"] is False
+    assert got_d[2]["channel"] == "click" and got_d[2]["credit"] == 1.0

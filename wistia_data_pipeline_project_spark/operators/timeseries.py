@@ -255,10 +255,15 @@ def time_decay_attribution(
     have no pinned addition order across engines, so the hash-gated
     catalog entry needs the exact associative form (the
     ``docs_unigram_nll`` pattern). Bound: the decimal holds w_t up to
-    ~10^(38-q-margin), i.e. key activity spans up to ~(38-q)·log2(10)
-    halflives (~106 doublings at q=6) — far tighter than the double
-    path's 900 but generous for real attribution windows; past it the
-    decimal cast NULLs and the row surfaces via NULL credit.
+    ~10^(38-q), i.e. key activity spans up to ~(38-q)·log2(10)
+    halflives (~105 doublings at q=6) — far tighter than the double
+    path's 900 but generous for real attribution windows. The
+    overflow gate tracks whichever bound the chosen path has, so a
+    touch past the decimal's capacity marks its window
+    ``decay_overflow``, and past-bound weights are NULLed BEFORE the
+    cast — an out-of-range decimal cast throws under ANSI (the
+    session default) and NULLs silently without it, where ``SUM``
+    would drop the touch from the credit shares with no signal.
 
     The decay factorizes: 2^(−(p−t)/h) = 2^((t−B)/h) · 2^(−(p−B)/h)
     for any per-key constant B — and the second factor CANCELS in the
@@ -269,11 +274,16 @@ def time_decay_attribution(
     ``weight`` re-applies the 2^(−(p−B)/h) factor row-locally.
 
     Numeric bound: exponents span (key activity span)/halflife
-    doublings; beyond ~900 the weights overflow double. Rows past the
-    bound report NULL credit with ``decay_overflow = true`` instead
-    of Inf/NaN arithmetic (re-run those keys with a larger halflife,
-    or pre-split their history). At halflife 24h that bound is ~2.5
-    years of per-key history — generous for attribution windows.
+    doublings; beyond ~900 the weights overflow double (beyond the
+    decimal capacity above when quantized). A purchase whose window
+    contains any past-bound touch — or that sits past the bound
+    itself — reports NULL credit/weight with ``decay_overflow =
+    true`` on every emitted row, including the organic fallback
+    (s_total degenerating to 0 because every touch overflowed must
+    not masquerade as an organic purchase). Re-run those keys with a
+    larger halflife, or pre-split their history. At halflife 24h the
+    double bound is ~2.5 years of per-key history, the q=6 decimal
+    bound ~3.5 months — generous for attribution windows.
 
     Scale: identical shuffle profile to ``linear_attribution`` (one
     key exchange shared by both windows).
@@ -281,6 +291,8 @@ def time_decay_attribution(
     if not touch_types:
         raise ValueError("touch_types must not be empty")
     from pyspark.sql import Window as W
+
+    import math
 
     h_us = halflife_hours * 3600.0 * 1e6
     us = F.unix_micros(F.col(ts_col))
@@ -292,13 +304,28 @@ def time_decay_attribution(
     raw_w = F.pow(F.lit(2.0), expo)
     if quantize is not None:
         qd = f"decimal(38,{quantize})"
-        raw_w = F.round(raw_w, quantize).cast(qd)
+        # decimal(38,q) holds < 10^(38-q); past that the cast throws
+        # under ANSI (the session default) or NULLs silently without
+        # it, where SUM would skip the touch — gate at the decimal
+        # capacity, not the double path's 900 (the -1 margin absorbs
+        # the round()'s carry at the boundary)
+        overflow_limit = min(900.0, (38 - quantize) * math.log2(10) - 1.0)
+        overflow = expo > F.lit(overflow_limit)
+        # cast only in-capacity weights: past-bound rows carry NULL
+        # and are accounted for via the _overflow_row flag instead
+        raw_w = F.when(~overflow, F.round(raw_w, quantize).cast(qd))
         zero = F.lit(0).cast(qd)
         neg_one = F.lit(-1).cast(qd)
     else:
+        overflow_limit = 900.0
+        overflow = expo > F.lit(overflow_limit)
+        # NULL past-bound weights here too: 2^expo would reach inf
+        # and poison the window sums with inf/NaN arithmetic instead
+        # of the flagged-NULL contract
+        raw_w = F.when(~overflow, raw_w)
         zero = F.lit(0.0)
         neg_one = F.lit(-1.0)
-    t = t.withColumn("_w", raw_w).withColumn("_overflow_row", expo > 900.0)
+    t = t.withColumn("_w", raw_w).withColumn("_overflow_row", overflow)
     w = W.partitionBy(key_col).orderBy("_us").rangeBetween(-lookback_us, -1)
     sums = {
         f"_s_{i}": F.sum(
@@ -306,8 +333,17 @@ def time_decay_attribution(
         ).over(w)
         for i, typ in enumerate(touch_types)
     }
+    # coalesce: MAX over an EMPTY frame (purchase with no window
+    # touches) is NULL, which must read "no overflow", not poison
+    # _bad with three-valued logic
     sums["_any_overflow"] = (
-        F.max(F.when(F.col("_overflow_row"), F.lit(1)).otherwise(0)).over(w) == 1
+        F.coalesce(
+            F.max(F.when(F.col("_overflow_row"), F.lit(1)).otherwise(0)).over(
+                w
+            ),
+            F.lit(0),
+        )
+        == 1
     )
     counted = t.withColumns(sums)
     s_total = None
@@ -349,16 +385,21 @@ def time_decay_attribution(
     # engine-specific scale rules)
     s_d = F.col("_e.s").cast("double")
     st_d = F.col("_s_total").cast("double")
+    null_d = F.lit(None).cast("double")
     return exploded.select(
         *base_cols,
         F.col("_e.channel").alias("channel"),
-        F.when(is_org, F.lit(0.0))
-        .otherwise(F.when(~F.col("_bad"), s_d * unscale))
+        # _bad first: a window containing ANY past-bound touch (or a
+        # past-bound purchase row) must not report numbers — not even
+        # the organic fallback, which a fully-overflowed window (all
+        # touch sums NULLed to 0) would otherwise masquerade as
+        F.when(F.col("_bad"), null_d)
+        .when(is_org, F.lit(0.0))
+        .otherwise(s_d * unscale)
         .alias("weight"),
-        F.when(is_org, F.lit(1.0))
-        .otherwise(F.when(~F.col("_bad"), s_d / st_d))
+        F.when(F.col("_bad"), null_d)
+        .when(is_org, F.lit(1.0))
+        .otherwise(s_d / st_d)
         .alias("credit"),
-        F.when(is_org, F.lit(False)).otherwise(F.col("_bad")).alias(
-            "decay_overflow"
-        ),
+        F.col("_bad").alias("decay_overflow"),
     )
