@@ -389,3 +389,39 @@ def test_vocab_overlap_sketch_tracks_exact_jaccard(spark, sf_dir):
             assert abs(r["est_union"] - len(va | vb)) / len(va | vb) < 0.05
             n_pairs += 1
     assert n_pairs == len(got) == len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_bpe_encode_drops_wordless_docs_like_oracle(spark, tmp_path):
+    """The docs_bpe_encode oracle joins documents to the per-word
+    vocab, so a wordless (empty / whitespace-only / NULL text) doc
+    produces NO row there; the Spark entry must filter to the same
+    universe instead of emitting a (0, 0) row the oracle can never
+    match (review r04)."""
+    import duckdb
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+
+    rows = [
+        (1, "aa bb aa bb"),
+        (2, "aa bb cc aa"),
+        (3, ""),  # wordless: empty
+        (4, "   "),  # wordless: whitespace-only
+        (5, None),  # wordless: NULL text
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = QUERIES["docs_bpe_encode"](spark, sf_dir).toPandas()
+    assert set(sdf["doc_id"]) == {1, 2}  # wordless docs excluded
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["docs_bpe_encode"]).df()
+    assert not compare("docs_bpe_encode", sdf, ddf)

@@ -2754,14 +2754,23 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: merges broadcast as a rank dict (KB at any corpus size);
     encoding is an embarrassingly parallel Arrow-batched scan, no
     shuffle before the per-doc count.
+
+    Row set: documents with AT LEAST ONE word. The oracle's
+    word-level join drops wordless (empty/whitespace/NULL text) docs
+    structurally, so the entry filters to the same universe instead
+    of emitting (0, 0) rows the oracle can never produce — pinned by
+    ``test_bpe_encode_drops_wordless_docs_like_oracle``.
     """
     docs = load_table(spark, sf_dir, "documents")
     merges = _bpe_merges_cached(sf_dir, docs)
     enc = X.bpe_encode(docs, merges)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     words = F.size(F.filter(toks, lambda w: F.length(w) > 0))
-    return enc.select(
-        "doc_id",
-        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
-        words.cast("long").alias("n_words"),
+    return (
+        enc.select(
+            "doc_id",
+            F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            words.cast("long").alias("n_words"),
+        )
+        .filter(F.col("n_words") > 0)
     )
