@@ -747,4 +747,6 @@ def test_knn_join_regime_auto_select_and_parity(spark):
     assert _parse_size_bytes("10485760") == 10485760
     assert _parse_size_bytes("10485760b") == 10485760
     assert _parse_size_bytes("1g") == 1 << 30
+    assert _parse_size_bytes("1p") == 1 << 50  # full byteStringAs set
+    assert _parse_size_bytes("2pb") == 2 << 50
     assert _parse_size_bytes("-1") == -1

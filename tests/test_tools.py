@@ -30,3 +30,9 @@ def test_bench_diff_band_flag_parsing(tmp_path, monkeypatch, capsys):
         monkeypatch.setattr(sys, "argv", ["bench_diff", str(a), str(b)] + extra)
         assert bench_diff.main() == 0
         assert "1.03x" in capsys.readouterr().out
+
+    # empty / non-numeric band value: usage path, not a ValueError
+    # traceback (review r04)
+    for extra in (["--band="], ["--band", "abc"], ["--band=abc"]):
+        monkeypatch.setattr(sys, "argv", ["bench_diff", str(a), str(b)] + extra)
+        assert bench_diff.main() == 2

@@ -65,12 +65,16 @@ def main() -> int:
     while i < len(argv):
         a = argv[i]
         if a == "--band" or a.startswith("--band="):
-            if "=" in a:
-                band = float(a.split("=", 1)[1])
-            elif i + 1 < len(argv):  # space-separated form
-                band = float(argv[i + 1])
-                i += 1
-            else:
+            try:
+                if "=" in a:
+                    band = float(a.split("=", 1)[1])
+                elif i + 1 < len(argv):  # space-separated form
+                    band = float(argv[i + 1])
+                    i += 1
+                else:
+                    print(__doc__)
+                    return 2
+            except ValueError:  # --band= / --band abc: usage, not a crash
                 print(__doc__)
                 return 2
         else:

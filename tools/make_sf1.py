@@ -57,6 +57,16 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     ).df()
     n_vec = len(emb)
     mats = np.array(list(emb["embedding"]), dtype=np.float32)
+    # roll-by-k decorrelation is modulo the dimension: copy k and
+    # copy k+dim would be IDENTICAL vectors under fresh ids, handing
+    # every vector an exact cosine-1 twin and re-creating the pair
+    # inflation this corpus exists to avoid — refuse rather than wrap
+    if n_copies > mats.shape[1]:
+        raise SystemExit(
+            f"n_copies={n_copies} exceeds embedding dim {mats.shape[1]}: "
+            "np.roll decorrelation wraps modulo dim (copies collide "
+            "exactly); lower n_copies or add a second decorrelation axis"
+        )
     parts = []
     for k in range(n_copies):
         c = emb.copy()

@@ -517,6 +517,8 @@ def _parse_size_bytes(raw: str) -> int:
         "gb": 1 << 30,
         "t": 1 << 40,
         "tb": 1 << 40,
+        "p": 1 << 50,
+        "pb": 1 << 50,
     }
     for suf in sorted(units, key=len, reverse=True):
         if s.endswith(suf):
