@@ -101,6 +101,46 @@ JACCARD_CAPPED_SQL = """
           >= 0.8
 """
 
+# The same capped derivation ENDING AT the thresholded pair list
+# ``pairs(da, db)`` — the shared WITH-prefix for every oracle that
+# consumes the near-dup pair GRAPH (keep-best dedup, leakage-safe
+# split, triangle stats, pagerank). ONE definition of the width-7
+# shingles / df>1000 cap / 0.8 threshold to keep in sync with
+# ``dedup._pair_intersections``; JACCARD_CAPPED_SQL above carries the
+# same rule for oracles that consume the scored pair LIST. Compose as
+# ``"WITH RECURSIVE " + JACCARD_PAIR_CTES + ", <downstream CTEs...>"``.
+JACCARD_PAIR_CTES = """t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
+               AS shingle
+      FROM t
+    ),
+    sh AS (
+      -- engine's hot-shingle cap (dedup._pair_intersections,
+      -- max_doc_freq=1000) replayed: dropped from join AND sizes
+      SELECT doc_id, shingle FROM sh0
+      WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN sizes sa ON sa.doc_id = inter.da
+      JOIN sizes sb ON sb.doc_id = inter.db
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    )"""
+
 
 @query(
     "docs_exact_dedup",
@@ -1215,38 +1255,7 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_dedup_keep_best",
-    oracle=f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    sh0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
-               AS shingle
-      FROM t
-    ),
-    sh AS (
-      -- engine's hot-shingle cap (dedup._pair_intersections,
-      -- max_doc_freq=1000) replayed: dropped from join AND sizes
-      SELECT doc_id, shingle FROM sh0
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
-      )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT da, db FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.da
-      JOIN sizes sb ON sb.doc_id = inter.db
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-    ),
+    oracle="WITH RECURSIVE " + JACCARD_PAIR_CTES + f""",
     edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
     reach(u, lbl) AS (
       SELECT u, u FROM (SELECT DISTINCT u FROM edges)
@@ -2160,36 +2169,7 @@ def _leakage_split_oracle(train: float = 0.9, val: float = 0.05) -> str:
     docs_dedup_keep_best — so neither the draw nor the clustering can
     drift between engines."""
     t_cut, v_cut = TR.split_cuts(train, val)
-    return f"""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    sh0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
-               AS shingle
-      FROM t
-    ),
-    sh AS (
-      SELECT doc_id, shingle FROM sh0
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
-      )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT da, db FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.da
-      JOIN sizes sb ON sb.doc_id = inter.db
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-    ),
+    return "WITH RECURSIVE " + JACCARD_PAIR_CTES + f""",
     edges AS (SELECT da AS u, db AS v FROM pairs
               UNION SELECT db, da FROM pairs),
     reach(u, lbl) AS (
@@ -2323,36 +2303,7 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_triangle_stats",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    sh0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
-               AS shingle
-      FROM t
-    ),
-    sh AS (
-      SELECT doc_id, shingle FROM sh0
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
-      )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT da, db FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.da
-      JOIN sizes sb ON sb.doc_id = inter.db
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-    ),
+    oracle="WITH " + JACCARD_PAIR_CTES + """,
     und AS (
       SELECT DISTINCT least(da, db) AS u, greatest(da, db) AS v
       FROM pairs WHERE da <> db
@@ -2411,36 +2362,7 @@ def docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "docs_pagerank",
-    oracle="""
-    WITH RECURSIVE t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    sh0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-                    FOR i IN generate_series(1, greatest(len(toks)-7, 1))]))
-               AS shingle
-      FROM t
-    ),
-    sh AS (
-      SELECT doc_id, shingle FROM sh0
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
-      )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT da, db FROM inter
-      JOIN sizes sa ON sa.doc_id = inter.da
-      JOIN sizes sb ON sb.doc_id = inter.db
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-    ),
+    oracle="WITH RECURSIVE " + JACCARD_PAIR_CTES + """,
     edges AS (SELECT da AS src, db AS dst FROM pairs
               UNION ALL SELECT db, da FROM pairs),
     nodes AS (SELECT DISTINCT n
