@@ -53,19 +53,43 @@ def audit(name: str, plan: str) -> tuple[str, list[str]]:
     return summary, warns
 
 
+def audit_row(name: str, plan: str) -> str:
+    """One PLANS.md markdown table row (same counters as audit())."""
+    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
+    n_exchange = sum(1 for n in nodes if n == "Exchange")
+    n_reused = sum(1 for n in nodes if n == "ReusedExchange")
+    joins = sorted({n for n in nodes if "Join" in n})
+    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    n_pushed = sum(1 for p in pushed if p.strip())
+    _, warns = audit(name, plan)
+    return (
+        f"| {name} | {n_exchange} ({n_reused} reused) "
+        f"| {', '.join(joins) or '—'} | {n_codegen} "
+        f"| {n_pushed}/{len(pushed)} | {'; '.join(warns) or '—'} |"
+    )
+
+
 def main() -> None:
     import __spark_entry__ as m
+
+    argv = sys.argv[1:]
+    markdown = "--markdown" in argv
+    argv = [a for a in argv if a != "--markdown"]
 
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs = m.queries()
-    names = sys.argv[1:] or list(qs)
+    names = argv or list(qs)
     for name in names:
         try:
             plan = formatted_plan(qs[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: EXPLAIN FAILED: {exc}")
+            continue
+        if markdown:
+            print(audit_row(name, plan))
             continue
         summary, warns = audit(name, plan)
         print(summary)
