@@ -106,10 +106,13 @@ MATERIALIZING = {
     # inherits connected_components' per-iteration localCheckpoint
     # (cluster-label table of the near-dup subset, not the corpus)
     "docs_leakage_safe_split",
-    # consumes the shared _jaccard_pairs_cached checkpoint (the
-    # near-dup pair list reused by keep_best/leakage/pagerank —
-    # pair-volume, executor-local, not a driver collect)
+    # consume the shared _jaccard_pairs_cached checkpoint (the scored
+    # near-dup pair list reused across seven entries — pair-volume,
+    # executor-local, not a driver collect)
     "docs_triangle_stats",
+    "docs_ngram_jaccard",
+    "docs_simhash_quality",
+    "docs_editdist_verify",
     # pagerank's per-round checkpointed rank table (two columns,
     # graph-node-sized) — the iterative-plan pin, not a collect
     "docs_pagerank",

@@ -146,12 +146,15 @@ _PAIRS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
-    """The capped-Jaccard 0.8 pair list (``doc_a``, ``doc_b``),
-    localCheckpointed once per (Spark context, corpus file) — the
-    ``_BPE_CACHE`` pattern. Four catalog entries consume this same
-    graph (keep-best dedup, leakage-safe split, triangles, pagerank);
-    without the cache each re-paid the shingle equi-join, the
-    dominant cost of all four. The checkpoint is lazy (materializes
+    """The capped-Jaccard 0.8 SCORED pair list (``doc_a``, ``doc_b``,
+    ``n_inter``, ``jaccard``), localCheckpointed once per (Spark
+    context, corpus file) — the ``_BPE_CACHE`` pattern. Seven catalog
+    entries consume this same list: the scored entry itself
+    (ngram_jaccard), the quality/verify twins (simhash_quality,
+    editdist_verify), and the four graph consumers (keep-best dedup,
+    leakage-safe split, triangles, pagerank); without the cache each
+    re-paid the shingle equi-join, the dominant cost of every one of
+    them. The checkpoint is lazy (materializes
     on the first consumer's action) and executor-local: the pair
     list is near-dup-volume, not corpus-volume, so holding it
     materialized is the natural shape at any scale — a production
@@ -175,10 +178,8 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, docs: DataFrame) -> 
         key = None
     if key is not None and key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key]
-    pairs = (
-        D.ngram_jaccard_pairs(docs, threshold=0.8)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint(
+        eager=False
     )
     if key is not None:
         _PAIRS_CACHE[key] = pairs
@@ -290,7 +291,7 @@ def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-unique outside true near-dups, PLUS the df>1000 hot-shingle
     cap (boilerplate guard) — the oracle replays the cap in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.8)
+    return _jaccard_pairs_cached(spark, sf_dir, docs)
 
 
 @query("docs_minhash_near_dup", oracle=JACCARD_SQL)
@@ -383,7 +384,9 @@ def docs_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``docs_simhash_near_dup`` replays the md5-derived token hash in
     SQL; this entry pins the pipeline's QUALITY as a separate fact."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    exact = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
     sh = (
         D.simhash_near_dup_pairs(docs)
         .select("doc_a", "doc_b")
@@ -1026,7 +1029,7 @@ def docs_editdist_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads; the quadratic kernel touches 64×64 cells per pair.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select(
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
         "doc_a", "doc_b", "jaccard"
     )
     pa = docs.select(
@@ -1342,7 +1345,9 @@ def docs_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregates on the full corpus scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_cached(spark, sf_dir, docs)
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
     cc = C.dup_clusters(pairs).select("node", "cluster_id")
     meta = docs.select("doc_id", "source", "n_chars")
     m = cc.join(meta, cc.node == meta.doc_id).select(
@@ -2256,7 +2261,9 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 bucket shared with docs_train_split.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_cached(spark, sf_dir, docs)
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
     out = TR.leakage_safe_split(docs, pairs)
     return out.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2399,7 +2406,9 @@ def docs_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ O(sqrt(E)) on power-law hubs); three shuffles total.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_cached(spark, sf_dir, docs)
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
     return C.triangle_stats(pairs, src_col="doc_a", dst_col="doc_b")
 
 
@@ -2450,7 +2459,9 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint pins the iterative plan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_cached(spark, sf_dir, docs)
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
     return C.pagerank(
         edges, n_iter=6, damping=0.85,
