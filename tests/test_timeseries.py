@@ -144,3 +144,46 @@ def test_time_decay_quantized_overflow_gates_at_decimal_capacity(spark):
     }
     assert got_d[2]["decay_overflow"] is False
     assert got_d[2]["channel"] == "click" and got_d[2]["credit"] == 1.0
+
+
+def test_time_decay_quantized_sum_overflow_headroom(spark):
+    """The window SUM must not overflow even when every individual
+    weight fits decimal(38,6): several ~max-weight touches summed
+    crashed the ANSI window aggregate when the per-row gate sat at
+    the bare decimal capacity (review r04). The gate reserves 6
+    digits of summation headroom, so touches at ~90 doublings (each
+    ~2.5e27, fine for the decimal alone) now flag the purchase
+    instead of letting three of them sum toward the edge."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        time_decay_attribution,
+    )
+
+    T = dt.datetime
+    base = T(2024, 1, 1)
+    rows = [{"event_id": 0, "user_id": 1, "ts": base, "event_type": "view"}]
+    # three clicks ~90 doublings past B, 1h apart, purchase 1h later
+    for i, hrs in enumerate((0, 1, 2)):
+        rows.append(
+            {
+                "event_id": 1 + i,
+                "user_id": 1,
+                "ts": base + dt.timedelta(days=90, hours=hrs),
+                "event_type": "click",
+            }
+        )
+    rows.append(
+        {
+            "event_id": 4,
+            "user_id": 1,
+            "ts": base + dt.timedelta(days=90, hours=3),
+            "event_type": "purchase",
+        }
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    # must not raise (the old gate let each weight through the cast
+    # and the window SUM threw NUMERIC_VALUE_OUT_OF_RANGE under ANSI)
+    out = {r["event_id"]: r for r in time_decay_attribution(df, quantize=6).collect()}
+    assert out[4]["decay_overflow"] is True
+    assert out[4]["credit"] is None and out[4]["weight"] is None

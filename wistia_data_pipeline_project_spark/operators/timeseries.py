@@ -254,16 +254,17 @@ def time_decay_attribution(
     and run the window sums in DECIMAL(38,q) — double window sums
     have no pinned addition order across engines, so the hash-gated
     catalog entry needs the exact associative form (the
-    ``docs_unigram_nll`` pattern). Bound: the decimal holds w_t up to
-    ~10^(38-q), i.e. key activity spans up to ~(38-q)·log2(10)
-    halflives (~105 doublings at q=6) — far tighter than the double
-    path's 900 but generous for real attribution windows. The
-    overflow gate tracks whichever bound the chosen path has, so a
-    touch past the decimal's capacity marks its window
-    ``decay_overflow``, and past-bound weights are NULLed BEFORE the
-    cast — an out-of-range decimal cast throws under ANSI (the
-    session default) and NULLs silently without it, where ``SUM``
-    would drop the touch from the credit shares with no signal.
+    ``docs_unigram_nll`` pattern). Bound: the decimal must hold the
+    window SUM, not just each weight, so the per-row gate reserves 6
+    digits of summation headroom — key activity spans up to
+    ~(38-q-6)·log2(10) halflives (~85 doublings at q=6, ~2.8 months
+    at halflife 24 h), paired with a window-count guard past 10^6
+    touches — far tighter than the double path's 900 but generous
+    for real attribution windows. Past-bound weights are NULLed
+    BEFORE the cast — an out-of-range decimal cast throws under ANSI
+    (the session default) and NULLs silently without it, where
+    ``SUM`` would drop the touch from the credit shares with no
+    signal — and the affected purchase rows flag ``decay_overflow``.
 
     The decay factorizes: 2^(−(p−t)/h) = 2^((t−B)/h) · 2^(−(p−B)/h)
     for any per-key constant B — and the second factor CANCELS in the
@@ -275,15 +276,16 @@ def time_decay_attribution(
 
     Numeric bound: exponents span (key activity span)/halflife
     doublings; beyond ~900 the weights overflow double (beyond the
-    decimal capacity above when quantized). A purchase whose window
-    contains any past-bound touch — or that sits past the bound
-    itself — reports NULL credit/weight with ``decay_overflow =
-    true`` on every emitted row, including the organic fallback
-    (s_total degenerating to 0 because every touch overflowed must
-    not masquerade as an organic purchase). Re-run those keys with a
+    headroom-adjusted decimal capacity above when quantized). A
+    purchase past the bound — which, because expo grows with time,
+    is implied whenever ANY of its window touches is past bound —
+    reports NULL credit/weight with ``decay_overflow = true`` on
+    every emitted row, including the organic fallback (s_total
+    degenerating to 0 because every touch overflowed must not
+    masquerade as an organic purchase). Re-run those keys with a
     larger halflife, or pre-split their history. At halflife 24h the
     double bound is ~2.5 years of per-key history, the q=6 decimal
-    bound ~3.5 months — generous for attribution windows.
+    bound ~2.8 months — generous for attribution windows.
 
     Scale: identical shuffle profile to ``linear_attribution`` (one
     key exchange shared by both windows).
@@ -302,14 +304,25 @@ def time_decay_attribution(
     t = t.withColumn("_b", F.min("_us").over(wk))
     expo = (F.col("_us") - F.col("_b")) / F.lit(h_us)
     raw_w = F.pow(F.lit(2.0), expo)
+    # The window SUM is what must not overflow, not just each weight:
+    # N in-capacity weights can sum past the decimal. Reserve
+    # _SUM_HEADROOM decimal digits of summation room in the per-row
+    # gate, and flag any window with more than 10^_SUM_HEADROOM
+    # non-null weights (unreachable in practice, airtight in theory).
+    _SUM_HEADROOM = 6
     if quantize is not None:
         qd = f"decimal(38,{quantize})"
-        # decimal(38,q) holds < 10^(38-q); past that the cast throws
-        # under ANSI (the session default) or NULLs silently without
-        # it, where SUM would skip the touch — gate at the decimal
-        # capacity, not the double path's 900 (the -1 margin absorbs
-        # the round()'s carry at the boundary)
-        overflow_limit = min(900.0, (38 - quantize) * math.log2(10) - 1.0)
+        # decimal(38,q) holds < 10^(38-q); an out-of-range value
+        # throws on the cast under ANSI (the session default) or
+        # NULLs silently without it, where SUM would skip the touch —
+        # gate each row at the decimal capacity MINUS the summation
+        # headroom (the -1 margin absorbs the round()'s carry at the
+        # boundary), so even 10^6 max-weight touches cannot push the
+        # window SUM past decimal(38,q)
+        overflow_limit = min(
+            900.0,
+            (38 - quantize - _SUM_HEADROOM) * math.log2(10) - 1.0,
+        )
         overflow = expo > F.lit(overflow_limit)
         # cast only in-capacity weights: past-bound rows carry NULL
         # and are accounted for via the _overflow_row flag instead
@@ -317,6 +330,8 @@ def time_decay_attribution(
         zero = F.lit(0).cast(qd)
         neg_one = F.lit(-1).cast(qd)
     else:
+        # double's finite range ends at 2^1024; capping rows at 2^900
+        # leaves 2^124 of summation headroom — no count can reach it
         overflow_limit = 900.0
         overflow = expo > F.lit(overflow_limit)
         # NULL past-bound weights here too: 2^expo would reach inf
@@ -333,18 +348,9 @@ def time_decay_attribution(
         ).over(w)
         for i, typ in enumerate(touch_types)
     }
-    # coalesce: MAX over an EMPTY frame (purchase with no window
-    # touches) is NULL, which must read "no overflow", not poison
-    # _bad with three-valued logic
-    sums["_any_overflow"] = (
-        F.coalesce(
-            F.max(F.when(F.col("_overflow_row"), F.lit(1)).otherwise(0)).over(
-                w
-            ),
-            F.lit(0),
-        )
-        == 1
-    )
+    # count of non-null weights in the frame: pairs with the per-row
+    # gate to bound the window SUM (see _SUM_HEADROOM above)
+    sums["_n_win"] = F.count(F.col("_w")).over(w)
     counted = t.withColumns(sums)
     s_total = None
     for i in range(len(touch_types)):
@@ -353,7 +359,13 @@ def time_decay_attribution(
     p = counted.filter(F.col(type_col) == purchase_type).withColumn(
         "_s_total", s_total
     )
-    bad = F.col("_any_overflow") | F.col("_overflow_row")
+    # The purchase row's OWN gate subsumes a per-touch window check:
+    # expo is strictly increasing in _us within a key and every frame
+    # row precedes the purchase, so a past-bound touch implies a
+    # past-bound purchase — no windowed any-overflow aggregate needed.
+    bad = F.col("_overflow_row") | (
+        F.col("_n_win") > F.lit(10 ** _SUM_HEADROOM)
+    )
     unscale = F.pow(F.lit(2.0), -(F.col("_us") - F.col("_b")) / F.lit(h_us))
     # single-pass explode + codegen filter (see linear_attribution)
     base_cols = [*events.columns]
