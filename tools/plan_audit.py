@@ -30,43 +30,99 @@ def formatted_plan(df) -> str:
     return buf.getvalue()
 
 
-def audit(name: str, plan: str) -> tuple[str, list[str]]:
+def counters(plan: str) -> dict:
+    """The plan facts both renderers report — ONE parse per plan."""
     # count operator NODES from the tree section ("(3) Exchange"), not
     # raw substring hits — the details section repeats every node name
     nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
-    n_exchange = sum(1 for n in nodes if n == "Exchange")
-    n_reused = sum(1 for n in nodes if n == "ReusedExchange")
-    joins = sorted({n for n in nodes if "Join" in n})
-    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    n_pushed = sum(1 for p in pushed if p.strip())
     warns = []
     if "BatchEvalPython" in plan:
         warns.append("row-at-a-time Python UDF in plan")
     if "CartesianProduct" in plan:
         warns.append("cartesian product")
+    return {
+        "n_exchange": sum(1 for n in nodes if n == "Exchange"),
+        "n_reused": sum(1 for n in nodes if n == "ReusedExchange"),
+        "joins": sorted({n for n in nodes if "Join" in n}),
+        "n_codegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "n_pushed": sum(1 for p in pushed if p.strip()),
+        "n_scans": len(pushed),
+        "warns": warns,
+    }
+
+
+def audit(name: str, plan: str) -> tuple[str, list[str]]:
+    c = counters(plan)
     summary = (
-        f"{name}: exchanges={n_exchange} (reused={n_reused}) "
-        f"joins={joins or '-'} codegen_stages={n_codegen} "
-        f"scans_with_pushdown={n_pushed}/{len(pushed)}"
+        f"{name}: exchanges={c['n_exchange']} (reused={c['n_reused']}) "
+        f"joins={c['joins'] or '-'} codegen_stages={c['n_codegen']} "
+        f"scans_with_pushdown={c['n_pushed']}/{c['n_scans']}"
     )
-    return summary, warns
+    return summary, c["warns"]
+
+
+# Curated per-entry plan rationale, rendered into PLANS.md's notes
+# column next to any automated warns — living here (not hand-edited
+# into PLANS.md) so `--markdown` regenerates the WHOLE table and the
+# annotations survive. No '|' characters (markdown cell).
+NOTES = {
+    "docs_containment": "hot-shingle df cap adds a freq-agg + broadcast-anti subtree per branch; identical exchanges dedupe at runtime",
+    "emb_knn_join": "pair-join broadcast pinned (small-N regime; see SCALE.md)",
+    "q2_min_cost_supplier": "SMJ is the min-cost join-back on pre-aggregated supply rows (AQE broadcasts at runtime)",
+    "q11_important_parts": "BNLJ = the 1-row scalar-threshold broadcast",
+    "q21_waiting_suppliers": "one shuffle computes all three per-order EXISTS facts",
+    "orders_market_basket": "order-local pair expansion, TakeOrdered top-25",
+    "emb_pq_codes": "zero pre-output shuffles; staged projections keep codegen bounded",
+    "emb_pq_adc_topk": "ADC lookup-table scan + TakeOrdered",
+    "docs_dedup_keep_best": "window runs on near-dup subset only; pair list from the shared checkpoint",
+    "docs_substring_dedup": "windows shuffle as md5, no pair expansion",
+    "docs_unigram_nll": "BNLJ = the 1-row total broadcast",
+    "docs_ngram_jaccard": "serves the shared scored-pair checkpoint (_jaccard_pairs_cached); steady-state plan reads the materialized list",
+    "docs_simhash_near_dup": "md5_64 hash — pipeline fully SQL-oracled",
+    "docs_simhash_quality": "exact side reads the shared pair checkpoint; simhash side computed fresh",
+    "docs_editdist_verify": "pair list from the shared checkpoint; Levenshtein on 64-char prefixes only",
+    "docs_leakage_safe_split": "CC over the shared pair checkpoint; draw on the cluster id",
+    "docs_triangle_stats": "degree-oriented wedge join over the shared pair checkpoint",
+    "docs_pagerank": "6 checkpointed rounds over the shared pair checkpoint; audited plan is the final round's output",
+    "docs_winnowing": "sliding-min window + (doc,fp) distinct agg",
+    "docs_zipf_fit": "global rank over aggregated vocab (user-deciles caveat)",
+    "emb_semdedup": "SMJ = pair join on centroid_id; flattened table localCheckpoint'ed as codegen barrier (allowlisted in the no-collect gate)",
+    "emb_ivf_recall": "two top-k heaps + 10x10 overlap join",
+    "emb_matryoshka_recall": "coarse pass projects 16/64 dims",
+    "orders_rfm_scores": "three global ntiles share one single-partition sort (user-deciles caveat)",
+    "nation_yoy_revenue": "lag window over (nation,year) aggregate",
+    "docs_dsir_weights": "256-row bucket LM broadcast; BNLJ = 1-row totals",
+    "events_hll_rollup": "daily sketches merge map-side; exact branch gates the estimate",
+    "emb_hard_negatives": "knn-join shape + cross-label pair predicate; pair-join broadcast pinned",
+    "docs_incremental_dedup": "anti/semi joins on 16-byte fingerprints; batch-proportional work",
+    "emb_centroid_classify": "640-row centroid-dim broadcast; quantized-decimal means keep the argmax hash-exact",
+    "orders_cohort_ltv": "(cohort,age) grid window is tiny; one orders shuffle",
+    "docs_bigram_nll": "bigram stats broadcast; BNLJ = 1-row vocab size",
+    "events_session_paths": "user_id exchange shared by windows + rollup; top-25 TakeOrdered",
+    "emb_pq_recall": "codes-only ADC scan + exact-L2 heap + 10x10 overlap",
+    "events_dau_mau": "partial-distinct combines at both grains",
+    "orders_delivery_percentiles": "one fact shuffle; 5 sorted priority groups",
+    "docs_quality_funnel": "four nested conditional sums in ONE aggregate; 4-row stack unpivot",
+    "events_attribution": "packed (us*10+code) running MAX carries touch time+channel in one BIGINT",
+    "events_anomaly_zscore": "daily pre-agg is the only big shuffle; window over types-by-days rows",
+    "orders_abc_pareto": "decimal cum-share window post-agg (1 row/customer); boundaries compared divisionless",
+    "emb_pair_sim_hist": "3-row stride BNLJ; integer-key equi-join, unrolled dot kernel, ~60-group rollup",
+    "events_linear_attribution": "RANGE-frame conditional counts share one user_id exchange; no join",
+    "events_time_decay_attribution": "same single key exchange; decimal window sums with summation-headroom overflow gate",
+    "docs_bpe_merges": "corpus collapses once to the vocab table; rounds are driver-coordinated by design",
+    "docs_bpe_encode": "merges broadcast as a rank dict; Arrow-batched scan, no pre-count shuffle",
+}
 
 
 def audit_row(name: str, plan: str) -> str:
     """One PLANS.md markdown table row (same counters as audit())."""
-    nodes = re.findall(r"\(\d+\) ([A-Za-z]+)", plan)
-    n_exchange = sum(1 for n in nodes if n == "Exchange")
-    n_reused = sum(1 for n in nodes if n == "ReusedExchange")
-    joins = sorted({n for n in nodes if "Join" in n})
-    n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    n_pushed = sum(1 for p in pushed if p.strip())
-    _, warns = audit(name, plan)
+    c = counters(plan)
+    notes = c["warns"] + ([NOTES[name]] if name in NOTES else [])
     return (
-        f"| {name} | {n_exchange} ({n_reused} reused) "
-        f"| {', '.join(joins) or '—'} | {n_codegen} "
-        f"| {n_pushed}/{len(pushed)} | {'; '.join(warns) or '—'} |"
+        f"| {name} | {c['n_exchange']} ({c['n_reused']} reused) "
+        f"| {', '.join(c['joins']) or '—'} | {c['n_codegen']} "
+        f"| {c['n_pushed']}/{c['n_scans']} | {'; '.join(notes) or '—'} |"
     )
 
 
@@ -81,7 +137,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     qs = m.queries()
-    names = argv or list(qs)
+    # markdown mode audits in SORTED order: the catalog's rotation
+    # order changes per round (plans/__init__.py), and the shared
+    # checkpoint consumers' plans depend on which entry materialized
+    # the checkpoint first — sorted order keeps the generated table
+    # reproducible run-to-run
+    names = argv or (sorted(qs) if markdown else list(qs))
     for name in names:
         try:
             plan = formatted_plan(qs[name](spark, sf_dir))

@@ -60,55 +60,15 @@ JACCARD_SQL = """
           >= 0.8
 """
 
-# JACCARD_SQL with the engine's hot-shingle document-frequency cap
-# (dedup._pair_intersections, max_doc_freq=1000) replayed in SQL:
-# shingles in >1000 docs are removed from BOTH the join and the sizes,
-# so the oracle checks the capped metric exactly at any data scale
-# instead of relying on the test corpus having no hot shingles.
-JACCARD_CAPPED_SQL = """
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    sh0 AS (
-      SELECT doc_id, shingle
-      FROM (
-        SELECT doc_id,
-               unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
-                      FOR i IN generate_series(1, greatest(len(toks)-7, 1))])) AS shingle
-        FROM t
-      )
-    ),
-    sh AS (
-      SELECT doc_id, shingle FROM sh0
-      WHERE shingle NOT IN (
-        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
-      )
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b, i.n_inter,
-           CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
-             AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_inter)
-          >= 0.8
-"""
-
-# The same capped derivation ENDING AT the thresholded pair list
-# ``pairs(da, db)`` — the shared WITH-prefix for every oracle that
-# consumes the near-dup pair GRAPH (keep-best dedup, leakage-safe
-# split, triangle stats, pagerank). ONE definition of the width-7
-# shingles / df>1000 cap / 0.8 threshold to keep in sync with
-# ``dedup._pair_intersections``; JACCARD_CAPPED_SQL above carries the
-# same rule for oracles that consume the scored pair LIST. Compose as
-# ``"WITH RECURSIVE " + JACCARD_PAIR_CTES + ", <downstream CTEs...>"``.
+# The capped derivation ENDING AT the thresholded SCORED pair list
+# ``pairs(da, db, n_inter, jaccard)`` — THE single definition of the
+# width-7 shingles / df>1000 cap / 0.8 threshold rule replayed from
+# ``dedup._pair_intersections``. Every consumer composes it: the
+# graph oracles (keep-best dedup, leakage-safe split, triangle
+# stats, pagerank) as ``"WITH RECURSIVE " + JACCARD_PAIR_CTES + ",
+# <downstream CTEs...>"``, and the scored-list JACCARD_CAPPED_SQL
+# below as a thin SELECT — so a future cap/width/threshold change
+# cannot desync one family of oracles from the other.
 JACCARD_PAIR_CTES = """t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM documents
@@ -135,14 +95,36 @@ JACCARD_PAIR_CTES = """t AS (
       GROUP BY 1, 2
     ),
     pairs AS (
-      SELECT da, db FROM inter
+      SELECT da, db, n_inter,
+             CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+               AS jaccard
+      FROM inter
       JOIN sizes sa ON sa.doc_id = inter.da
       JOIN sizes sb ON sb.doc_id = inter.db
       WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
     )"""
 
+# JACCARD_SQL with the engine's hot-shingle document-frequency cap
+# (dedup._pair_intersections, max_doc_freq=1000) replayed in SQL:
+# shingles in >1000 docs are removed from BOTH the join and the sizes,
+# so the oracle checks the capped metric exactly at any data scale
+# instead of relying on the test corpus having no hot shingles.
+JACCARD_CAPPED_SQL = (
+    "WITH "
+    + JACCARD_PAIR_CTES
+    + """
+    SELECT da AS doc_a, db AS doc_b, n_inter, jaccard FROM pairs
+    """
+)
 
-_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+# path -> ((applicationId, mtime_ns, size), checkpointed DataFrame).
+# One live entry per corpus path: a new Spark context or a
+# regenerated file REPLACES the slot instead of accumulating dead
+# checkpoint handles (stale entries reference a stopped context's
+# executor blocks and would otherwise pin py4j plans forever).
+_PAIRS_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
@@ -159,30 +141,28 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, docs: DataFrame) -> 
     list is near-dup-volume, not corpus-volume, so holding it
     materialized is the natural shape at any scale — a production
     pipeline would persist this pair table once and fan the graph
-    stages out from it. Keyed by applicationId so a fresh context
-    (whose executors no longer hold the old checkpoint blocks) never
-    sees a stale handle, and by file mtime/size so a regenerated
-    corpus recomputes."""
+    stages out from it. The slot validates on applicationId — a fresh
+    context (whose executors no longer hold the old checkpoint
+    blocks) never sees a stale handle — and on file mtime/size so a
+    regenerated corpus recomputes; either mismatch REPLACES the
+    path's single slot, keeping the cache bounded by live corpora."""
     import os
 
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         st = os.stat(path)
-        key = (
-            spark.sparkContext.applicationId,
-            path,
-            st.st_mtime_ns,
-            st.st_size,
-        )
+        meta = (spark.sparkContext.applicationId, st.st_mtime_ns, st.st_size)
     except OSError:
-        key = None
-    if key is not None and key in _PAIRS_CACHE:
-        return _PAIRS_CACHE[key]
+        meta = None
+    if meta is not None:
+        cached = _PAIRS_CACHE.get(path)
+        if cached is not None and cached[0] == meta:
+            return cached[1]
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint(
         eager=False
     )
-    if key is not None:
-        _PAIRS_CACHE[key] = pairs
+    if meta is not None:
+        _PAIRS_CACHE[path] = (meta, pairs)
     return pairs
 
 
