@@ -425,3 +425,39 @@ def test_bpe_encode_drops_wordless_docs_like_oracle(spark, tmp_path):
     )
     ddf = con.sql(oracle_sql()["docs_bpe_encode"]).df()
     assert not compare("docs_bpe_encode", sdf, ddf)
+
+
+def test_jaccard_pairs_cache_one_slot_per_path(spark, sf_dir, tmp_path):
+    """_jaccard_pairs_cached keeps exactly ONE slot per corpus path,
+    replaced when the file or Spark context changes — stale slots
+    would pin checkpoint handles of dead contexts (review r04)."""
+    import os
+    import shutil
+
+    from wistia_data_pipeline_project_spark.plans.catalog_docs import (
+        _PAIRS_CACHE,
+        _jaccard_pairs_cached,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    work = str(tmp_path / "documents.parquet")
+    shutil.copyfile(src, work)
+    wdir = str(tmp_path)
+
+    docs = load_table(spark, wdir, "documents")
+    a = _jaccard_pairs_cached(spark, wdir, docs)
+    assert _jaccard_pairs_cached(spark, wdir, docs) is a  # hit
+
+    # touching the file replaces the slot instead of adding a key
+    n_slots = len(_PAIRS_CACHE)
+    os.utime(work, ns=(1, 1))
+    b = _jaccard_pairs_cached(spark, wdir, docs)
+    assert b is not a
+    assert len(_PAIRS_CACHE) == n_slots  # replaced, not accumulated
+
+    # a different applicationId (fresh context) also invalidates
+    meta, _ = _PAIRS_CACHE[work]
+    _PAIRS_CACHE[work] = (("dead-app-id",) + meta[1:], b)
+    c = _jaccard_pairs_cached(spark, wdir, docs)
+    assert c is not b and len(_PAIRS_CACHE) == n_slots
