@@ -153,3 +153,14 @@ def test_knn_family_pair_join_broadcasts(plans):
         assert "SortMergeJoin" not in plans[name], (
             f"{name}: pair join fell back to SortMergeJoin"
         )
+
+
+def test_plan_audit_notes_keys_are_catalog_entries():
+    """Every curated PLANS.md note must name a live catalog entry —
+    a rename would otherwise silently drop its note from the next
+    --markdown regeneration (review r04)."""
+    import __spark_entry__ as m
+    from tools.plan_audit import NOTES
+
+    stale = set(NOTES) - set(m.queries())
+    assert not stale, f"NOTES keys without catalog entries: {sorted(stale)}"

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from wistia_data_pipeline_project_spark.operators.timeseries import (
     resample_daily_ffill,
 )
@@ -146,14 +148,17 @@ def test_time_decay_quantized_overflow_gates_at_decimal_capacity(spark):
     assert got_d[2]["channel"] == "click" and got_d[2]["credit"] == 1.0
 
 
-def test_time_decay_quantized_sum_overflow_headroom(spark):
+@pytest.mark.parametrize("days", [90, 105])
+def test_time_decay_quantized_sum_overflow_headroom(spark, days):
     """The window SUM must not overflow even when every individual
-    weight fits decimal(38,6): several ~max-weight touches summed
-    crashed the ANSI window aggregate when the per-row gate sat at
-    the bare decimal capacity (review r04). The gate reserves 6
-    digits of summation headroom, so touches at ~90 doublings (each
-    ~2.5e27, fine for the decimal alone) now flag the purchase
-    instead of letting three of them sum toward the edge."""
+    weight fits decimal(38,6). At 105 days (expo ~105 < the old
+    per-row gate of ~105.3) each of three weights passed the cast at
+    ~4.1e31 and their window SUM of ~1.2e32 crashed the ANSI window
+    aggregate (review r04) — the 'must not raise' below pins that on
+    revert. The gate now reserves 6 digits of summation headroom
+    (~85 doublings), so both the 90-day band (newly flagged) and the
+    105-day band (previously crashing) report decay_overflow instead
+    of wrong numbers or a SparkArithmeticException."""
     from wistia_data_pipeline_project_spark.operators.timeseries import (
         time_decay_attribution,
     )
@@ -161,13 +166,13 @@ def test_time_decay_quantized_sum_overflow_headroom(spark):
     T = dt.datetime
     base = T(2024, 1, 1)
     rows = [{"event_id": 0, "user_id": 1, "ts": base, "event_type": "view"}]
-    # three clicks ~90 doublings past B, 1h apart, purchase 1h later
+    # three clicks `days` past B, 1h apart, purchase 1h later
     for i, hrs in enumerate((0, 1, 2)):
         rows.append(
             {
                 "event_id": 1 + i,
                 "user_id": 1,
-                "ts": base + dt.timedelta(days=90, hours=hrs),
+                "ts": base + dt.timedelta(days=days, hours=hrs),
                 "event_type": "click",
             }
         )
@@ -175,15 +180,70 @@ def test_time_decay_quantized_sum_overflow_headroom(spark):
         {
             "event_id": 4,
             "user_id": 1,
-            "ts": base + dt.timedelta(days=90, hours=3),
+            "ts": base + dt.timedelta(days=days, hours=3),
             "event_type": "purchase",
         }
     )
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, ts timestamp, event_type string"
     )
-    # must not raise (the old gate let each weight through the cast
-    # and the window SUM threw NUMERIC_VALUE_OUT_OF_RANGE under ANSI)
+    # must not raise
     out = {r["event_id"]: r for r in time_decay_attribution(df, quantize=6).collect()}
     assert out[4]["decay_overflow"] is True
     assert out[4]["credit"] is None and out[4]["weight"] is None
+
+
+def test_time_decay_entry_matches_oracle_in_gated_band(spark, tmp_path):
+    """The 85-105-doubling band is where the operator's quantized
+    gate fires but every individual weight still fits decimal(38,6):
+    the entry's DuckDB oracle must replay the gate or it computes
+    real credits where Spark reports flagged NULLs (review r04).
+    Micro-fixture parity: one user in the gated band, one healthy."""
+    import duckdb
+    import pandas as pd
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+
+    T = dt.datetime
+    base = T(2024, 1, 1)
+    rows = []
+
+    def ev(eid, uid, ts, typ):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": typ,
+                "value": 1.0,
+                "props": "{}",
+            }
+        )
+
+    # user 1: span ~90 doublings -> gated on Spark, must also gate in SQL
+    ev(0, 1, base, "view")
+    ev(1, 1, base + dt.timedelta(days=90), "click")
+    ev(2, 1, base + dt.timedelta(days=90, hours=3), "purchase")
+    # user 2: healthy 3-day window with two channels
+    ev(3, 2, base, "click")
+    ev(4, 2, base + dt.timedelta(days=1), "view")
+    ev(5, 2, base + dt.timedelta(days=2), "purchase")
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/events.parquet")
+
+    sdf = QUERIES["events_time_decay_attribution"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["events_time_decay_attribution"]).df()
+    assert not compare("events_time_decay_attribution", sdf, ddf)
+    # the gated purchase lands in 'organic' with a NULL (skipped)
+    # credit contribution on BOTH engines
+    by_ch = {r["channel"]: r for _, r in sdf.iterrows()}
+    assert by_ch["organic"]["n_purchases"] == 1

@@ -308,7 +308,11 @@ def time_decay_attribution(
     # N in-capacity weights can sum past the decimal. Reserve
     # _SUM_HEADROOM decimal digits of summation room in the per-row
     # gate, and flag any window with more than 10^_SUM_HEADROOM
-    # non-null weights (unreachable in practice, airtight in theory).
+    # in-window touch weights. Together these keep the quantized path
+    # crash-free and flagged for any window of up to 10^6 touch rows;
+    # beyond that count AND near-max weights both engines raise on
+    # the sum itself (the aggregate evaluates before any flag can
+    # suppress it) — a regime no real attribution window approaches.
     _SUM_HEADROOM = 6
     if quantize is not None:
         qd = f"decimal(38,{quantize})"
@@ -348,9 +352,22 @@ def time_decay_attribution(
         ).over(w)
         for i, typ in enumerate(touch_types)
     }
-    # count of non-null weights in the frame: pairs with the per-row
-    # gate to bound the window SUM (see _SUM_HEADROOM above)
-    sums["_n_win"] = F.count(F.col("_w")).over(w)
+    # The purchase row's OWN gate subsumes a per-touch window check:
+    # expo is strictly increasing in _us within a key and every frame
+    # row precedes the purchase, so a past-bound touch implies a
+    # past-bound purchase — no windowed any-overflow aggregate needed.
+    bad = F.col("_overflow_row")
+    if quantize is not None:
+        # decimal-SUM safety only (the double path has 2^124 of
+        # summation headroom and needs no count guard): count the
+        # frame's summed TOUCH weights — non-touch rows never enter
+        # a sum — and flag past the reserved headroom. Conservative
+        # on magnitude (10^6 small weights can't overflow either),
+        # which errs toward flagging, never toward a wrong credit.
+        sums["_n_win"] = F.count(
+            F.when(F.col(type_col).isin(*touch_types), F.col("_w"))
+        ).over(w)
+        bad = bad | (F.col("_n_win") > F.lit(10 ** _SUM_HEADROOM))
     counted = t.withColumns(sums)
     s_total = None
     for i in range(len(touch_types)):
@@ -358,13 +375,6 @@ def time_decay_attribution(
         s_total = c if s_total is None else s_total + c
     p = counted.filter(F.col(type_col) == purchase_type).withColumn(
         "_s_total", s_total
-    )
-    # The purchase row's OWN gate subsumes a per-touch window check:
-    # expo is strictly increasing in _us within a key and every frame
-    # row precedes the purchase, so a past-bound touch implies a
-    # past-bound purchase — no windowed any-overflow aggregate needed.
-    bad = F.col("_overflow_row") | (
-        F.col("_n_win") > F.lit(10 ** _SUM_HEADROOM)
     )
     unscale = F.pow(F.lit(2.0), -(F.col("_us") - F.col("_b")) / F.lit(h_us))
     # single-pass explode + codegen filter (see linear_attribution)

@@ -61,14 +61,18 @@ JACCARD_SQL = """
 """
 
 # The capped derivation ENDING AT the thresholded SCORED pair list
-# ``pairs(da, db, n_inter, jaccard)`` — THE single definition of the
-# width-7 shingles / df>1000 cap / 0.8 threshold rule replayed from
-# ``dedup._pair_intersections``. Every consumer composes it: the
-# graph oracles (keep-best dedup, leakage-safe split, triangle
-# stats, pagerank) as ``"WITH RECURSIVE " + JACCARD_PAIR_CTES + ",
-# <downstream CTEs...>"``, and the scored-list JACCARD_CAPPED_SQL
-# below as a thin SELECT — so a future cap/width/threshold change
-# cannot desync one family of oracles from the other.
+# ``pairs(da, db, n_inter, jaccard)`` — the single definition of the
+# CAPPED rule (width-7 shingles / df>1000 cap / 0.8 threshold,
+# replaying ``dedup._pair_intersections``) for the seven entries
+# that consume it: the graph oracles (keep-best dedup, leakage-safe
+# split, triangle stats, pagerank) compose ``"WITH RECURSIVE " +
+# JACCARD_PAIR_CTES + ", <downstream CTEs...>"``, and the
+# scored-list JACCARD_CAPPED_SQL below is a thin SELECT — so a
+# future cap/width/threshold change cannot desync one family of
+# CAPPED oracles from the other. The UNCAPPED JACCARD_SQL above
+# (minhash / prefix-join oracles, where the cap must NOT apply) is a
+# deliberately separate shape — touch both when changing the shared
+# shingling itself.
 JACCARD_PAIR_CTES = """t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM documents

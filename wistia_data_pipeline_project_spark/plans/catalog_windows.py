@@ -1178,16 +1178,24 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM e),
     b AS (SELECT *, MIN(us) OVER (PARTITION BY user_id) AS bs FROM t),
     wq AS (
+      -- the operator's quantized overflow gate replayed: weights
+      -- past (38-6-6)*log2(10)-1 doublings NULL instead of casting
+      -- (summation-headroom bound; see time_decay_attribution)
       SELECT *,
-             CAST(ROUND(POW(2e0, CAST(us - bs AS DOUBLE) / 8.64e10), 6)
-                  AS DECIMAL(38,6)) AS w
+             CASE WHEN CAST(us - bs AS DOUBLE) / 8.64e10
+                       > 85.37013046707142 THEN NULL
+                  ELSE CAST(ROUND(POW(2e0, CAST(us - bs AS DOUBLE)
+                                           / 8.64e10), 6)
+                            AS DECIMAL(38,6)) END AS w
       FROM b
     ),
     c AS (
       SELECT event_type, us, bs,
              SUM(CASE WHEN event_type = 'click' THEN w END) OVER win AS s0,
              SUM(CASE WHEN event_type = 'view' THEN w END) OVER win AS s1,
-             SUM(CASE WHEN event_type = 'signup' THEN w END) OVER win AS s2
+             SUM(CASE WHEN event_type = 'signup' THEN w END) OVER win AS s2,
+             COUNT(CASE WHEN event_type IN ('click', 'view', 'signup')
+                        THEN w END) OVER win AS n_win
       FROM wq
       WINDOW win AS (PARTITION BY user_id ORDER BY us
                      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)
@@ -1198,11 +1206,13 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(s1, 0::DECIMAL(38,6)) AS s1,
              COALESCE(s2, 0::DECIMAL(38,6)) AS s2,
              COALESCE(s0, 0::DECIMAL(38,6)) + COALESCE(s1, 0::DECIMAL(38,6))
-               + COALESCE(s2, 0::DECIMAL(38,6)) AS st
+               + COALESCE(s2, 0::DECIMAL(38,6)) AS st,
+             (CAST(us - bs AS DOUBLE) / 8.64e10 > 85.37013046707142
+              OR n_win > 1000000) AS bad
       FROM c WHERE event_type = 'purchase'
     ),
     x AS (
-      SELECT u.ch AS channel, u.s AS s, st, us, bs
+      SELECT u.ch AS channel, u.s AS s, st, us, bs, bad
       FROM p, unnest([{'ch': 'click', 's': s0}, {'ch': 'view', 's': s1},
                       {'ch': 'signup', 's': s2},
                       {'ch': 'organic', 's': CAST(-1 AS DECIMAL(38,6))}])
@@ -1211,13 +1221,15 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT channel,
            COUNT(*) AS n_purchases,
-           CAST(SUM(CASE WHEN channel = 'organic'
+           CAST(SUM(CASE WHEN bad THEN NULL
+                         WHEN channel = 'organic'
                          THEN CAST(1 AS DECIMAL(18,6))
                          ELSE CAST(ROUND(CAST(s AS DOUBLE)
                                          / CAST(st AS DOUBLE), 6)
                                    AS DECIMAL(18,6)) END)
                 AS DOUBLE) AS credit_sum,
-           CAST(SUM(CASE WHEN channel = 'organic'
+           CAST(SUM(CASE WHEN bad THEN NULL
+                         WHEN channel = 'organic'
                          THEN CAST(0 AS DECIMAL(18,6))
                          ELSE CAST(ROUND(CAST(s AS DOUBLE)
                                          * POW(2e0, -CAST(us - bs AS DOUBLE)
