@@ -19,11 +19,20 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+# docs_ngram_jaccard runs FIRST deliberately: it materializes the
+# shared scored-pair checkpoint (_jaccard_pairs_cached) at each
+# scale, so its row measures the pair-join cost and the later graph
+# consumers (keep_best, leakage, triangles, pagerank) measure their
+# own downstream stage — the session steady state a production
+# pipeline would see.
 DEFAULT_ENTRIES = [
     "docs_ngram_jaccard",
     "docs_minhash_near_dup",
     "docs_prefix_jaccard",
     "docs_dedup_keep_best",
+    "docs_leakage_safe_split",
+    "docs_triangle_stats",
+    "docs_pagerank",
     "emb_semdedup",
     "emb_hard_negatives",
     "emb_knn_join",
