@@ -21,8 +21,28 @@ each key's span and carries observations forward. Design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+# Decimal digits of summation room the quantized time-decay path
+# reserves below decimal(38,q) capacity; windows with more than
+# 10^DECAY_SUM_HEADROOM touch weights flag decay_overflow instead.
+# Shared with the catalog oracle so both gates stay bit-identical.
+DECAY_SUM_HEADROOM = 6
+
+
+def decay_overflow_limit(quantize: int | None) -> float:
+    """The per-row exponent bound (in halflife doublings) past which
+    ``time_decay_attribution`` NULLs the weight and flags the window:
+    2^900 for the double path, the decimal capacity minus
+    ``DECAY_SUM_HEADROOM`` digits (and a -1 rounding-carry margin)
+    when quantized. The catalog oracle interpolates this EXACT double
+    so the SQL gate matches bit-for-bit."""
+    if quantize is None:
+        return 900.0
+    return min(900.0, (38 - quantize - DECAY_SUM_HEADROOM) * math.log2(10) - 1.0)
 
 
 def resample_daily_ffill(
@@ -294,8 +314,6 @@ def time_decay_attribution(
         raise ValueError("touch_types must not be empty")
     from pyspark.sql import Window as W
 
-    import math
-
     h_us = halflife_hours * 3600.0 * 1e6
     us = F.unix_micros(F.col(ts_col))
     lookback_us = lookback_days * 86400000000
@@ -306,28 +324,21 @@ def time_decay_attribution(
     raw_w = F.pow(F.lit(2.0), expo)
     # The window SUM is what must not overflow, not just each weight:
     # N in-capacity weights can sum past the decimal. Reserve
-    # _SUM_HEADROOM decimal digits of summation room in the per-row
-    # gate, and flag any window with more than 10^_SUM_HEADROOM
-    # in-window touch weights. Together these keep the quantized path
-    # crash-free and flagged for any window of up to 10^6 touch rows;
-    # beyond that count AND near-max weights both engines raise on
-    # the sum itself (the aggregate evaluates before any flag can
-    # suppress it) — a regime no real attribution window approaches.
-    _SUM_HEADROOM = 6
+    # DECAY_SUM_HEADROOM decimal digits of summation room in the
+    # per-row gate (decay_overflow_limit — decimal(38,q) holds
+    # < 10^(38-q); an out-of-range value throws on the cast under
+    # ANSI, the session default, or NULLs silently without it, where
+    # SUM would skip the touch), and flag any window with more than
+    # 10^DECAY_SUM_HEADROOM touch weights. Together these keep the
+    # quantized path crash-free and flagged for any window of up to
+    # 10^6 touch rows; beyond that count AND near-max weights both
+    # engines raise on the sum itself (the aggregate evaluates
+    # before any flag can suppress it) — a regime no real
+    # attribution window approaches.
+    overflow_limit = decay_overflow_limit(quantize)
+    overflow = expo > F.lit(overflow_limit)
     if quantize is not None:
         qd = f"decimal(38,{quantize})"
-        # decimal(38,q) holds < 10^(38-q); an out-of-range value
-        # throws on the cast under ANSI (the session default) or
-        # NULLs silently without it, where SUM would skip the touch —
-        # gate each row at the decimal capacity MINUS the summation
-        # headroom (the -1 margin absorbs the round()'s carry at the
-        # boundary), so even 10^6 max-weight touches cannot push the
-        # window SUM past decimal(38,q)
-        overflow_limit = min(
-            900.0,
-            (38 - quantize - _SUM_HEADROOM) * math.log2(10) - 1.0,
-        )
-        overflow = expo > F.lit(overflow_limit)
         # cast only in-capacity weights: past-bound rows carry NULL
         # and are accounted for via the _overflow_row flag instead
         raw_w = F.when(~overflow, F.round(raw_w, quantize).cast(qd))
@@ -335,9 +346,7 @@ def time_decay_attribution(
         neg_one = F.lit(-1).cast(qd)
     else:
         # double's finite range ends at 2^1024; capping rows at 2^900
-        # leaves 2^124 of summation headroom — no count can reach it
-        overflow_limit = 900.0
-        overflow = expo > F.lit(overflow_limit)
+        # leaves 2^124 of summation headroom — no count can reach it.
         # NULL past-bound weights here too: 2^expo would reach inf
         # and poison the window sums with inf/NaN arithmetic instead
         # of the flagged-NULL contract
@@ -367,7 +376,7 @@ def time_decay_attribution(
         sums["_n_win"] = F.count(
             F.when(F.col(type_col).isin(*touch_types), F.col("_w"))
         ).over(w)
-        bad = bad | (F.col("_n_win") > F.lit(10 ** _SUM_HEADROOM))
+        bad = bad | (F.col("_n_win") > F.lit(10 ** DECAY_SUM_HEADROOM))
     counted = t.withColumns(sums)
     s_total = None
     for i in range(len(touch_types)):

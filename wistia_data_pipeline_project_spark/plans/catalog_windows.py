@@ -1171,19 +1171,31 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_time_decay_attribution",
-    oracle=E_CTE
-    + """,
+def _time_decay_oracle() -> str:
+    """Built by interpolating the operator's OWN gate constants
+    (``decay_overflow_limit(6)`` / ``10**DECAY_SUM_HEADROOM``) so the
+    SQL gate can never desync from the Spark gate — repr() of the
+    double reproduces it bit-for-bit in DuckDB."""
+    limit = repr(TS.decay_overflow_limit(6))
+    n_max = str(10 ** TS.DECAY_SUM_HEADROOM)
+    return (
+        E_CTE
+        + _TIME_DECAY_SQL.replace("__LIMIT__", limit).replace(
+            "__NMAX__", n_max
+        )
+    )
+
+
+_TIME_DECAY_SQL = """,
     t AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM e),
     b AS (SELECT *, MIN(us) OVER (PARTITION BY user_id) AS bs FROM t),
     wq AS (
-      -- the operator's quantized overflow gate replayed: weights
-      -- past (38-6-6)*log2(10)-1 doublings NULL instead of casting
-      -- (summation-headroom bound; see time_decay_attribution)
+      -- the operator's quantized overflow gate replayed from its
+      -- own constants (decay_overflow_limit(6), interpolated by
+      -- _time_decay_oracle): past-bound weights NULL, not cast
       SELECT *,
              CASE WHEN CAST(us - bs AS DOUBLE) / 8.64e10
-                       > 85.37013046707142 THEN NULL
+                       > __LIMIT__ THEN NULL
                   ELSE CAST(ROUND(POW(2e0, CAST(us - bs AS DOUBLE)
                                            / 8.64e10), 6)
                             AS DECIMAL(38,6)) END AS w
@@ -1207,8 +1219,8 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(s2, 0::DECIMAL(38,6)) AS s2,
              COALESCE(s0, 0::DECIMAL(38,6)) + COALESCE(s1, 0::DECIMAL(38,6))
                + COALESCE(s2, 0::DECIMAL(38,6)) AS st,
-             (CAST(us - bs AS DOUBLE) / 8.64e10 > 85.37013046707142
-              OR n_win > 1000000) AS bad
+             (CAST(us - bs AS DOUBLE) / 8.64e10 > __LIMIT__
+              OR n_win > __NMAX__) AS bad
       FROM c WHERE event_type = 'purchase'
     ),
     x AS (
@@ -1237,8 +1249,10 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    AS DECIMAL(18,6)) END)
                 AS DOUBLE) AS weight_sum
     FROM x GROUP BY channel
-    """,
-)
+    """
+
+
+@query("events_time_decay_attribution", oracle=_time_decay_oracle())
 def events_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME-DECAY multi-touch attribution rollup (24 h half-life,
     7-day lookback): each window touch carries 2^(−age/halflife),
