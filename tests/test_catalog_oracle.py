@@ -33,3 +33,13 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     ddf = duck.sql(ORACLES[name]).df()
     issues = compare(name, sdf, ddf)
     assert not issues, f"{name}: {issues}"
+
+
+def test_oracles_are_fully_rendered_sql():
+    """Builder-generated oracles (e.g. the time-decay gate
+    interpolation) must leave no template tokens behind — an
+    unrendered __TOKEN__ would surface as a cryptic DuckDB parse
+    error in the driver's gate instead of a test failure here."""
+    for name, sql in ORACLES.items():
+        assert isinstance(sql, str) and sql.strip(), name
+        assert "__" not in sql, f"{name}: unrendered template token"
