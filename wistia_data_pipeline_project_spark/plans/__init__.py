@@ -8,15 +8,18 @@ so iteration order decides which entries get a fresh
 
 The ordering is COMPUTED from the committed ``CORRECTNESS_r*.json``
 files (written by the driver each round) rather than hand-kept lists:
-entries sort by (times driver-green ascending, round of most recent
-green ascending, catalog registration order). Consequences:
+entries sort by (round of most recent green ascending, times
+driver-green ascending, catalog registration order) — staleness
+first, so the cohort whose evidence is oldest rotates back through
+the window as a block. Consequences:
 
-* a brand-new entry has zero green rounds -> lands at the FRONT of
-  the window and gets a driver row in its first round;
+* a brand-new entry has zero green rounds (last-green 0) -> lands at
+  the FRONT of the window and gets a driver row in its first round;
 * an entry that errored or hash-mismatched re-enters the front until
   it goes green;
-* well-established entries (multiple green rounds, recent evidence)
-  rotate past the window edge first.
+* among equally-stale entries, the less-validated (fewer greens)
+  go first; well-established recent entries rotate past the window
+  edge first.
 
 An import-time assert fails when the count of never-green entries
 exceeds the 50-entry window — the signal to stop adding catalog
@@ -82,7 +85,7 @@ def _priority_order(names: list[str]) -> list[str]:
 
     def key(n: str):
         g = greens.get(n, [])
-        return (len(g), g[-1] if g else 0, insertion[n])
+        return (g[-1] if g else 0, len(g), insertion[n])
 
     order = sorted(names, key=key)
     # The backlog guard only means something against real driver
