@@ -135,6 +135,31 @@ def attach_fake_assets(df: DataFrame, key_col: str = "doc_id", text_col: str = "
     )
 
 
+def attach_fake_thumbnails(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text",
+    width: int = 16, height: int = 12,
+) -> DataFrame:
+    """Uniform-geometry image-asset table (every row a width×height
+    thumbnail whose raster tiles the text bytes). The fixed geometry
+    mirrors a real thumbnail pipeline — and makes near-dup TEXTS yield
+    near-dup RASTERS, so perceptual-hash pairing has signal to find
+    (under ``attach_fake_assets``'s key-derived geometry, near-dup
+    payloads get different dims and can never pair)."""
+    return df.select(
+        F.col(key_col).alias("asset_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(3).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def fake_decode(payload: bytes, width: int, height: int, n_channels: int = 3) -> np.ndarray:
     """Deterministic fake raster: payload bytes tiled into (h, w, c)
     uint8. Stands in for a codec; same contract (HWC uint8 array)."""
@@ -348,10 +373,16 @@ AHASH_SCHEMA = T.StructType(
 
 def average_hash(assets: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFrame:
     """Perceptual average-hash per image (the classic aHash): decode →
-    grayscale (channel mean) → nearest-resize to hash_w×hash_h →
+    nearest-resize to hash_w×hash_h → grayscale (channel sum) →
     threshold each cell at the grid mean → pack row-major into a
     64-bit code. Near-identical images (small crops/noise) land within
     a few Hamming bits — the image-side analogue of SimHash for text.
+
+    The threshold is computed in EXACT integer arithmetic
+    (``n_cells * cell_sum > total_sum`` over the raw channel sums, an
+    equivalent rewrite of "cell mean above grid mean") so the bit
+    pattern is engine-neutral — a SQL oracle replays it with integer
+    comparisons, with no IEEE summation-order ambiguity at ties.
 
     Output is 16 bytes per image; payloads never shuffle. Same
     Arrow-batch + Spark-side media_type pruning as image_features.
@@ -368,9 +399,9 @@ def average_hash(assets: DataFrame, hash_w: int = 8, hash_h: int = 8) -> DataFra
                 if meta["media_type"] != "image":
                     continue
                 arr = decode_payload(payload, meta)
-                gray = arr.astype(np.float64).mean(axis=2)
-                small = _nearest_resize(gray[:, :, None], hash_w, hash_h)[:, :, 0]
-                bits = (small > small.mean()).ravel()
+                small = _nearest_resize(arr, hash_w, hash_h)
+                cell = small.astype(np.int64).sum(axis=2)
+                bits = (cell.size * cell > cell.sum()).ravel()
                 code = 0
                 for i, b in enumerate(bits):
                     if b:

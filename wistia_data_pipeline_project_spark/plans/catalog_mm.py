@@ -135,6 +135,69 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm_image_near_dup",
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, text, length(text) AS len, 16 AS w, 12 AS h
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, yi * 8 + xi AS i,
+             ascii(substr(text,
+               ((((yi*h)//8)*w + (xi*w)//8)*3 + 0) % len + 1, 1))
+           + ascii(substr(text,
+               ((((yi*h)//8)*w + (xi*w)//8)*3 + 1) % len + 1, 1))
+           + ascii(substr(text,
+               ((((yi*h)//8)*w + (xi*w)//8)*3 + 2) % len + 1, 1)) AS s
+      FROM img,
+           unnest(generate_series(0, 7)) AS ty(yi),
+           unnest(generate_series(0, 7)) AS tx(xi)
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             CASE WHEN 64 * s > SUM(s) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM cells
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN i < 16 THEN bit << i ELSE 0 END) AS b0,
+             SUM(CASE WHEN i BETWEEN 16 AND 31
+                      THEN bit << (i - 16) ELSE 0 END) AS b1,
+             SUM(CASE WHEN i BETWEEN 32 AND 47
+                      THEN bit << (i - 32) ELSE 0 END) AS b2,
+             SUM(CASE WHEN i >= 48 THEN bit << (i - 48) ELSE 0 END) AS b3
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual aHash Hamming ≤ 3 through
+    the full Arrow decode → integer-threshold hash → pigeonhole block
+    join pipeline (VERDICT r04 item 2 — the last LLM-operator family
+    member without driver evidence). Runs over uniform 16×12
+    thumbnails of every document (``attach_fake_thumbnails``: fixed
+    geometry is what gives near-dup payloads pairable rasters). At
+    Hamming ≤ 3 the 4×16-bit pigeonhole blocking is LOSSLESS, so the
+    brute-force all-pairs SQL replay (hash recomputed from the tiled
+    fake raster's gather indices, exact integer mean-threshold — see
+    ``average_hash``) must match the blocked Spark pipeline exactly.
+    Hamming verify is two codegen'd ops per candidate on both
+    engines."""
+    thumbs = M.attach_fake_thumbnails(load_table(spark, sf_dir, "documents"))
+    return M.image_near_dup_pairs(thumbs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
 def _fake_wistia_media(docs: DataFrame) -> DataFrame:
     """Wistia-media-shaped rows (hashed_id + assets array<struct>)
     derived deterministically from ``documents`` so the REAL
