@@ -168,6 +168,35 @@ def test_fact_fold_matches_golden(spark, events_df, dim_media, legacy):
 
 
 @pytest.mark.parametrize("legacy", [False, True])
+def test_fact_fold_scan_matches_fold_bitexact(spark, events_df, dim_media, legacy):
+    """The partition-scan fold (mapInPandas + carry buffer) must be
+    BIT-IDENTICAL to the grouped-map fold — same _fold_group state
+    machine, different batching — and invariant to the shuffle width
+    (group↔batch boundaries move with partition count; the carry
+    stitching must hide that entirely)."""
+    from wistia_data_pipeline_project_spark.operators.fact import (
+        fact_media_engagement_fold_scan,
+    )
+
+    fdf = fact_media_engagement_fold(events_df, dim_media, RUN_TS, legacy)
+    f = {(r.media_id, r.visitor_id, r.date): r.asDict() for r in fdf.collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for n_part in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            sdf = fact_media_engagement_fold_scan(
+                events_df, dim_media, RUN_TS, legacy
+            )
+            s = {
+                (r.media_id, r.visitor_id, r.date): r.asDict()
+                for r in sdf.collect()
+            }
+            assert s == f, f"shuffle.partitions={n_part}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("legacy", [False, True])
 def test_fact_window_matches_fold(spark, events_df, dim_media, legacy):
     """Dual-implementation cross-check (SURVEY §5 item 3): the native
     window formulation must agree with the sequential fold."""

