@@ -750,3 +750,25 @@ def test_knn_join_regime_auto_select_and_parity(spark):
     assert _parse_size_bytes("1p") == 1 << 50  # full byteStringAs set
     assert _parse_size_bytes("2pb") == 2 << 50
     assert _parse_size_bytes("-1") == -1
+
+
+def test_jaccard_pair_list_invariant_to_shuffle_width(spark, sf_dir):
+    """The scored pair list feeding seven hash-gated catalog entries
+    (``plans.catalog_docs._jaccard_pairs_cached``) must be IDENTICAL —
+    scores included — under different shuffle widths (VERDICT r04
+    item 6: the class of bug the r02 partitioning-dependent tie-break
+    fix caught). Runs the underlying computation directly so the
+    cache can't mask a partitioning sensitivity."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            results[n_part] = sorted(
+                (r.doc_a, r.doc_b, r.n_inter, r.jaccard)
+                for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results["4"] and results["4"] == results["32"]

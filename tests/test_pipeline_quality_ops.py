@@ -358,6 +358,26 @@ def test_bpe_encode_reproduces_training_segmentation(spark):
             i = j
 
 
+def test_bpe_encode_refuses_pathological_words(spark):
+    """The per-word merge replay is quadratic in word length, so the
+    max_word_len contract must be ENFORCED, not a docstring
+    (VERDICT r04 item 5): a whitespace-free blob raises with the
+    contract message; the same corpus passes under a raised bound."""
+    import pytest as _pytest
+
+    from wistia_data_pipeline_project_spark.operators.text import bpe_encode
+
+    blob = "x" * 600
+    docs = spark.createDataFrame(
+        [(0, "normal words here"), (1, blob)], "doc_id long, text string"
+    )
+    merges = [("x", "x", 2)]
+    with _pytest.raises(Exception, match="max_word_len"):
+        bpe_encode(docs, merges).collect()
+    ok = bpe_encode(docs, merges, max_word_len=1024).collect()
+    assert {r["doc_id"] for r in ok} == {0, 1}
+
+
 def test_vocab_overlap_sketch_tracks_exact_jaccard(spark, sf_dir):
     """Sketch-estimated pairwise vocabulary Jaccard must sit within
     sketch tolerance of the exact computation for every source pair

@@ -429,6 +429,7 @@ def bpe_encode(
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    max_word_len: int = 512,
 ) -> DataFrame:
     """Apply learned BPE merges (``bpe_train`` output) to tokenize:
     per whitespace word, start from characters and replay merges in
@@ -446,6 +447,13 @@ def bpe_encode(
     Scale: embarrassingly parallel single scan, no shuffle; encoding
     throughput is the Python-worker pool, the documented trade for a
     rule system no built-in expresses.
+
+    Contract (ENFORCED, VERDICT r04 item 5): the greedy replay is
+    O(n_merges × len²) per WORD — linear over a corpus of natural
+    words, quadratic-pathological on whitespace-free blobs (a 1 MB
+    base64 string is one "word"). Words longer than ``max_word_len``
+    raise rather than silently burning executor CPU; callers with
+    legitimate mega-tokens should pre-split or truncate upstream.
     """
     import pandas as pd
 
@@ -457,6 +465,13 @@ def bpe_encode(
         rk = bc.value
 
         def word_to_tokens(w: str) -> list[str]:
+            if len(w) > max_word_len:
+                raise ValueError(
+                    f"bpe_encode: {len(w)}-char word exceeds "
+                    f"max_word_len={max_word_len} — the greedy merge "
+                    "replay is quadratic per word; split or truncate "
+                    "whitespace-free blobs upstream"
+                )
             syms = list(w)
             while len(syms) >= 2:
                 best, best_i = None, -1
