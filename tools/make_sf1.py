@@ -84,7 +84,31 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
                  type=pa.list_(pa.float32())),
     )
     pq.write_table(tbl, f"{dst}/embeddings.parquet")
-    print(f"wrote {len(big)} docs, {len(bige)} vectors to {dst}")
+
+    # events: copy k offsets user_id by a disjoint stride (per-user
+    # attribution chains stay intact within a copy; the KEY cardinality
+    # scales 10x — the axis the attribution window sums shuffle on)
+    # and event_id by k*n_events (uniqueness). ts/type/value untouched,
+    # so every copy re-creates the same per-user touch structure.
+    ev = con.sql(f"SELECT * FROM read_parquet('{src}/events.parquet')").df()
+    n_ev = len(ev)
+    user_stride = int(ev["user_id"].max()) + 1
+    eparts = []
+    for k in range(n_copies):
+        c = ev.copy()
+        if k > 0:
+            c["user_id"] = c["user_id"] + k * user_stride
+            c["event_id"] = c["event_id"] + k * n_ev
+        eparts.append(c)
+    bigev = eparts[0] if n_copies == 1 else __import__("pandas").concat(eparts)
+    pq.write_table(
+        pa.Table.from_pandas(bigev, preserve_index=False),
+        f"{dst}/events.parquet",
+    )
+    print(
+        f"wrote {len(big)} docs, {len(bige)} vectors, "
+        f"{len(bigev)} events to {dst}"
+    )
 
 
 if __name__ == "__main__":

@@ -36,6 +36,12 @@ DEFAULT_ENTRIES = [
     "emb_semdedup",
     "emb_hard_negatives",
     "emb_knn_join",
+    # VERDICT r04 item 4: decimal window sums at 10x attribution keys
+    # (make_sf1 events offset user_id per copy) + sketch algebra at
+    # 10x token volume into the same group count
+    "events_linear_attribution",
+    "events_time_decay_attribution",
+    "docs_vocab_overlap",
 ]
 
 
