@@ -121,6 +121,15 @@ MATERIALIZING = {
     # merge list; the corpus-sized work all happens in the vocab
     # collapse + per-round vocab scans
     "docs_bpe_merges",
+    # aHash code table localCheckpoint'ed (16 B/image) so the
+    # pigeonhole self-join doesn't decode the corpus twice —
+    # executor-local, not a driver collect
+    "mm_image_near_dup",
+    # the expectation REPORT is by design a driver-assembled local
+    # relation: run_expectations collects only scalar metrics (one
+    # row per expectation) — the corpus-sized work is the single
+    # aggregate pass + anti-join underneath
+    "events_quality_contract",
 }
 
 

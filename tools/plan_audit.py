@@ -112,6 +112,9 @@ NOTES = {
     "events_time_decay_attribution": "same single key exchange; decimal window sums with summation-headroom overflow gate",
     "docs_bpe_merges": "corpus collapses once to the vocab table; rounds are driver-coordinated by design",
     "docs_bpe_encode": "merges broadcast as a rank dict; Arrow-batched scan, no pre-count shuffle",
+    "mm_image_near_dup": "aHash table localCheckpoint'ed (16 B/image) feeds both sides of the pigeonhole block join; payloads never shuffle",
+    "events_quality_contract": "per-row expectations fold into ONE agg pass; referential check is a broadcast anti-join; only scalar metrics move",
+    "events_stateful_watch_time": "partition-scan fold: one key-hashed exchange, sortWithinPartitions, mapInPandas with cross-batch carry",
 }
 
 

@@ -430,11 +430,13 @@ def image_near_dup_pairs(
     value) — Σ buckets |bucket|², never all-pairs; the exact Hamming
     verify is two codegen'd ops per candidate.
     """
-    # materialize the codes: the hash table feeds BOTH sides of the
-    # self-join, and leaving it lazy would inline the Python
+    # checkpoint the codes: the hash table feeds BOTH sides of the
+    # self-join, and an un-checkpointed plan would inline the Python
     # decode+hash pass into each side — the corpus would be decoded
-    # twice (the trap dedup.bucket_pairs documents). 16 bytes/image.
-    codes = average_hash(assets).localCheckpoint()
+    # twice (the trap dedup.bucket_pairs documents). 16 bytes/image;
+    # lazy (eager=False) so building/explaining the plan doesn't run
+    # the decode job — it materializes on the first action.
+    codes = average_hash(assets).localCheckpoint(eager=False)
     blocks = codes.select(
         "asset_id",
         "ahash",
