@@ -772,3 +772,72 @@ def test_jaccard_pair_list_invariant_to_shuffle_width(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert results["4"] and results["4"] == results["32"]
+
+
+def test_knn_shared_pairs_bit_identical_to_direct(spark, sf_dir):
+    """Both kNN-graph catalog entries rank ONE shared scored-pair
+    checkpoint (``plans.catalog_emb._knn_pairs_cached``). The cached
+    formulation must be bit-identical to each entry building its own
+    pair join — including the hard-negative mode, whose cross-label
+    predicate moves from the join into a post-filter (it commutes:
+    labels are functions of the keys)."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+    from wistia_data_pipeline_project_spark.plans import catalog_emb as CE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(CE._query_vec(spark, sf_dir, 0))
+    cent = CE._centroids_scaled(sf_dir, emb)
+    n = CE._nvec(sf_dir, emb)
+    key = lambda r: (r.vec_id, r.rank)  # noqa: E731
+
+    direct = sorted(
+        S.knn_join_blocked(emb, cent, k=3, n_assign=4, dim=dim, n_rows=n)
+        .collect(),
+        key=key,
+    )
+    cached = sorted(CE.emb_knn_join(spark, sf_dir).collect(), key=key)
+    assert direct and direct == cached
+
+    direct_neg = sorted(
+        S.knn_join_blocked(
+            emb, cent, k=3, n_assign=4, dim=dim,
+            neg_label_col="label", n_rows=n,
+        ).collect(),
+        key=key,
+    )
+    cached_neg = sorted(
+        CE.emb_hard_negatives(spark, sf_dir).collect(), key=key
+    )
+    assert direct_neg and direct_neg == cached_neg
+
+
+def test_knn_pair_list_invariant_to_shuffle_width(spark, sf_dir):
+    """The shared kNN scored-pair list must be IDENTICAL — sims
+    included — under different shuffle widths (the same
+    partitioning-independence contract the jaccard pair list pins):
+    the unrolled pair cosine is a fixed-order expression and the
+    distinct is value-based, so no partitioning may leak into the
+    result. Runs the builder directly so the cache can't mask it."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+    from wistia_data_pipeline_project_spark.plans import catalog_emb as CE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(CE._query_vec(spark, sf_dir, 0))
+    cent = CE._centroids_scaled(sf_dir, emb)
+    n = CE._nvec(sf_dir, emb)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            results[n_part] = sorted(
+                (r.vec_id, r.neighbor_id, r.cosine_sim,
+                 r.vec_label, r.neighbor_label)
+                for r in S.knn_candidate_pairs(
+                    emb, cent, n_assign=4, dim=dim,
+                    label_col="label", carry_labels=True, n_rows=n,
+                ).collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results["4"] and results["4"] == results["32"]

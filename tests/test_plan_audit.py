@@ -60,14 +60,34 @@ def test_dim_chain_broadcasts_customer_may_shuffle(plans, name):
 
 
 def test_knn_join_pair_loop_stays_parallel(spark, sf_dir):
-    """emb_knn_join's candidate-pair cosine loop must run as an AQE
+    """The kNN candidate-pair cosine loop must run as an AQE
     broadcast join probed through the explicit round-robin repartition
     (the parallelism carrier): statically Spark plans a sort-merge
     join, and without the user repartition AQE coalesces the tiny
     exchange and serializes the hot loop (the measured 141 s
     pathology) — so the assertion reads the FINAL adaptive plan after
-    execution, not the static one."""
-    df = QUERIES["emb_knn_join"](spark, sf_dir)
+    execution, not the static one. Drives the pair BUILDER directly
+    (the catalog entries rank a localCheckpoint'ed shared pair list,
+    whose consumer plans are just Scan ExistingRDD + Window — the
+    hot loop lives in the builder)."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _centroids_scaled,
+        _nvec,
+        _query_vec,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.knn_candidate_pairs(
+        emb,
+        _centroids_scaled(sf_dir, emb),
+        n_assign=4,
+        dim=len(_query_vec(spark, sf_dir, 0)),
+        label_col="label",
+        carry_labels=True,
+        n_rows=_nvec(sf_dir, emb),
+    )
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
@@ -130,6 +150,11 @@ MATERIALIZING = {
     # row per expectation) — the corpus-sized work is the single
     # aggregate pass + anti-join underneath
     "events_quality_contract",
+    # consume the shared _knn_pairs_cached checkpoint (the scored
+    # kNN candidate-pair list ranked by both entries — candidate-pair
+    # volume, executor-local, not a driver collect)
+    "emb_knn_join",
+    "emb_hard_negatives",
 }
 
 
@@ -150,18 +175,40 @@ def test_no_collect_in_query_builders(plans):
         )
 
 
-def test_knn_family_pair_join_broadcasts(plans):
+def test_knn_family_pair_join_broadcasts(spark, sf_dir):
     """The small-N pair-join regime is PINNED to broadcast for the
-    kNN-shape entries (emb_knn_join, emb_hard_negatives): the SMJ
-    fallback parallelizes by cell count, which bottoms out at 8 on
-    catalog corpora — AQE then coalesces the pair expansion to 1-2
-    tasks and the strategy flips run-to-run near the threshold
-    (measured 3.8s vs 12-15s). A SortMergeJoin appearing here means
-    the broadcast_pairs hint was lost."""
-    for name in ("emb_knn_join", "emb_hard_negatives"):
-        assert "SortMergeJoin" not in plans[name], (
-            f"{name}: pair join fell back to SortMergeJoin"
+    shared kNN pair builder (serving emb_knn_join and
+    emb_hard_negatives): the SMJ fallback parallelizes by cell count,
+    which bottoms out at 8 on catalog corpora — AQE then coalesces
+    the pair expansion to 1-2 tasks and the strategy flips run-to-run
+    near the threshold (measured 3.8s vs 12-15s). A SortMergeJoin
+    appearing here means the broadcast_pairs hint was lost. Audits
+    the builder's static plan (the catalog entries' own plans read
+    the shared checkpoint)."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _centroids_scaled,
+        _nvec,
+        _query_vec,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = formatted_plan(
+        S.knn_candidate_pairs(
+            emb,
+            _centroids_scaled(sf_dir, emb),
+            n_assign=4,
+            dim=len(_query_vec(spark, sf_dir, 0)),
+            label_col="label",
+            carry_labels=True,
+            n_rows=_nvec(sf_dir, emb),
         )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "kNN pair join fell back to SortMergeJoin"
+    )
 
 
 def test_plan_audit_notes_keys_are_catalog_entries():

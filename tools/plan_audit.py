@@ -68,7 +68,7 @@ def audit(name: str, plan: str) -> tuple[str, list[str]]:
 # annotations survive. No '|' characters (markdown cell).
 NOTES = {
     "docs_containment": "hot-shingle df cap adds a freq-agg + broadcast-anti subtree per branch; identical exchanges dedupe at runtime",
-    "emb_knn_join": "pair-join broadcast pinned (small-N regime; see SCALE.md)",
+    "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md)",
     "q2_min_cost_supplier": "SMJ is the min-cost join-back on pre-aggregated supply rows (AQE broadcasts at runtime)",
     "q11_important_parts": "BNLJ = the 1-row scalar-threshold broadcast",
     "q21_waiting_suppliers": "one shuffle computes all three per-order EXISTS facts",
@@ -94,7 +94,7 @@ NOTES = {
     "nation_yoy_revenue": "lag window over (nation,year) aggregate",
     "docs_dsir_weights": "256-row bucket LM broadcast; BNLJ = 1-row totals",
     "events_hll_rollup": "daily sketches merge map-side; exact branch gates the estimate",
-    "emb_hard_negatives": "knn-join shape + cross-label pair predicate; pair-join broadcast pinned",
+    "emb_hard_negatives": "cross-label filter + rank over the shared pair checkpoint; bit-identical to the pushed-down predicate",
     "docs_incremental_dedup": "anti/semi joins on 16-byte fingerprints; batch-proportional work",
     "emb_centroid_classify": "640-row centroid-dim broadcast; quantized-decimal means keep the argmax hash-exact",
     "orders_cohort_ltv": "(cohort,age) grid window is tiny; one orders shuffle",

@@ -559,61 +559,47 @@ def _pair_build_bytes(
     return int(min(int(stats), 1 << 60) * n_assign * 1.5)
 
 
-def knn_join_blocked(
+def knn_candidate_pairs(
     df: DataFrame,
     centroids: DataFrame,
-    k: int = 3,
     n_assign: int = 2,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     dim: int | None = None,
-    neg_label_col: str | None = None,
+    label_col: str | None = None,
+    carry_labels: bool = False,
     broadcast_pairs: bool | None = None,
     n_rows: int | None = None,
 ) -> DataFrame:
-    """Approximate KNN self-join (the kNN-graph builder behind semantic
-    dedup and diversity sampling): every vector gets its top-k cosine
-    neighbors among vectors sharing at least one of its ``n_assign``
-    nearest IVF cells.
+    """The scored candidate-pair stage of ``knn_join_blocked``: every
+    ordered pair of distinct vectors co-resident in at least one
+    probed IVF cell, with its exact cosine — (``vec_id``,
+    ``neighbor_id``, ``cosine_sim``), distinct.
 
-    The ANN structure is DECLARED, not incidental: candidates are
-    exactly "co-resident in some probed cell", so an oracle can replay
-    the same blocking and the result is bit-reproducible — recall vs
-    the exact kNN graph is a measured property (rises with n_assign),
-    not a correctness gamble.
+    Split out so SEVERAL consumers can rank the SAME pair list (the
+    ``_jaccard_pairs_cached`` pattern on the documents side): the pair
+    scoring — assignment cross-join, cell equi-join, unrolled cosine —
+    is the dominant cost of every kNN-shaped entry, and a production
+    pipeline persists this pair table once and fans the graph /
+    mining stages out from it.
 
-    Scale: 100 % JVM — multi-probe assignment is a broadcast
-    cross-join + per-key rank, candidates come from ONE equi-join
-    shuffled on the cell id (pair space Σ cells |cell|², never N²),
-    and top-k per vector is a bounded window over ≤ n_assign·max_cell
-    rows per vector. Pass ``dim`` to run the per-pair cosine as an
-    UNROLLED codegen chain with per-vector precomputed norms — the HOF
-    fold evaluates interpreted and at millions of pairs it dominates
-    the whole operator (measured 167 s → ~9 s at sf0.1, identical
-    bits); without ``dim`` the fold path is kept for unknown widths.
+    ``label_col`` modes:
+    - ``carry_labels=False`` (the single-consumer hard-negative path):
+      the cross-label predicate is pushed INTO the pair join, so
+      same-label cosines are never computed.
+    - ``carry_labels=True`` (the shared-cache path): no label
+      predicate; the pair list carries ``vec_label`` /
+      ``neighbor_label`` so consumers can filter after the fact.
+      Filtering commutes with scoring and with the distinct (labels
+      are functions of the keys), so a consumer that filters
+      ``vec_label != neighbor_label`` gets bit-identical rows to the
+      pushed-down path.
 
-    ``neg_label_col``: hard-negative mining mode (contrastive
-    training-data assembly) — candidate pairs are additionally
-    required to DISAGREE on this label column, so the result is each
-    vector's top-k most-similar cross-label neighbors (the hardest
-    negatives in its probed cells). Rows with a NULL label never form
-    pairs (SQL null-comparison semantics, identical in the oracle).
-
-    ``broadcast_pairs``: the pair join has two regimes — broadcast
-    (small corpora: the scaled cell count bottoms out at 8 and
-    SMJ/cell-count parallelism collapses, AQE coalesces the pair
-    expansion to 1-2 tasks and the strategy flips run-to-run near the
-    10 MB threshold, measured 3.8 s vs 12-15 s for the SAME plan at
-    sf0.1) and sort-merge on the cell id (production N: thousands of
-    cells, memory-safe, broadcasting would OOM the driver). By default
-    (``None``) the regime is CHOSEN AT PLAN-BUILD TIME from the
-    estimated build-side bytes (``_pair_build_bytes``: exact when the
-    caller passes its cached ``n_rows``, Catalyst sizeInBytes
-    otherwise) vs ``spark.sql.autoBroadcastJoinThreshold`` — and then
-    PINNED with an explicit broadcast/merge hint so AQE's runtime-size
-    re-decision can't flip it. Pass True/False to override.
+    See ``knn_join_blocked`` for the blocking declaration, the
+    ``dim``-unrolled cosine rationale, and the ``broadcast_pairs``
+    regime selection — all of which live here.
     """
-    label_cols = [neg_label_col] if neg_label_col else []
+    label_cols = [label_col] if label_col else []
     if broadcast_pairs is None:
         thr = _parse_size_bytes(
             df.sparkSession.conf.get(
@@ -692,29 +678,133 @@ def knn_join_blocked(
     pair_pred = (F.col("a.centroid_id") == F.col("b.centroid_id")) & (
         F.col(f"a.{key_col}") != F.col(f"b.{key_col}")
     )
-    if neg_label_col:
+    if label_col and not carry_labels:
         pair_pred = pair_pred & (
-            F.col(f"a.{neg_label_col}") != F.col(f"b.{neg_label_col}")
+            F.col(f"a.{label_col}") != F.col(f"b.{label_col}")
         )
-    cands = (
+    carried = (
+        [
+            F.col(f"a.{label_col}").alias("vec_label"),
+            F.col(f"b.{label_col}").alias("neighbor_label"),
+        ]
+        if label_col and carry_labels
+        else []
+    )
+    return (
         a.join(b, pair_pred)
         .select(
             F.col(f"a.{key_col}").alias("vec_id"),
             F.col(f"b.{key_col}").alias("neighbor_id"),
             pair_sim.alias("cosine_sim"),
+            *carried,
         )
         # a pair co-resident in BOTH probed cells appears twice with the
         # identical fold-computed sim — exact-duplicate rows, one survives
+        # (labels, when carried, are functions of the keys, so the wider
+        # distinct keeps exactly the same pair set)
         .distinct()
     )
+
+
+def knn_topk_from_pairs(
+    pairs: DataFrame, k: int = 3, cross_label_only: bool = False
+) -> DataFrame:
+    """Rank a scored candidate-pair list (``knn_candidate_pairs``
+    output) into each vector's top-k neighbors. With
+    ``cross_label_only`` the pair list must carry ``vec_label`` /
+    ``neighbor_label`` (``carry_labels=True``) and only disagreeing
+    pairs survive — NULL labels never pair, matching the pushed-down
+    predicate's SQL null semantics bit-for-bit.
+
+    Scale: a bounded window per vector over ≤ n_assign·max_cell rows —
+    the cheap tail of the kNN build, which is the point of caching the
+    pair list across consumers.
+    """
+    if cross_label_only:
+        pairs = pairs.filter(F.col("vec_label") != F.col("neighbor_label"))
     w_top = Window.partitionBy("vec_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        cands.withColumn("rank", F.row_number().over(w_top))
+        pairs.select("vec_id", "neighbor_id", "cosine_sim")
+        .withColumn("rank", F.row_number().over(w_top))
         .filter(F.col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "cosine_sim")
     )
+
+
+def knn_join_blocked(
+    df: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_assign: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    dim: int | None = None,
+    neg_label_col: str | None = None,
+    broadcast_pairs: bool | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Approximate KNN self-join (the kNN-graph builder behind semantic
+    dedup and diversity sampling): every vector gets its top-k cosine
+    neighbors among vectors sharing at least one of its ``n_assign``
+    nearest IVF cells.
+
+    The ANN structure is DECLARED, not incidental: candidates are
+    exactly "co-resident in some probed cell", so an oracle can replay
+    the same blocking and the result is bit-reproducible — recall vs
+    the exact kNN graph is a measured property (rises with n_assign),
+    not a correctness gamble.
+
+    Scale: 100 % JVM — multi-probe assignment is a broadcast
+    cross-join + per-key rank, candidates come from ONE equi-join
+    shuffled on the cell id (pair space Σ cells |cell|², never N²),
+    and top-k per vector is a bounded window over ≤ n_assign·max_cell
+    rows per vector. Pass ``dim`` to run the per-pair cosine as an
+    UNROLLED codegen chain with per-vector precomputed norms — the HOF
+    fold evaluates interpreted and at millions of pairs it dominates
+    the whole operator (measured 167 s → ~9 s at sf0.1, identical
+    bits); without ``dim`` the fold path is kept for unknown widths.
+
+    ``neg_label_col``: hard-negative mining mode (contrastive
+    training-data assembly) — candidate pairs are additionally
+    required to DISAGREE on this label column, so the result is each
+    vector's top-k most-similar cross-label neighbors (the hardest
+    negatives in its probed cells). Rows with a NULL label never form
+    pairs (SQL null-comparison semantics, identical in the oracle).
+    The predicate is pushed into the pair join here (same-label
+    cosines are never computed); callers sharing one pair list across
+    consumers use ``knn_candidate_pairs(carry_labels=True)`` +
+    ``knn_topk_from_pairs(cross_label_only=True)``, which is
+    bit-identical.
+
+    ``broadcast_pairs``: the pair join has two regimes — broadcast
+    (small corpora: the scaled cell count bottoms out at 8 and
+    SMJ/cell-count parallelism collapses, AQE coalesces the pair
+    expansion to 1-2 tasks and the strategy flips run-to-run near the
+    10 MB threshold, measured 3.8 s vs 12-15 s for the SAME plan at
+    sf0.1) and sort-merge on the cell id (production N: thousands of
+    cells, memory-safe, broadcasting would OOM the driver). By default
+    (``None``) the regime is CHOSEN AT PLAN-BUILD TIME from the
+    estimated build-side bytes (``_pair_build_bytes``: exact when the
+    caller passes its cached ``n_rows``, Catalyst sizeInBytes
+    otherwise) vs ``spark.sql.autoBroadcastJoinThreshold`` — and then
+    PINNED with an explicit broadcast/merge hint so AQE's runtime-size
+    re-decision can't flip it. Pass True/False to override.
+    """
+    pairs = knn_candidate_pairs(
+        df,
+        centroids,
+        n_assign=n_assign,
+        vec_col=vec_col,
+        key_col=key_col,
+        dim=dim,
+        label_col=neg_label_col,
+        carry_labels=False,
+        broadcast_pairs=broadcast_pairs,
+        n_rows=n_rows,
+    )
+    return knn_topk_from_pairs(pairs, k=k)
 
 
 def pq_codes(

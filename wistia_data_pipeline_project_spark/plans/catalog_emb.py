@@ -74,6 +74,54 @@ def _nvec(sf_dir: str, emb: DataFrame) -> int:
     return _NVEC_CACHE[key]
 
 
+# path -> ((applicationId, mtime_ns, size), checkpointed DataFrame).
+# One live slot per corpus path, validated on applicationId +
+# file identity — the _jaccard_pairs_cached bookkeeping exactly
+# (see catalog_docs.py for the staleness rationale).
+_KNN_PAIRS_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
+
+
+def _knn_pairs_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """The label-carrying scored kNN candidate-pair list
+    (``knn_candidate_pairs(carry_labels=True)``), localCheckpointed
+    once per (Spark context, embeddings file). Both kNN-graph
+    consumers rank this SAME list: ``emb_knn_join`` takes the plain
+    top-3, ``emb_hard_negatives`` filters cross-label first — the
+    filter commutes with scoring and distinct (labels are functions
+    of the keys), so both are bit-identical to building their own
+    pair join, at ONE pair-scoring pass instead of two. The
+    checkpoint is lazy (materializes on the first consumer's action)
+    and executor-local; the pair list is cell-blocked-candidate
+    volume (Σ cells |cell|² pairs), the table a production pipeline
+    would persist once and fan the graph/mining stages out from."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        meta = (spark.sparkContext.applicationId, st.st_mtime_ns, st.st_size)
+    except OSError:
+        meta = None
+    if meta is not None:
+        cached = _KNN_PAIRS_CACHE.get(path)
+        if cached is not None and cached[0] == meta:
+            return cached[1]
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir, 0))
+    pairs = S.knn_candidate_pairs(
+        emb,
+        _centroids_scaled(sf_dir, emb),
+        n_assign=4,
+        dim=dim,
+        label_col="label",
+        carry_labels=True,
+        n_rows=_nvec(sf_dir, emb),
+    ).localCheckpoint(eager=False)
+    if meta is not None:
+        _KNN_PAIRS_CACHE[path] = (meta, pairs)
+    return pairs
+
+
 def _centroids_scaled(sf_dir: str, emb: DataFrame) -> DataFrame:
     """Seed centroids whose count scales with the corpus: k = max(8,
     N//250), i.e. bounded cells of ~250 members (×n_assign overlap).
@@ -472,16 +520,17 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN approximation is in the declared structure, never in the
     arithmetic. Cell count scales with N to keep the per-cell pair
     space bounded (see ``_centroids_scaled``).
+
+    Ranks the SHARED scored-pair checkpoint (``_knn_pairs_cached``),
+    which ``emb_hard_negatives`` also consumes — one pair-scoring pass
+    serves both, bit-identically to each building its own.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(_query_vec(spark, sf_dir, 0))
-    # regime (broadcast vs cell-count SMJ) is auto-chosen from the
-    # exact cached row count (see knn_join_blocked docstring); catalog
-    # corpora land in the broadcast regime, sf1+ flips to SMJ
-    return S.knn_join_blocked(
-        emb, _centroids_scaled(sf_dir, emb), k=3, n_assign=4, dim=dim,
-        n_rows=_nvec(sf_dir, emb),
-    )
+    # regime (broadcast vs cell-count SMJ) is auto-chosen inside the
+    # shared pair build from the exact cached row count (see
+    # knn_join_blocked docstring); catalog corpora land in the
+    # broadcast regime, sf1+ flips to SMJ
+    return S.knn_topk_from_pairs(_knn_pairs_cached(spark, sf_dir, emb), k=3)
 
 
 @query(
@@ -1009,29 +1058,28 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANCE-style negatives a retrieval trainer pairs with each anchor):
     each vector's top-3 most-similar neighbors that carry a DIFFERENT
     label, among vectors sharing one of its 4 probed IVF cells — the
-    ``knn_join_blocked`` kernel with the cross-label predicate pushed
-    into the pair join (negatives are filtered BEFORE the top-k rank,
-    so every anchor gets its k hardest available negatives, not
-    whatever survives a post-filter).
+    ``knn_join_blocked`` kernel with the cross-label predicate applied
+    BEFORE the top-k rank, so every anchor gets its k hardest
+    available negatives, not whatever survives a post-filter of an
+    unlabeled top-k.
 
     Exactly oracle-checked like emb_knn_join: same declared blocking,
     same tie-breaks, plus the label-disagreement predicate replayed in
     SQL.
 
+    Ranks the SHARED scored-pair checkpoint (``_knn_pairs_cached``,
+    labels carried): the label filter commutes with pair scoring and
+    the distinct, so the result is bit-identical to pushing the
+    predicate into its own pair join — at zero marginal scoring cost
+    next to ``emb_knn_join``.
+
     Scale: identical to the kNN join (pair space = per-cell, flat
-    codegen cosine); the label adds one small column through the
-    shuffle.
+    codegen cosine); the labels add two small columns through the
+    shared list.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(_query_vec(spark, sf_dir, 0))
-    return S.knn_join_blocked(
-        emb,
-        _centroids_scaled(sf_dir, emb),
-        k=3,
-        n_assign=4,
-        dim=dim,
-        neg_label_col="label",
-        n_rows=_nvec(sf_dir, emb),
+    return S.knn_topk_from_pairs(
+        _knn_pairs_cached(spark, sf_dir, emb), k=3, cross_label_only=True
     )
 
 
