@@ -481,3 +481,38 @@ def test_jaccard_pairs_cache_one_slot_per_path(spark, sf_dir, tmp_path):
     _PAIRS_CACHE[work] = (("dead-app-id",) + meta[1:], b)
     c = _jaccard_pairs_cached(spark, wdir, docs)
     assert c is not b and len(_PAIRS_CACHE) == n_slots
+
+
+def test_knn_pairs_cache_one_slot_per_path(spark, sf_dir, tmp_path):
+    """_knn_pairs_cached keeps exactly ONE slot per corpus path,
+    replaced when the file or Spark context changes — the same
+    bounded-cache contract as _jaccard_pairs_cached (stale slots
+    would pin checkpoint handles of dead contexts)."""
+    import os
+    import shutil
+
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _KNN_PAIRS_CACHE,
+        _knn_pairs_cached,
+    )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    work = str(tmp_path / "embeddings.parquet")
+    shutil.copyfile(src, work)
+    wdir = str(tmp_path)
+
+    a = _knn_pairs_cached(spark, wdir)
+    assert _knn_pairs_cached(spark, wdir) is a  # hit
+
+    # touching the file replaces the slot instead of adding a key
+    n_slots = len(_KNN_PAIRS_CACHE)
+    os.utime(work, ns=(1, 1))
+    b = _knn_pairs_cached(spark, wdir)
+    assert b is not a
+    assert len(_KNN_PAIRS_CACHE) == n_slots  # replaced, not accumulated
+
+    # a different applicationId (fresh context) also invalidates
+    meta, _ = _KNN_PAIRS_CACHE[work]
+    _KNN_PAIRS_CACHE[work] = (("dead-app-id",) + meta[1:], b)
+    c = _knn_pairs_cached(spark, wdir)
+    assert c is not b and len(_KNN_PAIRS_CACHE) == n_slots

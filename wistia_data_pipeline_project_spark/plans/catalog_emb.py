@@ -81,7 +81,7 @@ def _nvec(sf_dir: str, emb: DataFrame) -> int:
 _KNN_PAIRS_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
 
 
-def _knn_pairs_cached(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The label-carrying scored kNN candidate-pair list
     (``knn_candidate_pairs(carry_labels=True)``), localCheckpointed
     once per (Spark context, embeddings file). Both kNN-graph
@@ -525,12 +525,11 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     which ``emb_hard_negatives`` also consumes — one pair-scoring pass
     serves both, bit-identically to each building its own.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     # regime (broadcast vs cell-count SMJ) is auto-chosen inside the
     # shared pair build from the exact cached row count (see
     # knn_join_blocked docstring); catalog corpora land in the
     # broadcast regime, sf1+ flips to SMJ
-    return S.knn_topk_from_pairs(_knn_pairs_cached(spark, sf_dir, emb), k=3)
+    return S.knn_topk_from_pairs(_knn_pairs_cached(spark, sf_dir), k=3)
 
 
 @query(
@@ -1077,9 +1076,8 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen cosine); the labels add two small columns through the
     shared list.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_topk_from_pairs(
-        _knn_pairs_cached(spark, sf_dir, emb), k=3, cross_label_only=True
+        _knn_pairs_cached(spark, sf_dir), k=3, cross_label_only=True
     )
 
 
