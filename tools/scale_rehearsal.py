@@ -34,14 +34,25 @@ DEFAULT_ENTRIES = [
     "docs_triangle_stats",
     "docs_pagerank",
     "emb_semdedup",
-    "emb_hard_negatives",
+    # emb_knn_join runs FIRST of the two kNN-graph entries: it
+    # materializes the shared scored-pair checkpoint
+    # (_knn_pairs_cached) at each scale, so its row measures the
+    # cell-blocked pair build and emb_hard_negatives measures the
+    # cross-label rank over the materialized list
     "emb_knn_join",
+    "emb_hard_negatives",
     # VERDICT r04 item 4: decimal window sums at 10x attribution keys
     # (make_sf1 events offset user_id per copy) + sketch algebra at
     # 10x token volume into the same group count
     "events_linear_attribution",
     "events_time_decay_attribution",
     "docs_vocab_overlap",
+    # round-5 promotions: the pigeonhole aHash pair join, the
+    # one-agg-pass expectation contract, and the partition-scan
+    # stateful fold (Arrow transfer scales with the events table)
+    "mm_image_near_dup",
+    "events_quality_contract",
+    "events_stateful_watch_time",
 ]
 
 
