@@ -516,3 +516,20 @@ def test_knn_pairs_cache_one_slot_per_path(spark, sf_dir, tmp_path):
     _KNN_PAIRS_CACHE[work] = (("dead-app-id",) + meta[1:], b)
     c = _knn_pairs_cached(spark, wdir)
     assert c is not b and len(_KNN_PAIRS_CACHE) == n_slots
+
+
+def test_green_history_rounds_sort_numerically(tmp_path):
+    """g[-1] (the latest green round) is load-bearing for the
+    staleness-first window rotation, but CORRECTNESS files glob in
+    LEXICOGRAPHIC order (r11 < r9, unpadded r100 < r11) — the history
+    must sort each entry's round list numerically (review r05)."""
+    import json
+
+    from wistia_data_pipeline_project_spark.plans import _green_history
+
+    for rnd in (9, 11, 100):
+        (tmp_path / f"CORRECTNESS_r{rnd}.json").write_text(
+            json.dumps({"some_entry": {"hash_match": True}})
+        )
+    greens = _green_history(root=tmp_path)
+    assert greens["some_entry"] == [9, 11, 100]

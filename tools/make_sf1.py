@@ -91,20 +91,30 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # and event_id by k*n_events (uniqueness). ts/type/value untouched,
     # so every copy re-creates the same per-user touch structure.
     ev = con.sql(f"SELECT * FROM read_parquet('{src}/events.parquet')").df()
-    n_ev = len(ev)
     user_stride = int(ev["user_id"].max()) + 1
+    # max+1 like user_stride, NOT len(ev): a regenerated events file
+    # with sparse/1-based ids would otherwise collide copies and flip
+    # the uniqueness expectation at sf1 (review r05)
+    event_stride = int(ev["event_id"].max()) + 1
     eparts = []
     for k in range(n_copies):
         c = ev.copy()
         if k > 0:
             c["user_id"] = c["user_id"] + k * user_stride
-            c["event_id"] = c["event_id"] + k * n_ev
+            c["event_id"] = c["event_id"] + k * event_stride
         eparts.append(c)
     bigev = eparts[0] if n_copies == 1 else __import__("pandas").concat(eparts)
     pq.write_table(
         pa.Table.from_pandas(bigev, preserve_index=False),
         f"{dst}/events.parquet",
     )
+
+    # dims referenced by fact-side entries (the quality contract's
+    # referential check reads customer): copied VERBATIM — dims stay
+    # fixed while facts scale, the realistic 10x-crawl shape, and the
+    # rehearsal must be reproducible from this tool alone (review r05)
+    dim = con.sql(f"SELECT * FROM read_parquet('{src}/customer.parquet')").arrow()
+    pq.write_table(dim, f"{dst}/customer.parquet")
     print(
         f"wrote {len(big)} docs, {len(bige)} vectors, "
         f"{len(bigev)} events to {dst}"

@@ -41,7 +41,7 @@ from .catalog import ORACLE, QUERIES
 _WINDOW = 50  # driver checks the first 50 queries() entries per round
 
 
-def _green_history() -> dict[str, list[int]]:
+def _green_history(root: Path | None = None) -> dict[str, list[int]]:
     """Per entry, the sorted list of rounds with a driver-green row.
 
     Green means a full hash match, or — for entries STILL registered
@@ -53,7 +53,8 @@ def _green_history() -> dict[str, list[int]]:
     only moves entries toward the front of the window (safe
     direction).
     """
-    root = Path(__file__).resolve().parents[2]
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
     greens: dict[str, list[int]] = {}
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
@@ -76,6 +77,12 @@ def _green_history() -> dict[str, list[int]]:
             )
             if ok:
                 greens.setdefault(name, []).append(rnd)
+    # sort NUMERICALLY: the file glob sorts lexicographically, which
+    # diverges from round order at r100 vs r11 or with unpadded names
+    # — and g[-1] (the latest green round) is load-bearing for the
+    # staleness-first rotation (review r05)
+    for rounds in greens.values():
+        rounds.sort()
     return greens
 
 

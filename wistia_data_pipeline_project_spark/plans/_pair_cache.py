@@ -1,0 +1,43 @@
+"""One-slot-per-path lazy checkpoint cache — the shared bookkeeping
+behind the scored-pair checkpoints (`catalog_docs._jaccard_pairs_cached`,
+`catalog_emb._knn_pairs_cached`).
+
+A slot is keyed by the corpus file path and validated on
+(applicationId, mtime_ns, size): a fresh Spark context (whose
+executors no longer hold the old checkpoint blocks) never sees a
+stale handle, a regenerated corpus recomputes, and either mismatch
+REPLACES the path's single slot — the cache stays bounded by live
+corpora instead of accumulating dead py4j plan handles.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cached_pair_checkpoint(
+    spark: SparkSession,
+    path: str,
+    cache: dict[str, tuple[tuple, DataFrame]],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the cached lazily-localCheckpointed DataFrame for
+    ``path``, (re)building via ``build()`` when the slot is missing or
+    stale. An unstattable path (OSError) disables caching for the
+    call — the build still runs, nothing is stored."""
+    try:
+        st = os.stat(path)
+        meta = (spark.sparkContext.applicationId, st.st_mtime_ns, st.st_size)
+    except OSError:
+        meta = None
+    if meta is not None:
+        cached = cache.get(path)
+        if cached is not None and cached[0] == meta:
+            return cached[1]
+    df = build().localCheckpoint(eager=False)
+    if meta is not None:
+        cache[path] = (meta, df)
+    return df

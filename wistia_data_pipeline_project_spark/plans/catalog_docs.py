@@ -149,25 +149,18 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, docs: DataFrame) -> 
     context (whose executors no longer hold the old checkpoint
     blocks) never sees a stale handle — and on file mtime/size so a
     regenerated corpus recomputes; either mismatch REPLACES the
-    path's single slot, keeping the cache bounded by live corpora."""
+    path's single slot, keeping the cache bounded by live corpora
+    (bookkeeping shared with the kNN pair cache — _pair_cache.py)."""
     import os
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        meta = (spark.sparkContext.applicationId, st.st_mtime_ns, st.st_size)
-    except OSError:
-        meta = None
-    if meta is not None:
-        cached = _PAIRS_CACHE.get(path)
-        if cached is not None and cached[0] == meta:
-            return cached[1]
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).localCheckpoint(
-        eager=False
+    from ._pair_cache import cached_pair_checkpoint
+
+    return cached_pair_checkpoint(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        _PAIRS_CACHE,
+        lambda: D.ngram_jaccard_pairs(docs, threshold=0.8),
     )
-    if meta is not None:
-        _PAIRS_CACHE[path] = (meta, pairs)
-    return pairs
 
 
 @query(

@@ -93,33 +93,31 @@ def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint is lazy (materializes on the first consumer's action)
     and executor-local; the pair list is cell-blocked-candidate
     volume (Σ cells |cell|² pairs), the table a production pipeline
-    would persist once and fan the graph/mining stages out from."""
+    would persist once and fan the graph/mining stages out from.
+    Slot bookkeeping shared with the jaccard pair cache
+    (``_pair_cache.cached_pair_checkpoint``)."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        meta = (spark.sparkContext.applicationId, st.st_mtime_ns, st.st_size)
-    except OSError:
-        meta = None
-    if meta is not None:
-        cached = _KNN_PAIRS_CACHE.get(path)
-        if cached is not None and cached[0] == meta:
-            return cached[1]
-    emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(_query_vec(spark, sf_dir, 0))
-    pairs = S.knn_candidate_pairs(
-        emb,
-        _centroids_scaled(sf_dir, emb),
-        n_assign=4,
-        dim=dim,
-        label_col="label",
-        carry_labels=True,
-        n_rows=_nvec(sf_dir, emb),
-    ).localCheckpoint(eager=False)
-    if meta is not None:
-        _KNN_PAIRS_CACHE[path] = (meta, pairs)
-    return pairs
+    from ._pair_cache import cached_pair_checkpoint
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return S.knn_candidate_pairs(
+            emb,
+            _centroids_scaled(sf_dir, emb),
+            n_assign=4,
+            dim=len(_query_vec(spark, sf_dir, 0)),
+            label_col="label",
+            carry_labels=True,
+            n_rows=_nvec(sf_dir, emb),
+        )
+
+    return cached_pair_checkpoint(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        _KNN_PAIRS_CACHE,
+        build,
+    )
 
 
 def _centroids_scaled(sf_dir: str, emb: DataFrame) -> DataFrame:
