@@ -91,6 +91,12 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # and event_id by k*n_events (uniqueness). ts/type/value untouched,
     # so every copy re-creates the same per-user touch structure.
     ev = con.sql(f"SELECT * FROM read_parquet('{src}/events.parquet')").df()
+    # a regenerated file with NULL ids would round-trip BIGINT ->
+    # float64 through pandas and write DOUBLE columns the pinned
+    # bigint reader schema cannot scan — keep ids nullable-integer
+    # (review r05)
+    for c_ in ("user_id", "event_id"):
+        ev[c_] = ev[c_].astype("Int64")
     user_stride = int(ev["user_id"].max()) + 1
     # max+1 like user_stride, NOT len(ev): a regenerated events file
     # with sparse/1-based ids would otherwise collide copies and flip

@@ -75,11 +75,28 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = m.queries()
 
-    def run(name: str, sf_dir: str) -> tuple[float, int]:
-        t0 = time.monotonic()
-        n = qs[name](spark, sf_dir).count()
-        return time.monotonic() - t0, n
+    # SPARK_GRAFT_REHEARSAL_REPS > 1 reports the warm MEDIAN of that
+    # many executions per (entry, scale) — the protocol behind the
+    # medians recorded in SCALE.md (single-run mode bills cold
+    # JVM/codegen to whichever side runs first; the graph table
+    # documents that inversion). The q1 calibrator line prints first
+    # either way so ambient noise is on the record.
+    import os
+    import statistics
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REHEARSAL_REPS", "1")))
+
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        times, n = [], 0
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n = qs[name](spark, sf_dir).count()
+            times.append(time.monotonic() - t0)
+        return statistics.median(times), n
+
+    cal, _ = run("q1_pricing_summary", small)
+    print(f"q1 calibrator (sf0.1, reps={reps}): {cal:.2f} s "
+          "(~0.64 s quiet-host true cost)")
     print(f"{'entry':28} {'small_s':>8} {'big_s':>8} {'ratio':>7} "
           f"{'exp':>5}  rows small->big")
     for name in names:

@@ -72,6 +72,27 @@ def _with_duration(events: DataFrame, dim_media: DataFrame) -> DataFrame:
     return events.join(F.broadcast(dur), "media_id", "left")
 
 
+def _fold_input(events: DataFrame, dim_media: DataFrame) -> DataFrame:
+    """The shared input projection of all THREE fact formulations
+    (window, grouped-map fold, partition-scan fold): valid events +
+    broadcast duration dim, one column set, one set of casts. A
+    single copy so a schema tweak cannot silently split the
+    pytest-pinned bit-equivalence between the formulations
+    (review r05)."""
+    return _with_duration(_valid_events(events), dim_media).select(
+        "media_id",
+        F.col("visitor_key").alias("visitor_id"),
+        F.to_date("received_at").alias("date"),
+        "received_at",
+        "event_key",
+        F.col("percent_viewed").cast("double").alias("pct"),
+        F.col("name").alias("event_name"),
+        "ip",
+        "country",
+        F.col("duration").cast("double").alias("duration"),
+    )
+
+
 def fact_media_engagement(
     events: DataFrame,
     dim_media: DataFrame,
@@ -84,18 +105,7 @@ def fact_media_engagement(
     sort, then one hash aggregate on (media_id, visitor_key, date).
     The dim join is broadcast. No Python in the hot path.
     """
-    e = _with_duration(_valid_events(events), dim_media).select(
-        "media_id",
-        F.col("visitor_key").alias("visitor_id"),
-        F.to_date("received_at").alias("date"),
-        "received_at",
-        "event_key",
-        F.col("percent_viewed").cast("double").alias("pct"),
-        F.col("name").alias("event_name"),
-        "ip",
-        "country",
-        F.col("duration").cast("double").alias("duration"),
-    )
+    e = _fold_input(events, dim_media)
 
     keys = ["media_id", "visitor_id", "date"]
     w_ord = W.partitionBy(*keys).orderBy("received_at", "event_key")
@@ -315,18 +325,7 @@ def fact_media_engagement_fold(
     oracle for the window formulation and for golden tests; also the
     fallback if a future semantics change stops being lag-1.
     """
-    e = _with_duration(_valid_events(events), dim_media).select(
-        "media_id",
-        F.col("visitor_key").alias("visitor_id"),
-        F.to_date("received_at").alias("date"),
-        "received_at",
-        "event_key",
-        F.col("percent_viewed").cast("double").alias("pct"),
-        F.col("name").alias("event_name"),
-        "ip",
-        "country",
-        F.col("duration").cast("double").alias("duration"),
-    )
+    e = _fold_input(events, dim_media)
 
     legacy = legacy_percent_semantics
 
@@ -357,18 +356,7 @@ def fact_media_engagement_fold_scan(
     partition — a carry buffer stitches them; they cannot span
     partitions, the shuffle hashes the full group key).
     """
-    e = _with_duration(_valid_events(events), dim_media).select(
-        "media_id",
-        F.col("visitor_key").alias("visitor_id"),
-        F.to_date("received_at").alias("date"),
-        "received_at",
-        "event_key",
-        F.col("percent_viewed").cast("double").alias("pct"),
-        F.col("name").alias("event_name"),
-        "ip",
-        "country",
-        F.col("duration").cast("double").alias("duration"),
-    )
+    e = _fold_input(events, dim_media)
     keys = ["media_id", "visitor_id", "date"]
     legacy = legacy_percent_semantics
 

@@ -24,9 +24,29 @@ from .catalog import query
 # image/audio/video, matching attach_fake_assets.
 MT_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
 
+# The fake rasters tile the payload BYTES on the Spark side while the
+# SQL oracles index the text per CHARACTER; restricting the raster
+# basis to ASCII makes byte == character on ANY corpus, so a
+# regenerated documents table containing multi-byte characters cannot
+# shift every tiling position and split the two views (review r05 —
+# 'café' drifted all four pigeonhole blocks). The identical regexp
+# runs on both engines; today's ASCII corpus makes it a no-op, so
+# hashes are unchanged.
+_NON_ASCII_RE = "[^\\x00-\\x7F]"
+DOCS_ASCII_SQL = (
+    "(SELECT * REPLACE (regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')"
+    " AS text) FROM documents) AS documents"
+)
+
+
+def _docs_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", _NON_ASCII_RE, "")
+    )
+
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return M.attach_fake_assets(load_table(spark, sf_dir, "documents"))
+    return M.attach_fake_assets(_docs_ascii(spark, sf_dir))
 
 
 @query(
@@ -37,7 +57,7 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            CAST(SUM(doc_id % 32 + 8) AS BIGINT) AS sum_width,
            CAST(SUM(doc_id % 24 + 8) AS BIGINT) AS sum_height
-    FROM documents
+    FROM {DOCS_ASCII_SQL}
     GROUP BY 1
     """,
 )
@@ -61,7 +81,7 @@ def mm_asset_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
            doc_id % 32 + 8 AS width,
            doc_id % 24 + 8 AS height,
            3 AS n_channels
-    FROM documents
+    FROM {DOCS_ASCII_SQL}
     WHERE {MT_SQL} = 'image'
     """,
 )
@@ -81,7 +101,7 @@ def mm_image_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
       SELECT doc_id, text, length(text) AS len,
              (doc_id % 32 + 8) * (doc_id % 24 + 8) * 3 AS size
-      FROM documents WHERE {MT_SQL} = 'image'
+      FROM {DOCS_ASCII_SQL} WHERE {MT_SQL} = 'image'
     ),
     chars AS (
       SELECT doc_id, size,
@@ -137,10 +157,10 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_image_near_dup",
-    oracle="""
+    oracle=f"""
     WITH img AS (
       SELECT doc_id, text, length(text) AS len, 16 AS w, 12 AS h
-      FROM documents
+      FROM {DOCS_ASCII_SQL}
     ),
     cells AS (
       SELECT doc_id, yi * 8 + xi AS i,
@@ -192,7 +212,7 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``average_hash``) must match the blocked Spark pipeline exactly.
     Hamming verify is two codegen'd ops per candidate on both
     engines."""
-    thumbs = M.attach_fake_thumbnails(load_table(spark, sf_dir, "documents"))
+    thumbs = M.attach_fake_thumbnails(_docs_ascii(spark, sf_dir))
     return M.image_near_dup_pairs(thumbs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
@@ -299,7 +319,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_samples,
            CAST(octet_length(encode(text)) // 2 AS DOUBLE) / 16000.0
              AS duration_s
-    FROM documents
+    FROM {DOCS_ASCII_SQL}
     WHERE {MT_SQL} = 'audio'
     """,
 )
@@ -319,7 +339,7 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH img AS (
       SELECT doc_id, text, length(text) AS len,
              doc_id % 32 + 8 AS w, doc_id % 24 + 8 AS h
-      FROM documents WHERE {MT_SQL} = 'image'
+      FROM {DOCS_ASCII_SQL} WHERE {MT_SQL} = 'image'
     ),
     px AS (
       SELECT doc_id, yi, xi, c,

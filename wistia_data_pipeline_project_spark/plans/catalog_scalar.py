@@ -929,9 +929,16 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM base, orph
     UNION ALL
     SELECT 'freshness(ts)',
-           (1706745600000000.0 - CAST(max_us AS DOUBLE)) / 3600000000.0
-             <= 24.0,
-           (1706745600000000.0 - CAST(max_us AS DOUBLE)) / 3600000000.0,
+           -- all-NULL/empty ts: the engine fails closed with an
+           -- INFINITE lag ("no data" IS the staleness incident) —
+           -- COALESCE replays that instead of propagating NULL
+           -- (review r05)
+           COALESCE(
+             (1706745600000000.0 - CAST(max_us AS DOUBLE)) / 3600000000.0
+               <= 24.0, FALSE),
+           COALESCE(
+             (1706745600000000.0 - CAST(max_us AS DOUBLE)) / 3600000000.0,
+             CAST('infinity' AS DOUBLE)),
            24.0, n
     FROM base
     """,

@@ -1397,7 +1397,12 @@ STATEFUL_WATCH_SQL = """
                              ELSE 'end' END AS name,
              120.0 + 60.0 * CAST(user_id % 7 AS DOUBLE) AS duration
       FROM events
-      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+      WHERE user_id IS NOT NULL AND user_id >= 0
+        AND ts IS NOT NULL AND event_id IS NOT NULL
+        AND (value IS NULL OR NOT isnan(value))
+      QUALIFY row_number() OVER (
+        PARTITION BY media_id, visitor_id, received_at, event_key
+        ORDER BY pct ASC NULLS LAST, name ASC NULLS LAST) = 1
     ),
     seq AS (
       SELECT media_id, visitor_id, date, duration, ts_us, pct, name,
@@ -1510,12 +1515,24 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as dt
 
     et = F.col("event_type")
+    # Declared input domain, replayed verbatim in the oracle (review
+    # r05 — each clause guards a real Spark-vs-DuckDB divergence on
+    # regenerated data):
+    # - user_id >= 0: a negative id would miss the m0..m6 duration dim
+    #   on the Spark side while the oracle's closed-form duration
+    #   formula would still produce one (negative, even);
+    # - NaN value (NULL passes — a play event with NULL value still
+    #   counts): the pandas fold SKIPS NaN pct rows, but DuckDB's NaN
+    #   comparison semantics (NaN > x TRUE) would seed and credit the
+    #   recursive fold.
     wistia = (
         load_table(spark, sf_dir, "events")
         .filter(
             F.col("user_id").isNotNull()
+            & (F.col("user_id") >= 0)
             & F.col("ts").isNotNull()
             & F.col("event_id").isNotNull()
+            & (F.col("value").isNull() | ~F.isnan(F.col("value")))
         )
         .select(
             F.concat(F.lit("m"), (F.col("user_id") % 7).cast("string")).alias(
@@ -1538,6 +1555,24 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("ip"),
             F.lit(None).cast("string").alias("country"),
         )
+    )
+    # duplicate (received_at, event_key) rows (a regenerated corpus
+    # may repeat event_ids) resolve deterministically BEFORE the fold:
+    # keep the (pct, name)-least row, nulls-last pinned on BOTH
+    # engines (Spark defaults nulls FIRST asc, DuckDB LAST) — the
+    # identical QUALIFY runs in the oracle, so tied-row fold order can
+    # never differ between engines (review r05). Unique event_ids —
+    # today's corpus — make this a no-op.
+    dedup_w = W.partitionBy(
+        "media_id", "visitor_key", "received_at", "event_key"
+    ).orderBy(
+        F.col("percent_viewed").asc_nulls_last(),
+        F.col("name").asc_nulls_last(),
+    )
+    wistia = (
+        wistia.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
     dim = spark.range(7).select(
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
