@@ -533,3 +533,114 @@ def test_green_history_rounds_sort_numerically(tmp_path):
         )
     greens = _green_history(root=tmp_path)
     assert greens["some_entry"] == [9, 11, 100]
+
+
+def test_stateful_watch_time_oracle_parity_on_hostile_events(spark, tmp_path):
+    """The declared input domain of events_stateful_watch_time must
+    hold hash-parity on exactly the regeneration shapes review r05
+    confirmed as divergent: negative user_id (dim miss vs closed-form
+    duration), NaN value (pandas skips vs DuckDB NaN comparisons),
+    and duplicate (ts, event_key) rows (engine-specific tie order —
+    resolved by the QUALIFY dedup, pinned nulls-last)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    ts = pd.to_datetime(
+        ["2024-01-15 10:00:00", "2024-01-15 10:00:30", "2024-01-15 10:01:00",
+         "2024-01-15 11:00:00", "2024-01-15 11:00:30",
+         "2024-01-15 12:00:00", "2024-01-15 12:00:00",
+         "2024-01-15 12:00:30", "2024-01-15 12:00:30"]
+    )
+    df = pd.DataFrame({
+        "event_id": pd.array(
+            [1, 2, 3, 4, 5, 6, 6, 7, 7], dtype="Int64"),
+        "ts": ts,
+        # user -3: negative (dim miss); 42: NaN row in a progress
+        # chain; 55: two duplicate (ts, event_key) pairs — one tied
+        # on pct differing on name, one differing on pct
+        "user_id": pd.array(
+            [-3, -3, 42, 42, 42, 55, 55, 55, 55], dtype="Int64"),
+        "event_type": ["click", "view", "click", "view", "view",
+                       "click", "view", "view", "signup"],
+        "value": [0.0, 40.0, 5.0, np.nan, 20.0, 5.0, 5.0, 33.0, 44.0],
+        "props": ["{}"] * 9,
+    })
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False).cast(schema),
+        f"{sf_dir}/events.parquet",
+    )
+
+    sdf = QUERIES["events_stateful_watch_time"](spark, sf_dir).toPandas()
+    # negative ids are outside the declared domain in BOTH engines
+    assert not sdf["visitor_id"].str.contains("-").any()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["events_stateful_watch_time"]).df()
+    assert not compare("events_stateful_watch_time", sdf, ddf)
+
+
+def test_mm_near_dup_oracle_parity_on_non_ascii_docs(spark, tmp_path):
+    """mm raster oracles index text per CHARACTER while Spark tiles
+    the utf-8 BYTES; the shared ASCII-sanitized basis must keep the
+    two views hash-identical on multi-byte text (review r05: 'café'
+    drifted all four pigeonhole blocks before the fix)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    texts = [
+        "café au lait — déjà vu naïve été",      # multi-byte
+        "cafe au lait make this a near dup AA",  # its ASCII shadow
+        "café au lait — déjà vu naïve été",      # near-dup of row 0
+        "plain ascii filler document here xx",
+    ]
+    df = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2, 3], dtype="Int64"),
+        "text": texts,
+        "lang": ["fr", "en", "fr", "en"],
+        "source": ["adv"] * 4,
+        "n_chars": pd.array([len(t) for t in texts], dtype="Int64"),
+    })
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("lang", pa.string()), ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ])
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False).cast(schema),
+        f"{sf_dir}/documents.parquet",
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for entry in ("mm_image_near_dup", "mm_image_features",
+                  "mm_resize_checksum"):
+        sdf = QUERIES[entry](spark, sf_dir).toPandas()
+        ddf = con.sql(oracle_sql()[entry]).df()
+        assert not compare(entry, sdf, ddf), entry
