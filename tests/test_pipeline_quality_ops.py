@@ -615,12 +615,17 @@ def test_mm_near_dup_oracle_parity_on_non_ascii_docs(spark, tmp_path):
         "cafe au lait make this a near dup AA",  # its ASCII shadow
         "café au lait — déjà vu naïve été",      # near-dup of row 0
         "plain ascii filler document here xx",
+        # ENTIRELY non-ASCII, doc_id 6 -> image-typed: strips to
+        # empty, where Spark's fake_decode zero-raster fallback has
+        # no oracle twin — both sides must EXCLUDE it (review r05,
+        # second pass)
+        "日本語だけの文書です——テスト",
     ]
     df = pd.DataFrame({
-        "doc_id": pd.array([0, 1, 2, 3], dtype="Int64"),
+        "doc_id": pd.array([0, 1, 2, 3, 6], dtype="Int64"),
         "text": texts,
-        "lang": ["fr", "en", "fr", "en"],
-        "source": ["adv"] * 4,
+        "lang": ["fr", "en", "fr", "en", "ja"],
+        "source": ["adv"] * 5,
         "n_chars": pd.array([len(t) for t in texts], dtype="Int64"),
     })
     schema = pa.schema([
@@ -644,3 +649,9 @@ def test_mm_near_dup_oracle_parity_on_non_ascii_docs(spark, tmp_path):
         sdf = QUERIES[entry](spark, sf_dir).toPandas()
         ddf = con.sql(oracle_sql()[entry]).df()
         assert not compare(entry, sdf, ddf), entry
+        # non-vacuous: a shared upstream filter dropping every doc
+        # would keep parity while un-exercising the multi-byte path
+        assert len(sdf) > 0, entry
+        if entry == "mm_image_near_dup":
+            pairs = set(zip(sdf["asset_a"], sdf["asset_b"]))
+            assert (0, 2) in pairs  # the planted identical pair

@@ -97,11 +97,13 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # (review r05)
     for c_ in ("user_id", "event_id"):
         ev[c_] = ev[c_].astype("Int64")
-    user_stride = int(ev["user_id"].max()) + 1
-    # max+1 like user_stride, NOT len(ev): a regenerated events file
-    # with sparse/1-based ids would otherwise collide copies and flip
-    # the uniqueness expectation at sf1 (review r05)
-    event_stride = int(ev["event_id"].max()) + 1
+    # stride = max-min+1, NOT max+1 or len(ev): a regenerated events
+    # file with sparse/1-based ids — or NEGATIVE ids, which max+1
+    # would remap onto copy 0's positive range — would otherwise
+    # collide copies, flipping the sf1 uniqueness expectation and
+    # merging distinct users' attribution chains (review r05)
+    user_stride = int(ev["user_id"].max()) - int(ev["user_id"].min()) + 1
+    event_stride = int(ev["event_id"].max()) - int(ev["event_id"].min()) + 1
     eparts = []
     for k in range(n_copies):
         c = ev.copy()

@@ -114,7 +114,7 @@ NOTES = {
     "docs_bpe_encode": "merges broadcast as a rank dict; Arrow-batched scan, no pre-count shuffle",
     "mm_image_near_dup": "aHash table localCheckpoint'ed (16 B/image) feeds both sides of the pigeonhole block join; payloads never shuffle",
     "events_quality_contract": "per-row expectations fold into ONE agg pass; referential check is a broadcast anti-join; only scalar metrics move",
-    "events_stateful_watch_time": "partition-scan fold: dedup-window exchange then the key-hashed fold exchange, sortWithinPartitions, mapInPandas with cross-batch carry",
+    "events_stateful_watch_time": "partition-scan fold: ONE key-hashed exchange (dup resolution rides it as sort tie-breaks + scan drop), sortWithinPartitions, mapInPandas with cross-batch carry",
 }
 
 

@@ -342,6 +342,7 @@ def fact_media_engagement_fold_scan(
     dim_media: DataFrame,
     run_ts: dt.datetime,
     legacy_percent_semantics: bool = False,
+    dedup_event_rows: bool = False,
 ) -> DataFrame:
     """Partition-scan formulation of the sequential fold — identical
     semantics to ``fact_media_engagement_fold`` (pytest-pinned
@@ -355,10 +356,23 @@ def fact_media_engagement_fold_scan(
     never crosses a group boundary (groups can span batches WITHIN a
     partition — a carry buffer stitches them; they cannot span
     partitions, the shuffle hashes the full group key).
+
+    ``dedup_event_rows=True`` resolves duplicate ``(received_at,
+    event_key)`` rows deterministically BEFORE the fold, keeping the
+    ``(pct, event_name)``-least row, nulls last. It rides the fold's
+    OWN exchange: rows sharing the duplicate key necessarily share
+    the group key, so the existing repartition already co-locates
+    them — the sort gains two tie-break columns and the scan drops
+    repeats, zero extra shuffles (review r05: the first cut paid a
+    second full window exchange for what is a no-op on unique-id
+    corpora). Matches a SQL ``QUALIFY row_number() OVER (PARTITION BY
+    key, received_at, event_key ORDER BY pct ASC NULLS LAST, name ASC
+    NULLS LAST) = 1``.
     """
     e = _fold_input(events, dim_media)
     keys = ["media_id", "visitor_id", "date"]
     legacy = legacy_percent_semantics
+    dedup_subset = [*keys, "received_at", "event_key"]
 
     def scan(batches):
         import numpy as np
@@ -385,6 +399,14 @@ def fact_media_engagement_fold_scan(
             if carry is not None:
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
+            if dedup_event_rows and len(pdf):
+                # rows arrive sorted (…, received_at, event_key, pct
+                # nulls-last, name nulls-last), so keep-first == the
+                # (pct, name)-least row; re-running over the carried
+                # tail catches duplicate pairs split across batches
+                pdf = pdf.drop_duplicates(
+                    subset=dedup_subset, ignore_index=True
+                )
             if not len(pdf):
                 continue
             codes = key_codes(pdf)
@@ -406,8 +428,16 @@ def fact_media_engagement_fold_scan(
         int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
         max(sc.defaultParallelism, 1) * 4,
     )
+    sort_cols: list = [*keys, "received_at", "event_key"]
+    if dedup_event_rows:
+        # nulls-last pinned explicitly: Spark defaults asc nulls FIRST
+        # while the SQL QUALIFY twin is NULLS LAST
+        sort_cols += [
+            F.col("pct").asc_nulls_last(),
+            F.col("event_name").asc_nulls_last(),
+        ]
     return (
         e.repartition(n_part, *[F.col(k) for k in keys])
-        .sortWithinPartitions(*keys, "received_at", "event_key")
+        .sortWithinPartitions(*sort_cols)
         .mapInPandas(scan, FACT_OUTPUT_SCHEMA)
     )

@@ -30,18 +30,29 @@ MT_SQL = "(['image','audio','video'])[doc_id % 3 + 1]"
 # regenerated documents table containing multi-byte characters cannot
 # shift every tiling position and split the two views (review r05 —
 # 'café' drifted all four pigeonhole blocks). The identical regexp
-# runs on both engines; today's ASCII corpus makes it a no-op, so
-# hashes are unchanged.
+# runs on both engines (single-sourced below — a drifted duplicate
+# literal would silently re-split the views); today's ASCII corpus
+# makes it a no-op, so hashes are unchanged.
+#
+# Docs whose text is EMPTY after the strip (all-non-ASCII, or NULL)
+# are excluded on both sides: Spark's ``fake_decode`` substitutes a
+# zero raster for an empty payload (multimodal.py:167) while the SQL
+# oracles have no such fallback — their chars/px CTEs simply produce
+# no rows — so an all-non-ASCII document would emit a zero-stats row
+# on one engine and nothing on the other (review r05, second pass).
 _NON_ASCII_RE = "[^\\x00-\\x7F]"
 DOCS_ASCII_SQL = (
-    "(SELECT * REPLACE (regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')"
-    " AS text) FROM documents) AS documents"
+    "(SELECT * FROM (SELECT * REPLACE ("
+    f"regexp_replace(text, '{_NON_ASCII_RE}', '', 'g') AS text) "
+    "FROM documents) WHERE length(text) > 0) AS documents"
 )
 
 
 def _docs_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").withColumn(
-        "text", F.regexp_replace("text", _NON_ASCII_RE, "")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("text", F.regexp_replace("text", _NON_ASCII_RE, ""))
+        .filter(F.length("text") > 0)
     )
 
 

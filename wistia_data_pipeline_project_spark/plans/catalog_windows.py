@@ -1559,21 +1559,13 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate (received_at, event_key) rows (a regenerated corpus
     # may repeat event_ids) resolve deterministically BEFORE the fold:
     # keep the (pct, name)-least row, nulls-last pinned on BOTH
-    # engines (Spark defaults nulls FIRST asc, DuckDB LAST) — the
-    # identical QUALIFY runs in the oracle, so tied-row fold order can
-    # never differ between engines (review r05). Unique event_ids —
-    # today's corpus — make this a no-op.
-    dedup_w = W.partitionBy(
-        "media_id", "visitor_key", "received_at", "event_key"
-    ).orderBy(
-        F.col("percent_viewed").asc_nulls_last(),
-        F.col("name").asc_nulls_last(),
-    )
-    wistia = (
-        wistia.withColumn("_rn", F.row_number().over(dedup_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # engines — the identical QUALIFY runs in the oracle, so tied-row
+    # fold order can never differ between engines (review r05).
+    # ``dedup_event_rows`` rides the fold's own exchange (duplicate
+    # keys share the group key), so the no-op-on-unique-ids guard
+    # costs zero extra shuffles (review r05, second pass — the first
+    # cut paid a full extra window exchange). Unique event_ids —
+    # today's corpus — make it a no-op.
     dim = spark.range(7).select(
         F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
         (F.lit(120.0) + F.lit(60.0) * F.col("id")).alias("duration"),
@@ -1581,7 +1573,10 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fact import fact_media_engagement_fold_scan
 
     out = fact_media_engagement_fold_scan(
-        wistia, dim, dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+        wistia,
+        dim,
+        dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc),
+        dedup_event_rows=True,
     )
     # DATE comparing as object vs datetime64 across engines: emit the
     # grain key at midnight-UTC timestamp (the catalog-wide convention)
