@@ -115,6 +115,7 @@ NOTES = {
     "mm_image_near_dup": "aHash table localCheckpoint'ed (16 B/image) feeds both sides of the pigeonhole block join; payloads never shuffle",
     "events_quality_contract": "per-row expectations fold into ONE agg pass; referential check is a broadcast anti-join; only scalar metrics move",
     "events_stateful_watch_time": "partition-scan fold: ONE key-hashed exchange (dup resolution rides it as sort tie-breaks + scan drop), sortWithinPartitions, mapInPandas with cross-batch carry",
+    "events_cms_user_counts": "events collapse map-side into per-day 4x1024 counter rows; merge + probe shuffle counters only, sketch broadcast into the probe join; top-20 via TakeOrdered",
 }
 
 

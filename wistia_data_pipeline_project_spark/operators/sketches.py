@@ -1,0 +1,128 @@
+"""Count-Min sketch as a first-class counter TABLE.
+
+The 100 TB frequency architecture, parallel to the HLL rollup
+(`catalog_scalar.events_hll_rollup`): store one small sketch per
+partition (day, shard, source), merge sketches instead of re-scanning
+raw data, answer point frequency queries from the merged sketch. A
+CMS here is a plain DataFrame of ``(group…, depth, bucket, cnt)``
+rows — at most ``depth × width`` rows per group regardless of input
+size — so "merge" is a SUM aggregation and the whole lifecycle stays
+inside Catalyst: no binary blobs, no UDFs, map-side combinable.
+
+Estimates carry the classic CMS guarantee: ``estimate >= true count``
+always (each counter only ever over-counts), and over-count is
+bounded by colliding keys' mass. Both sides of the guarantee are
+deterministic given the hash, and the default ``md5_64`` hash is
+engine-neutral (`dedup._token_hash64`), so a DuckDB oracle replays
+the entire sketch bit-for-bit — the catalog entry hash-checks
+estimates, not just structure.
+
+No reference counterpart (the reference keeps exact Python dicts in
+one process, e.g. ``process_wistia_data.py:313-361`` aggregation);
+this is §2.13 extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _token_hash64
+
+# width must divide 2^16: the bucket is the low bits of the md5_64
+# pattern, and the SQL oracle reconstructs only hex nibbles 13-16
+# (16 bits) of the hash — a wider sketch would need more nibbles.
+_MAX_WIDTH = 1 << 16
+
+
+def _bucket(key: F.Column, depth: F.Column, width: int) -> F.Column:
+    """Bucket of ``key`` under hash row ``depth``: low bits of
+    md5_64("<key>:<depth>"). Bitwise AND, not pmod — identical for a
+    power-of-two width and exact on the signed-long hash in every
+    engine's integer semantics."""
+    h = _token_hash64(
+        F.concat(key, F.lit(":"), depth.cast("string")), "md5_64"
+    )
+    return h.bitwiseAND(F.lit(width - 1)).cast("int")
+
+
+def _check_params(depth: int, width: int) -> None:
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if width < 1 or width > _MAX_WIDTH or (width & (width - 1)):
+        raise ValueError(
+            f"width must be a power of two in [2, {_MAX_WIDTH}], got {width}"
+        )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build one CMS per ``group_cols`` combination over ``key_col``
+    occurrences: rows ``(group…, depth, bucket, cnt)``.
+
+    One pass over the input: each row fans out to ``depth`` (bucket)
+    coordinates via a posexplode'd hash array — a single hash
+    aggregation with map-side combine, no joins. NULL keys are
+    ignored (they have no frequency identity), matching the exact
+    GROUP BY they stand in for.
+    """
+    _check_params(depth, width)
+    k = F.col(key_col).cast("string")
+    coords = F.array(
+        *[_bucket(k, F.lit(d), width) for d in range(depth)]
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, F.posexplode(coords).alias("depth", "bucket"))
+        .groupBy(*group_cols, "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge sketches by summing counters — the re-aggregability that
+    makes per-partition sketches answer arbitrary-range queries.
+    ``group_cols`` are the surviving keys (e.g. merge per-day
+    sketches down to per-source); identical ``(depth, width)`` across
+    inputs is the caller's contract, as with any sketch algebra."""
+    return sketches.groupBy(*group_cols, "depth", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for every row of ``keys``: the MIN
+    over the ``depth`` counters each key hashes to (absent counter =
+    0). Returns ``keys``'s columns plus ``cms_estimate``.
+
+    The probe side explodes to ``len(keys) × depth`` rows and joins
+    the ≤ ``depth × width``-row sketch — broadcast-sized by
+    construction, so estimating k keys never shuffles the corpus the
+    sketch summarizes."""
+    _check_params(depth, width)
+    k = F.col(key_col).cast("string")
+    coords = F.array(
+        *[_bucket(k, F.lit(d), width) for d in range(depth)]
+    )
+    probes = keys.select(
+        "*", F.posexplode(coords).alias("depth", "bucket")
+    )
+    out_cols = [c for c in keys.columns]
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        .groupBy(*out_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )

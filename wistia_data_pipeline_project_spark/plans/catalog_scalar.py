@@ -806,6 +806,97 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replay of operators/sketches.py's md5_64 bucket: the bucket
+# is the low 10 bits of the 64-bit first-16-hex-chars pattern, i.e.
+# (hex nibbles 13-16 as a 16-bit int) % 1024 — strpos-nibble
+# arithmetic like SIMHASH_SQL, no base-conversion builtin needed.
+_CMS_NIB = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+_CMS_BUCKET = (
+    "(("
+    + _CMS_NIB.format(h="{h}", p=13) + " * 4096 + "
+    + _CMS_NIB.format(h="{h}", p=14) + " * 256 + "
+    + _CMS_NIB.format(h="{h}", p=15) + " * 16 + "
+    + _CMS_NIB.format(h="{h}", p=16)
+    + ") % 1024)"
+)
+
+
+@query(
+    "events_cms_user_counts",
+    oracle=f"""
+    WITH d AS (SELECT unnest(generate_series(0, 3)) AS depth),
+    hits AS (
+      SELECT depth,
+             {_CMS_BUCKET.format(h="md5(CAST(user_id AS VARCHAR) || ':' || CAST(depth AS VARCHAR))")}
+               AS bucket,
+             COUNT(*) AS cnt
+      FROM events, d WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    top AS (
+      SELECT user_id, exact_n FROM exact
+      ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT t.user_id, t.exact_n, d.depth,
+             {_CMS_BUCKET.format(h="md5(CAST(t.user_id AS VARCHAR) || ':' || CAST(d.depth AS VARCHAR))")}
+               AS bucket
+      FROM top t, d
+    )
+    SELECT p.user_id, p.exact_n,
+           CAST(MIN(COALESCE(h.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM probes p
+    LEFT JOIN hits h ON h.depth = p.depth AND h.bucket = p.bucket
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates, hash-checked end to end:
+    per-DAY sketches built over ``events.user_id`` (4×1024 counter
+    rows each), merged by counter SUM — the re-aggregable frequency
+    architecture next to ``events_hll_rollup``'s distinct counts —
+    then the 20 heaviest users' estimates read off the merged sketch
+    and reported next to their exact counts. The engine-neutral
+    md5_64 bucket hash means DuckDB replays the sketch bit-for-bit,
+    so unlike the structural approx entries this one hash-checks the
+    ESTIMATES (including their deterministic collision over-counts:
+    ~10k users into 1024 buckets collide by construction), plus the
+    CMS invariant estimate >= exact on every reported row.
+
+    Scale: raw events collapse to ≤ 4096 counters per day at the
+    map-side combiner; the merge shuffles counter rows, never events;
+    the probe join broadcasts the sketch. The reference has no sketch
+    surface (§2.13 extension; exact dicts at
+    ``process_wistia_data.py:313-361``).
+    """
+    from ..operators import sketches as S
+
+    e = load_table(spark, sf_dir, "events")
+    daily = S.cms_build(
+        e.select(F.to_date("ts").alias("_d"), "user_id"),
+        "user_id",
+        group_cols=("_d",),
+    )
+    merged = S.cms_merge(daily)
+    exact = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject — no
+    # single-partition window for the global top-k
+    top = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
+    return S.cms_estimate(merged, top, "user_id").select(
+        "user_id",
+        "exact_n",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+    )
+
+
 @query(
     "events_dau_mau",
     oracle="""
