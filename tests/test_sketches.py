@@ -1,10 +1,11 @@
-"""Count-Min sketch operator (operators/sketches.py).
+"""Count-Min + Bloom sketch operators (operators/sketches.py).
 
-The catalog entry `events_cms_user_counts` hash-checks engine parity;
-these tests pin the sketch ALGEBRA the oracle cannot see: merge ==
-direct build (re-aggregability), the one-sided error invariant,
-exactness when collision-free, parameter validation, and partitioning
-independence.
+The catalog entries `events_cms_user_counts` / `customers_bloom_prune`
+hash-check engine parity; these tests pin the sketch ALGEBRA the
+oracle cannot see: merge == direct build (re-aggregability), the
+one-sided error invariants (CMS never under-counts; Bloom never
+false-negatives), exactness when collision-free, parameter
+validation, and partitioning independence.
 """
 
 import pytest
@@ -84,6 +85,72 @@ def test_param_validation(keyed):
         S.cms_build(keyed, "key", width=(1 << 17))
     with pytest.raises(ValueError, match="depth"):
         S.cms_build(keyed, "key", depth=0)
+
+
+def test_bloom_merge_equals_direct_build(keyed):
+    """Per-group filters OR'd down == one global build, lane for lane
+    — union-of-sets re-aggregability."""
+    direct = S.bloom_build(keyed, "key", n_hashes=4, n_bits=4096)
+    merged = S.bloom_merge(
+        S.bloom_build(
+            keyed, "key", group_cols=("grp",), n_hashes=4, n_bits=4096
+        )
+    )
+    assert direct.exceptAll(merged).count() == 0
+    assert merged.exceptAll(direct).count() == 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, keyed):
+    bloom = S.bloom_build(keyed, "key", n_hashes=4, n_bits=4096)
+    present = keyed.select("key").distinct()
+    verdicts = {
+        r["key"]: r["maybe_present"]
+        for r in S.bloom_probe(
+            bloom, present, "key", n_hashes=4, n_bits=4096
+        ).collect()
+    }
+    # every inserted key MUST come back maybe=true — the one-sided
+    # guarantee the pruning play depends on
+    assert all(verdicts.values()) and len(verdicts) == 60
+    ghosts = spark.range(10_000, 11_000).withColumnRenamed("id", "key")
+    fp = (
+        S.bloom_probe(bloom, ghosts, "key", n_hashes=4, n_bits=4096)
+        .filter(F.col("maybe_present"))
+        .count()
+    )
+    # 60 keys * 4 bits into 4096: expected FPR ~ (240/4096)^4 ~ 1e-5;
+    # deterministic given the md5 hash, so the bound is stable
+    assert fp <= 5, fp
+
+
+def test_bloom_null_keys_ignored_and_params(spark, keyed):
+    df = spark.createDataFrame([(1,), (None,)], "key int")
+    bloom = S.bloom_build(df, "key", n_hashes=3, n_bits=256)
+    # exactly one key inserted: at most 3 bits set across all lanes
+    total_bits = bloom.select(
+        F.sum(F.bit_count("bits")).alias("b")
+    ).collect()[0]["b"]
+    assert 1 <= total_bits <= 3
+    with pytest.raises(ValueError, match="power of two"):
+        S.bloom_build(keyed, "key", n_bits=1000)
+    with pytest.raises(ValueError, match="n_hashes"):
+        S.bloom_build(keyed, "key", n_hashes=0)
+
+
+def test_bloom_partitioning_independence(spark, keyed):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        a = sorted(
+            map(tuple, S.bloom_build(keyed, "key", n_bits=512).collect())
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(
+            map(tuple, S.bloom_build(keyed, "key", n_bits=512).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
 
 
 def test_partitioning_independence(spark, keyed):

@@ -123,9 +123,37 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # rehearsal must be reproducible from this tool alone (review r05)
     dim = con.sql(f"SELECT * FROM read_parquet('{src}/customer.parquet')").arrow()
     pq.write_table(dim, f"{dst}/customer.parquet")
+
+    # orders scale 10x with o_custkey UNCHANGED (fact rows grow, key
+    # domain fixed — the realistic crawl shape, and exactly the
+    # map-side-collapse claim the bloom rehearsal tests: 10x scan into
+    # the same <=1024 filter lanes); o_orderkey strides for
+    # uniqueness. DuckDB COPY keeps parquet types, no pandas
+    # round-trip. nation is a verbatim dim like customer.
+    okey = con.sql(
+        f"SELECT max(o_orderkey) - min(o_orderkey) + 1 AS s "
+        f"FROM read_parquet('{src}/orders.parquet')"
+    ).fetchone()[0]
+    con.sql(
+        f"""
+        COPY (
+          SELECT o.* REPLACE (
+            o.o_orderkey + g.k * {int(okey)} AS o_orderkey)
+          FROM read_parquet('{src}/orders.parquet') o,
+               (SELECT unnest(generate_series(0, {n_copies - 1})) AS k) g
+        ) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{src}/nation.parquet')) "
+        f"TO '{dst}/nation.parquet' (FORMAT PARQUET)"
+    )
+    n_orders = con.sql(
+        f"SELECT count(*) FROM read_parquet('{dst}/orders.parquet')"
+    ).fetchone()[0]
     print(
         f"wrote {len(big)} docs, {len(bige)} vectors, "
-        f"{len(bigev)} events to {dst}"
+        f"{len(bigev)} events, {n_orders} orders to {dst}"
     )
 
 

@@ -116,6 +116,7 @@ NOTES = {
     "events_quality_contract": "per-row expectations fold into ONE agg pass; referential check is a broadcast anti-join; only scalar metrics move",
     "events_stateful_watch_time": "partition-scan fold: ONE key-hashed exchange (dup resolution rides it as sort tie-breaks + scan drop), sortWithinPartitions, mapInPandas with cross-batch carry",
     "events_cms_user_counts": "events collapse map-side into per-day 4x1024 counter rows; merge + probe shuffle counters only, sketch broadcast into the probe join; top-20 via TakeOrdered",
+    "customers_bloom_prune": "orders collapse map-side into per-year <=1KB bit-lane rows; OR-merge + probe shuffle lanes only, filter broadcast into the probe join; exact semi-join runs beside it so the hashed row shows the pruning rate",
 }
 
 

@@ -53,6 +53,11 @@ DEFAULT_ENTRIES = [
     "mm_image_near_dup",
     "events_quality_contract",
     "events_stateful_watch_time",
+    # sketch tables: events/orders collapse to <=4096 counter rows /
+    # <=1024 bit lanes at the map-side combiner, so 10x data should
+    # be scan-bound (bloom probes 10x customers too — still lanes)
+    "events_cms_user_counts",
+    "customers_bloom_prune",
 ]
 
 

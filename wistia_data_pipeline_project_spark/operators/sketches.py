@@ -1,4 +1,4 @@
-"""Count-Min sketch as a first-class counter TABLE.
+"""Count-Min and Bloom sketches as first-class counter/bit TABLES.
 
 The 100 TB frequency architecture, parallel to the HLL rollup
 (`catalog_scalar.events_hll_rollup`): store one small sketch per
@@ -16,6 +16,15 @@ deterministic given the hash, and the default ``md5_64`` hash is
 engine-neutral (`dedup._token_hash64`), so a DuckDB oracle replays
 the entire sketch bit-for-bit — the catalog entry hash-checks
 estimates, not just structure.
+
+The Bloom filter below is the MEMBERSHIP member of the same
+architecture (HLL = distinct counts, CMS = frequencies, Bloom = set
+membership): one bit-lane table per partition, merged by bitwise OR,
+probed by a broadcast join. Its 100 TB job is semi-join reduction —
+build a filter over the join keys actually present on the fact side,
+broadcast the ≤ kB filter, and drop definite-miss rows from the other
+input BEFORE any shuffle. One-sided like CMS: no false negatives,
+deterministic false positives bounded by load factor.
 
 No reference counterpart (the reference keeps exact Python dicts in
 one process, e.g. ``process_wistia_data.py:313-361`` aggregation);
@@ -125,4 +134,120 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(*out_cols)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
+# ---------------------------------------------------------------- Bloom
+
+# 16-bit lanes: bit values stay in [1, 32768] — positive in every
+# engine's INT, no signed-shift edge at lane width 64, and the same
+# nibble-13-16 oracle replay as the CMS bucket covers the whole
+# position space (n_bits <= 2^16).
+_LANE_BITS = 16
+
+
+def _bloom_coords(key: F.Column, n_hashes: int, n_bits: int) -> F.Column:
+    """Array of ``(lane, bit)`` structs for ``key``'s ``n_hashes`` bit
+    positions: position i = md5_64("<key>#<i>") & (n_bits-1), split
+    into a 16-bit lane index and a one-hot bit mask."""
+    coords = []
+    for i in range(n_hashes):
+        h = _token_hash64(F.concat(key, F.lit(f"#{i}")), "md5_64")
+        pos = h.bitwiseAND(F.lit(n_bits - 1))
+        # 2^(pos%16) via pow: shiftleft() takes only a literal shift
+        # count; doubles are exact to 2^15 so the cast is lossless
+        coords.append(
+            F.struct(
+                (pos / F.lit(_LANE_BITS)).cast("int").alias("lane"),
+                F.pow(F.lit(2.0), (pos % F.lit(_LANE_BITS)).cast("int"))
+                .cast("int")
+                .alias("bit"),
+            )
+        )
+    return F.array(*coords)
+
+
+def _check_bloom_params(n_hashes: int, n_bits: int) -> None:
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if (
+        n_bits < _LANE_BITS
+        or n_bits > _MAX_WIDTH
+        or (n_bits & (n_bits - 1))
+    ):
+        raise ValueError(
+            f"n_bits must be a power of two in [{_LANE_BITS}, {_MAX_WIDTH}],"
+            f" got {n_bits}"
+        )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    n_hashes: int = 4,
+    n_bits: int = 16384,
+) -> DataFrame:
+    """One Bloom filter per ``group_cols`` combination over
+    ``key_col``: rows ``(group…, lane, bits)`` — at most
+    ``n_bits/16`` lanes per group regardless of input size.
+
+    Single hash aggregation with map-side ``bit_or`` combine; NULL
+    keys are ignored (no membership identity), as in ``cms_build``.
+    """
+    _check_bloom_params(n_hashes, n_bits)
+    k = F.col(key_col).cast("string")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            *group_cols,
+            F.explode(_bloom_coords(k, n_hashes, n_bits)).alias("_c"),
+        )
+        .select(*group_cols, "_c.lane", "_c.bit")
+        .groupBy(*group_cols, "lane")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_merge(
+    sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Merge filters by OR-ing lanes — union-of-sets re-aggregability.
+    Identical ``(n_hashes, n_bits)`` across inputs is the caller's
+    contract, as with any sketch algebra."""
+    return sketches.groupBy(*group_cols, "lane").agg(
+        F.bit_or("bits").alias("bits")
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    n_hashes: int = 4,
+    n_bits: int = 16384,
+) -> DataFrame:
+    """Membership verdicts for every row of ``keys``: ``maybe_present``
+    is true iff ALL ``n_hashes`` bits are set (a missing lane row is
+    all-zeros). No false negatives, ever; false positives are
+    deterministic given the data. Returns ``keys``'s columns plus
+    ``maybe_present``.
+
+    The filter is ≤ ``n_bits/16`` rows by construction and broadcast
+    into the probe join — pruning k keys never shuffles the corpus
+    the filter summarizes, which is the whole semi-join-reduction
+    play at 100 TB."""
+    _check_bloom_params(n_hashes, n_bits)
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        "*", F.explode(_bloom_coords(k, n_hashes, n_bits)).alias("_c")
+    ).select("*", "_c.lane", "_c.bit").drop("_c")
+    out_cols = [c for c in keys.columns]
+    hit = F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+        F.col("bit")
+    ) == F.col("bit")
+    return (
+        probes.join(F.broadcast(sketch), ["lane"], "left")
+        .groupBy(*out_cols)
+        .agg(F.bool_and(hit).alias("maybe_present"))
     )

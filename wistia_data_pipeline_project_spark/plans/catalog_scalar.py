@@ -811,14 +811,18 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (hex nibbles 13-16 as a 16-bit int) % 1024 — strpos-nibble
 # arithmetic like SIMHASH_SQL, no base-conversion builtin needed.
 _CMS_NIB = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
-_CMS_BUCKET = (
-    "(("
+# hex nibbles 13-16 as a 16-bit int — the low 16 bits of the md5_64
+# pattern, shared by the CMS bucket (% width) and the Bloom bit
+# position (% n_bits)
+_HEX16 = (
+    "("
     + _CMS_NIB.format(h="{h}", p=13) + " * 4096 + "
     + _CMS_NIB.format(h="{h}", p=14) + " * 256 + "
     + _CMS_NIB.format(h="{h}", p=15) + " * 16 + "
     + _CMS_NIB.format(h="{h}", p=16)
-    + ") % 1024)"
+    + ")"
 )
+_CMS_BUCKET = "(" + _HEX16 + " % 1024)"
 
 
 @query(
@@ -894,6 +898,103 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "exact_n",
         F.col("cms_estimate").cast("long").alias("cms_estimate"),
+    )
+
+
+# Bloom bit position: low 16 bits of md5_64 mod n_bits=16384; lane =
+# pos // 16, mask = 1 << (pos % 16) — operators/sketches.py:_bloom_coords
+_BLOOM_POS = "(" + _HEX16 + " % 16384)"
+
+
+@query(
+    "customers_bloom_prune",
+    oracle=f"""
+    WITH i AS (SELECT unnest(generate_series(0, 3)) AS i),
+    ins AS (
+      SELECT {_BLOOM_POS.format(h="md5(CAST(o_custkey AS VARCHAR) || '#' || CAST(i.i AS VARCHAR))")}
+               AS pos
+      FROM orders, i
+    ),
+    lanes AS (
+      SELECT pos // 16 AS lane, bit_or(1 << (pos % 16)) AS bits
+      FROM ins GROUP BY 1
+    ),
+    pr AS (
+      SELECT c.c_custkey, c.c_nationkey,
+             {_BLOOM_POS.format(h="md5(CAST(c.c_custkey AS VARCHAR) || '#' || CAST(i.i AS VARCHAR))")}
+               AS pos
+      FROM customer c, i
+    ),
+    verdict AS (
+      SELECT p.c_custkey, p.c_nationkey,
+             bool_and((COALESCE(l.bits, 0) & (1 << (p.pos % 16)))
+                      = (1 << (p.pos % 16))) AS maybe
+      FROM pr p LEFT JOIN lanes l ON l.lane = p.pos // 16
+      GROUP BY 1, 2
+    )
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CASE WHEN v.maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_maybe,
+           CAST(SUM(CASE WHEN a.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_actual
+    FROM verdict v
+    JOIN nation n ON n.n_nationkey = v.c_nationkey
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) a
+      ON a.o_custkey = v.c_custkey
+    GROUP BY 1
+    """,
+)
+def customers_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, hash-checked end to end: per
+    order-YEAR Bloom filters built over ``orders.o_custkey`` (16-bit
+    lane rows, ≤1 KB each), OR-merged to one filter — the membership
+    member of the re-aggregable sketch architecture beside
+    ``events_hll_rollup`` (distinct) and ``events_cms_user_counts``
+    (frequency) — then every customer probed and the per-nation
+    verdict counts reported NEXT TO the exact semi-join counts, so the
+    row the driver hashes contains the pruning rate and its
+    deterministic false positives (no false negatives, by
+    construction: n_maybe >= n_actual on every row).
+
+    Scale: this is the shuffle-avoidance play for 100 TB joins — the
+    fact side collapses map-side to ≤1024 lane rows per group, the
+    merged ≤1 KB filter broadcasts into the probe join, and
+    definite-miss probe rows can be dropped BEFORE the expensive
+    exchange (here they are counted instead, so the saving is
+    visible). The reference has no sketch surface (§2.13 extension;
+    exact dict membership at ``process_wistia_data_v2.py:350-531``).
+    """
+    from ..operators import sketches as S
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    yearly = S.bloom_build(
+        o.select(F.year("o_orderdate").alias("_y"), "o_custkey"),
+        "o_custkey",
+        group_cols=("_y",),
+    )
+    merged = S.bloom_merge(yearly)
+    probed = S.bloom_probe(
+        merged, c.select("c_custkey", "c_nationkey"), "c_custkey"
+    )
+    actual = o.select("o_custkey").distinct()
+    return (
+        probed.join(
+            actual, probed["c_custkey"] == actual["o_custkey"], "left"
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe"),
+            F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_actual"),
+        )
     )
 
 
