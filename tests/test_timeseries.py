@@ -247,3 +247,81 @@ def test_time_decay_entry_matches_oracle_in_gated_band(spark, tmp_path):
     # credit contribution on BOTH engines
     by_ch = {r["channel"]: r for _, r in sdf.iterrows()}
     assert by_ch["organic"]["n_purchases"] == 1
+
+
+def test_time_weighted_avg_micro_fixture(spark):
+    """Hand-computed LOCF integral: user 1 holds 10.0 for 4s then 30.0
+    for 6s → twa = (10*4 + 30*6)/10 = 22.0; user 2 has one event → NULL
+    span and twa."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        (1, T(2024, 1, 1, 0, 0, 4), 2, 30.0),
+        (1, T(2024, 1, 1, 0, 0, 10), 3, 99.0),  # last value holds 0s
+        (2, T(2024, 1, 2), 4, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    assert got[1].n_events == 3
+    assert got[1].span_us == 10_000_000
+    assert got[1].twa == pytest.approx(22.0)
+    assert got[2].n_events == 1
+    assert got[2].span_us is None and got[2].twa is None
+
+
+def test_time_weighted_avg_duplicate_ts_tiebreak(spark):
+    """Two events at the same instant: the zero-length segment
+    contributes nothing and the (ts, event_id) order pins which value
+    holds the following interval — higher event_id, deterministically."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0), 1, 100.0),
+        (1, T(2024, 1, 1, 0, 0, 0), 2, 10.0),  # same ts, later id → holds
+        (1, T(2024, 1, 1, 0, 0, 2), 3, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    [r] = time_weighted_avg(df).collect()
+    assert r.span_us == 2_000_000
+    assert r.twa == pytest.approx(10.0)
+
+
+def test_open_interval_backlog_micro_fixture(spark):
+    """Three intervals: [d1,d3], [d2,d2], [d2,d5] → backlog by day:
+    d1:1 d2:3 d3:2(first expiry lands d3) d4:1 d6:0."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        open_interval_backlog,
+    )
+
+    D = dt.date
+    rows = [
+        (D(2024, 1, 1), D(2024, 1, 3)),
+        (D(2024, 1, 2), D(2024, 1, 2)),
+        (D(2024, 1, 2), D(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(rows, "open_d date, close_d date")
+    got = {
+        r.day.isoformat(): (r.n_opened, r.n_expired, r.open_backlog)
+        for r in open_interval_backlog(df).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 0, 1),
+        "2024-01-02": (2, 0, 3),
+        "2024-01-03": (0, 1, 2),
+        "2024-01-04": (0, 1, 1),
+        "2024-01-06": (0, 1, 0),
+    }
+    # the sweep-line invariant: the final backlog is zero (every
+    # interval that opened also expired)
+    assert list(got.values())[-1][2] == 0

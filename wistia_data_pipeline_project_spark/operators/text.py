@@ -566,3 +566,39 @@ def vocab_overlap_sketch(
             (F.col("est_a") + F.col("est_b") - u) / u, F.lit(0.0)
         ).alias("jaccard_est"),
     )
+
+
+def unigram_nll(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM (the CCNet perplexity-filter signal). Output:
+    ``(key, n_tokens, avg_nll)``; token-less documents are omitted (no
+    defined score).
+
+    Cross-engine determinism (the ``docs_unigram_nll`` oracle replays
+    this exactly): per-token NLL is quantized to DECIMAL(18,6) BEFORE
+    the per-doc sum, so the order-free decimal sum is exact and only
+    the final mean divides in double.
+
+    Scale: the vocab is a map-side-combinable count; the token→NLL
+    join is broadcast-able (a unigram vocab is millions of rows, not
+    fact-sized); one shuffle on the key for the per-doc agg.
+    """
+    tok = df.select(key_col, F.explode(tokens(F.col(text_col))).alias("tk"))
+    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    nll = vocab.join(F.broadcast(tot)).select(
+        "tk",
+        F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll_q"),
+    )
+    return (
+        tok.join(nll, "tk")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("nll_q").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )

@@ -434,3 +434,108 @@ def time_decay_attribution(
         .alias("credit"),
         F.col("_bad").alias("decay_overflow"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """LOCF time-weighted average per key (the TimescaleDB
+    ``time_weight('LOCF', ...)`` operator): each observation's value is
+    held until the NEXT observation, so the average is the integral of
+    the step function over the key's span divided by the span. Distinct
+    from a plain AVG (which ignores how long each value was in effect)
+    and from the daily resample (which regularizes to a fixed grid).
+
+    Output per key: ``n_events``, ``span_us`` (microseconds between the
+    key's first and last observation; NULL for single-observation
+    keys), ``twa`` (NULL when the span is zero or undefined).
+
+    Determinism: segment durations are exact integer microseconds from
+    ``unix_micros`` over the total order ``(ts, tiebreak)`` — duplicate
+    timestamps are ordered identically in both engines, and a
+    zero-length segment contributes nothing regardless. Values are
+    2-decimal by the data contract and are scaled to INTEGER cents
+    before the ``cents × dt_us`` sum: the sum stays an integer-valued
+    DECIMAL(38,0), whose double cast is correctly rounded in BOTH
+    engines (a fractional decimal→double cast is NOT — DuckDB divides
+    the int128 by 10^scale in floating point, a second rounding the
+    JVM's conversion doesn't take), and the trailing ``/ span / 100.0``
+    is two bit-identical IEEE ops.
+
+    Scale: one shuffle on the key, sort within key (the watch-time fold
+    family's shape); the aggregate is a map-side-combinable sum over
+    the lead-segment rows. No grid fan-out — cost is O(events).
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seg = df.select(key_col, ts_col, tiebreak_col, value_col).withColumn(
+        "_dt_us",
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)),
+    )
+    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    wsum = F.sum(cents * F.col("_dt_us"))
+    span = F.sum("_dt_us")
+    return seg.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        span.cast("long").alias("span_us"),
+        F.when(
+            span > 0, wsum.cast("double") / span.cast("double") / F.lit(100.0)
+        ).alias("twa"),
+    )
+
+
+def open_interval_backlog(
+    intervals: DataFrame,
+    open_col: str = "open_d",
+    close_col: str = "close_d",
+) -> DataFrame:
+    """Per-day count of open intervals (orders in flight, sessions
+    active, tickets unresolved) via the sweep-line delta trick: +1 on
+    the open day, −1 the day AFTER the close day, then a running sum
+    over the distinct delta days. An interval is open on day d iff
+    ``open_d <= d <= close_d``.
+
+    Output: one row per day carrying a delta — ``n_opened`` (intervals
+    opening that day), ``n_expired`` (intervals whose open range ended
+    the previous day), ``open_backlog`` (running count).
+
+    Scale: this is the range-join-avoidance pattern — the naive
+    formulation joins intervals against a calendar on an inequality
+    (O(intervals × days) expansion); the sweep-line reduces it to one
+    map-side-combinable aggregate over 2×intervals delta rows plus a
+    running-sum window over DISTINCT DAYS ONLY. That final window is
+    unpartitioned, but its input is the day domain (thousands of rows
+    at any corpus size), not the interval table — the single-partition
+    sort is bounded and intentional.
+    """
+    opens = intervals.select(
+        F.col(open_col).alias("day"),
+        F.lit(1).alias("_opened"),
+        F.lit(0).alias("_expired"),
+    )
+    exps = intervals.select(
+        F.date_add(close_col, 1).alias("day"),
+        F.lit(0).alias("_opened"),
+        F.lit(1).alias("_expired"),
+    )
+    daily = (
+        opens.unionByName(exps)
+        .groupBy("day")
+        .agg(
+            F.sum("_opened").alias("n_opened"),
+            F.sum("_expired").alias("n_expired"),
+        )
+    )
+    run = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        F.col("n_opened").cast("long").alias("n_opened"),
+        F.col("n_expired").cast("long").alias("n_expired"),
+        F.sum(F.col("n_opened") - F.col("n_expired"))
+        .over(run)
+        .cast("long")
+        .alias("open_backlog"),
+    )

@@ -774,6 +774,124 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_oracle(terms: tuple[str, ...], k: int) -> str:
+    """Generated from the SAME term list, k, and constants as the
+    catalog call. The per-(doc,term) BM25 score is one double
+    expression written with the IDENTICAL operation tree as the Spark
+    column (every +,*,/ is exact-rounded IEEE on bit-identical
+    operands; the one ln() per distinct (df) value matches cross-engine
+    — the docs_unigram_nll precedent), then quantized to DECIMAL(18,6)
+    BEFORE the cross-term sum so ordering and the final double are
+    engine-free."""
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in terms
+    )
+    term_exprs = "\n           + ".join(
+        f"""CAST(ROUND(
+               LN(1.0 + (CAST(n_docs - df_{t} AS DOUBLE) + 0.5)
+                        / (CAST(df_{t} AS DOUBLE) + 0.5))
+               * ((CAST(tf_{t} AS DOUBLE) * 2.2)
+                  / (CAST(tf_{t} AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(n_tokens AS DOUBLE)
+                       / (CAST(total_tokens AS DOUBLE)
+                          / CAST(n_docs AS DOUBLE)))))),
+               6) AS DECIMAL(18,6))"""
+        for t in terms
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             {tf_cols}
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    ),
+    s AS (SELECT COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+                 {df_cols}
+          FROM f),
+    scored AS (
+      SELECT doc_id, n_tokens,
+           {term_exprs} AS score_q
+      FROM f CROSS JOIN s
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(score_q AS DOUBLE) AS score
+    FROM scored
+    ORDER BY score_q DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query("docs_bm25_topk", oracle=_bm25_oracle(_TFIDF_TERMS, 15))
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson-Sparck Jones, the Lucene/ES
+    default ranking) over the same literal query-term set as
+    ``docs_tfidf_topk`` — the REAL ranking function that entry's
+    integer-weight variant approximates: tf saturation via
+    k1=1.2 and document-length normalization via b=0.75, idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Determinism: per-term scores quantize to DECIMAL(18,6) before the
+    cross-term sum; top-k tie-breaks on doc_id (see _bm25_oracle).
+
+    Scale: identical plan shape to docs_tfidf_topk — tf counts are
+    codegen array filters in the corpus scan, (N, total_tokens, df_t)
+    is a 1-row broadcast, top-k is TakeOrdered per-partition heaps. No
+    inverted index needed for a literal query set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        *[
+            F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf_{t}")
+            for t in _TFIDF_TERMS
+        ],
+    )
+    # shared by the stats row and the scored projection (tfidf
+    # precedent: halve the tokenizing corpus scans)
+    f = f.cache()
+    stats = f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _TFIDF_TERMS
+        ],
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    score_q = None
+    for t in _TFIDF_TERMS:
+        tf_d = F.col(f"tf_{t}").cast("double")
+        df_c = F.col(f"df_{t}")
+        idf = F.log(
+            F.lit(1.0)
+            + ((F.col("n_docs") - df_c).cast("double") + F.lit(0.5))
+            / (df_c.cast("double") + F.lit(0.5))
+        )
+        tfpart = (tf_d * F.lit(2.2)) / (
+            tf_d
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * (F.col("n_tokens").cast("double") / avgdl)
+            )
+        )
+        term = F.round(idf * tfpart, 6).cast("decimal(18,6)")
+        score_q = term if score_q is None else score_q + term
+    return (
+        f.crossJoin(F.broadcast(stats))
+        .withColumn("score_q", score_q)
+        .orderBy(F.desc("score_q"), "doc_id")
+        .limit(15)
+        .select(
+            "doc_id", "n_tokens", F.col("score_q").cast("double").alias("score")
+        )
+    )
+
+
 def _dup_clusters_oracle(budget: int, overlap: int, width: int, threshold: float) -> str:
     """Generated from the SAME (budget, overlap, width, threshold) as
     the catalog call. Chunking, shingling, the Jaccard pair filter,
@@ -1414,9 +1532,10 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "docs_unigram_nll",
-    oracle=f"""
+# Shared CTE body: per-doc (n_tokens, avg_nll) under the corpus
+# unigram LM — the oracle twin of operators/text.py:unigram_nll,
+# reused by docs_unigram_nll and docs_perplexity_buckets.
+UNIGRAM_NLL_SQL = f"""
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
     vocab AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY 1),
@@ -1426,13 +1545,20 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ROUND(LN(CAST(total AS DOUBLE) / cnt), 6)
                   AS DECIMAL(18,6)) AS nll_q
       FROM vocab, tot
+    ),
+    doc_nll AS (
+      SELECT tok.doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(nll.nll_q) AS DOUBLE) / COUNT(*) AS avg_nll
+      FROM tok JOIN nll USING (tk)
+      GROUP BY tok.doc_id
     )
-    SELECT tok.doc_id,
-           COUNT(*) AS n_tokens,
-           CAST(SUM(nll.nll_q) AS DOUBLE) / COUNT(*) AS avg_nll
-    FROM tok JOIN nll USING (tk)
-    GROUP BY tok.doc_id
-    """,
+"""
+
+
+@query(
+    "docs_unigram_nll",
+    oracle=UNIGRAM_NLL_SQL + "SELECT doc_id, n_tokens, avg_nll FROM doc_nll",
 )
 def docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality score (the CCNet-style perplexity-filter
@@ -1451,29 +1577,71 @@ def docs_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the vocab is a map-side-combinable count; the token→NLL
     join is broadcast-able (a natural-language unigram vocab is
     millions of rows, not fact-sized) and the per-doc agg is one
-    shuffle on doc_id.
+    shuffle on doc_id. Shared with ``docs_perplexity_buckets`` via
+    operators/text.py:unigram_nll.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tk")
+    return X.unigram_nll(docs).select("doc_id", "n_tokens", "avg_nll")
+
+
+@query(
+    "docs_perplexity_buckets",
+    oracle=UNIGRAM_NLL_SQL
+    + """,
+    bounds AS (
+      SELECT quantile_disc(avg_nll, 0.3333333333333333) AS b1,
+             quantile_disc(avg_nll, 0.6666666666666666) AS b2
+      FROM doc_nll
     )
-    vocab = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").alias("total"))
-    nll = vocab.join(F.broadcast(tot)).select(
-        "tk",
-        F.round(F.log(F.col("total").cast("double") / F.col("cnt")), 6)
-        .cast("decimal(18,6)")
-        .alias("nll_q"),
+    SELECT doc_id, n_tokens, avg_nll,
+           CASE WHEN avg_nll <= b1 THEN 'head'
+                WHEN avg_nll <= b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM doc_nll CROSS JOIN bounds
+    """,
+)
+def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into head/middle/tail TERCILES of the unigram-LM score —
+    the data-mixing step downstream samplers key on (head = most
+    fluent). ``docs_unigram_nll`` computes the signal; this entry is
+    the global-quantile + join-back assignment operator.
+
+    Determinism: the tercile boundaries are ``percentile_disc``
+    (actual data values, no interpolation — the events_percentiles
+    precedent) over avg_nll doubles that are themselves bit-identical
+    cross-engine (decimal-quantized sums, one division); bucket
+    assignment is then pure comparison.
+
+    Scale: boundaries are a 1-row global aggregate broadcast back to
+    the corpus — NOT an ntile() global-sort window, which would pull
+    every row through one partition. Exact disc quantiles at this
+    corpus scale; for the billions-of-docs regime swap the bounds
+    aggregate for approx_percentile and the assignment is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Cache the narrow per-doc scores: both the bounds aggregate and
+    # the assignment join consume `base`, and without the shared
+    # InMemory relation the broadcast subtree re-runs the tokenize +
+    # vocab-join corpus scan a second time (the docs_tfidf_topk
+    # precedent). (doc_id, 2 numbers) — ~24 B/row at any scale.
+    base = X.unigram_nll(docs).cache()
+    bounds = base.agg(
+        F.expr(
+            "percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_nll)"
+        ).alias("b1"),
+        F.expr(
+            "percentile_disc(0.6666666666666666) WITHIN GROUP (ORDER BY avg_nll)"
+        ).alias("b2"),
     )
-    return (
-        tok.join(nll, "tk")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("nll_q").cast("double") / F.count(F.lit(1))).alias(
-                "avg_nll"
-            ),
-        )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("b1"), "head")
+        .when(F.col("avg_nll") <= F.col("b2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 

@@ -1581,3 +1581,109 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DATE comparing as object vs datetime64 across engines: emit the
     # grain key at midnight-UTC timestamp (the catalog-wide convention)
     return out.withColumn("date", F.col("date").cast("timestamp"))
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle=E_CTE
+    + """,
+    seg AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )) - epoch_us(ts) AS dt_us
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dt_us) AS BIGINT) AS span_us,
+           CASE WHEN SUM(dt_us) > 0
+                THEN CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                   AS DECIMAL(18,0)) * dt_us) AS DOUBLE)
+                     / CAST(SUM(dt_us) AS DOUBLE) / 100.0
+           END AS twa
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of ``value`` per user (TimescaleDB's
+    ``time_weight``): each observation holds until the next one, so the
+    mean weights values by how LONG they were in effect — the correct
+    aggregate for sampled gauges (bitrate, position, price), where
+    plain AVG over-weights bursts of rapid events. Distinct from
+    ``events_daily_gapfill`` (fixed-grid regularization) — no grid is
+    materialized; the integral is computed on the raw segments.
+
+    Determinism: exact integer microsecond segments over the
+    ``(ts, event_id)`` total order; cents×duration terms sum in an
+    integer-valued decimal (whose double cast is correctly rounded in
+    both engines — see the operator docstring); the trailing division
+    pair is bit-identical IEEE. Single-observation users emit NULL
+    span/twa in both engines (SUM over an empty segment set).
+
+    Scale: one shuffle on user_id + sort within key — the watch-time
+    fold family's shape; the aggregate is map-side combinable. See
+    operators/timeseries.py:time_weighted_avg.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return TS.time_weighted_avg(
+        e, key_col="user_id", ts_col="ts", value_col="value"
+    ).select("user_id", "n_events", "span_us", "twa")
+
+
+@query(
+    "orders_open_backlog",
+    oracle="""
+    WITH closes AS (
+      SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT CAST(o.o_orderdate AS DATE) AS day, 1 AS opened, 0 AS expired
+      FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+      UNION ALL
+      SELECT close_d + 1 AS day, 0 AS opened, 1 AS expired FROM closes
+    ),
+    daily AS (
+      SELECT day, SUM(opened) AS n_opened, SUM(expired) AS n_expired
+      FROM deltas GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_expired AS BIGINT) AS n_expired,
+           CAST(SUM(n_opened - n_expired) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS open_backlog
+    FROM daily
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-in-flight per day: an order is open from its order date
+    through its last lineitem ship date; output every day the count
+    changes with the running backlog (operations dashboards' WIP
+    metric). The sweep-line formulation — ±1 deltas + running sum —
+    NOT a calendar range join.
+
+    Scale: the naive plan joins orders against a day dimension on an
+    inequality (O(orders × days) expansion, a BroadcastNestedLoopJoin);
+    the delta form is one co-partitioned orderkey join (closes ⋈
+    orders, both pre-aggregated map-side), one map-combinable day agg,
+    and a running-sum window whose input is DISTINCT DAYS (~2.4k for
+    TPC-H's span at any SF) — the unpartitioned window is bounded by
+    the day domain, not the fact table. See
+    operators/timeseries.py:open_interval_backlog.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    closes = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_d")
+    )
+    iv = orders.join(
+        closes, orders["o_orderkey"] == closes["l_orderkey"]
+    ).select(F.to_date("o_orderdate").alias("open_d"), "close_d")
+    out = TS.open_interval_backlog(iv, "open_d", "close_d")
+    # DATE comparing as object vs datetime64 across engines: emit the
+    # grain key at midnight-UTC timestamp (the catalog-wide convention)
+    return out.withColumn("day", F.col("day").cast("timestamp"))
