@@ -117,6 +117,10 @@ NOTES = {
     "events_stateful_watch_time": "partition-scan fold: ONE key-hashed exchange (dup resolution rides it as sort tie-breaks + scan drop), sortWithinPartitions, mapInPandas with cross-batch carry",
     "events_cms_user_counts": "events collapse map-side into per-day 4x1024 counter rows; merge + probe shuffle counters only, sketch broadcast into the probe join; top-20 via TakeOrdered",
     "customers_bloom_prune": "orders collapse map-side into per-year <=1KB bit-lane rows; OR-merge + probe shuffle lanes only, filter broadcast into the probe join; exact semi-join runs beside it so the hashed row shows the pruning rate",
+    "docs_bm25_topk": "tfidf plan shape: cached narrow counts; BNLJ = 1-row stats broadcast; top-15 TakeOrdered",
+    "docs_perplexity_buckets": "cached per-doc scores feed both the disc-bounds aggregate and the assignment; BNLJ = 1-row bounds broadcast",
+    "events_time_weighted_avg": "one user_id exchange shared by the lead window and the map-combinable decimal agg",
+    "orders_open_backlog": "sweep-line deltas replace the calendar range join; the unpartitioned running-sum window reads DISTINCT DAYS only (bounded by the day domain)",
 }
 
 
