@@ -148,12 +148,30 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
         f"COPY (SELECT * FROM read_parquet('{src}/nation.parquet')) "
         f"TO '{dst}/nation.parquet' (FORMAT PARQUET)"
     )
+    # lineitem rides its order: l_orderkey strides by the SAME okey
+    # stride per copy so every scaled order keeps its own lineitems
+    # (and therefore its own close date — the backlog rehearsal's
+    # interval structure), while the DAY domain stays the original
+    # span: deltas grow 10x into a fixed-size running-sum window.
+    con.sql(
+        f"""
+        COPY (
+          SELECT l.* REPLACE (
+            l.l_orderkey + g.k * {int(okey)} AS l_orderkey)
+          FROM read_parquet('{src}/lineitem.parquet') l,
+               (SELECT unnest(generate_series(0, {n_copies - 1})) AS k) g
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
     n_orders = con.sql(
         f"SELECT count(*) FROM read_parquet('{dst}/orders.parquet')"
     ).fetchone()[0]
+    n_li = con.sql(
+        f"SELECT count(*) FROM read_parquet('{dst}/lineitem.parquet')"
+    ).fetchone()[0]
     print(
         f"wrote {len(big)} docs, {len(bige)} vectors, "
-        f"{len(bigev)} events, {n_orders} orders to {dst}"
+        f"{len(bigev)} events, {n_orders} orders, {n_li} lineitems to {dst}"
     )
 
 

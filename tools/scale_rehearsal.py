@@ -58,6 +58,15 @@ DEFAULT_ENTRIES = [
     # be scan-bound (bloom probes 10x customers too — still lanes)
     "events_cms_user_counts",
     "customers_bloom_prune",
+    # round-6 additions: BM25 is scan+TakeOrdered (expect ~1.0 slope
+    # on the corpus), perplexity buckets re-scan the cached scores,
+    # the time-weighted avg is the watch-time fold's shuffle shape at
+    # 10x users, and the backlog's running-sum input is the DAY
+    # domain (should be flat as intervals grow 10x within the span)
+    "docs_bm25_topk",
+    "docs_perplexity_buckets",
+    "events_time_weighted_avg",
+    "orders_open_backlog",
 ]
 
 
