@@ -103,3 +103,63 @@ def test_pair_sim_hist_counts_strided_pairs(spark, sf_dir):
         per_stride[r["stride"]] = per_stride.get(r["stride"], 0) + r["n_pairs"]
     # ids are dense 0..n-1, so stride s yields exactly n-s pairs
     assert per_stride == {1: n - 1, 17: n - 17, 101: n - 101}
+
+
+def test_dim_stats_known_values(spark):
+    """Two 2-d vectors [1,0] and [0,2]: dim0 mean .5 var .25, dim1
+    mean 1 var 1 — exact under the DECIMAL(8,5) quantization."""
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        dim_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim: r for r in dim_stats(df).collect()}
+    assert got[0].n_vecs == 2 and got[1].n_vecs == 2
+    assert (got[0].mean, got[0].variance) == (0.5, 0.25)
+    assert (got[1].mean, got[1].variance) == (1.0, 1.0)
+    # second moment consistency: var = E[x^2] - mean^2 by construction
+    for r in got.values():
+        assert r.variance == r.second_moment - r.mean * r.mean
+
+
+def test_rolling_actives_covers_trailing_week(spark, sf_dir, tmp_path):
+    """Micro corpus: u1 active day1, u2 active day1+day9. WAU(day1)=2;
+    WAU(day9)=1 (u1's day-1 activity expired after day 7); stickiness
+    = dau/wau on observed days only — no phantom days past day 9."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    T = dt.datetime
+    d = str(tmp_path / "micro")
+    os.makedirs(d, exist_ok=True)
+    # pyarrow writes MICROS timestamps — the driver-generation shape
+    # load_table's pinned reader expects (Spark's own writer emits
+    # INT96 here)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [T(2024, 1, 1, 10), T(2024, 1, 1, 11), T(2024, 1, 9, 12)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 2, 2], pa.int64()),
+            "event_type": pa.array(["view"] * 3),
+            "value": pa.array([1.0] * 3, pa.float64()),
+            "props": pa.array(["{}"] * 3),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r.day.date().isoformat(): (r.dau, r.wau_7d, r.stickiness)
+        for r in QUERIES["events_rolling_actives_7d"](spark, d).collect()
+    }
+    assert out == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-09": (1, 1, 1.0),
+    }

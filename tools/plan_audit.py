@@ -121,6 +121,8 @@ NOTES = {
     "docs_perplexity_buckets": "cached per-doc scores feed both the disc-bounds aggregate and the assignment; BNLJ = 1-row bounds broadcast",
     "events_time_weighted_avg": "one user_id exchange shared by the lead window and the map-combinable decimal agg",
     "orders_open_backlog": "sweep-line deltas replace the calendar range join; the unpartitioned running-sum window reads DISTINCT DAYS only (bounded by the day domain)",
+    "emb_dim_stats": "posexplode fan-out collapses map-side to 64 dim rows before one tiny shuffle; no join",
+    "events_rolling_actives_7d": "7-day cover explode of the DISTINCT user-day table (not raw events); partial-distinct combines on (user, day7); a window can't express a sliding DISTINCT",
 }
 
 

@@ -1207,3 +1207,39 @@ def ndcg_at_k(
         F.when(F.col("idcg") > 0, F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"))
         .alias("ndcg"),
     )
+
+
+def dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION corpus statistics over an embedding column: count,
+    mean, second moment, and variance for each coordinate — the
+    whitening-input / anisotropy profile (a dimension with near-zero
+    variance is dead; a mean far from 0 is the common-offset problem
+    mean-centering fixes). Complements ``emb_pair_sim_hist`` (pairwise
+    collapse view) with the coordinate-wise view.
+
+    Determinism: components widen float->double EXACTLY, quantize to
+    DECIMAL(8,5) (ROUND 5 — the unigram-NLL pattern), and both sums
+    stay decimals whose unscaled values sit far below 2^52, where BOTH
+    engines' decimal->double casts take the same
+    (double)unscaled / 10^scale path (the catalog's
+    integer-cents lesson: large fractional decimals diverge). The
+    mean/second-moment divisions and the variance subtraction are then
+    bit-identical IEEE ops.
+
+    Scale: posexplode fans out x dim, but the per-dim aggregate
+    map-side combines to |dims| rows per task before the one tiny
+    shuffle (64 groups). No join, no window.
+    """
+    x = emb.select(F.posexplode(vec_col).alias("dim", "x")).select(
+        "dim",
+        F.round(F.col("x").cast("double"), 5).cast("decimal(8,5)").alias("xq"),
+    )
+    n = F.count(F.lit(1))
+    mean = F.sum("xq").cast("double") / n
+    e2 = F.sum(F.col("xq") * F.col("xq")).cast("double") / n
+    return x.groupBy("dim").agg(
+        n.cast("long").alias("n_vecs"),
+        mean.alias("mean"),
+        e2.alias("second_moment"),
+        (e2 - mean * mean).alias("variance"),
+    )

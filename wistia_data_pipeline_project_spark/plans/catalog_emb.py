@@ -1591,3 +1591,41 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "mmr_rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score_q")
     )
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT g.i - 1 AS dim,
+             CAST(ROUND(CAST(embedding[g.i] AS DOUBLE), 5)
+                  AS DECIMAL(8,5)) AS xq
+      FROM embeddings,
+           LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(xq) AS DOUBLE) / COUNT(*) AS mean,
+           CAST(SUM(xq * xq) AS DOUBLE) / COUNT(*) AS second_moment,
+           CAST(SUM(xq * xq) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(xq) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS variance
+    FROM x GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-space profile (mean offset, variance,
+    dead-dimension detection) — the statistics a whitening /
+    mean-centering preprocessing step consumes, and the
+    coordinate-wise companion of ``emb_pair_sim_hist``'s pairwise
+    collapse diagnostic. See operators/similarity.py:dim_stats for the
+    decimal-quantization determinism argument (sums kept below the
+    2^52 unscaled bound where both engines' decimal->double casts
+    agree).
+
+    Scale: explode fans N×dim rows but the aggregate map-side combines
+    to 64 rows per task before one tiny shuffle — scan-bound at any
+    corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.dim_stats(emb)

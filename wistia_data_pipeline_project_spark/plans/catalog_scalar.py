@@ -1185,3 +1185,78 @@ def events_quality_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             freshness("ts", dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc), 24.0),
         ],
     )
+
+
+@query(
+    "events_rolling_actives_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+      SELECT user_id, day + CAST(g.i AS INTEGER) AS day7
+      FROM ud, LATERAL unnest(generate_series(0, 6)) AS g(i)
+    ),
+    wau AS (
+      SELECT day7 AS day, COUNT(DISTINCT user_id) AS wau_7d
+      FROM cover JOIN days ON cover.day7 = days.day
+      GROUP BY 1
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(w.wau_7d AS BIGINT) AS wau_7d,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau_7d AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+)
+def events_rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (daily WAU) + same-day DAU +
+    the daily stickiness ratio — the trailing-window DISTINCT that a
+    RANGE-frame window CANNOT express (count_distinct isn't a window
+    aggregate): each distinct (user, day) observation is exploded to
+    the 7 days it keeps the user active for, then one distinct-count
+    per covered day. ``events_dau_mau`` is the calendar-grain cousin;
+    this is the sliding-grain one.
+
+    Determinism: pure integer counts over exact day arithmetic; the
+    one stickiness division is double/double on identical operands.
+    Covered days are clipped to OBSERVED activity days (the days CTE
+    join), so no phantom trailing days appear.
+
+    Scale: the fan-out is 7× the DISTINCT user-day table (already
+    collapsed from raw events map-side), not 7× events; the
+    distinct-count shuffles (user, day7) pairs with partial-distinct
+    combines. The window-function formulation would need a global
+    per-user sort AND still no distinct frame aggregate — the cover
+    explode is the scale-correct shape.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+            "day7"
+        ),
+    )
+    wau = (
+        cover.join(days, cover["day7"] == days["day"])
+        .groupBy("day7")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )
+    dau = ud.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    return dau.join(wau, dau["day"] == wau["day7"]).select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau_7d").cast("long").alias("wau_7d"),
+        (F.col("dau").cast("double") / F.col("wau_7d").cast("double")).alias(
+            "stickiness"
+        ),
+    )
