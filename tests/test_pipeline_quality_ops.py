@@ -712,9 +712,6 @@ def test_bm25_ranks_rarity_and_penalizes_length(spark):
         (4, "x y z"),                 # no query terms
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    df.createOrReplaceTempView("_bm25_micro")
-    # drive the operator logic through the catalog entry by pointing
-    # load_table at a temp view is invasive; score directly instead
     import wistia_data_pipeline_project_spark.plans.catalog_docs as CD
 
     orig = CD.load_table

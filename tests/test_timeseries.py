@@ -325,3 +325,30 @@ def test_open_interval_backlog_micro_fixture(spark):
     # the sweep-line invariant: the final backlog is zero (every
     # interval that opened also expired)
     assert list(got.values())[-1][2] == 0
+
+
+def test_open_interval_backlog_null_close_means_still_open(spark):
+    """An open-ended interval (NULL close) contributes +1 forever and
+    never expires; a NULL open row is dropped. Without the guard the
+    NULL expiry day would sort FIRST in the running-sum window and
+    understate every real day (review r06)."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        open_interval_backlog,
+    )
+
+    D = dt.date
+    rows = [
+        (D(2024, 1, 1), None),          # still open
+        (D(2024, 1, 2), D(2024, 1, 2)),
+        (None, D(2024, 1, 5)),          # unknown open: dropped
+    ]
+    df = spark.createDataFrame(rows, "open_d date, close_d date")
+    got = {
+        r.day.isoformat(): (r.n_opened, r.n_expired, r.open_backlog)
+        for r in open_interval_backlog(df).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 0, 1),
+        "2024-01-02": (1, 0, 2),
+        "2024-01-03": (0, 1, 1),  # the still-open interval persists
+    }

@@ -67,6 +67,8 @@ DEFAULT_ENTRIES = [
     "docs_perplexity_buckets",
     "events_time_weighted_avg",
     "orders_open_backlog",
+    "emb_dim_stats",
+    "events_rolling_actives_7d",
 ]
 
 

@@ -502,6 +502,13 @@ def open_interval_backlog(
     opening that day), ``n_expired`` (intervals whose open range ended
     the previous day), ``open_backlog`` (running count).
 
+    NULL handling: a NULL ``close_col`` means STILL OPEN — the
+    interval contributes its +1 but never expires (the natural
+    semantics for unresolved tickets / live sessions; without this
+    the NULL expiry day would sort FIRST in the running-sum window
+    and silently understate every real day's backlog). Rows with a
+    NULL ``open_col`` carry no information and are dropped.
+
     Scale: this is the range-join-avoidance pattern — the naive
     formulation joins intervals against a calendar on an inequality
     (O(intervals × days) expansion); the sweep-line reduces it to one
@@ -511,12 +518,13 @@ def open_interval_backlog(
     at any corpus size), not the interval table — the single-partition
     sort is bounded and intentional.
     """
+    intervals = intervals.filter(F.col(open_col).isNotNull())
     opens = intervals.select(
         F.col(open_col).alias("day"),
         F.lit(1).alias("_opened"),
         F.lit(0).alias("_expired"),
     )
-    exps = intervals.select(
+    exps = intervals.filter(F.col(close_col).isNotNull()).select(
         F.date_add(close_col, 1).alias("day"),
         F.lit(0).alias("_opened"),
         F.lit(1).alias("_expired"),

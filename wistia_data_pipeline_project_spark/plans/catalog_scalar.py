@@ -1236,9 +1236,15 @@ def events_rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    ud = e.select(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).distinct()
+    # Cache the distinct user-day table: cover, days, and dau are
+    # three independent consumers, and without the shared InMemory
+    # relation each re-runs the events scan + distinct (the
+    # docs_tfidf_topk cache precedent; (user_id, day) is ~12 B/row)
+    ud = (
+        e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+        .cache()
+    )
     days = ud.select("day").distinct()
     cover = ud.select(
         "user_id",
