@@ -722,3 +722,100 @@ def test_bm25_ranks_rarity_and_penalizes_length(spark):
         CD.load_table = orig
     assert out[1] > out[3] > out[2]  # rarity sum, then length penalty
     assert 4 not in out or out[4] == 0.0
+
+
+def test_time_weighted_avg_oracle_parity_on_hostile_events(spark, tmp_path):
+    """NaN values and duplicate timestamps — the regeneration shapes
+    that diverge engines (DuckDB ERRORS on NaN->decimal where Spark
+    yields NULL; tied rows need the event_id tiebreak) — must
+    hash-match under events_time_weighted_avg's declared domain
+    (review r06)."""
+    import duckdb
+    import pytest
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    ts = pd.to_datetime(
+        ["2024-01-15 10:00:00", "2024-01-15 10:00:10",
+         "2024-01-15 10:00:10", "2024-01-15 10:00:30",
+         "2024-02-01 09:00:00", "2024-02-01 09:00:05",
+         "2024-02-01 09:00:09"]
+    )
+    # user 1: duplicate ts (ids 2,3) — tiebreak decides which value
+    # holds; user 2: a TRUE NaN row inside the chain (dropped in both
+    # engines, segments re-link) and a NULL value row (kept,
+    # contributes span but no weight). Columns built with pa.array
+    # directly: from_pandas silently launders NaN into NULL and never
+    # exercises the NaN path.
+    tbl = pa.table({
+        "event_id": pa.array([1, 3, 2, 4, 5, 6, 7], pa.int64()),
+        "ts": pa.array(list(ts.to_pydatetime()), pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 7),
+        "value": pa.array(
+            [10.0, 30.0, 20.0, 0.0, 4.0, float("nan"), None],
+            pa.float64(),
+        ),
+        "props": pa.array(["{}"] * 7),
+    })
+    assert np.isnan(tbl["value"].to_pylist()[5])  # NaN survived, not NULL
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    sdf = QUERIES["events_time_weighted_avg"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["events_time_weighted_avg"]).df()
+    assert not compare("events_time_weighted_avg", sdf, ddf)
+    got = {r.user_id: r.twa for _, r in sdf.iterrows()}
+    # user 1: 10*10 + 20*0 + 30*20 = 700 over 30s (id 2 holds 0s at
+    # the tie, id 3 holds the next 20s)
+    assert got[1] == pytest.approx(700 / 30)
+    # user 2: NaN row dropped -> one 9s segment valued 4.0
+    assert got[2] == pytest.approx(4.0)
+
+
+def test_dim_stats_oracle_parity_on_nan_components(spark, tmp_path):
+    """NaN / NULL embedding components are excluded identically in
+    both engines (DuckDB's NaN->decimal cast is an ERROR, Spark's a
+    NULL): n_vecs counts finite observations per dimension."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    vecs = [
+        [1.0, float("nan")],
+        [3.0, 2.0],
+        [None, 4.0],
+    ]
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1], pa.int64()),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/embeddings.parquet")
+    sdf = QUERIES["emb_dim_stats"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["emb_dim_stats"]).df()
+    assert not compare("emb_dim_stats", sdf, ddf)
+    got = {r["dim"]: r for _, r in sdf.iterrows()}
+    # .mean would resolve to the pandas Series METHOD — index instead
+    assert (got[0]["n_vecs"], got[0]["mean"]) == (2, 2.0)  # NaN+NULL dropped
+    assert (got[1]["n_vecs"], got[1]["mean"]) == (2, 3.0)

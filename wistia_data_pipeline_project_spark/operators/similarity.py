@@ -1230,9 +1230,19 @@ def dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     map-side combines to |dims| rows per task before the one tiny
     shuffle (64 groups). No join, no window.
     """
-    x = emb.select(F.posexplode(vec_col).alias("dim", "x")).select(
-        "dim",
-        F.round(F.col("x").cast("double"), 5).cast("decimal(8,5)").alias("xq"),
+    # NULL / NaN components are outside the stats domain in BOTH
+    # engines (Spark's NaN->decimal cast yields NULL, DuckDB's ERRORS
+    # — the identical-predicate convention from the stateful fold);
+    # n_vecs therefore counts FINITE observations per dimension
+    x = (
+        emb.select(F.posexplode(vec_col).alias("dim", "x"))
+        .filter(F.col("x").isNotNull() & ~F.isnan(F.col("x")))
+        .select(
+            "dim",
+            F.round(F.col("x").cast("double"), 5)
+            .cast("decimal(8,5)")
+            .alias("xq"),
+        )
     )
     n = F.count(F.lit(1))
     mean = F.sum("xq").cast("double") / n

@@ -1602,6 +1602,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(8,5)) AS xq
       FROM embeddings,
            LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
+      WHERE embedding[g.i] IS NOT NULL AND NOT isnan(embedding[g.i])
     )
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,

@@ -1592,7 +1592,7 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(lead(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              )) - epoch_us(ts) AS dt_us
-      FROM e
+      FROM e WHERE value IS NULL OR NOT isnan(value)
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1626,7 +1626,13 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/timeseries.py:time_weighted_avg.
     """
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        # NaN values are outside the declared domain in BOTH engines
+        # (a NaN×dt decimal term would be NULL in Spark but an ERROR
+        # in DuckDB's decimal cast — the stateful-fold precedent);
+        # NULL values stay: the row still anchors its time segment
+        & (F.col("value").isNull() | ~F.isnan(F.col("value")))
     )
     return TS.time_weighted_avg(
         e, key_col="user_id", ts_col="ts", value_col="value"
