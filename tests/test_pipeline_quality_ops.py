@@ -819,3 +819,35 @@ def test_dim_stats_oracle_parity_on_nan_components(spark, tmp_path):
     # .mean would resolve to the pandas Series METHOD — index instead
     assert (got[0]["n_vecs"], got[0]["mean"]) == (2, 2.0)  # NaN+NULL dropped
     assert (got[1]["n_vecs"], got[1]["mean"]) == (2, 3.0)
+
+
+def test_novelty_first_owner_attribution(spark, tmp_path):
+    """Identical twin docs: the LOWER doc_id owns every shared shingle
+    (novelty 1.0), the later copy owns none (0.0); a unique doc is
+    fully novel. Short docs (< 8 tokens) still produce their one
+    whole-text shingle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    text = " ".join(f"w{i}" for i in range(12))
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([text, text, "all fresh words here", "tiny"]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(text), len(text), 20, 4], pa.int64()),
+    }
+    sf_dir = str(tmp_path)
+    pq.write_table(pa.table(rows), os.path.join(sf_dir, "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_shingles, r.novelty_frac)
+        for r in QUERIES["docs_novelty"](spark, sf_dir).collect()
+    }
+    assert got[1] == (5, 1.0)   # 12 tokens -> 5 distinct 8-shingles
+    assert got[2] == (5, 0.0)   # exact copy: doc 1 owns everything
+    assert got[3] == (1, 1.0)   # short doc: one whole-text shingle
+    assert got[4] == (1, 1.0)

@@ -123,6 +123,7 @@ NOTES = {
     "orders_open_backlog": "sweep-line deltas replace the calendar range join; the unpartitioned running-sum window reads DISTINCT DAYS only (bounded by the day domain)",
     "emb_dim_stats": "posexplode fan-out collapses map-side to 64 dim rows before one tiny shuffle; no join",
     "events_rolling_actives_7d": "7-day cover explode of the DISTINCT user-day table (not raw events); partial-distinct combines on (user, day7); a window can't express a sliding DISTINCT",
+    "docs_novelty": "shingles shuffle as md5 keys, payloads projected away; first-owner agg map-combines and the join-back reuses the fp key",
 }
 
 

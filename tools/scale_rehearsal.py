@@ -69,6 +69,7 @@ DEFAULT_ENTRIES = [
     "orders_open_backlog",
     "emb_dim_stats",
     "events_rolling_actives_7d",
+    "docs_novelty",
 ]
 
 

@@ -2895,3 +2895,64 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_words") > 0)
     )
+
+
+@query(
+    "docs_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(toks)-7, 1)))
+               AS u(i)
+    ),
+    d AS (SELECT DISTINCT doc_id, fp FROM g),
+    f AS (SELECT fp, MIN(doc_id) AS first_doc FROM d GROUP BY fp)
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_frac
+    FROM d JOIN f USING (fp)
+    GROUP BY d.doc_id
+    """,
+)
+def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty scoring: per document, the fraction of
+    its DISTINCT 8-token shingles whose FIRST owner (min doc_id over
+    the corpus) is the document itself — the directional curation
+    signal ``docs_substring_dedup``'s symmetric dup_fraction cannot
+    express (a duplicated shingle is novel in exactly ONE document:
+    the earliest; later copies score 0 for it). The batch twin of the
+    incremental "how much new content does this crawl add" question.
+
+    Determinism: min over doc_id (unique key) and exact integer
+    counts; the one division is double/double on identical operands.
+
+    Scale: same shape as the substring scan — shingles shuffle as
+    16-byte md5 keys (payloads projected away), the first-owner
+    aggregate is map-side combinable, and the join back is on the
+    same fp key (one exchange reused). Linear in corpus size, no pair
+    expansion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(X.shingle_array(F.col("text"), 8))
+        ).alias("_s"),
+    ).select("doc_id", F.md5("_s").alias("fp"))
+    first = sh.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
+        )
+    )
