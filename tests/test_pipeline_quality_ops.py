@@ -754,15 +754,20 @@ def test_time_weighted_avg_oracle_parity_on_hostile_events(spark, tmp_path):
     # directly: from_pandas silently launders NaN into NULL and never
     # exercises the NaN path.
     tbl = pa.table({
-        "event_id": pa.array([1, 3, 2, 4, 5, 6, 7], pa.int64()),
-        "ts": pa.array(list(ts.to_pydatetime()), pa.timestamp("us")),
-        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], pa.int64()),
-        "event_type": pa.array(["view"] * 7),
+        "event_id": pa.array([1, 3, 2, 4, 5, 6, 7, 8], pa.int64()),
+        "ts": pa.array(
+            list(ts.to_pydatetime())
+            + [ts.to_pydatetime()[-1].replace(second=11)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(["view"] * 8),
         "value": pa.array(
-            [10.0, 30.0, 20.0, 0.0, 4.0, float("nan"), None],
+            [10.0, 30.0, 20.0, 0.0, 4.0, float("nan"), None,
+             float("inf")],  # Inf: same drop class as NaN
             pa.float64(),
         ),
-        "props": pa.array(["{}"] * 7),
+        "props": pa.array(["{}"] * 8),
     })
     assert np.isnan(tbl["value"].to_pylist()[5])  # NaN survived, not NULL
     sf_dir = str(tmp_path)
@@ -799,11 +804,12 @@ def test_dim_stats_oracle_parity_on_nan_components(spark, tmp_path):
         [1.0, float("nan")],
         [3.0, 2.0],
         [None, 4.0],
+        [float("inf"), 1e6],  # Inf and decimal-overflow: both excluded
     ]
     tbl = pa.table({
-        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
-        "label": pa.array([0, 0, 1], pa.int64()),
+        "label": pa.array([0, 0, 1, 1], pa.int64()),
     })
     sf_dir = str(tmp_path)
     pq.write_table(tbl, f"{sf_dir}/embeddings.parquet")

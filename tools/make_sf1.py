@@ -153,6 +153,26 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # (and therefore its own close date — the backlog rehearsal's
     # interval structure), while the DAY domain stays the original
     # span: deltas grow 10x into a fixed-size running-sum window.
+    # Orphan lineitems OUTSIDE the orders keyspan would stride into a
+    # NEIGHBORING copy's order range and silently merge into the
+    # wrong order (the events stride-collision class, review r06) —
+    # refuse rather than corrupt the rehearsal structure.
+    li_span = con.sql(
+        f"SELECT min(l_orderkey), max(l_orderkey) "
+        f"FROM read_parquet('{src}/lineitem.parquet')"
+    ).fetchone()
+    o_span = con.sql(
+        f"SELECT min(o_orderkey), max(o_orderkey) "
+        f"FROM read_parquet('{src}/orders.parquet')"
+    ).fetchone()
+    if li_span[0] is not None and (
+        li_span[0] < o_span[0] or li_span[1] > o_span[1]
+    ):
+        raise SystemExit(
+            f"lineitem keyspan {li_span} escapes the orders keyspan "
+            f"{o_span}: striding would collide orphan lineitems into a "
+            "neighboring copy's orders — regenerate or re-key first"
+        )
     con.sql(
         f"""
         COPY (

@@ -1224,19 +1224,28 @@ def dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     (double)unscaled / 10^scale path (the catalog's
     integer-cents lesson: large fractional decimals diverge). The
     mean/second-moment divisions and the variance subtraction are then
-    bit-identical IEEE ops.
+    bit-identical IEEE ops. NULL/NaN/|x|>=1000 components are excluded
+    identically in both engines (see the filter comment), so ``n_vecs``
+    counts in-domain observations.
 
     Scale: posexplode fans out x dim, but the per-dim aggregate
     map-side combines to |dims| rows per task before the one tiny
     shuffle (64 groups). No join, no window.
     """
-    # NULL / NaN components are outside the stats domain in BOTH
-    # engines (Spark's NaN->decimal cast yields NULL, DuckDB's ERRORS
-    # — the identical-predicate convention from the stateful fold);
-    # n_vecs therefore counts FINITE observations per dimension
+    # NULL / NaN / |x| >= 1000 components are outside the stats domain
+    # in BOTH engines (Spark's NaN- or overflow->decimal cast yields
+    # NULL, DuckDB's ERRORS — the identical-predicate convention from
+    # the stateful fold; the magnitude bound also catches ±Inf and is
+    # exactly the DECIMAL(8,5) capacity, so no in-domain component can
+    # silently NULL inside the quantize); n_vecs therefore counts
+    # in-domain observations per dimension
     x = (
         emb.select(F.posexplode(vec_col).alias("dim", "x"))
-        .filter(F.col("x").isNotNull() & ~F.isnan(F.col("x")))
+        .filter(
+            F.col("x").isNotNull()
+            & ~F.isnan(F.col("x"))
+            & (F.abs(F.col("x")) < F.lit(1000.0))
+        )
         .select(
             "dim",
             F.round(F.col("x").cast("double"), 5)

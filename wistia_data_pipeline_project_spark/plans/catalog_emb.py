@@ -1603,6 +1603,7 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings,
            LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
       WHERE embedding[g.i] IS NOT NULL AND NOT isnan(embedding[g.i])
+        AND abs(CAST(embedding[g.i] AS DOUBLE)) < 1000.0
     )
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,

@@ -1592,7 +1592,8 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(lead(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              )) - epoch_us(ts) AS dt_us
-      FROM e WHERE value IS NULL OR NOT isnan(value)
+      FROM e WHERE value IS NULL
+                OR (NOT isnan(value) AND abs(value) < 1000000000.0)
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1628,11 +1629,20 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
-        # NaN values are outside the declared domain in BOTH engines
-        # (a NaN×dt decimal term would be NULL in Spark but an ERROR
-        # in DuckDB's decimal cast — the stateful-fold precedent);
+        # NaN / ±Inf / |value| >= 1e9 are outside the declared domain
+        # in BOTH engines (a NaN- or overflow->decimal cast is NULL in
+        # Spark but an ERROR in DuckDB — the stateful-fold precedent;
+        # the 1e9 bound keeps every in-domain value safely inside
+        # DECIMAL(12,2) so the quantize can never silently NULL a
+        # kept row's weight while its dt still inflates the span).
         # NULL values stay: the row still anchors its time segment
-        & (F.col("value").isNull() | ~F.isnan(F.col("value")))
+        & (
+            F.col("value").isNull()
+            | (
+                ~F.isnan(F.col("value"))
+                & (F.abs(F.col("value")) < F.lit(1e9))
+            )
+        )
     )
     return TS.time_weighted_avg(
         e, key_col="user_id", ts_col="ts", value_col="value"
