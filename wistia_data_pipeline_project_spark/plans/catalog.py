@@ -21,6 +21,18 @@ hash-match bit-for-bit):
 - **No ROUND on doubles** (half-up vs half-even ambiguity); rounding
   only after decimal arithmetic, or via integer math.
 - **Top-K always tie-breaks on a unique key.**
+- **Decimal→double casts are only safe while the decimal is
+  integer-valued OR its unscaled value stays below ~2^52** (round-6
+  lesson, `operators/timeseries.py:time_weighted_avg`): below that
+  bound both engines compute (double)unscaled / 10^scale; above it
+  the JVM switches to a correctly-rounded conversion while DuckDB
+  keeps the two-rounding int128 path and the last ulp drifts. When a
+  decimal sum can grow past 2^52 unscaled, keep it integer-valued
+  (scale money to cents) and divide by the scale factor as a separate
+  IEEE op in both engines.
+- **Raw doubles entering a decimal cast need a domain guard in BOTH
+  engines** (`value IS NULL OR (NOT isnan(value) AND abs(value) <
+  capacity)`): NaN or overflow → NULL in Spark but ERROR in DuckDB.
 
 Spark-side scale notes are on each query (broadcast choices, shuffle
 keys, AQE reliance) — see also SCALE.md.
