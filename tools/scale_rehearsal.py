@@ -83,10 +83,21 @@ def main() -> int:
 
     import __spark_entry__ as m
 
+    import os as _os
+
+    # SPARK_GRAFT_REHEARSAL_MEM sizes the single local-mode heap
+    # (default 16g). At sf3+ the pair-kernel checkpoints outgrow 16g
+    # in ONE JVM — a real cluster spreads them across executor heaps,
+    # so a bigger single heap is the honest local stand-in (the OOM
+    # itself is a single-JVM artifact, but WHICH entry hits it first
+    # is worth knowing — record it in SCALE.md when it happens).
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
+        .config(
+            "spark.driver.memory",
+            _os.environ.get("SPARK_GRAFT_REHEARSAL_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
