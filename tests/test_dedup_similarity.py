@@ -841,3 +841,75 @@ def test_knn_pair_list_invariant_to_shuffle_width(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert results["4"] and results["4"] == results["32"]
+
+
+def test_knn_two_level_assignment_matches_numpy_reference(spark):
+    """Past coarse_threshold the assignment goes two-level (coarse
+    top-1 per centroid, vector top-coarse_probe coarse cells, rank
+    member centroids). Verified against an independent numpy replay
+    of the declared construction on a deterministic corpus — and the
+    flat path on the same corpus is verified UNCHANGED (threshold
+    respected)."""
+    import numpy as np
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        knn_candidate_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 120, 8, 12  # k > threshold(8) -> two-level; c = 3
+    vecs = rng.randn(n, dim).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter(f"vec_id < {k}").selectExpr(
+        "cast(vec_id as int) centroid_id", "embedding cv"
+    )
+    got = {
+        (r.vec_id, r.neighbor_id)
+        for r in knn_candidate_pairs(
+            df, cents, n_assign=2, n_centroids=k, coarse_threshold=8,
+            coarse_probe=2,
+        ).collect()
+    }
+
+    # ---- numpy replay of the same declared construction ----
+    def cos(a, b):
+        return (a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+
+    c = int(np.sqrt(k))  # isqrt
+    # centroid -> top-1 coarse (sim desc, coarse_id asc)
+    cmap = {}
+    for ci in range(k):
+        sims = [(-cos(vecs[ci], vecs[co]), co) for co in range(c)]
+        cmap[ci] = min(sims)[1]
+    # vector -> top-2 coarse
+    cells = {}
+    for v in range(n):
+        sims = sorted((-cos(vecs[v], vecs[co]), co) for co in range(c))
+        probed = {co for _, co in sims[:2]}
+        members = [ci for ci in range(k) if cmap[ci] in probed]
+        ranked = sorted((-cos(vecs[v], vecs[ci]), ci) for ci in members)
+        cells[v] = {ci for _, ci in ranked[:2]}  # n_assign=2
+    want = {
+        (a, b)
+        for a in range(n)
+        for b in range(n)
+        if a != b and cells[a] & cells[b]
+    }
+    assert got == want and len(want) > 0
+
+    # flat path on the SAME corpus (n_centroids below threshold):
+    # identical to not passing n_centroids at all
+    flat_default = {
+        (r.vec_id, r.neighbor_id)
+        for r in knn_candidate_pairs(df, cents, n_assign=2).collect()
+    }
+    flat_declared = {
+        (r.vec_id, r.neighbor_id)
+        for r in knn_candidate_pairs(
+            df, cents, n_assign=2, n_centroids=k, coarse_threshold=k,
+        ).collect()
+    }
+    assert flat_declared == flat_default

@@ -570,6 +570,9 @@ def knn_candidate_pairs(
     carry_labels: bool = False,
     broadcast_pairs: bool | None = None,
     n_rows: int | None = None,
+    n_centroids: int | None = None,
+    coarse_threshold: int = 64,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """The scored candidate-pair stage of ``knn_join_blocked``: every
     ordered pair of distinct vectors co-resident in at least one
@@ -595,6 +598,21 @@ def knn_candidate_pairs(
       ``vec_label != neighbor_label`` gets bit-identical rows to the
       pushed-down path.
 
+    Assignment regimes (``n_centroids`` / ``coarse_threshold``): the
+    flat assignment is a broadcast cross-join scoring N×k cosines —
+    O(N²/250) once the cell count k = N/250 scales with the corpus,
+    the one super-linear stage the sf1→sf3 rehearsal measured (exp₃
+    1.21 at 60k vectors, SCALE.md round 6). When the caller declares
+    ``n_centroids`` and it exceeds ``coarse_threshold``, assignment
+    goes TWO-LEVEL (standard hierarchical IVF): the first ⌊√k⌋
+    centroids double as coarse cells, every centroid maps to its
+    top-1 coarse cell, every vector probes its top-``coarse_probe``
+    coarse cells and ranks only their member centroids — O(N·√k),
+    same declared-argmax construction one level up, replayed verbatim
+    in the oracle SQL (scalar-k branch), so results stay hash-exact
+    at every scale. Below the threshold (every driver SF: k = 8–20)
+    the flat path runs UNCHANGED — bit-identical to round 5.
+
     See ``knn_join_blocked`` for the blocking declaration, the
     ``dim``-unrolled cosine rationale, and the ``broadcast_pairs``
     regime selection — all of which live here.
@@ -610,15 +628,68 @@ def knn_candidate_pairs(
             df, n_assign, dim, n_rows, [key_col, vec_col, *label_cols]
         )
         broadcast_pairs = 0 < est <= thr
-    sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-    scored = df.select(key_col, vec_col, *label_cols).crossJoin(
-        F.broadcast(centroids)
-    ).select(
-        key_col, vec_col, *label_cols, F.col("centroid_id"), sim_c.alias("_sim")
-    )
     w_rank = F.row_number().over(
         Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
     )
+    if n_centroids is not None and n_centroids > coarse_threshold:
+        import math
+
+        n_coarse = math.isqrt(n_centroids)
+        coarse = centroids.filter(F.col("centroid_id") < n_coarse).select(
+            F.col("centroid_id").alias("coarse_id"),
+            F.col("cv").alias("ccv"),
+        )
+        coarse_sim = cosine(as_double(F.col("cv")), as_double(F.col("ccv")))
+        w_c = F.row_number().over(
+            Window.partitionBy("centroid_id").orderBy(
+                F.desc("_sim"), F.asc("coarse_id")
+            )
+        )
+        cmap = (
+            centroids.crossJoin(F.broadcast(coarse))
+            .select("centroid_id", "cv", "coarse_id", coarse_sim.alias("_sim"))
+            .withColumn("_rk", w_c)
+            .filter(F.col("_rk") == 1)
+            .select("centroid_id", "cv", "coarse_id")
+        )
+        vec_coarse_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("ccv")))
+        w_v = F.row_number().over(
+            Window.partitionBy(key_col).orderBy(
+                F.desc("_sim"), F.asc("coarse_id")
+            )
+        )
+        vprobe = (
+            df.select(key_col, vec_col, *label_cols)
+            .crossJoin(F.broadcast(coarse))
+            .select(
+                key_col,
+                vec_col,
+                *label_cols,
+                F.col("coarse_id"),
+                vec_coarse_sim.alias("_sim"),
+            )
+            .withColumn("_rk", w_v)
+            .filter(F.col("_rk") <= coarse_probe)
+            .select(key_col, vec_col, *label_cols, "coarse_id")
+        )
+        # each centroid lives in exactly ONE coarse cell (top-1 map),
+        # so the probe join can never duplicate a (vector, centroid)
+        # candidate — no distinct needed before the rank
+        cand_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
+        scored = vprobe.join(F.broadcast(cmap), "coarse_id").select(
+            key_col,
+            vec_col,
+            *label_cols,
+            F.col("centroid_id"),
+            cand_sim.alias("_sim"),
+        )
+    else:
+        sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
+        scored = df.select(key_col, vec_col, *label_cols).crossJoin(
+            F.broadcast(centroids)
+        ).select(
+            key_col, vec_col, *label_cols, F.col("centroid_id"), sim_c.alias("_sim")
+        )
     assigned = (
         scored.withColumn("_rk", w_rank)
         .filter(F.col("_rk") <= n_assign)

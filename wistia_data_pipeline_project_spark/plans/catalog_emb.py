@@ -110,6 +110,11 @@ def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             label_col="label",
             carry_labels=True,
             n_rows=_nvec(sf_dir, emb),
+            # declares k so assignment can go two-level past 64 cells
+            # (O(N·√k) instead of the flat O(N·k) cross-join — the
+            # sf3 rehearsal's one super-linear stage); every driver
+            # SF stays below the threshold on the UNCHANGED flat path
+            n_centroids=max(8, _nvec(sf_dir, emb) // 250),
         )
 
     return cached_pair_checkpoint(
@@ -460,29 +465,91 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_knn_join",
-    oracle="""
-    WITH c AS (
-      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings
-      WHERE vec_id < greatest(8, (SELECT COUNT(*) // 250 FROM embeddings))
+def _knn_asg_sql(with_label: bool) -> str:
+    """The assignment CTE prefix shared by both kNN-graph oracles,
+    replaying ``knn_candidate_pairs``'s TWO assignment regimes with a
+    scalar-k branch (UNION ALL arms gated on ``(SELECT k FROM kk)``),
+    so ONE oracle string stays hash-exact at every scale factor:
+    flat N×k argmax at k ≤ 64 (every driver SF), two-level
+    coarse-probe assignment past it (the sf3 fix — same declared
+    argmax construction one level up). Literals 4 (n_assign), 2
+    (coarse_probe), 64 (threshold), 250 (cell size) mirror the
+    ``_knn_pairs_cached`` call — regenerate together."""
+    lbl_e = ", e.label" if with_label else ""
+    lbl = ", label" if with_label else ""
+    lbl_v = ", v.label" if with_label else ""
+    return f"""
+    WITH kk AS (
+      SELECT greatest(8, (SELECT COUNT(*) // 250 FROM embeddings)) AS k
     ),
-    scored AS (
-      SELECT e.vec_id, c.centroid_id,
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < (SELECT k FROM kk)
+    ),
+    coarse AS (
+      SELECT vec_id AS coarse_id, embedding::DOUBLE[] AS ccv
+      FROM embeddings
+      WHERE vec_id < (SELECT CAST(floor(sqrt(k)) AS BIGINT) FROM kk)
+    ),
+    cmap AS (
+      SELECT centroid_id, cv, coarse_id FROM (
+        SELECT c.centroid_id, c.cv, co.coarse_id,
+               row_number() OVER (PARTITION BY c.centroid_id ORDER BY
+                 list_dot_product(c.cv, co.ccv)
+                   / (sqrt(list_dot_product(c.cv, c.cv))
+                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
+                 co.coarse_id) AS rn
+        FROM c, coarse co
+      ) WHERE rn = 1
+    ),
+    vprobe AS (
+      SELECT vec_id{lbl}, embedding, coarse_id FROM (
+        SELECT e.vec_id{lbl_e}, e.embedding, co.coarse_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.embedding::DOUBLE[], co.ccv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
+                 co.coarse_id) AS rn
+        FROM embeddings e, coarse co
+      ) WHERE rn <= 2
+    ),
+    scored_flat AS (
+      SELECT e.vec_id{lbl_e}, c.centroid_id,
              list_dot_product(e.embedding::DOUBLE[], c.cv)
                / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(c.cv, c.cv))) AS sim
       FROM embeddings e, c
     ),
+    scored_two AS (
+      SELECT v.vec_id{lbl_v}, m.centroid_id,
+             list_dot_product(v.embedding::DOUBLE[], m.cv)
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                        v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(m.cv, m.cv))) AS sim
+      FROM vprobe v JOIN cmap m USING (coarse_id)
+    ),
     asg AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT vec_id, centroid_id,
+      SELECT vec_id{lbl}, centroid_id FROM (
+        SELECT vec_id{lbl}, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored
-      ) WHERE rn <= 4
-    ),
+        FROM scored_flat
+      ) WHERE rn <= 4 AND (SELECT k FROM kk) <= 64
+      UNION ALL
+      SELECT vec_id{lbl}, centroid_id FROM (
+        SELECT vec_id{lbl}, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored_two
+      ) WHERE rn <= 4 AND (SELECT k FROM kk) > 64
+    )"""
+
+
+@query(
+    "emb_knn_join",
+    oracle=_knn_asg_sql(with_label=False)
+    + """,
     cand AS (
       SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
       FROM asg a JOIN asg b
@@ -1004,27 +1071,8 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_hard_negatives",
-    oracle="""
-    WITH c AS (
-      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings
-      WHERE vec_id < greatest(8, (SELECT COUNT(*) // 250 FROM embeddings))
-    ),
-    scored AS (
-      SELECT e.vec_id, e.label, c.centroid_id,
-             list_dot_product(e.embedding::DOUBLE[], c.cv)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
-      FROM embeddings e, c
-    ),
-    asg AS (
-      SELECT vec_id, label, centroid_id FROM (
-        SELECT vec_id, label, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored
-      ) WHERE rn <= 4
-    ),
+    oracle=_knn_asg_sql(with_label=True)
+    + """,
     cand AS (
       SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
       FROM asg a JOIN asg b
