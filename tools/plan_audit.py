@@ -68,7 +68,7 @@ def audit(name: str, plan: str) -> tuple[str, list[str]]:
 # annotations survive. No '|' characters (markdown cell).
 NOTES = {
     "docs_containment": "hot-shingle df cap adds a freq-agg + broadcast-anti subtree per branch; identical exchanges dedupe at runtime",
-    "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md)",
+    "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md); assignment goes two-level past 64 cells (audited plan is the driver-SF flat path)",
     "q2_min_cost_supplier": "SMJ is the min-cost join-back on pre-aggregated supply rows (AQE broadcasts at runtime)",
     "q11_important_parts": "BNLJ = the 1-row scalar-threshold broadcast",
     "q21_waiting_suppliers": "one shuffle computes all three per-order EXISTS facts",
