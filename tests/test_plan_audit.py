@@ -220,3 +220,45 @@ def test_plan_audit_notes_keys_are_catalog_entries():
 
     stale = set(NOTES) - set(m.queries())
     assert not stale, f"NOTES keys without catalog entries: {sorted(stale)}"
+
+
+def test_knn_two_level_assignment_plan_shape(spark, sf_dir):
+    """The TWO-LEVEL assignment regime (n_centroids forced past the
+    threshold — the same builder call _knn_pairs_cached makes once a
+    corpus crosses ~16k vectors) must keep the plan inside the
+    declared envelope: coarse scoring and the cmap/probe joins all
+    broadcast (BHJ/BNLJ only), the pair loop still rides the explicit
+    round-robin repartition, and no cartesian or Python-eval node
+    appears. Without this, a regression in the two-level branch (a
+    lost broadcast hint flipping cmap to SMJ) would pass the audit —
+    the flat-path test above never builds this plan (review r06)."""
+    from wistia_data_pipeline_project_spark.operators import similarity as S
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _centroids_scaled,
+        _nvec,
+        _query_vec,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = S.knn_candidate_pairs(
+        emb,
+        _centroids_scaled(sf_dir, emb),
+        n_assign=4,
+        dim=len(_query_vec(spark, sf_dir, 0)),
+        label_col="label",
+        carry_labels=True,
+        n_rows=_nvec(sf_dir, emb),
+        n_centroids=100,  # force the regime on the small fixture
+        coarse_threshold=64,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "REPARTITION_BY_NUM" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    import re
+
+    joins = set(re.findall(r"(\w*Join\w*)", plan))
+    assert joins <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}, joins

@@ -815,6 +815,9 @@ def knn_join_blocked(
     neg_label_col: str | None = None,
     broadcast_pairs: bool | None = None,
     n_rows: int | None = None,
+    n_centroids: int | None = None,
+    coarse_threshold: int = 64,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """Approximate KNN self-join (the kNN-graph builder behind semantic
     dedup and diversity sampling): every vector gets its top-k cosine
@@ -874,6 +877,9 @@ def knn_join_blocked(
         carry_labels=False,
         broadcast_pairs=broadcast_pairs,
         n_rows=n_rows,
+        n_centroids=n_centroids,
+        coarse_threshold=coarse_threshold,
+        coarse_probe=coarse_probe,
     )
     return knn_topk_from_pairs(pairs, k=k)
 

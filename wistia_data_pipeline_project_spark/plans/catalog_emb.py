@@ -515,11 +515,15 @@ def _knn_asg_sql(with_label: bool) -> str:
       ) WHERE rn <= 2
     ),
     scored_flat AS (
+      -- regime gate INSIDE the arm: when two-level is active this
+      -- filter empties a join side BEFORE the N×k cross product and
+      -- the window, instead of discarding rows post-hoc (review r06)
       SELECT e.vec_id{lbl_e}, c.centroid_id,
              list_dot_product(e.embedding::DOUBLE[], c.cv)
                / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(c.cv, c.cv))) AS sim
       FROM embeddings e, c
+      WHERE (SELECT k FROM kk) <= 64
     ),
     scored_two AS (
       SELECT v.vec_id{lbl_v}, m.centroid_id,
@@ -528,6 +532,7 @@ def _knn_asg_sql(with_label: bool) -> str:
                                         v.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(m.cv, m.cv))) AS sim
       FROM vprobe v JOIN cmap m USING (coarse_id)
+      WHERE (SELECT k FROM kk) > 64
     ),
     asg AS (
       SELECT vec_id{lbl}, centroid_id FROM (
@@ -535,14 +540,14 @@ def _knn_asg_sql(with_label: bool) -> str:
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, centroid_id) AS rn
         FROM scored_flat
-      ) WHERE rn <= 4 AND (SELECT k FROM kk) <= 64
+      ) WHERE rn <= 4
       UNION ALL
       SELECT vec_id{lbl}, centroid_id FROM (
         SELECT vec_id{lbl}, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, centroid_id) AS rn
         FROM scored_two
-      ) WHERE rn <= 4 AND (SELECT k FROM kk) > 64
+      ) WHERE rn <= 4
     )"""
 
 
