@@ -559,6 +559,105 @@ def _pair_build_bytes(
     return int(min(int(stats), 1 << 60) * n_assign * 1.5)
 
 
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_assign: int = 1,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    extra_cols: list[str] | None = None,
+    n_centroids: int | None = None,
+    coarse_threshold: int = 64,
+    coarse_probe: int = 2,
+) -> DataFrame:
+    """Top-``n_assign`` IVF cell assignment shared by every
+    cell-blocked operator (kNN candidate pairs, SemDeDup clustering):
+    returns ``(centroid_id, key, vec, *extra_cols)``, one row per
+    probed cell, ranked by (cosine DESC, centroid_id ASC).
+
+    Two regimes (see ``knn_candidate_pairs``'s docstring for the full
+    rationale): the flat broadcast cross-join scores N×k cosines —
+    O(N²/250) once the cell count k = N/250 scales with the corpus —
+    and past ``coarse_threshold`` cells (caller declares
+    ``n_centroids``) assignment goes TWO-LEVEL hierarchical IVF: the
+    first ⌊√k⌋ centroids double as coarse cells, every centroid maps
+    to its top-1 coarse cell, every vector probes its top-
+    ``coarse_probe`` coarse cells and ranks only their member
+    centroids — O(N·√k), the same declared-argmax construction one
+    level up, replayed verbatim in the oracle SQL's scalar-k branch.
+    Below the threshold (every driver SF) the flat path is the
+    round-5 expression tree unchanged.
+    """
+    extra_cols = extra_cols or []
+    w_rank = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    )
+    if n_centroids is not None and n_centroids > coarse_threshold:
+        import math
+
+        n_coarse = math.isqrt(n_centroids)
+        coarse = centroids.filter(F.col("centroid_id") < n_coarse).select(
+            F.col("centroid_id").alias("coarse_id"),
+            F.col("cv").alias("ccv"),
+        )
+        coarse_sim = cosine(as_double(F.col("cv")), as_double(F.col("ccv")))
+        w_c = F.row_number().over(
+            Window.partitionBy("centroid_id").orderBy(
+                F.desc("_sim"), F.asc("coarse_id")
+            )
+        )
+        cmap = (
+            centroids.crossJoin(F.broadcast(coarse))
+            .select("centroid_id", "cv", "coarse_id", coarse_sim.alias("_sim"))
+            .withColumn("_rk", w_c)
+            .filter(F.col("_rk") == 1)
+            .select("centroid_id", "cv", "coarse_id")
+        )
+        vec_coarse_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("ccv")))
+        w_v = F.row_number().over(
+            Window.partitionBy(key_col).orderBy(
+                F.desc("_sim"), F.asc("coarse_id")
+            )
+        )
+        vprobe = (
+            df.select(key_col, vec_col, *extra_cols)
+            .crossJoin(F.broadcast(coarse))
+            .select(
+                key_col,
+                vec_col,
+                *extra_cols,
+                F.col("coarse_id"),
+                vec_coarse_sim.alias("_sim"),
+            )
+            .withColumn("_rk", w_v)
+            .filter(F.col("_rk") <= coarse_probe)
+            .select(key_col, vec_col, *extra_cols, "coarse_id")
+        )
+        # each centroid lives in exactly ONE coarse cell (top-1 map),
+        # so the probe join can never duplicate a (vector, centroid)
+        # candidate — no distinct needed before the rank
+        cand_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
+        scored = vprobe.join(F.broadcast(cmap), "coarse_id").select(
+            key_col,
+            vec_col,
+            *extra_cols,
+            F.col("centroid_id"),
+            cand_sim.alias("_sim"),
+        )
+    else:
+        sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
+        scored = df.select(key_col, vec_col, *extra_cols).crossJoin(
+            F.broadcast(centroids)
+        ).select(
+            key_col, vec_col, *extra_cols, F.col("centroid_id"), sim_c.alias("_sim")
+        )
+    return (
+        scored.withColumn("_rk", w_rank)
+        .filter(F.col("_rk") <= n_assign)
+        .select("centroid_id", key_col, vec_col, *extra_cols)
+    )
+
+
 def knn_candidate_pairs(
     df: DataFrame,
     centroids: DataFrame,
@@ -628,72 +727,16 @@ def knn_candidate_pairs(
             df, n_assign, dim, n_rows, [key_col, vec_col, *label_cols]
         )
         broadcast_pairs = 0 < est <= thr
-    w_rank = F.row_number().over(
-        Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    )
-    if n_centroids is not None and n_centroids > coarse_threshold:
-        import math
-
-        n_coarse = math.isqrt(n_centroids)
-        coarse = centroids.filter(F.col("centroid_id") < n_coarse).select(
-            F.col("centroid_id").alias("coarse_id"),
-            F.col("cv").alias("ccv"),
-        )
-        coarse_sim = cosine(as_double(F.col("cv")), as_double(F.col("ccv")))
-        w_c = F.row_number().over(
-            Window.partitionBy("centroid_id").orderBy(
-                F.desc("_sim"), F.asc("coarse_id")
-            )
-        )
-        cmap = (
-            centroids.crossJoin(F.broadcast(coarse))
-            .select("centroid_id", "cv", "coarse_id", coarse_sim.alias("_sim"))
-            .withColumn("_rk", w_c)
-            .filter(F.col("_rk") == 1)
-            .select("centroid_id", "cv", "coarse_id")
-        )
-        vec_coarse_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("ccv")))
-        w_v = F.row_number().over(
-            Window.partitionBy(key_col).orderBy(
-                F.desc("_sim"), F.asc("coarse_id")
-            )
-        )
-        vprobe = (
-            df.select(key_col, vec_col, *label_cols)
-            .crossJoin(F.broadcast(coarse))
-            .select(
-                key_col,
-                vec_col,
-                *label_cols,
-                F.col("coarse_id"),
-                vec_coarse_sim.alias("_sim"),
-            )
-            .withColumn("_rk", w_v)
-            .filter(F.col("_rk") <= coarse_probe)
-            .select(key_col, vec_col, *label_cols, "coarse_id")
-        )
-        # each centroid lives in exactly ONE coarse cell (top-1 map),
-        # so the probe join can never duplicate a (vector, centroid)
-        # candidate — no distinct needed before the rank
-        cand_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-        scored = vprobe.join(F.broadcast(cmap), "coarse_id").select(
-            key_col,
-            vec_col,
-            *label_cols,
-            F.col("centroid_id"),
-            cand_sim.alias("_sim"),
-        )
-    else:
-        sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-        scored = df.select(key_col, vec_col, *label_cols).crossJoin(
-            F.broadcast(centroids)
-        ).select(
-            key_col, vec_col, *label_cols, F.col("centroid_id"), sim_c.alias("_sim")
-        )
-    assigned = (
-        scored.withColumn("_rk", w_rank)
-        .filter(F.col("_rk") <= n_assign)
-        .select("centroid_id", key_col, vec_col, *label_cols)
+    assigned = assign_cells(
+        df,
+        centroids,
+        n_assign=n_assign,
+        vec_col=vec_col,
+        key_col=key_col,
+        extra_cols=label_cols,
+        n_centroids=n_centroids,
+        coarse_threshold=coarse_threshold,
+        coarse_probe=coarse_probe,
     )
     if dim is not None:
         # FLATTEN the vector to ``dim`` double columns before pairing.
@@ -1024,6 +1067,9 @@ def semdedup_stats(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     dim: int | None = None,
+    n_centroids: int | None = None,
+    coarse_threshold: int = 64,
+    coarse_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -1043,26 +1089,28 @@ def semdedup_stats(
     approximation — cross-cluster near-dups survive — is structural,
     never arithmetic.
 
-    Scale: assignment is a broadcast cross-join + per-key rank; the
-    pair space is sum over cells of |cell|^2, bounded by the scaled
-    cell count (see ``_centroids_scaled``); with ``dim`` the pair
-    cosine runs as flat-column codegen multiply-adds (the
-    ``knn_join_blocked`` kernel — the HOF fold is 10-100x slower at
-    pair volume). Only (cluster, key) pairs shuffle out of the join.
+    Scale: assignment is the shared ``assign_cells`` helper (top-1
+    here): flat broadcast cross-join + per-key rank at driver SFs,
+    TWO-LEVEL coarse-probed past ``coarse_threshold`` cells when the
+    caller declares ``n_centroids`` — the same O(N·√k) fix the kNN
+    pair build got (the sf3 rehearsal measured THIS operator
+    quadratic, exp₃ 1.99 at 120k doubled vectors, before the regime
+    was wired through). The pair space stays sum over cells of
+    |cell|^2, bounded by the scaled cell count (see
+    ``_centroids_scaled``); with ``dim`` the pair cosine runs as
+    flat-column codegen multiply-adds (the ``knn_join_blocked``
+    kernel — the HOF fold is 10-100x slower at pair volume). Only
+    (cluster, key) pairs shuffle out of the join.
     """
-    sim_c = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-    scored = (
-        df.select(key_col, vec_col)
-        .crossJoin(F.broadcast(centroids))
-        .select(key_col, vec_col, F.col("centroid_id"), sim_c.alias("_sim"))
-    )
-    w_rank = Window.partitionBy(key_col).orderBy(
-        F.desc("_sim"), F.asc("centroid_id")
-    )
-    assigned = (
-        scored.withColumn("_rk", F.row_number().over(w_rank))
-        .filter(F.col("_rk") == 1)
-        .select("centroid_id", key_col, vec_col)
+    assigned = assign_cells(
+        df,
+        centroids,
+        n_assign=1,
+        vec_col=vec_col,
+        key_col=key_col,
+        n_centroids=n_centroids,
+        coarse_threshold=coarse_threshold,
+        coarse_probe=coarse_probe,
     )
     members = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members")

@@ -855,16 +855,55 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT vec_id + nn.n, embedding FROM embeddings, nn
     ),
+    kk AS (SELECT greatest(8, (2 * n) // 250) AS k FROM nn),
     c AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings, nn WHERE vec_id < greatest(8, (2 * nn.n) // 250)
+      FROM embeddings WHERE vec_id < (SELECT k FROM kk)
     ),
-    scored AS (
+    coarse AS (
+      SELECT vec_id AS coarse_id, embedding::DOUBLE[] AS ccv
+      FROM embeddings
+      WHERE vec_id < (SELECT CAST(floor(sqrt(k)) AS BIGINT) FROM kk)
+    ),
+    cmap AS (
+      SELECT centroid_id, cv, coarse_id FROM (
+        SELECT c.centroid_id, c.cv, co.coarse_id,
+               row_number() OVER (PARTITION BY c.centroid_id ORDER BY
+                 list_dot_product(c.cv, co.ccv)
+                   / (sqrt(list_dot_product(c.cv, c.cv))
+                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
+                 co.coarse_id) AS rn
+        FROM c, coarse co
+      ) WHERE rn = 1
+    ),
+    vprobe AS (
+      SELECT vec_id, embedding, coarse_id FROM (
+        SELECT d.vec_id, d.embedding, co.coarse_id,
+               row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                 list_dot_product(d.embedding::DOUBLE[], co.ccv)
+                   / (sqrt(list_dot_product(d.embedding::DOUBLE[],
+                                            d.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
+                 co.coarse_id) AS rn
+        FROM d, coarse co
+      ) WHERE rn <= 2
+    ),
+    scored_flat AS (
       SELECT d.vec_id, d.embedding, c.centroid_id,
              list_dot_product(d.embedding::DOUBLE[], c.cv)
                / (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]))
                   * sqrt(list_dot_product(c.cv, c.cv))) AS sim
       FROM d, c
+      WHERE (SELECT k FROM kk) <= 64
+    ),
+    scored_two AS (
+      SELECT v.vec_id, v.embedding, m.centroid_id,
+             list_dot_product(v.embedding::DOUBLE[], m.cv)
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[],
+                                        v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(m.cv, m.cv))) AS sim
+      FROM vprobe v JOIN cmap m USING (coarse_id)
+      WHERE (SELECT k FROM kk) > 64
     ),
     m AS (
       SELECT CAST(centroid_id AS INT) AS centroid_id, vec_id,
@@ -873,7 +912,16 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, embedding, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored
+        FROM scored_flat
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT CAST(centroid_id AS INT) AS centroid_id, vec_id,
+             embedding::DOUBLE[] AS v
+      FROM (
+        SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored_two
       ) WHERE rn = 1
     ),
     drp AS (
@@ -922,7 +970,12 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
     )
     dim = len(_query_vec(spark, sf_dir, 0))
-    return S.semdedup_stats(doubled, cents, threshold=0.45, dim=dim)
+    # declares k so assignment goes two-level past 64 cells (the sf3
+    # rehearsal measured THIS entry's flat 1-NN assignment quadratic);
+    # driver SFs (k = 8) stay on the unchanged flat path
+    return S.semdedup_stats(
+        doubled, cents, threshold=0.45, dim=dim, n_centroids=k
+    )
 
 
 @query(
