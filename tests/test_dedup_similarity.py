@@ -913,3 +913,58 @@ def test_knn_two_level_assignment_matches_numpy_reference(spark):
         ).collect()
     }
     assert flat_declared == flat_default
+
+
+def test_semdedup_two_level_matches_numpy_reference(spark):
+    """SemDeDup's assignment rides the shared assign_cells helper;
+    past the threshold it must produce the same per-cluster stats as
+    an independent numpy replay of the two-level construction + the
+    dominance drop rule — CI's oracle sweep only exercises the flat
+    regime (sf0.01, k=8), so this pins the two-level arm (review
+    r06)."""
+    import numpy as np
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        semdedup_stats,
+    )
+
+    rng = np.random.RandomState(11)
+    n, dim, k, thr = 150, 8, 15, 0.45  # k > threshold(8) -> two-level
+    vecs = rng.randn(n, dim).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter(f"vec_id < {k}").selectExpr(
+        "cast(vec_id as int) centroid_id", "embedding cv"
+    )
+    got = {
+        r.centroid_id: (r.n_members, r.n_dropped, r.n_kept)
+        for r in semdedup_stats(
+            df, cents, threshold=thr, n_centroids=k, coarse_threshold=8,
+        ).collect()
+    }
+
+    def cos(a, b):
+        return (a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+
+    c = int(np.sqrt(k))
+    cmap = {
+        ci: min((-cos(vecs[ci], vecs[co]), co) for co in range(c))[1]
+        for ci in range(k)
+    }
+    cell = {}
+    for v in range(n):
+        probed = {co for _, co in sorted(
+            (-cos(vecs[v], vecs[co]), co) for co in range(c))[:2]}
+        members = [ci for ci in range(k) if cmap[ci] in probed]
+        cell[v] = min((-cos(vecs[v], vecs[ci]), ci) for ci in members)[1]
+    want = {}
+    for ci in set(cell.values()):
+        mem = sorted(v for v in range(n) if cell[v] == ci)
+        dropped = {
+            b for i, b in enumerate(mem)
+            for a in mem[:i] if cos(vecs[a], vecs[b]) >= thr
+        }
+        want[ci] = (len(mem), len(dropped), len(mem) - len(dropped))
+    assert got == want and len(want) > 1

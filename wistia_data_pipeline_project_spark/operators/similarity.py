@@ -1112,9 +1112,6 @@ def semdedup_stats(
         coarse_threshold=coarse_threshold,
         coarse_probe=coarse_probe,
     )
-    members = assigned.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
     if dim is not None:
         vd = as_double(F.col(vec_col))
         flat = assigned.withColumn("_vd", vd).select(
@@ -1139,6 +1136,15 @@ def semdedup_stats(
         flat = flat.localCheckpoint(eager=False)
     else:
         flat = assigned
+    # membership counts read the CHECKPOINTED table: computing them
+    # from `assigned` would re-run the whole assignment stage (coarse
+    # cross-join + two window ranks in the two-level regime) a second
+    # time per action, since the checkpoint truncates the lineage the
+    # exchange reuse would need (review r06). One row per assigned
+    # row either way — identical counts.
+    members = flat.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
     # explicit repartition: AQE coalesces the tiny assigned exchange to
     # one partition and would serialize the pair loop (the measured
     # knn_join_blocked trap); round-robin keeps every core busy.
