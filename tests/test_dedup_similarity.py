@@ -879,11 +879,12 @@ def test_knn_two_level_assignment_matches_numpy_reference(spark):
         return (a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
 
     c = int(np.sqrt(k))  # isqrt
-    # centroid -> top-1 coarse (sim desc, coarse_id asc)
+    # centroid -> top-1 coarse (sim desc, SELF-preference on ties,
+    # coarse_id asc — the r07 empty-cell guard)
     cmap = {}
     for ci in range(k):
-        sims = [(-cos(vecs[ci], vecs[co]), co) for co in range(c)]
-        cmap[ci] = min(sims)[1]
+        sims = [(-cos(vecs[ci], vecs[co]), co != ci, co) for co in range(c)]
+        cmap[ci] = min(sims)[2]
     # vector -> top-2 coarse
     cells = {}
     for v in range(n):
@@ -913,6 +914,41 @@ def test_knn_two_level_assignment_matches_numpy_reference(spark):
         ).collect()
     }
     assert flat_declared == flat_default
+
+
+def test_two_level_duplicate_centroids_lose_no_vectors(spark):
+    """Degenerate corpus: ALL candidate centroid vectors identical —
+    exact cosine ties everywhere. Without the self-preference
+    tiebreak every coarse centroid maps to coarse cell 0 and cells
+    1.. are EMPTY (the ADVICE r07 row-loss precondition); with it
+    each coarse cell retains its own centroid, so emptiness is
+    impossible BY CONSTRUCTION (not merely by the id-asc tie order
+    happening to rank a non-empty twin first) and every vector keeps
+    a full candidate set. Asserts the no-row-loss invariant."""
+    import numpy as np
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim, k = 60, 4, 12  # k > threshold(8) -> two-level, c = 3
+    base = rng.randn(dim)
+    vecs = rng.randn(n, dim)
+    vecs[:k] = base  # the k centroid rows are all the SAME vector
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter(f"vec_id < {k}").selectExpr(
+        "cast(vec_id as int) centroid_id", "embedding cv"
+    )
+    assigned = assign_cells(
+        df, cents, n_assign=1, n_centroids=k, coarse_threshold=8,
+        coarse_probe=2,
+    )
+    got_ids = {r.vec_id for r in assigned.collect()}
+    assert got_ids == set(range(n))  # every vector assigned exactly once
 
 
 def test_semdedup_two_level_matches_numpy_reference(spark):
@@ -950,7 +986,7 @@ def test_semdedup_two_level_matches_numpy_reference(spark):
 
     c = int(np.sqrt(k))
     cmap = {
-        ci: min((-cos(vecs[ci], vecs[co]), co) for co in range(c))[1]
+        ci: min((-cos(vecs[ci], vecs[co]), co != ci, co) for co in range(c))[2]
         for ci in range(k)
     }
     cell = {}

@@ -275,6 +275,44 @@ def test_time_weighted_avg_micro_fixture(spark):
     assert got[2].span_us is None and got[2].twa is None
 
 
+def test_time_weighted_avg_null_values_locf(spark):
+    """True LOCF (ADVICE r07): a NULL-valued observation anchors its
+    segment but the PREVIOUS non-NULL value holds across it — user 1:
+    10.0 for 4s, then a NULL row (10.0 carries for 6s), then 30.0 for
+    10s → twa = (10*4 + 10*6 + 30*10)/20 = 20.0, span 20s, n_events 4.
+    Leading-NULL segments (no defined value yet) are excluded from
+    both the weight and the span: user 2's first 5s (NULL) drop, the
+    remaining 8.0-for-3s segment gives twa 8.0 over span 3s. User 3
+    is all-NULL → NULL span and twa but n_events still counts."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0), 1, 10.0),
+        (1, T(2024, 1, 1, 0, 0, 4), 2, None),
+        (1, T(2024, 1, 1, 0, 0, 10), 3, 30.0),
+        (1, T(2024, 1, 1, 0, 0, 20), 4, 99.0),  # holds 0s
+        (2, T(2024, 1, 2, 0, 0, 0), 5, None),
+        (2, T(2024, 1, 2, 0, 0, 5), 6, 8.0),
+        (2, T(2024, 1, 2, 0, 0, 8), 7, 1.0),  # holds 0s
+        (3, T(2024, 1, 3, 0, 0, 0), 8, None),
+        (3, T(2024, 1, 3, 0, 0, 9), 9, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    assert got[1].n_events == 4
+    assert got[1].span_us == 20_000_000
+    assert got[1].twa == pytest.approx(20.0)
+    assert got[2].span_us == 3_000_000
+    assert got[2].twa == pytest.approx(8.0)
+    assert got[3].n_events == 2
+    assert got[3].span_us is None and got[3].twa is None
+
+
 def test_time_weighted_avg_duplicate_ts_tiebreak(spark):
     """Two events at the same instant: the zero-length segment
     contributes nothing and the (ts, event_id) order pins which value

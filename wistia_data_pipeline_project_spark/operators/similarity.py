@@ -587,6 +587,12 @@ def assign_cells(
     level up, replayed verbatim in the oracle SQL's scalar-k branch.
     Below the threshold (every driver SF) the flat path is the
     round-5 expression tree unchanged.
+
+    The centroid→coarse map self-prefers on exact ties (a coarse
+    centroid always maps to itself), so every coarse cell retains at
+    least its own centroid and a probed cell can never be empty — on
+    degenerate corpora (duplicate centroid vectors) no vector can
+    silently lose all candidates and drop out of the assignment.
     """
     extra_cols = extra_cols or []
     w_rank = F.row_number().over(
@@ -601,9 +607,19 @@ def assign_cells(
             F.col("cv").alias("ccv"),
         )
         coarse_sim = cosine(as_double(F.col("cv")), as_double(F.col("ccv")))
+        # self-preference tiebreak: a coarse centroid c (< n_coarse)
+        # always maps to ITSELF — cos(c,c)=1.0 is the argmax, and on
+        # an exact tie (duplicate centroid vectors) the is-self key
+        # wins before the coarse_id one. Guarantees every coarse cell
+        # retains at least its own centroid as a member, so a probed
+        # cell can never be empty and no vector can silently lose all
+        # its candidates on degenerate corpora (review r07). Replayed
+        # verbatim in both two-level oracle SQLs.
         w_c = F.row_number().over(
             Window.partitionBy("centroid_id").orderBy(
-                F.desc("_sim"), F.asc("coarse_id")
+                F.desc("_sim"),
+                F.desc(F.col("coarse_id") == F.col("centroid_id")),
+                F.asc("coarse_id"),
             )
         )
         cmap = (
@@ -1349,15 +1365,23 @@ def dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     collapse view) with the coordinate-wise view.
 
     Determinism: components widen float->double EXACTLY, quantize to
-    DECIMAL(8,5) (ROUND 5 — the unigram-NLL pattern), and both sums
-    stay decimals whose unscaled values sit far below 2^52, where BOTH
-    engines' decimal->double casts take the same
-    (double)unscaled / 10^scale path (the catalog's
-    integer-cents lesson: large fractional decimals diverge). The
-    mean/second-moment divisions and the variance subtraction are then
-    bit-identical IEEE ops. NULL/NaN/|x|>=1000 components are excluded
-    identically in both engines (see the filter comment), so ``n_vecs``
-    counts in-domain observations.
+    DECIMAL(8,5) (ROUND 5 — the unigram-NLL pattern), then rescale to
+    INTEGER hundred-thousandths (``ui = xq×1e5``, exact decimal
+    arithmetic) so BOTH sums are INTEGER-VALUED decimals — the
+    catalog's integer-cents lesson taken to its conclusion. A
+    fractional decimal->double cast diverges cross-engine once the
+    unscaled value passes ~2^52 (DuckDB divides the int128 by
+    10^scale in floating point, a second rounding the JVM's
+    string-parse path above 2^52 doesn't take), but an INTEGER
+    decimal->double cast is ONE correctly-rounded conversion in both
+    engines at any magnitude up to int64 range (~9.2e18 — ~6e15
+    unit-scale rows per dim before the squared sum reaches it;
+    verified bit-equal across 2^52..2^62 probes). The trailing
+    ``/1e5`` (``/1e10`` for squares) and ``/n`` are then bit-identical
+    IEEE ops, identical to the pre-rescale formulation below 2^52.
+    NULL/NaN/|x|>=1000 components are excluded identically in both
+    engines (see the filter comment), so ``n_vecs`` counts in-domain
+    observations.
 
     Scale: posexplode fans out x dim, but the per-dim aggregate
     map-side combines to |dims| rows per task before the one tiny
@@ -1379,14 +1403,25 @@ def dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         )
         .select(
             "dim",
-            F.round(F.col("x").cast("double"), 5)
-            .cast("decimal(8,5)")
-            .alias("xq"),
+            # integer hundred-thousandths: xq (DECIMAL(8,5)) × 1e5 is
+            # integer-valued by construction; the cast to scale 0 is
+            # exact, and ui*ui is then the scale-10 product's unscaled
+            # value — same math, integer-decimal representation
+            (
+                F.round(F.col("x").cast("double"), 5).cast("decimal(8,5)")
+                * 100000
+            )
+            .cast("decimal(14,0)")
+            .alias("ui"),
         )
     )
     n = F.count(F.lit(1))
-    mean = F.sum("xq").cast("double") / n
-    e2 = F.sum(F.col("xq") * F.col("xq")).cast("double") / n
+    mean = F.sum(F.col("ui").cast("decimal(38,0)")).cast("double") / F.lit(
+        1e5
+    ) / n
+    e2 = F.sum(
+        (F.col("ui") * F.col("ui")).cast("decimal(38,0)")
+    ).cast("double") / F.lit(1e10) / n
     return x.groupBy("dim").agg(
         n.cast("long").alias("n_vecs"),
         mean.alias("mean"),

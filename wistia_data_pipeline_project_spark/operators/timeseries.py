@@ -450,9 +450,20 @@ def time_weighted_avg(
     from a plain AVG (which ignores how long each value was in effect)
     and from the daily resample (which regularizes to a fixed grid).
 
-    Output per key: ``n_events``, ``span_us`` (microseconds between the
-    key's first and last observation; NULL for single-observation
-    keys), ``twa`` (NULL when the span is zero or undefined).
+    Output per key: ``n_events`` (all observations, NULL-valued
+    included), ``span_us`` (microseconds covered by segments with a
+    DEFINED LOCF value — first non-NULL observation to last
+    observation; NULL for keys with no such segment), ``twa`` (NULL
+    when the span is zero or undefined).
+
+    NULL handling (true LOCF): a NULL-valued observation anchors a
+    segment but carries NO new value — the previous non-NULL value
+    holds across it (``last(value, ignorenulls=True)`` over the same
+    window partitioning, no extra shuffle). Segments BEFORE the
+    key's first non-NULL observation have no defined value and are
+    excluded from both the weighted sum and the span denominator —
+    the alternative (counting their duration with zero weight) would
+    silently average in value 0, which is not LOCF.
 
     Determinism: segment durations are exact integer microseconds from
     ``unix_micros`` over the total order ``(ts, tiebreak)`` — duplicate
@@ -471,13 +482,28 @@ def time_weighted_avg(
     the lead-segment rows. No grid fan-out — cost is O(events).
     """
     w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    seg = df.select(key_col, ts_col, tiebreak_col, value_col).withColumn(
-        "_dt_us",
-        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)),
+    seg = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn(
+            "_dt_us",
+            F.unix_micros(F.lead(ts_col).over(w))
+            - F.unix_micros(F.col(ts_col)),
+        )
+        .withColumn(
+            "_v_locf",
+            F.last(value_col, ignorenulls=True).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
     )
-    cents = (F.col(value_col).cast("decimal(12,2)") * 100).cast("decimal(18,0)")
+    cents = (F.col("_v_locf").cast("decimal(12,2)") * 100).cast(
+        "decimal(18,0)"
+    )
     wsum = F.sum(cents * F.col("_dt_us"))
-    span = F.sum("_dt_us")
+    # span counts only segments whose LOCF value is defined — after
+    # the first non-NULL observation _v_locf is always set, so this
+    # only trims the leading-NULL prefix
+    span = F.sum(F.when(F.col("_v_locf").isNotNull(), F.col("_dt_us")))
     return seg.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         span.cast("long").alias("span_us"),

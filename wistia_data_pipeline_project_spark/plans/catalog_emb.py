@@ -498,6 +498,7 @@ def _knn_asg_sql(with_label: bool) -> str:
                  list_dot_product(c.cv, co.ccv)
                    / (sqrt(list_dot_product(c.cv, c.cv))
                       * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
+                 (co.coarse_id = c.centroid_id) DESC,
                  co.coarse_id) AS rn
         FROM c, coarse co
       ) WHERE rn = 1
@@ -872,6 +873,7 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_dot_product(c.cv, co.ccv)
                    / (sqrt(list_dot_product(c.cv, c.cv))
                       * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
+                 (co.coarse_id = c.centroid_id) DESC,
                  co.coarse_id) AS rn
         FROM c, coarse co
       ) WHERE rn = 1
@@ -1704,8 +1706,9 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH x AS (
       SELECT g.i - 1 AS dim,
-             CAST(ROUND(CAST(embedding[g.i] AS DOUBLE), 5)
-                  AS DECIMAL(8,5)) AS xq
+             CAST(CAST(ROUND(CAST(embedding[g.i] AS DOUBLE), 5)
+                       AS DECIMAL(8,5)) * 100000
+                  AS DECIMAL(14,0)) AS ui
       FROM embeddings,
            LATERAL unnest(generate_series(1, len(embedding))) AS g(i)
       WHERE embedding[g.i] IS NOT NULL AND NOT isnan(embedding[g.i])
@@ -1713,11 +1716,16 @@ def emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(xq) AS DOUBLE) / COUNT(*) AS mean,
-           CAST(SUM(xq * xq) AS DOUBLE) / COUNT(*) AS second_moment,
-           CAST(SUM(xq * xq) AS DOUBLE) / COUNT(*)
-             - (CAST(SUM(xq) AS DOUBLE) / COUNT(*))
-               * (CAST(SUM(xq) AS DOUBLE) / COUNT(*)) AS variance
+           CAST(SUM(CAST(ui AS DECIMAL(38,0))) AS DOUBLE)
+             / 100000.0 / COUNT(*) AS mean,
+           CAST(SUM(CAST(ui * ui AS DECIMAL(38,0))) AS DOUBLE)
+             / 10000000000.0 / COUNT(*) AS second_moment,
+           CAST(SUM(CAST(ui * ui AS DECIMAL(38,0))) AS DOUBLE)
+             / 10000000000.0 / COUNT(*)
+             - (CAST(SUM(CAST(ui AS DECIMAL(38,0))) AS DOUBLE)
+                / 100000.0 / COUNT(*))
+               * (CAST(SUM(CAST(ui AS DECIMAL(38,0))) AS DOUBLE)
+                  / 100000.0 / COUNT(*)) AS variance
     FROM x GROUP BY dim
     """,
 )
@@ -1727,9 +1735,10 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-centering preprocessing step consumes, and the
     coordinate-wise companion of ``emb_pair_sim_hist``'s pairwise
     collapse diagnostic. See operators/similarity.py:dim_stats for the
-    decimal-quantization determinism argument (sums kept below the
-    2^52 unscaled bound where both engines' decimal->double casts
-    agree).
+    decimal-quantization determinism argument (both sums are
+    INTEGER-valued decimals, whose double cast is one correctly-
+    rounded conversion in both engines at any magnitude up to int64
+    range — not the fractional-decimal cast that diverges past 2^52).
 
     Scale: explode fans N×dim rows but the aggregate map-side combines
     to 64 rows per task before one tiny shuffle — scan-bound at any

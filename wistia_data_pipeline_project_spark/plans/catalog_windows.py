@@ -622,6 +622,103 @@ def events_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECILE_BOUNDS_SQL = ",\n".join(
+    f"             percentile_disc(0.{i}) WITHIN GROUP (ORDER BY total)"
+    f" AS b{i}"
+    for i in range(1, 10)
+)
+_DECILE_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN total <= b{i} THEN {i}" for i in range(1, 10))
+    + " ELSE 10 END"
+)
+
+
+@query(
+    "events_user_deciles_banded",
+    oracle=E_CTE
+    + f""",
+    u AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM e WHERE value IS NOT NULL GROUP BY 1
+    ),
+    b AS (
+      SELECT
+{_DECILE_BOUNDS_SQL}
+      FROM u
+    ),
+    d AS (
+      SELECT total, {_DECILE_CASE_SQL} AS decile
+      FROM u CROSS JOIN b
+    )
+    SELECT decile, COUNT(*) AS n_users,
+           CAST(MIN(total) AS DOUBLE) AS min_total,
+           CAST(MAX(total) AS DOUBLE) AS max_total,
+           CAST(SUM(total) AS DOUBLE) AS sum_total
+    FROM d GROUP BY 1
+    """,
+)
+def events_user_deciles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE variant of ``events_user_deciles`` — the documented
+    swap-in for the exact entry's one single-partition NTILE sort
+    (VERDICT r06 item 1): decile BOUNDARIES come from one
+    ``percentile_disc`` aggregate pass (map-side-combinable, no global
+    sort), are broadcast back as a 1-row table, and users are range-
+    assigned by comparison — the ``docs_perplexity_buckets`` pattern
+    at 9 cut points.
+
+    Semantics vs the exact entry: identical whenever no two users tie
+    exactly at a boundary total; on a boundary tie ALL tied users land
+    in the LOWER decile (deciles are value ranges, not exact tenths) —
+    the deliberate trade that removes the global sort. Gated against
+    ``events_user_deciles`` in ``tests/test_banded_quantiles.py``.
+
+    Determinism: boundaries are ``percentile_disc`` (actual DECIMAL
+    data values, no interpolation — both engines pick the smallest
+    value whose CDF reaches p, verified on tie grids); assignment is
+    pure decimal comparison; only the final stats cast to double.
+
+    Scale: per-user totals map-side combine; the boundary aggregate
+    collapses to ONE row broadcast back to the user table — no stage
+    sees more than |users|/partitions rows, at any corpus size. For
+    the billions-of-users regime swap percentile_disc for
+    approx_percentile; the assignment side is unchanged.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    # cache the narrow (user_id, total) relation: both the bounds
+    # aggregate and the assignment join consume it (the
+    # docs_perplexity_buckets precedent — without the shared relation
+    # the broadcast subtree re-runs the event-grain aggregation)
+    u = e.groupBy("user_id").agg(
+        F.sum(dec("value", 18, 2)).alias("total")
+    ).cache()
+    bounds = u.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY total)"
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.when(F.col("total") <= F.col("b1"), 1)
+    for i in range(2, 10):
+        decile = decile.when(F.col("total") <= F.col(f"b{i}"), i)
+    decile = decile.otherwise(10)
+    d = u.crossJoin(F.broadcast(bounds)).select(
+        "total", decile.alias("decile")
+    )
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("total").cast("double").alias("min_total"),
+        F.max("total").cast("double").alias("max_total"),
+        F.sum("total").cast("double").alias("sum_total"),
+    )
+
+
 @query(
     "events_scd2_history",
     oracle=E_CTE
@@ -720,6 +817,129 @@ def orders_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(W.orderBy("last_order", "custkey")).alias("r_score"),
         F.ntile(5).over(W.orderBy("n_orders", "custkey")).alias("f_score"),
         F.ntile(5).over(W.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return s.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        F.col("monetary").cast("double").alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).alias("rfm_cell"),
+    )
+
+
+def _quintile_bounds_sql(col: str, prefix: str) -> str:
+    return ",\n".join(
+        f"             percentile_disc(0.{2 * i}) WITHIN GROUP"
+        f" (ORDER BY {col}) AS {prefix}{i}"
+        for i in range(1, 5)
+    )
+
+
+def _quintile_case_sql(col: str, prefix: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} <= {prefix}{i} THEN {i}" for i in range(1, 5)
+        )
+        + " ELSE 5 END"
+    )
+
+
+def _quintile_score(col: str, prefix: str) -> F.Column:
+    score = F.when(F.col(col) <= F.col(f"{prefix}1"), 1)
+    for i in range(2, 5):
+        score = score.when(F.col(col) <= F.col(f"{prefix}{i}"), i)
+    return score.otherwise(5)
+
+
+@query(
+    "orders_rfm_banded",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+             MAX(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS r_days,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT
+{_quintile_bounds_sql("r_days", "rb")},
+{_quintile_bounds_sql("n_orders", "fb")},
+{_quintile_bounds_sql("monetary", "mb")}
+      FROM m
+    ),
+    s AS (
+      SELECT custkey, last_order, n_orders, monetary,
+             {_quintile_case_sql("r_days", "rb")} AS r_score,
+             {_quintile_case_sql("n_orders", "fb")} AS f_score,
+             {_quintile_case_sql("monetary", "mb")} AS m_score
+      FROM m CROSS JOIN b
+    )
+    SELECT custkey, last_order, n_orders,
+           CAST(monetary AS DOUBLE) AS monetary,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_cell
+    FROM s
+    """,
+)
+def orders_rfm_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALABLE variant of ``orders_rfm_scores`` — the documented
+    swap-in for its three global NTILE(5) sorts (VERDICT r06 item 1):
+    quintile BOUNDARIES per axis from ONE ``percentile_disc``
+    aggregate pass (12 cut points, map-side-combinable), broadcast
+    back as a 1-row table, customers range-assigned by comparison.
+
+    Semantics vs the exact entry: identical when no boundary ties; on
+    a tie all tied customers land in the LOWER quintile. Exact-NTILE
+    also splits ties across bands by the custkey tiebreak — the banded
+    variant makes scores a pure function of the (recency, frequency,
+    monetary) VALUES, which is arguably the better segmentation
+    contract (equal behavior ⇒ equal score). Gated against
+    ``orders_rfm_scores`` in ``tests/test_banded_quantiles.py``.
+
+    Determinism: recency boundaries are computed on INTEGER days since
+    epoch (identical in both engines — a timestamp percentile would
+    hinge on session-timezone casts), frequency on exact longs,
+    monetary on exact decimals; assignment is pure comparison.
+
+    Scale: the per-customer aggregate map-side combines; the boundary
+    pass collapses to one broadcast row — no global sort anywhere, at
+    any corpus size (the approx_percentile swap applies past ~1e9
+    customers as with the deciles entry).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.max(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        ).alias("r_days"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
+    ).cache()
+    bounds = m.agg(
+        *[
+            F.expr(
+                f"percentile_disc(0.{2 * i}) WITHIN GROUP (ORDER BY {c})"
+            ).alias(f"{p}{i}")
+            for c, p in (("r_days", "rb"), ("n_orders", "fb"), ("monetary", "mb"))
+            for i in range(1, 5)
+        ]
+    )
+    s = m.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "monetary",
+        _quintile_score("r_days", "rb").alias("r_score"),
+        _quintile_score("n_orders", "fb").alias("f_score"),
+        _quintile_score("monetary", "mb").alias("m_score"),
     )
     return s.select(
         "custkey",
@@ -1588,7 +1808,11 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=E_CTE
     + """,
     seg AS (
-      SELECT user_id, value,
+      SELECT user_id,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v_locf,
              epoch_us(lead(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              )) - epoch_us(ts) AS dt_us
@@ -1597,11 +1821,13 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(dt_us) AS BIGINT) AS span_us,
-           CASE WHEN SUM(dt_us) > 0
-                THEN CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100
+           CAST(SUM(CASE WHEN v_locf IS NOT NULL THEN dt_us END)
+                AS BIGINT) AS span_us,
+           CASE WHEN SUM(CASE WHEN v_locf IS NOT NULL THEN dt_us END) > 0
+                THEN CAST(SUM(CAST(CAST(v_locf AS DECIMAL(12,2)) * 100
                                    AS DECIMAL(18,0)) * dt_us) AS DOUBLE)
-                     / CAST(SUM(dt_us) AS DOUBLE) / 100.0
+                     / CAST(SUM(CASE WHEN v_locf IS NOT NULL
+                                     THEN dt_us END) AS DOUBLE) / 100.0
            END AS twa
     FROM seg GROUP BY user_id
     """,
@@ -1621,6 +1847,12 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — see the operator docstring); the trailing division
     pair is bit-identical IEEE. Single-observation users emit NULL
     span/twa in both engines (SUM over an empty segment set).
+
+    NULL values are true LOCF in BOTH engines (``last_value IGNORE
+    NULLS`` over the same window): the previous non-NULL value holds
+    across a NULL observation's segment, and leading-NULL segments
+    (no defined value yet) are excluded from both the weighted sum
+    and the span denominator.
 
     Scale: one shuffle on user_id + sort within key — the watch-time
     fold family's shape; the aggregate is map-side combinable. See
