@@ -96,17 +96,38 @@ def main() -> None:
         timings[name] = round(est, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "catalog_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # The driver records only the stdout tail (2000 chars), which
+    # truncates the per-query map past ~150 entries (VERDICT r06 item
+    # 8) — persist the FULL map to repo files so round-over-round
+    # diffs don't depend on the tail window. Round number = 1 + the
+    # latest driver-written artifact round (the driver writes
+    # BENCH_r{N}/CORRECTNESS_r{N} at END of round N, so during round
+    # N+1 the max present is N). Best-effort: never fail the bench
+    # over bookkeeping.
+    if not sys.argv[1:]:  # full-catalog runs only, not focused ones
+        try:
+            import re
+            from pathlib import Path
+
+            root = Path(__file__).resolve().parent
+            rounds = [
+                int(m.group(1))
+                for f in root.glob("*_r*.json")
+                if (m := re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)", f.stem))
+            ]
+            n = max(rounds, default=0) + 1
+            for name in (f"BENCH_full_r{n:02d}.json", "BENCH_full_latest.json"):
+                (root / name).write_text(json.dumps(payload, indent=1) + "\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":
