@@ -86,11 +86,15 @@ NOTES = {
     "docs_triangle_stats": "degree-oriented wedge join over the shared pair checkpoint",
     "docs_pagerank": "6 checkpointed rounds over the shared pair checkpoint; audited plan is the final round's output",
     "docs_winnowing": "sliding-min window + (doc,fp) distinct agg",
-    "docs_zipf_fit": "global rank over aggregated vocab (user-deciles caveat)",
+    "docs_zipf_fit": "global rank over aggregated vocab (user-deciles caveat); docs_zipf_fit_scalable is the bit-identical decomposed-rank swap-in",
+    "docs_zipf_fit_scalable": "rank decomposed: per-cnt offsets (window over DISTINCT counts only) + row_number partitioned by cnt; offs broadcast back",
     "emb_semdedup": "SMJ = pair join on centroid_id; flattened table localCheckpoint'ed as codegen barrier (allowlisted in the no-collect gate)",
     "emb_ivf_recall": "two top-k heaps + 10x10 overlap join",
     "emb_matryoshka_recall": "coarse pass projects 16/64 dims",
-    "orders_rfm_scores": "three global ntiles share one single-partition sort (user-deciles caveat)",
+    "orders_rfm_scores": "three global ntiles share one single-partition sort (user-deciles caveat); orders_rfm_banded is the no-sort swap-in",
+    "orders_rfm_banded": "12 disc-quantile cut points in ONE aggregate pass broadcast back; range assign by comparison - no global sort (approx_percentile swap documented for distinct-heavy 1e8+ domains, SCALE.md r07)",
+    "events_user_deciles_banded": "9 disc-quantile boundaries broadcast back to the cached user table; no single-partition window (same approx swap note)",
+    "events_play_conversion_attribution": "calls streaming_play_conversion_join on batch inputs; compound (visitor, media) equi-key SMJ with the 4h range predicate inside - no cartesian",
     "nation_yoy_revenue": "lag window over (nation,year) aggregate",
     "docs_dsir_weights": "256-row bucket LM broadcast; BNLJ = 1-row totals",
     "events_hll_rollup": "daily sketches merge map-side; exact branch gates the estimate",

@@ -680,9 +680,16 @@ def events_user_deciles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-user totals map-side combine; the boundary aggregate
     collapses to ONE row broadcast back to the user table — no stage
-    sees more than |users|/partitions rows, at any corpus size. For
-    the billions-of-users regime swap percentile_disc for
-    approx_percentile; the assignment side is unchanged.
+    sees more than |users|/partitions rows. One honest caveat
+    (measured, SCALE.md r07): ``percentile_disc`` itself aggregates a
+    value→count map, so its merge cost scales with DISTINCT totals —
+    exact-and-cheap when the value domain is bounded, but on an
+    ~all-distinct domain it loses to the ntile sort (34 s vs 5.5 s at
+    5M distinct keys). Past ~1e7 distinct totals the REQUIRED swap is
+    ``approx_percentile`` (mergeable Greenwald-Khanna sketch, bounded
+    memory: 3.6 s at 60M keys vs the exact sort's 101.7 s) — the
+    assignment side is unchanged; only boundary picking trades
+    exactness for a bounded rank error.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
@@ -910,9 +917,12 @@ def orders_rfm_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     monetary on exact decimals; assignment is pure comparison.
 
     Scale: the per-customer aggregate map-side combines; the boundary
-    pass collapses to one broadcast row — no global sort anywhere, at
-    any corpus size (the approx_percentile swap applies past ~1e9
-    customers as with the deciles entry).
+    pass collapses to one broadcast row — no global sort anywhere.
+    The deciles entry's distinct-domain caveat applies per axis:
+    recency-days and order counts are BOUNDED domains (disc quantiles
+    stay cheap at any corpus size), while monetary is ~all-distinct —
+    past ~1e7 customers its boundary picking swaps to
+    ``approx_percentile`` (SCALE.md r07 microbench).
     """
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
