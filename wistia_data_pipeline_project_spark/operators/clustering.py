@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -69,14 +71,14 @@ def connected_components(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    und = spill_checkpoint(und, eager=True)
     labels = (
         und.groupBy("u")
         .agg(F.min("v").alias("_mv"))
         .select("u", F.least(F.col("u"), F.col("_mv")).alias("component"))
-        .localCheckpoint()
     )
+    labels = spill_checkpoint(labels, eager=True)
 
     def _label_sum(lbl: DataFrame):
         # labels only ever decrease, so sum-unchanged ⇔ fixpoint;
@@ -119,7 +121,7 @@ def connected_components(
                 F.col("component"), F.coalesce(F.col("_c2"), F.col("component"))
             ).alias("component"),
         )
-        labels = hop.localCheckpoint()
+        labels = spill_checkpoint(hop, eager=True)
         s = _label_sum(labels)
         if s == prev_sum:
             return labels.select(F.col("u").alias("node"), "component")
@@ -188,20 +190,22 @@ def pagerank(
     # (e.g. a near-dup pair join) would otherwise re-execute per
     # round — measured 28 s -> ~4 s on the docs_pagerank entry.
     # Executor-local, edge-list-sized (two keys/row), disk-spillable.
-    edges = edges.select(src_col, dst_col).localCheckpoint()
+    edges = spill_checkpoint(edges.select(src_col, dst_col), eager=True)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = spill_checkpoint(nodes, eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:  # empty graph: empty ranks, not a ZeroDivisionError
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    ranks = spill_checkpoint(
+        nodes.withColumn("rank", F.lit(1.0 / n_nodes)), eager=True
+    )
     base = (1.0 - damping) / n_nodes
     # quantize: round each per-edge contribution (and the dangling
     # terms) to that many decimals and sum in DECIMAL — the hash-gated
@@ -243,8 +247,8 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = spill_checkpoint(ranks, eager=True)
     return ranks
 
 

@@ -29,6 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 HWM_OVERLAP = dt.timedelta(seconds=1)
 
 
@@ -336,10 +338,13 @@ def run_incremental_pipeline_tables(
     # into the existing dimension (first-wins) instead of truncating
     # history away; localCheckpoint breaks the read-then-overwrite
     # cycle on the same table
-    dim_visitor = merge_dim_visitor(
-        spark.table(f"{database}.dim_visitor"),
-        transform_visitor_data(inc, run_ts),
-    ).localCheckpoint()
+    dim_visitor = spill_checkpoint(
+        merge_dim_visitor(
+            spark.table(f"{database}.dim_visitor"),
+            transform_visitor_data(inc, run_ts),
+        ),
+        eager=True,
+    )
     fact = fact_media_engagement(inc, dim_media, run_ts)
 
     _insert(dim_media, f"{database}.dim_media", overwrite=True)
@@ -392,9 +397,10 @@ def run_incremental_pipeline(
     # re-derive them); checkpoint breaks the read-then-overwrite cycle
     vis_path = os.path.join(out_dir, "dim_visitor")
     if os.path.exists(vis_path):
-        dim_visitor = merge_dim_visitor(
-            spark.read.parquet(vis_path), dim_visitor
-        ).localCheckpoint()
+        dim_visitor = spill_checkpoint(
+            merge_dim_visitor(spark.read.parquet(vis_path), dim_visitor),
+            eager=True,
+        )
     fact = fact_media_engagement(inc, dim_media, run_ts)
 
     write_dim(dim_media, os.path.join(out_dir, "dim_media"))

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 try:  # codec boundary: absent in this container, real in production
     from PIL import Image  # type: ignore  # noqa: F401
 
@@ -435,8 +437,9 @@ def image_near_dup_pairs(
     # decode+hash pass into each side — the corpus would be decoded
     # twice (the trap dedup.bucket_pairs documents). 16 bytes/image;
     # lazy (eager=False) so building/explaining the plan doesn't run
-    # the decode job — it materializes on the first action.
-    codes = average_hash(assets).localCheckpoint(eager=False)
+    # the decode job — it materializes on the first action; serialized
+    # spill-friendly storage since the table scales with the corpus.
+    codes = spill_checkpoint(average_hash(assets))
     blocks = codes.select(
         "asset_id",
         "ahash",

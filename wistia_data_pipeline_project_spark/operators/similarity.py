@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 
 def as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -1149,7 +1151,11 @@ def semdedup_stats(
         # the join stage compiles against ready columns. The staged
         # alternative (separate projections) does NOT work:
         # CollapseProject re-merges them (the pq_codes lesson).
-        flat = flat.localCheckpoint(eager=False)
+        # spill_checkpoint (serialized, disk-evictable) because this
+        # table scales with the corpus — N rows x 64 flat doubles of
+        # DESERIALIZED heap rows was the measured sf3 memory residue
+        # (SCALE.md r07).
+        flat = spill_checkpoint(flat)
     else:
         flat = assigned
     # membership counts read the CHECKPOINTED table: computing them

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 _MERGE = {
     "sum": F.sum,
     "count": F.sum,  # counts merge by summing partial counts
@@ -100,7 +102,9 @@ def heavy_hitters(
         .groupBy("_pid", key_col)
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    local = local.localCheckpoint()  # pass-1 result feeds 3 consumers
+    # pass-1 result feeds 3 consumers; serialized spill level —
+    # the table scales with distinct keys x partitions
+    local = spill_checkpoint(local, eager=True)
     totals = local.groupBy("_pid").agg(F.sum("_c").alias("_n"))
     stats = local.agg(
         F.countDistinct(key_col).alias("_u"), F.sum("_c").alias("_N")

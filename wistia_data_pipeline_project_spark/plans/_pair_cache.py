@@ -17,6 +17,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 
 def cached_pair_checkpoint(
     spark: SparkSession,
@@ -37,7 +39,10 @@ def cached_pair_checkpoint(
         cached = cache.get(path)
         if cached is not None and cached[0] == meta:
             return cached[1]
-    df = build().localCheckpoint(eager=False)
+    # scored-pair tables scale with the corpus: serialized spill-
+    # friendly storage, not deserialized heap rows (SCALE.md r07 —
+    # this checkpoint is what wanted a 48g JVM at sf3)
+    df = spill_checkpoint(build())
     if meta is not None:
         cache[path] = (meta, df)
     return df
