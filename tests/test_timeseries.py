@@ -5,6 +5,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from wistia_data_pipeline_project_spark.operators.timeseries import (
     resample_daily_ffill,
@@ -389,4 +390,167 @@ def test_open_interval_backlog_null_close_means_still_open(spark):
         "2024-01-01": (1, 0, 1),
         "2024-01-02": (1, 0, 2),
         "2024-01-03": (0, 1, 1),  # the still-open interval persists
+    }
+
+
+def test_counter_delta_micro_fixture(spark):
+    """Hand-computed counter with one reset: 10 → 25 → 5 → 12.
+    Increases: anchor 0, +15, reset (+5), +7 → delta 27; invariant
+    delta - (last - first) == mass restored by the reset (25)."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        counter_delta,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0), 1, 10.0),
+        (1, T(2024, 1, 1, 1), 2, 25.0),
+        (1, T(2024, 1, 1, 2), 3, 5.0),  # reset
+        (1, T(2024, 1, 1, 3), 4, 12.0),
+        (2, T(2024, 1, 1, 0), 5, 3.0),  # single sample: no increase
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r.user_id: (
+            r.n_samples,
+            r.n_resets,
+            r.delta,
+            r.first_reading,
+            r.last_reading,
+        )
+        for r in counter_delta(df).collect()
+    }
+    assert got == {
+        1: (4, 1, 27.0, 10.0, 12.0),
+        2: (1, 0, 0.0, 3.0, 3.0),
+    }
+    # the counter sanity invariant on the resetting key
+    n, k, delta, first, last = got[1]
+    assert delta - (last - first) == pytest.approx(25.0)
+
+
+def test_counter_delta_duplicate_ts_orders_on_event_id(spark):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        counter_delta,
+    )
+
+    T = dt.datetime
+    rows = [  # same ts: event_id breaks the tie → 1 then 4 (no reset)
+        (1, T(2024, 1, 1), 10, 1.0),
+        (1, T(2024, 1, 1), 11, 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    [r] = counter_delta(df).collect()
+    assert (r.n_resets, r.delta, r.first_reading, r.last_reading) == (
+        0,
+        3.0,
+        1.0,
+        4.0,
+    )
+
+
+def test_state_durations_micro_fixture(spark):
+    """a(0s) → b(10s) → a(25s, open tail): a held 10s then re-entered
+    open (no duration); b held 15s."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        state_durations,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0), 1, "a"),
+        (1, T(2024, 1, 1, 0, 0, 10), 2, "b"),
+        (1, T(2024, 1, 1, 0, 0, 25), 3, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r.user_id, r.event_type): (r.n_entries, r.held_us)
+        for r in state_durations(df).collect()
+    }
+    assert got == {(1, "a"): (2, 10_000_000), (1, "b"): (1, 15_000_000)}
+    # held time sums to the key's closed span (first → last observation)
+    assert sum(h for _, h in got.values()) == 25_000_000
+
+
+def test_ohlc_bars_micro_fixture(spark):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    T = dt.datetime
+    rows = [
+        ("x", T(2024, 1, 1, 9), 1, 10.0),
+        ("x", T(2024, 1, 1, 12), 2, 40.0),
+        ("x", T(2024, 1, 1, 17), 3, 5.0),
+        ("x", T(2024, 1, 2, 9), 4, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    ).withColumn("bar_day", F.date_trunc("DAY", F.col("ts")))
+    got = {
+        r.bar_day.day: (r.n_ticks, r.open, r.high, r.low, r.close)
+        for r in ohlc_bars(df).collect()
+    }
+    assert got == {1: (3, 10.0, 40.0, 5.0, 5.0), 2: (1, 7.0, 7.0, 7.0, 7.0)}
+
+
+def test_m4_downsample_bucket_bounds_and_extrema(spark):
+    """Buckets stay in [0, n); per-bucket min<=first/last<=max; the
+    global extremum is preserved (the M4 error-free guarantee)."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
+    T = dt.datetime
+    rows = [
+        ("x", T(2024, 1, 1, h, m), h * 60 + m, float((h * 7 + m) % 50))
+        for h in range(24)
+        for m in range(0, 60, 7)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    out = m4_downsample(df, n_buckets=10).collect()
+    assert all(0 <= r.bucket < 10 for r in out)
+    assert sum(r.n_points for r in out) == len(rows)
+    for r in out:
+        assert r.min_v <= min(r.first_v, r.last_v)
+        assert r.max_v >= max(r.first_v, r.last_v)
+    assert max(r.max_v for r in out) == max(v for *_, v in rows)
+    assert min(r.min_v for r in out) == min(v for *_, v in rows)
+    # the right edge (max ts) lands in the LAST bucket, not bucket n
+    assert max(r.bucket for r in out) == 9
+
+
+def test_interpolate_daily_linear_blend(spark):
+    """Observed 10.0 on day 1 and 40.0 on day 4 → days 2,3 blend to
+    20.0, 30.0; observed days carry their own (last-of-day) value."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        interpolate_daily,
+    )
+
+    T = dt.datetime
+    rows = [
+        ("u", T(2024, 1, 1, 9), 1, 9.0),
+        ("u", T(2024, 1, 1, 18), 2, 10.0),  # last of day wins
+        ("u", T(2024, 1, 4, 12), 3, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    got = {
+        r.day.day: (r.n_obs, r.value, r.interpolated)
+        for r in interpolate_daily(df).collect()
+    }
+    assert got == {
+        1: (2, 10.0, False),
+        2: (0, 20.0, True),
+        3: (0, 30.0, True),
+        4: (1, 40.0, False),
     }

@@ -128,6 +128,12 @@ NOTES = {
     "emb_dim_stats": "posexplode fan-out collapses map-side to 64 dim rows before one tiny shuffle; no join",
     "events_rolling_actives_7d": "7-day cover explode of the DISTINCT user-day table (not raw events); partial-distinct combines on (user, day7); a window can't express a sliding DISTINCT",
     "docs_novelty": "shingles shuffle as md5 keys, payloads projected away; first-owner agg map-combines and the join-back reuses the fp key",
+    "events_counter_delta": "one user_id exchange shared by the lag window and the combinable decimal agg (the watch-time fold shape)",
+    "events_state_durations": "lead-1 window on the user exchange; (user,state) agg map-combines to n_users x n_states rows",
+    "events_ohlc_daily": "ONE combinable (type,day) aggregate - min_by/max_by partials, no window, no sort",
+    "events_m4_downsample": "per-key span table broadcast back; integer-div bucketing; output bounded 4 x buckets x keys",
+    "events_interp_daily": "dailies collapse map-side before the spine explode + LOCF/NOCB windows; never a window over raw events",
+    "docs_source_caps": "row_number cutoff per source partition; two-phase approx-threshold swap documented for mega-domain skew",
 }
 
 

@@ -573,3 +573,298 @@ def open_interval_backlog(
         .cast("long")
         .alias("open_backlog"),
     )
+
+
+def counter_delta(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Reset-aware counter aggregation per key (the TimescaleDB
+    ``counter_agg`` / PromQL ``increase`` operator): readings are
+    samples of a monotone counter that occasionally RESETS to zero
+    (process restart); the true growth over the span is the sum of
+    per-step increases where a step that goes DOWN is a reset and
+    contributes the new reading (counting from the implied zero).
+
+    Output per key: ``n_samples``, ``n_resets`` (down-steps),
+    ``delta`` (total reset-adjusted growth), ``first_reading``,
+    ``last_reading`` — so ``delta - (last - first)`` is exactly the
+    mass restored by resets, a standard counter sanity invariant.
+
+    The first sample per key anchors the series and contributes no
+    increase (its prior value is unobserved — TimescaleDB makes the
+    same choice; assuming an implied zero would mint phantom growth
+    equal to the first reading).
+
+    Determinism: readings are 2-decimal by the data contract and are
+    scaled to INTEGER cents before any sum — the running total stays
+    an integer-valued DECIMAL whose double cast is correctly rounded
+    in both engines (the time_weighted_avg rule); the per-key order
+    is the total order ``(ts, tiebreak)``.
+
+    Scale: one shuffle on the key + sort within key (lag-1 window),
+    then a map-side-combinable aggregate — the watch-time fold shape;
+    no state beyond the lag row, no grid fan-out.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    cents = (F.col(val_col).cast("decimal(12,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    stepped = df.select(
+        key_col, ts_col, tiebreak_col, cents.alias("_cents")
+    ).withColumn("_prev", F.lag("_cents").over(w))
+    inc = F.when(F.col("_prev").isNull(), F.lit(0)).when(
+        F.col("_cents") >= F.col("_prev"), F.col("_cents") - F.col("_prev")
+    ).otherwise(F.col("_cents"))
+    is_reset = (
+        F.col("_prev").isNotNull() & (F.col("_cents") < F.col("_prev"))
+    ).cast("long")
+    return stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(is_reset).cast("long").alias("n_resets"),
+        (
+            F.sum(inc.cast("decimal(38,0)")).cast("double") / F.lit(100.0)
+        ).alias("delta"),
+        (
+            F.min_by("_cents", F.struct(ts_col, tiebreak_col)).cast("double")
+            / F.lit(100.0)
+        ).alias("first_reading"),
+        (
+            F.max_by("_cents", F.struct(ts_col, tiebreak_col)).cast("double")
+            / F.lit(100.0)
+        ).alias("last_reading"),
+    )
+
+
+def state_durations(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-in-state per (key, state) (the TimescaleDB ``state_agg``
+    hyperfunction): each observation holds its state until the key's
+    NEXT observation (LOCF on the state column); the last observation
+    has no defined end and contributes no duration — the same
+    open-interval convention as ``time_weighted_avg``'s span.
+
+    Output per (key, state): ``n_entries`` (observations that entered
+    the state, the last open one included), ``held_us`` (total
+    microseconds the state was held; 0 when only the open tail entered
+    it).
+
+    Determinism: durations are exact integer microseconds over the
+    total order ``(ts, tiebreak)``; no doubles anywhere.
+
+    Scale: one shuffle on the key for the lead-1 window, then a
+    map-side-combinable aggregate keyed (key, state) — output is
+    |keys| x |states| rows regardless of event volume.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seg = df.select(key_col, ts_col, tiebreak_col, state_col).withColumn(
+        "_dur_us",
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col)),
+    )
+    return seg.groupBy(key_col, state_col).agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.coalesce(F.sum("_dur_us"), F.lit(0)).cast("long").alias("held_us"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("event_type",),
+    bucket_col: str = "bar_day",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Open/high/low/close bars per (key, bucket) (the TimescaleDB
+    ``ohlc`` / candlestick rollup). Open/close are the first/last
+    readings by the total order ``(ts, tiebreak)``; high/low are
+    max/min with DETERMINISTIC value ties (the reading values
+    themselves — no row identity leaks into the output).
+
+    Determinism: every output is a PICKED reading (``min_by`` /
+    ``max_by`` on the total order) or a plain min/max — no summation,
+    so raw doubles round-trip exactly through both engines.
+
+    Scale: one map-side-combinable aggregate keyed (key, bucket);
+    min_by/max_by partials carry one (value, order-key) pair per
+    group per mapper. No window, no sort.
+    """
+    ordk = F.struct(ts_col, tiebreak_col)
+    return df.groupBy(*key_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.min_by(val_col, ordk).alias("open"),
+        F.max(val_col).alias("high"),
+        F.min(val_col).alias("low"),
+        F.max_by(val_col, ordk).alias("close"),
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    n_buckets: int = 100,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): split each
+    key's span into ``n_buckets`` equal-width time buckets and keep,
+    per bucket, the four error-free extrema a pixel-perfect line
+    rendering needs — first/last (by time) and min/max (by value) —
+    instead of shipping every point to the client.
+
+    Bucket assignment uses each key's own (min, max) timestamp: index
+    = (ts - min) * n div (max - min + 1) in PURE integer microsecond
+    arithmetic (the +1 makes the right edge land in bucket n-1
+    without a conditional). Integer ``div``, never a double divide +
+    floor: a multi-year span times n exceeds 2^52 microseconds, where
+    the rounded double can land on the wrong side of an integer and
+    the two engines' floors silently diverge. A single-point key
+    degenerates to bucket 0.
+
+    Value ties inside a bucket resolve by the reading value itself for
+    min/max and by the total order ``(ts, tiebreak)`` for first/last —
+    all four are PICKED readings, no summation, so doubles are exact.
+
+    Scale: the span table is |keys| rows (map-side-combinable min/max)
+    joined back broadcast; the bucket rollup is one combinable
+    aggregate keyed (key, bucket) — output 4 points x n_buckets x
+    |keys| at ANY corpus size, the whole point of M4.
+    """
+    spans = df.groupBy(key_col).agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("_t0"),
+        (F.max(F.unix_micros(F.col(ts_col))) + 1).alias("_t1"),
+    )
+    bucketed = (
+        df.join(F.broadcast(spans), key_col)
+        .withColumn(
+            "_off", F.unix_micros(F.col(ts_col)) - F.col("_t0")
+        )
+        .withColumn(
+            "bucket",
+            F.expr(f"(_off * {int(n_buckets)}) div (_t1 - _t0)").cast(
+                "long"
+            ),
+        )
+    )
+    ordk = F.struct(ts_col, tiebreak_col)
+    return bucketed.groupBy(key_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min_by(val_col, ordk).alias("first_v"),
+        F.max_by(val_col, ordk).alias("last_v"),
+        F.min(val_col).alias("min_v"),
+        F.max(val_col).alias("max_v"),
+    )
+
+
+def interpolate_daily(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Linear interpolation onto a daily grid (the TimescaleDB
+    ``interpolate`` gapfill mode — the LOCF resampler's sibling):
+    per key, days WITH observations carry that day's value; days
+    between two observed days carry the linear blend; days outside
+    the observed range are absent (no extrapolation).
+
+    The day value is the deterministic LAST reading of the day by
+    ``(ts, tiebreak)`` — the same pick as ``resample_daily_ffill`` —
+    and the grid is generated per key from its own (min, max) observed
+    day (no calendar join, fan-out = Σ per-key spans).
+
+    Determinism: readings are scaled to integer cents; an interpolated
+    day is the exact rational ``(prev_cents*(next_d - d) +
+    next_cents*(d - prev_d)) / (next_d - prev_d)`` evaluated as ONE
+    double division of two exact integers (numerator < 2^52 for any
+    2-decimal reading under 10^7 and gap under 10^3 days) followed by
+    the /100 descale — two bit-identical IEEE ops in both engines; no
+    decimal division (whose rounding rules the engines do NOT share).
+
+    Scale: dailies collapse to |keys| x |days| rows map-side; the
+    spine explode, the two LOCF/NOCB windows, and the final join are
+    all keyed on ``key_col`` — one shuffle family, sort within key
+    over that key's days only.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    dailies = (
+        df.select(key_col, ts_col, tiebreak_col, val_col)
+        .groupBy(key_col, day.alias("day"))
+        .agg(
+            (
+                F.max_by(
+                    (F.col(val_col).cast("decimal(12,2)") * 100).cast(
+                        "decimal(18,0)"
+                    ),
+                    F.struct(ts_col, tiebreak_col),
+                )
+            ).alias("_cents"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    spine = (
+        dailies.groupBy(key_col)
+        .agg(F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = W.partitionBy(key_col).orderBy("day")
+    grid = (
+        spine.join(dailies, [key_col, "day"], "left")
+        .withColumn("_dnum", F.datediff("day", F.lit("1970-01-01")))
+        .withColumn(
+            "_pc",
+            F.last("_cents", ignorenulls=True).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .withColumn(
+            "_pd",
+            F.last(
+                F.when(F.col("_cents").isNotNull(), F.col("_dnum")),
+                ignorenulls=True,
+            ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .withColumn(
+            "_nc",
+            F.first("_cents", ignorenulls=True).over(
+                w.rowsBetween(W.currentRow, W.unboundedFollowing)
+            ),
+        )
+        .withColumn(
+            "_nd",
+            F.first(
+                F.when(F.col("_cents").isNotNull(), F.col("_dnum")),
+                ignorenulls=True,
+            ).over(w.rowsBetween(W.currentRow, W.unboundedFollowing)),
+        )
+    )
+    num = F.col("_pc") * (F.col("_nd") - F.col("_dnum")) + F.col("_nc") * (
+        F.col("_dnum") - F.col("_pd")
+    )
+    interp = F.when(
+        F.col("_cents").isNotNull(), F.col("_cents").cast("double")
+    ).otherwise(
+        num.cast("double") / (F.col("_nd") - F.col("_pd")).cast("double")
+    )
+    return grid.select(
+        key_col,
+        "day",
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+        (interp / F.lit(100.0)).alias("value"),
+        (F.col("_cents").isNull()).alias("interpolated"),
+    )

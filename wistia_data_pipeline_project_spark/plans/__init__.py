@@ -35,6 +35,7 @@ from . import catalog_emb  # noqa: F401
 from . import catalog_mm  # noqa: F401
 from . import catalog_scalar  # noqa: F401
 from . import catalog_tpch  # noqa: F401
+from . import catalog_ts  # noqa: F401
 from . import catalog_windows  # noqa: F401
 from .catalog import ORACLE, QUERIES
 

@@ -3074,3 +3074,62 @@ def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
         )
     )
+
+
+@query(
+    "docs_source_caps",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC NULLS LAST,
+                                         doc_id) AS rn
+      FROM documents WHERE source IS NOT NULL
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn > 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM d GROUP BY source
+    """,
+)
+def docs_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (domain balancing — the RefinedWeb /
+    CCNet-style guard against a single domain dominating the training
+    mixture): keep the top 50 docs per source by (n_chars DESC,
+    doc_id) and report per-source kept/dropped volume, so the
+    assembly stage can enforce the cap with a semi-join.
+
+    Scale: ONE window sort per source partition (row_number, rank
+    cutoff) — key-parallel, no global sort. At 100 TB the hot-domain
+    skew hazard is the row_number sort on a mega-source; the
+    documented swap is a two-phase cap (per-source approx_percentile
+    length threshold broadcast back, then filter + exact window only
+    on the ~cap-sized survivors), same as the banded-quantile
+    pattern. Tie-safety: the (n_chars, doc_id) order is TOTAL, so
+    both engines cut the same 50.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc_nulls_last(), "doc_id"
+    )
+    r = d.select("source", "doc_id", "n_chars").withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    kept = F.when(F.col("_rn") <= 50, 1).otherwise(0)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("long").alias("n_kept"),
+        F.sum(1 - kept).cast("long").alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("n_chars") * kept).cast("long").alias("kept_chars"),
+    )
