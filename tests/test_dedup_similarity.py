@@ -1004,3 +1004,24 @@ def test_semdedup_two_level_matches_numpy_reference(spark):
         }
         want[ci] = (len(mem), len(dropped), len(mem) - len(dropped))
     assert got == want and len(want) > 1
+
+
+def test_ivfpq_adc_topk_consistency_and_recall(spark, sf_dir):
+    """IVF-PQ = IVF candidate pruning + ADC scoring: every returned
+    row's adc_dist must EQUAL the exhaustive-ADC entry's value for
+    that vec_id (the IVF stage only prunes, never rescores), and the
+    2/8-probe pruning must retain at least half of the exhaustive ADC
+    top-10 (the emb_ivf_topk recall bar)."""
+    ivfpq = {
+        r.vec_id: r.adc_dist
+        for r in QUERIES["emb_ivfpq_adc_topk"](spark, sf_dir).collect()
+    }
+    assert len(ivfpq) == 10
+    full = {
+        r.vec_id: r.adc_dist
+        for r in QUERIES["emb_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    for vid, dist in ivfpq.items():
+        if vid in full:
+            assert dist == full[vid]
+    assert len(set(ivfpq) & set(full)) >= 5

@@ -800,7 +800,31 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap, no shuffle.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        _adc_scores(spark, sf_dir, emb)
+        .filter(F.col("vec_id") != 0)
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _adc_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    restrict: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, adc_dist) for every vector: PQ-code lookup against the
+    driver-side query↔codebook sub-distance table (16 codebook rows —
+    a bounded seed collect, same adjudication as the k-means seeds),
+    summed in subspace order so the doubles compare exactly across
+    engines. Shared by the exhaustive-ADC and IVF-PQ entries;
+    ``restrict`` (a vec_id candidate list) semi-joins the CODE table
+    before the lookup so pruning happens at the scan side, not after
+    scoring — the IVFPQ read order."""
     pq = S.pq_codes(emb, n_codes=16, n_subspaces=8)
+    if restrict is not None:
+        pq = pq.join(restrict, "vec_id", "left_semi")
     q = _query_vec(spark, sf_dir, 0)
     cb_rows = sorted(
         emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
@@ -839,9 +863,133 @@ def emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc: F.Column = F.lit(0.0)
     for sct in range(8):
         adc = adc + F.col(f"{sct}")
+    return pivoted.select("vec_id", adc.alias("adc_dist"))
+
+
+@query(
+    "emb_ivfpq_adc_topk",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 2
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+      WHERE e.vec_id <> 0
+    ),
+    best_cell AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT b.vec_id FROM best_cell b
+      JOIN probe p ON b.centroid_id = p.centroid_id
+    ),
+    cb AS (
+      SELECT CAST(vec_id AS INT) AS code, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS cv
+      FROM embeddings, s WHERE vec_id < 16
+    ),
+    v AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS vv
+      FROM embeddings, s
+    ),
+    d AS (
+      SELECT vec_id, sub, code,
+             list_dot_product(vv, vv) - 2 * list_dot_product(vv, cv)
+               + list_dot_product(cv, cv) AS dist
+      FROM v JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d
+    ),
+    qsub AS (
+      SELECT sub, (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS qv
+      FROM embeddings, s WHERE vec_id = 0
+    ),
+    dtab AS (
+      SELECT cb.sub, cb.code,
+             list_dot_product(qsub.qv, qsub.qv)
+               - 2 * list_dot_product(qsub.qv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv) AS qd
+      FROM cb JOIN qsub USING (sub)
+    ),
+    adc AS (
+      SELECT b.vec_id,
+             list_sum(list(dt.qd ORDER BY b.sub)) AS adc_dist
+      FROM best b JOIN dtab dt ON b.sub = dt.sub AND b.code = dt.code
+      WHERE b.rn = 1
+      GROUP BY b.vec_id
+    )
+    SELECT a.vec_id, a.adc_dist
+    FROM adc a JOIN cand ON a.vec_id = cand.vec_id
+    ORDER BY a.adc_dist, a.vec_id
+    LIMIT 10
+    """,
+)
+def emb_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 — the production-standard ANN index (FAISS
+    ``IVFPQ``), composed from the two halves this catalog already
+    oracles separately: the IVF stage prunes the corpus to the
+    query's 2 probed cells (declared 1-NN assignment to the 8 seed
+    centroids, replayed in SQL), and the PQ-ADC stage scores ONLY the
+    surviving candidates from their 8 codes via the query↔codebook
+    lookup table. Both approximations live in declared, replayable
+    structure — cell choice and code choice — never in arithmetic.
+
+    Scale: this is the 100 TB ANN architecture — the scan prunes to
+    n_probe/k of the corpus by PARTITION (vectors stored partitioned
+    by centroid_id), then reads 8 bytes of codes per candidate
+    instead of 256 bytes of floats; the candidate semi-join is a
+    broadcast of the 2-row probe table, and the final top-10 is a
+    TakeOrdered heap. Neither floats nor candidates ever shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _centroids(emb)
+    q = _query_vec(spark, sf_dir, 0)
+    rest = emb.filter(F.col("vec_id") != 0)
+    assigned = S.centroid_assign(
+        rest.select("vec_id", "embedding"), centroids
+    )
+    qa = F.array(*[F.lit(float(x)) for x in q])
+    probe = (
+        centroids.select(
+            "centroid_id",
+            S.cosine(S.as_double(F.col("cv")), qa).alias("qsim"),
+        )
+        .orderBy(F.desc("qsim"), F.asc("centroid_id"))
+        .limit(2)
+        .select("centroid_id")
+    )
+    cand = assigned.select("vec_id", "centroid_id").join(
+        F.broadcast(probe), "centroid_id", "left_semi"
+    )
     return (
-        pivoted.filter(F.col("vec_id") != 0)
-        .select("vec_id", adc.alias("adc_dist"))
+        _adc_scores(spark, sf_dir, emb, restrict=cand.select("vec_id"))
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
