@@ -554,3 +554,66 @@ def test_interpolate_daily_linear_blend(spark):
         3: (0, 30.0, True),
         4: (1, 40.0, False),
     }
+
+
+def test_heartbeat_uptime_union_semantics(spark):
+    """Beats at 0s, 100s (overlap), 1000s (gap, island break) with
+    300s tolerance: union = min(100,300) + min(900,300) + 300 = 700s,
+    2 islands, span = 1000s + 300s."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        heartbeat_uptime,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 0, 0, 0), 1),
+        (1, T(2024, 1, 1, 0, 1, 40), 2),
+        (1, T(2024, 1, 1, 0, 16, 40), 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    [r] = heartbeat_uptime(df, tolerance_us=300_000_000).collect()
+    assert (r.n_beats, r.uptime_us, r.n_islands, r.span_us) == (
+        3,
+        700_000_000,
+        2,
+        1_300_000_000,
+    )
+    assert r.coverage == pytest.approx(700 / 1300)
+
+
+def test_heartbeat_uptime_duplicate_ts_zero_length(spark):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        heartbeat_uptime,
+    )
+
+    T = dt.datetime
+    rows = [(1, T(2024, 1, 1), 1), (1, T(2024, 1, 1), 2)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    [r] = heartbeat_uptime(df, tolerance_us=300_000_000).collect()
+    # duplicate beat adds a zero-length step: union stays one tolerance
+    assert (r.uptime_us, r.n_islands, r.span_us) == (
+        300_000_000,
+        1,
+        300_000_000,
+    )
+
+
+def test_psi_drift_identical_distributions_near_zero(spark, sf_dir):
+    """PSI of a distribution against itself is ~0 (exactly 0 up to the
+    6-decimal term quantization); the entry's smoothed estimator must
+    also be symmetric-ish and non-explosive on the driver corpus."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    out = {r.event_type: r.psi for r in
+           QUERIES["events_psi_drift"](spark, sf_dir).collect()}
+    assert out  # every type produced a row
+    # every PSI term (p-q)*ln(p/q) is >= 0 (factors share sign), so
+    # PSI >= 0 up to the 6-decimal term quantization
+    assert all(v >= -1e-5 for v in out.values())
+    # same generator both periods: inside the PSI<0.25 "no drift"
+    # band even at this corpus's ~50-sample baseline noise
+    assert all(v < 0.25 for v in out.values())

@@ -134,6 +134,8 @@ NOTES = {
     "events_m4_downsample": "per-key span table broadcast back; integer-div bucketing; output bounded 4 x buckets x keys",
     "events_interp_daily": "dailies collapse map-side before the spine explode + LOCF/NOCB windows; never a window over raw events",
     "docs_source_caps": "row_number cutoff per source partition; two-phase approx-threshold swap documented for mega-domain skew",
+    "events_heartbeat_uptime": "uniform-width interval union telescopes to a lead-1 window + combinable agg; no interval join",
+    "events_psi_drift": "bin counts collapse map-side to <=6 rows per (type,side); PSI terms DECIMAL(18,6)-quantized (libm ln ulp absorbed)",
     "emb_ivfpq_adc_topk": "FAISS-IVFPQ shape: 2-row probe broadcast prunes cells; codes-vs-candidates semi-join is the one SMJ (AQE broadcasts it at driver SFs; at scale candidates are N*probe/k rows - SMJ is correct); both approximations declared + SQL-replayed",
 }
 

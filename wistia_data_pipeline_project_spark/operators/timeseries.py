@@ -868,3 +868,60 @@ def interpolate_daily(
         (interp / F.lit(100.0)).alias("value"),
         (F.col("_cents").isNull()).alias("interpolated"),
     )
+
+
+def heartbeat_uptime(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tolerance_us: int = 300_000_000,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Union-of-intervals liveness per key (the TimescaleDB
+    ``heartbeat_agg`` hyperfunction): each heartbeat asserts liveness
+    for ``[ts, ts + tolerance)``; uptime is the length of the UNION of
+    those intervals — overlaps never double-count. Because the
+    intervals are uniform-width and processed in time order, the union
+    telescopes to a per-row sum: a non-last beat contributes
+    ``min(next_ts - ts, tolerance)``, the last beat contributes
+    ``tolerance`` — no gaps-and-islands grouping pass needed for the
+    LENGTH (islands are still counted: a break is a step whose gap
+    exceeds the tolerance).
+
+    Output per key: ``n_beats``, ``uptime_us`` (union length),
+    ``n_islands`` (maximal live stretches), ``span_us`` (first beat →
+    last beat + tolerance — the window the key could have covered) and
+    ``coverage`` (uptime/span, one exact-integer double division).
+
+    Determinism: exact integer microseconds on the total order
+    ``(ts, tiebreak)``; duplicate timestamps contribute zero-length
+    steps. The one double division divides two exact integers.
+
+    Scale: one key shuffle + lead-1 window + combinable aggregate —
+    O(events), no interval join, no grid.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col))
+    tol = F.lit(int(tolerance_us))
+    seg = df.select(key_col, ts_col, tiebreak_col).withColumn(
+        "_gap_us", F.unix_micros(F.lead(ts_col).over(w)) - us
+    )
+    live = F.when(
+        F.col("_gap_us").isNotNull(), F.least(F.col("_gap_us"), tol)
+    ).otherwise(tol)
+    brk = (
+        F.col("_gap_us").isNotNull() & (F.col("_gap_us") > tol)
+    ).cast("long")
+    uptime = F.sum(live)
+    span = (
+        F.max(F.unix_micros(F.col(ts_col)))
+        - F.min(F.unix_micros(F.col(ts_col)))
+        + tol
+    )
+    return seg.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_beats"),
+        uptime.cast("long").alias("uptime_us"),
+        (F.sum(brk) + 1).cast("long").alias("n_islands"),
+        span.cast("long").alias("span_us"),
+        (uptime.cast("double") / span.cast("double")).alias("coverage"),
+    )

@@ -299,3 +299,148 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("value").isNotNull()
     )
     return TS.interpolate_daily(e, key_col="user_id")
+
+
+@query(
+    "events_heartbeat_uptime",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS gap_us
+      FROM e
+    ),
+    a AS (
+      SELECT user_id,
+             COUNT(*) AS n_beats,
+             SUM(CASE WHEN gap_us IS NULL THEN 300000000
+                      ELSE LEAST(gap_us, 300000000) END) AS uptime_us,
+             SUM(CASE WHEN gap_us IS NOT NULL
+                           AND gap_us > 300000000
+                      THEN 1 ELSE 0 END) + 1 AS n_islands,
+             MAX(us) - MIN(us) + 300000000 AS span_us
+      FROM s GROUP BY user_id
+    )
+    SELECT user_id, n_beats,
+           CAST(uptime_us AS BIGINT) AS uptime_us,
+           CAST(n_islands AS BIGINT) AS n_islands,
+           CAST(span_us AS BIGINT) AS span_us,
+           CAST(uptime_us AS DOUBLE) / CAST(span_us AS DOUBLE) AS coverage
+    FROM a
+    """,
+)
+def events_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals liveness per user (TimescaleDB
+    ``heartbeat_agg``, 5-minute tolerance): uptime as the union length
+    of ``[ts, ts+5min)`` heartbeats — overlaps never double-count —
+    plus maximal live-stretch count and coverage of the key's span.
+
+    Scale: the union telescopes to one lead-1 window + a combinable
+    aggregate (uniform interval width makes the sweep line a per-row
+    ``least``); O(events), no interval join.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return TS.heartbeat_uptime(e, tolerance_us=300_000_000)
+
+
+@query(
+    "events_psi_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08 00:00:00'
+               AS is_base,
+             CAST(LEAST(5, GREATEST(0, FLOOR(value / 20.0))) AS INT)
+               AS bin
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    cnts AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS cb,
+             SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS cc
+      FROM e GROUP BY 1, 2
+    ),
+    tots AS (
+      SELECT event_type, SUM(cb) AS nb, SUM(cc) AS nc
+      FROM cnts GROUP BY 1
+    ),
+    terms AS (
+      SELECT c.event_type, t.nb, t.nc,
+             (CAST(c.cb + 1 AS DOUBLE) / CAST(t.nb + 6 AS DOUBLE))
+               AS p,
+             (CAST(c.cc + 1 AS DOUBLE) / CAST(t.nc + 6 AS DOUBLE))
+               AS q
+      FROM cnts c JOIN tots t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MIN(nb) AS BIGINT) AS n_base,
+           CAST(MIN(nc) AS BIGINT) AS n_comp,
+           CAST(SUM(CAST(ROUND((p - q) * LN(p / q), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift detection per event type: the
+    ``value`` distribution of the first week (baseline) vs everything
+    after, over six fixed-width bins with Laplace(+1) smoothing —
+    PSI = Σ (p−q)·ln(p/q). The standard ML-telemetry drift monitor
+    (PSI < 0.1 stable, > 0.25 drifted).
+
+    Determinism: p and q are single divisions of exact integers
+    (bit-identical doubles); each PSI term is quantized to
+    DECIMAL(18,6) before the sum — the docs_token_entropy pattern,
+    absorbing any 1-ulp libm ln() divergence between JVM and C.
+
+    Scale: bin counts collapse map-side to ≤ 6 rows per (type, side);
+    everything after the first aggregate is arithmetic on a
+    types × bins table.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            .alias("is_base"),
+            F.least(
+                F.lit(5),
+                F.greatest(F.lit(0), F.floor(F.col("value") / 20.0)),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    cnts = e.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("cb"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("cc"),
+    )
+    tots = cnts.groupBy("event_type").agg(
+        F.sum("cb").alias("nb"), F.sum("cc").alias("nc")
+    )
+    p = (F.col("cb") + 1).cast("double") / (F.col("nb") + 6).cast("double")
+    q = (F.col("cc") + 1).cast("double") / (F.col("nc") + 6).cast("double")
+    terms = cnts.join(tots, "event_type").select(
+        "event_type",
+        "nb",
+        "nc",
+        F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("_t"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.min("nb").cast("long").alias("n_base"),
+        F.min("nc").cast("long").alias("n_comp"),
+        F.sum("_t").cast("double").alias("psi"),
+    )
