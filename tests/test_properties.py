@@ -653,3 +653,143 @@ def test_time_decay_attribution_matches_python_fold(spark, raw):
             assert gw == pytest.approx(wt, rel=1e-9), (eid, ch)
             assert gc == pytest.approx(credit, rel=1e-9), (eid, ch)
         assert sum(c for _, c in got[eid].values()) == pytest.approx(1.0)
+
+
+# --- time-series hyperfunction folds (round 7) -----------------------------
+
+_hf_event = st.tuples(
+    st.integers(min_value=1, max_value=3),            # key
+    st.integers(min_value=0, max_value=3_000_000),    # offset seconds
+    st.integers(min_value=0, max_value=99_999),       # value cents
+    st.sampled_from(["a", "b", "c"]),                 # state
+)
+
+
+def _hf_rows(raw):
+    return [
+        (
+            k,
+            BASE.replace(tzinfo=None) + dt.timedelta(seconds=off),
+            i,
+            cents / 100.0,
+            state,
+        )
+        for i, (k, off, cents, state) in enumerate(raw)
+    ]
+
+
+_HF_SCHEMA = (
+    "user_id long, ts timestamp, event_id long, value double, "
+    "event_type string"
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(_hf_event, min_size=1, max_size=60))
+def test_counter_delta_matches_python_fold(spark, raw):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        counter_delta,
+    )
+
+    rows = _hf_rows(raw)
+    got = {
+        r.user_id: (r.n_samples, r.n_resets, r.delta, r.first_reading,
+                    r.last_reading)
+        for r in counter_delta(
+            spark.createDataFrame(rows, _HF_SCHEMA)
+        ).collect()
+    }
+    keys = {r[0] for r in rows}
+    assert set(got) == keys
+    for k in keys:
+        series = sorted(
+            ((ts, eid, v) for (kk, ts, eid, v, _s) in rows if kk == k),
+            key=lambda t: (t[0], t[1]),
+        )
+        delta = resets = 0
+        prev = None
+        for _, _, v in series:
+            c = round(v * 100)
+            if prev is not None:
+                if c >= prev:
+                    delta += c - prev
+                else:
+                    resets += 1
+                    delta += c
+            prev = c
+        n, nr, d, first, last = got[k]
+        assert n == len(series)
+        assert nr == resets
+        assert d == pytest.approx(delta / 100.0, abs=1e-9)
+        assert first == pytest.approx(round(series[0][2] * 100) / 100.0)
+        assert last == pytest.approx(round(series[-1][2] * 100) / 100.0)
+        # counter sanity invariant: growth minus net change = reset mass
+        assert d - (last - first) >= -1e-9
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(_hf_event, min_size=1, max_size=60))
+def test_state_durations_and_heartbeat_match_python_fold(spark, raw):
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        heartbeat_uptime,
+        state_durations,
+    )
+
+    rows = _hf_rows(raw)
+    df = spark.createDataFrame(rows, _HF_SCHEMA)
+    sd = {
+        (r.user_id, r.event_type): (r.n_entries, r.held_us)
+        for r in state_durations(df).collect()
+    }
+    hb = {
+        r.user_id: (r.n_beats, r.uptime_us, r.n_islands, r.span_us)
+        for r in heartbeat_uptime(df, tolerance_us=600_000_000).collect()
+    }
+    TOL = 600_000_000
+    for k in {r[0] for r in rows}:
+        series = sorted(
+            ((ts, eid, s) for (kk, ts, eid, _v, s) in rows if kk == k),
+            key=lambda t: (t[0], t[1]),
+        )
+        # state fold
+        exp: dict[str, list[int]] = {}
+        for i, (ts, _eid, s) in enumerate(series):
+            ent = exp.setdefault(s, [0, 0])
+            ent[0] += 1
+            if i + 1 < len(series):
+                ent[1] += int(
+                    (series[i + 1][0] - ts).total_seconds() * 1_000_000
+                )
+        for s, (n_ent, held) in exp.items():
+            assert sd[(k, s)] == (n_ent, held), (k, s)
+        # state conservation: total held == closed span
+        span_closed = int(
+            (series[-1][0] - series[0][0]).total_seconds() * 1_000_000
+        )
+        assert sum(h for _, h in exp.values()) == span_closed
+        # heartbeat fold
+        uptime = islands = 0
+        for i, (ts, _eid, _s) in enumerate(series):
+            if i + 1 < len(series):
+                gap = int(
+                    (series[i + 1][0] - ts).total_seconds() * 1_000_000
+                )
+                uptime += min(gap, TOL)
+                if gap > TOL:
+                    islands += 1
+            else:
+                uptime += TOL
+        assert hb[k] == (
+            len(series),
+            uptime,
+            islands + 1,
+            span_closed + TOL,
+        ), k
