@@ -857,3 +857,67 @@ def test_novelty_first_owner_attribution(spark, tmp_path):
     assert got[2] == (5, 0.0)   # exact copy: doc 1 owns everything
     assert got[3] == (1, 1.0)   # short doc: one whole-text shingle
     assert got[4] == (1, 1.0)
+
+
+def test_hyperfunction_entries_oracle_parity_on_hostile_events(
+    spark, tmp_path
+):
+    """NaN / Inf / |value|>=1e9 / NULL values and duplicate timestamps
+    must hash-match under every round-7 hyperfunction entry's declared
+    domain (the time_weighted_avg precedent: NaN->decimal is NULL in
+    Spark but an ERROR in DuckDB; huge doubles overflow DECIMAL(12,2)
+    asymmetrically)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    ts = pd.to_datetime(
+        ["2024-01-02 10:00:00", "2024-01-02 10:00:10",
+         "2024-01-02 10:00:10", "2024-01-05 10:00:30",
+         "2024-01-20 09:00:00", "2024-01-20 09:00:05",
+         "2024-01-22 09:00:09", "2024-01-25 09:00:11"]
+    )
+    tbl = pa.table({
+        "event_id": pa.array([1, 3, 2, 4, 5, 6, 7, 8], pa.int64()),
+        "ts": pa.array(list(ts.to_pydatetime()), pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "event_type": pa.array(
+            ["purchase", "purchase", "view", "purchase",
+             "purchase", "view", "purchase", "purchase"]
+        ),
+        # NaN, +Inf, 2e9 (decimal-overflow class) and NULL all sit
+        # INSIDE per-key chains so dropping them re-links segments;
+        # built with pa.array directly (from_pandas launders NaN)
+        "value": pa.array(
+            [10.0, 30.0, float("nan"), 2.0e9, 4.0, float("inf"),
+             None, 12.5],
+            pa.float64(),
+        ),
+        "props": pa.array(["{}"] * 8),
+    })
+    assert np.isnan(tbl["value"].to_pylist()[2])
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    for name in (
+        "events_counter_delta",
+        "events_ohlc_daily",
+        "events_m4_downsample",
+        "events_interp_daily",
+        "events_psi_drift",
+        "events_state_durations",
+        "events_heartbeat_uptime",
+    ):
+        sdf = QUERIES[name](spark, sf_dir).toPandas()
+        ddf = con.sql(oracle_sql()[name]).df()
+        assert not compare(name, sdf, ddf), name

@@ -86,11 +86,12 @@ def main() -> int:
     import os as _os
 
     # SPARK_GRAFT_REHEARSAL_MEM sizes the single local-mode heap
-    # (default 16g). At sf3+ the pair-kernel checkpoints outgrow 16g
-    # in ONE JVM — a real cluster spreads them across executor heaps,
-    # so a bigger single heap is the honest local stand-in (the OOM
-    # itself is a single-JVM artifact, but WHICH entry hits it first
-    # is worth knowing — record it in SCALE.md when it happens).
+    # (default 16g). Since round 7 the data-scale checkpoints store
+    # SERIALIZED disk-evictable bytes (ckpt.spill_checkpoint), so the
+    # whole catalog rehearses at sf3 inside the default 16g — the
+    # round-6 48g requirement is retired (SCALE.md r07). The knob
+    # remains for experiments; SPARK_GRAFT_CKPT_LEVEL=DISK_ONLY
+    # additionally forces checkpoints fully off-heap.
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")

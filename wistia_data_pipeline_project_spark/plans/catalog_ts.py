@@ -50,7 +50,8 @@ _E_CENTS = """
                                 ORDER BY ts, event_id) AS rn_a,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM e WHERE value IS NOT NULL
+      FROM e WHERE value IS NOT NULL AND NOT isnan(value)
+               AND abs(value) < 1000000000.0
     )
     SELECT user_id,
            COUNT(*) AS n_samples,
@@ -80,7 +81,12 @@ def events_counter_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
+        # declared domain: NaN / ±Inf / |value| >= 1e9 excluded in
+        # BOTH engines (NaN- or overflow->decimal is NULL in Spark
+        # but an ERROR in DuckDB — the time_weighted_avg precedent)
         & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.abs(F.col("value")) < F.lit(1e9))
     )
     return TS.counter_delta(e)
 
@@ -126,7 +132,7 @@ def events_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS ts
       FROM events
       WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        AND value IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(value)
     ),
     r AS (
       SELECT *, date_trunc('day', ts) AS bar_day,
@@ -159,7 +165,10 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
         & F.col("ts").isNotNull()
+        # NaN excluded: the engines agree NaN sorts greatest, but a
+        # NaN high/low is useless and hash-fragile — out of domain
         & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
     )
     return TS.ohlc_bars(
         e.withColumn("bar_day", F.date_trunc("DAY", F.col("ts"))),
@@ -176,7 +185,7 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(CAST(ts AS TIMESTAMP)) AS us
       FROM events
       WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        AND value IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(value)
     ),
     sp AS (
       SELECT event_type, MIN(us) AS t0, MAX(us) + 1 AS t1
@@ -219,6 +228,7 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isNotNull()
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
     )
     return TS.m4_downsample(e, n_buckets=100)
 
@@ -233,6 +243,7 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WHERE event_type = 'purchase' AND user_id IS NOT NULL
         AND ts IS NOT NULL AND value IS NOT NULL
+        AND NOT isnan(value) AND abs(value) < 1000000000.0
     ),
     d AS (
       SELECT user_id, day, COUNT(*) AS n_obs,
@@ -296,7 +307,10 @@ def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase")
         & F.col("user_id").isNotNull()
         & F.col("ts").isNotNull()
+        # declared domain (decimal quantize): the counter_delta guard
         & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.abs(F.col("value")) < F.lit(1e9))
     )
     return TS.interpolate_daily(e, key_col="user_id")
 
@@ -361,7 +375,7 @@ def events_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bin
       FROM events
       WHERE event_type IS NOT NULL AND ts IS NOT NULL
-        AND value IS NOT NULL
+        AND value IS NOT NULL AND NOT isnan(value)
     ),
     cnts AS (
       SELECT event_type, bin,
@@ -410,7 +424,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("event_type").isNotNull()
             & F.col("ts").isNotNull()
+            # NaN floor->int is NULL in Spark but an ERROR in DuckDB
             & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
         )
         .select(
             "event_type",
