@@ -1576,6 +1576,139 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_ivfpq_recall",
+    oracle="""
+    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 2
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+      WHERE e.vec_id <> 0
+    ),
+    best_cell AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT b.vec_id FROM best_cell b
+      JOIN probe p ON b.centroid_id = p.centroid_id
+    ),
+    cb AS (
+      SELECT CAST(vec_id AS INT) AS code, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS cv
+      FROM embeddings, s WHERE vec_id < 16
+    ),
+    v AS (
+      SELECT vec_id, sub,
+             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS vv
+      FROM embeddings, s
+    ),
+    d AS (
+      SELECT vec_id, sub, code,
+             list_dot_product(vv, vv) - 2 * list_dot_product(vv, cv)
+               + list_dot_product(cv, cv) AS dist
+      FROM v JOIN cb USING (sub)
+    ),
+    best AS (
+      SELECT vec_id, sub, code,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, code) AS rn
+      FROM d
+    ),
+    qsub AS (
+      SELECT sub, (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS qv
+      FROM embeddings, s WHERE vec_id = 0
+    ),
+    dtab AS (
+      SELECT cb.sub, cb.code,
+             list_dot_product(qsub.qv, qsub.qv)
+               - 2 * list_dot_product(qsub.qv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv) AS qd
+      FROM cb JOIN qsub USING (sub)
+    ),
+    ivfpq AS (
+      SELECT b.vec_id
+      FROM best b JOIN dtab dt ON b.sub = dt.sub AND b.code = dt.code
+      WHERE b.rn = 1 AND b.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY b.vec_id
+      ORDER BY list_sum(list(dt.qd ORDER BY b.sub)), b.vec_id
+      LIMIT 10
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+               - 2 * list_dot_product(e.embedding::DOUBLE[], q.qv)
+               + list_dot_product(q.qv, q.qv),
+               e.vec_id
+      LIMIT 10
+    )
+    SELECT 10 AS k,
+           (SELECT COUNT(*) FROM ivfpq JOIN exact USING (vec_id))
+             AS n_overlap,
+           CAST((SELECT COUNT(*) FROM ivfpq JOIN exact USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """,
+)
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ retrieval quality: recall@10 of the composed index
+    (2/8-cell pruning + code-only ADC) against the exact L2 top-10 —
+    completing the self-eval family (ivf / matryoshka / pq / ivfpq),
+    so the compounding of the TWO approximations is itself a
+    hash-checked number.
+
+    Scale: the eval costs its two searches — the IVFPQ side reads
+    codes of 2 cells, the exact side is one shuffle-free heap scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    from .catalog import QUERIES as _Q
+
+    ivfpq = _Q["emb_ivfpq_adc_topk"](spark, sf_dir).select("vec_id")
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    vd = S.as_double(F.col("embedding"))
+    l2 = (
+        S.dot(vd, vd)
+        - F.lit(2.0) * S.dot(vd, qcol)
+        + F.lit(S_dot_py(q))
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", l2.alias("_d"))
+        .orderBy("_d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return exact.join(ivfpq, "vec_id").agg(
+        F.lit(10).cast("integer").alias("k"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+    )
+
+
 def S_dot_py(q: list[float]) -> float:
     """Driver-side left fold of dot(q, q) — same op order as the
     engines' sequential folds, so the scalar literal is bit-identical
