@@ -793,3 +793,21 @@ def test_state_durations_and_heartbeat_match_python_fold(spark, raw):
             islands + 1,
             span_closed + TOL,
         ), k
+
+
+@settings(max_examples=200, deadline=None)
+@given(devs=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=40))
+def test_cusum_closed_form_equals_recursion(devs):
+    """The events_cusum_changepoint identity: the sequential CUSUM
+    recursion S_t = max(0, S_{t-1} + y_t) equals the two-window
+    closed form cum_t - min(0, running-min(cum)_t) at every t —
+    what lets the entry run as stacked windows instead of a fold."""
+    s = 0
+    cums, lows, cum = [], [], 0
+    low = 0
+    for y in devs:
+        s = max(0, s + y)
+        cum += y
+        low = min(low, cum)
+        assert s == cum - min(0, low) == cum - low

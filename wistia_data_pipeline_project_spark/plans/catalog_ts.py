@@ -460,3 +460,136 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nc").cast("long").alias("n_comp"),
         F.sum("_t").cast("double").alias("psi"),
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, day, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             SUM(CASE WHEN day < TIMESTAMP '2024-01-08 00:00:00'
+                      THEN cnt ELSE 0 END) AS sum_base,
+             SUM(CASE WHEN day < TIMESTAMP '2024-01-08 00:00:00'
+                      THEN 1 ELSE 0 END) AS n_base
+      FROM daily GROUP BY 1
+    ),
+    y AS (
+      SELECT d.event_type, d.day, d.cnt, b.n_base,
+             d.cnt * b.n_base - b.sum_base AS dev
+      FROM daily d JOIN base b USING (event_type)
+      WHERE b.n_base > 0
+    ),
+    cumd AS (
+      SELECT event_type, day, cnt, n_base,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+      FROM y
+    ),
+    c AS (
+      SELECT event_type, day, cnt, n_base, cum,
+             LEAST(0, MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW)) AS low
+      FROM cumd
+    ),
+    exc AS (
+      SELECT event_type, day, n_base,
+             cum - low AS excursion,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cum - low DESC, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM c
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(excursion AS DOUBLE) / CAST(n_base AS DOUBLE)
+             AS max_cusum,
+           day AS peak_day
+    FROM exc WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the classic sequential
+    recursion S_t = max(0, S_{t-1} + (x_t − μ)) over daily counts (μ =
+    the first week's mean) has the exact CLOSED FORM
+    S_t = cumsum_t − min(0, running-min of cumsum) — two stacked
+    windows, no recursion, no UDF. Reports each type's maximum
+    excursion and the first day attaining it (the drift onset
+    candidate) — the temporal twin of ``events_psi_drift``'s
+    distributional test.
+
+    Determinism: deviations are scaled by ``n_base`` so every window
+    value is an exact INTEGER (cnt·n_base − sum_base); the single
+    double division at the end de-scales. Peak ties resolve to the
+    earlier day in both engines.
+
+    Scale: the daily pre-agg is the only event-volume shuffle (the
+    anomaly-zscore shape); both windows and the rank run over
+    types × days rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cutoff = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    base = daily.groupBy("event_type").agg(
+        F.sum(F.when(F.col("day") < cutoff, F.col("cnt")).otherwise(0)).alias(
+            "sum_base"
+        ),
+        F.sum(F.when(F.col("day") < cutoff, 1).otherwise(0)).alias("n_base"),
+    )
+    y = (
+        daily.join(base, "event_type")
+        .filter(F.col("n_base") > 0)
+        .withColumn(
+            "dev", F.col("cnt") * F.col("n_base") - F.col("sum_base")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("dev").over(w)
+    c = y.select(
+        "event_type",
+        "day",
+        "n_base",
+        cum.alias("cum"),
+    ).withColumn("low", F.least(F.lit(0), F.min("cum").over(w)))
+    exc = c.select(
+        "event_type",
+        "day",
+        "n_base",
+        (F.col("cum") - F.col("low")).alias("excursion"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                (F.col("cum") - F.col("low")).desc(), F.col("day")
+            )
+        )
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .alias("n_days"),
+    )
+    return exc.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        (
+            F.col("excursion").cast("double") / F.col("n_base").cast("double")
+        ).alias("max_cusum"),
+        F.col("day").alias("peak_day"),
+    )
