@@ -247,3 +247,45 @@ def test_triangle_stats_matches_reference_on_random_graph(spark):
     assert r["n_edges"] == len(edges)
     wedges = sum(len(a) * (len(a) - 1) // 2 for a in adj.values())
     assert r["n_wedges"] == wedges
+
+
+def test_k_core_peels_pendants_keeps_clique(spark):
+    """Triangle {1,2,3} with a pendant chain 3-4-5 and an isolated
+    pair 8-9: the 2-core is exactly the triangle (degree 2 each) —
+    the chain peels one hop per round, the pair peels immediately."""
+    from wistia_data_pipeline_project_spark.operators.clustering import (
+        k_core,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (8, 9)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_raises_past_round_cap(spark):
+    """A 6-node path needs 3 peel rounds to empty; max_rounds=1 must
+    RAISE rather than return a non-core superset (the oracle-unroll
+    contract)."""
+    import pytest
+
+    from wistia_data_pipeline_project_spark.operators.clustering import (
+        k_core,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(edges, k=2, max_rounds=1)
+
+
+def test_k_core_empty_after_peel_is_empty_not_error(spark):
+    from wistia_data_pipeline_project_spark.operators.clustering import (
+        k_core,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert k_core(edges, k=2).count() == 0

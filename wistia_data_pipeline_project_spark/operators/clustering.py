@@ -339,3 +339,65 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in
+    which every node has degree ≥ k, by iterative peeling — drop all
+    nodes of degree < k, re-project the edges, repeat to fixpoint.
+    The standard density filter on near-dup graphs: a pure A≈B pair
+    peels away, a clique of 3+ mutual near-dups survives the 2-core,
+    so the core isolates the heavy template/boilerplate families
+    from incidental pairs. Returns ``(node, core_degree)`` — degree
+    measured INSIDE the core.
+
+    Peeling is monotone (survivor sets only shrink), so the fixpoint
+    is unique and order-independent; an oracle replays it as a fixed
+    unrolled round count, with extra rounds past the fixpoint being
+    no-ops. Raises ``RuntimeError`` if ``max_rounds`` rounds don't
+    reach the fixpoint rather than returning a non-core superset.
+
+    Scale design: each round is one map-combinable degree aggregate
+    plus two semi-joins keyed on the node id — never the payload; the
+    edge table is re-checkpointed per round (serialized spill level)
+    so round plans stay constant-size. Rounds needed = the peel
+    depth, bounded by graph degeneracy — single digits on real dup
+    graphs (long pendant chains peel one hop per round, the CC
+    pointer-doubling argument does not apply, hence the explicit
+    round cap).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    und = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    und = spill_checkpoint(und, eager=True)
+    n_prev = und.select("u").distinct().count()
+    for _ in range(max_rounds):
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("u")
+        n_now = keep.count()
+        if n_now == n_prev:
+            return und.groupBy("u").agg(
+                F.count(F.lit(1)).cast("long").alias("core_degree")
+            ).select(F.col("u").alias("node"), "core_degree")
+        und = spill_checkpoint(
+            und.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            ),
+            eager=True,
+        )
+        n_prev = n_now
+    raise RuntimeError(
+        f"k_core did not reach the peeling fixpoint in {max_rounds} "
+        "rounds — raise max_rounds (and the oracle's unroll count)"
+    )

@@ -3133,3 +3133,65 @@ def docs_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum(F.col("n_chars") * kept).cast("long").alias("kept_chars"),
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling replay: peeling is monotone, so a fixed round
+    count with rounds past the fixpoint as no-ops reproduces the
+    operator's early-exit fixpoint exactly (the engine RAISES if the
+    fixpoint needs more rounds than this unroll, so the two can never
+    silently disagree)."""
+    # AS MATERIALIZED is load-bearing: every round references the
+    # previous one THREE times (FROM + two IN subqueries), and DuckDB
+    # inlines plain CTEs - 12 unrolled rounds would expand 3^12 copies
+    # of the pair derivation (measured as a too-many-open-files error
+    # on the documents scan before anything ran)
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT da AS u, db AS v FROM pairs "
+        "UNION SELECT db, da FROM pairs)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT u FROM e{r-1} GROUP BY u "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM e{r-1} "
+            f"WHERE u IN (SELECT u FROM n{r}) "
+            f"AND v IN (SELECT u FROM n{r}))"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{rounds} GROUP BY u
+    """
+    )
+
+
+@query(
+    "docs_kcore_2",
+    oracle="WITH " + JACCARD_PAIR_CTES + ",\n    " + _kcore_oracle(2, 12),
+)
+def docs_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup pair graph (iterative peeling): drops
+    every pendant A≈B pair and chain, keeping only nodes embedded in
+    denser duplicate structure (cliques of 3+, overlapping template
+    families) — the density filter that separates systemic
+    boilerplate from incidental near-dups, run after MinHash/Jaccard
+    pairing and before cluster-level dedup decisions.
+
+    The peeling fixpoint is unique (monotone shrinking), replayed by
+    the oracle as 12 unrolled rounds — rounds past the fixpoint are
+    no-ops, and the engine RAISES past 12 rounds instead of returning
+    a non-core superset.
+
+    Scale: per round one map-combinable degree aggregate + two
+    node-keyed semi-joins over the PAIR graph (never documents);
+    round count = peel depth, bounded by graph degeneracy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
+    return C.k_core(pairs, k=2, max_rounds=12)
