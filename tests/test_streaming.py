@@ -478,3 +478,82 @@ def test_streaming_watch_time_dedups_redelivered_events(spark, tmp_path):
         assert got["total_watch_time"] == pytest.approx(
             want[k]["total_watch_time"], abs=0.01
         ), k
+
+
+def test_streaming_counter_delta_matches_batch(spark, tmp_path):
+    """The streaming counter twin's LAST emission per user equals the
+    batch counter_delta on the same readings — including out-of-order
+    arrival ACROSS micro-batches inside the watermark (the provisional
+    fold re-orders pending rows by event time)."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        counter_delta,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_counter_delta,
+    )
+
+    rows = [
+        # user 1: 10 -> 25 -> 5(reset) -> 12 ; user 2: single sample
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "view", "value": 10.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T01:00:00", "user_id": 1,
+         "event_type": "view", "value": 25.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T02:00:00", "user_id": 1,
+         "event_type": "view", "value": 5.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T03:00:00", "user_id": 1,
+         "event_type": "view", "value": 12.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:30:00", "user_id": 2,
+         "event_type": "view", "value": 3.0, "props": "{}"},
+    ]
+    # chunk 1 carries events 2 and 4; chunk 2 delivers 1, 3, 5 LATE —
+    # the committed fold must still run in event order
+    d = tmp_path / "stream_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((rows[1::2], rows[0::2])):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_counter_delta(stream, watermark="1 day"),
+        "counter_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM counter_stream").collect()
+        # n_samples grows monotonically per user: max row = last emission
+        last = {}
+        for r in emitted:
+            if (r.user_id not in last
+                    or r.n_samples > last[r.user_id].n_samples):
+                last[r.user_id] = r
+        batch_df = spark.createDataFrame(
+            [(e["event_id"],
+              dt.datetime.fromisoformat(e["ts"]),
+              e["user_id"], e["event_type"], e["value"], e["props"])
+             for e in rows],
+            schema,
+        )
+        batch = {r.user_id: r for r in counter_delta(batch_df).collect()}
+        assert set(last) == set(batch)
+        for uid, b in batch.items():
+            s = last[uid]
+            assert (s.n_samples, s.n_resets, s.delta, s.first_reading,
+                    s.last_reading) == (
+                b.n_samples, b.n_resets, b.delta, b.first_reading,
+                b.last_reading), uid
+        # and the values themselves are the hand-computed ones
+        assert (last[1].n_resets, last[1].delta) == (1, 27.0)
+    finally:
+        q.stop()

@@ -614,3 +614,133 @@ def _window_seconds(window: str) -> float:
     if n <= 0:
         raise ValueError(f"window {window!r} must be positive")
     return n * units[parts[1]]
+
+
+COUNTER_STATE_SCHEMA = (
+    "prev_cents long, delta_cents long, n_resets long, n_samples long, "
+    "first_cents long, pend_ts array<long>, pend_eid array<long>, "
+    "pend_cents array<long>"
+)
+COUNTER_OUTPUT_SCHEMA = (
+    "user_id long, n_samples long, n_resets long, delta double, "
+    "first_reading double, last_reading double"
+)
+
+
+def streaming_counter_delta(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``timeseries.counter_delta`` (reset-aware
+    counter aggregation per user): ``applyInPandasWithState``
+    carrying the lag-1 fold state (previous committed reading +
+    running delta/resets) across micro-batches, with the
+    watch-time commit discipline — the order-sensitive fold only
+    COMMITS readings once the watermark has passed them (no earlier
+    reading can still arrive), later readings buffer in state and
+    fold PROVISIONALLY on a copy, so every update-mode emission
+    reflects all data seen so far in event-time order and the final
+    emission equals the batch operator.
+
+    State lifecycle: counter series are LONG-LIVED by semantics (a
+    Prometheus-style per-series register), so no event-time eviction
+    is set — state is one fixed-width row plus the watermark-bounded
+    pending buffer per ACTIVE user; a deployment that needs to
+    retire dead series adds an idle-timeout policy, which changes
+    resource usage, never values.
+
+    Determinism: readings quantize to integer cents exactly like the
+    batch operator; the fold order is the total order
+    ``(ts, event_id)``.
+    """
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs(F.col("value")) < F.lit(1e9))
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            # ts itself must SURVIVE the projection: the watermark is
+            # attached to this attribute, and applyInPandasWithState
+            # refuses to expose getCurrentWatermarkMs without it
+            "ts",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("event_id").cast("long").alias("event_id"),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def fold(rows, prev, delta, resets, n, first):
+        for _, _, c in rows:
+            n += 1
+            if prev is None:
+                first = c
+            elif c >= prev:
+                delta += c - prev
+            else:
+                resets += 1
+                delta += c
+            prev = c
+        return prev, delta, resets, n, first
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (prev, delta, resets, n, first,
+             p_ts, p_eid, p_cents) = state.get
+            pending = list(zip(p_ts, p_eid, p_cents))
+        else:
+            prev = first = None
+            delta = resets = n = 0
+            pending = []
+        if state.hasTimedOut:  # pragma: no cover - no timeout is set
+            state.remove()
+            return
+        for pdf in pdfs:
+            for ts_us, eid, cents in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["cents"]
+            ):
+                pending.append((int(ts_us), int(eid), int(cents)))
+        pending.sort(key=lambda r: (r[0], r[1]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        n_final = 0
+        while n_final < len(pending) and pending[n_final][0] <= wm_us:
+            n_final += 1
+        prev, delta, resets, n, first = fold(
+            pending[:n_final], prev, delta, resets, n, first
+        )
+        pending = pending[n_final:]
+        state.update((
+            prev, delta, resets, n, first,
+            [p[0] for p in pending],
+            [p[1] for p in pending],
+            [p[2] for p in pending],
+        ))
+        # provisional: committed fold + pending folded on a copy
+        pv, pd_, pr, pn, pf = fold(pending, prev, delta, resets, n, first)
+        if pn == 0:
+            return
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0],
+                "n_samples": pn,
+                "n_resets": pr,
+                "delta": pd_ / 100.0,
+                "first_reading": pf / 100.0,
+                "last_reading": pv / 100.0,
+            }]
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        COUNTER_OUTPUT_SCHEMA,
+        COUNTER_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
