@@ -112,6 +112,10 @@ def test_q6_pushes_filters_into_scan(plans):
 # label iteration. Everything else must build a single lazy plan.
 MATERIALIZING = {
     "emb_kmeans_quality",
+    # per-round peeling checkpoints over the PAIR graph (two longs
+    # per near-dup member, serialized spill level) + the shared
+    # jaccard pair checkpoint it consumes — not a driver collect
+    "docs_kcore_2",
     "events_heavy_hitters",
     "docs_dup_clusters",
     # inherits connected_components' per-iteration localCheckpoint

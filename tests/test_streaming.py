@@ -557,3 +557,74 @@ def test_streaming_counter_delta_matches_batch(spark, tmp_path):
         assert (last[1].n_resets, last[1].delta) == (1, 27.0)
     finally:
         q.stop()
+
+
+def test_streaming_counter_delta_watermark_boundary_row(spark, tmp_path):
+    """A reading AT the current watermark can still arrive in a later
+    micro-batch (Spark only drops strictly-older rows): committing the
+    ts == watermark row early would fold the late equal-timestamp,
+    earlier-tiebreak reading AFTER it. Review r07's live repro: the
+    boundary must be strictly '< watermark'."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        counter_delta,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_counter_delta,
+    )
+
+    def ev(eid, ts, v):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "view", "value": v, "props": "{}"}
+
+    chunks = [
+        # batch A advances the watermark to 2024-01-02 (max ts - 1 day)
+        [ev(1, "2024-01-01T00:00:00", 10.0),
+         ev(9, "2024-01-03T00:00:00", 100.0)],
+        # batch B: a reading EXACTLY AT the watermark
+        [ev(6, "2024-01-02T00:00:00", 5.0)],
+        # batch C: same timestamp, EARLIER tiebreak, still not late
+        [ev(5, "2024-01-02T00:00:00", 20.0)],
+    ]
+    d = tmp_path / "wm_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_counter_delta(stream, watermark="1 day"),
+        "counter_wm_stream",
+        output_mode="update",
+    )
+    try:
+        last = max(
+            spark.sql("SELECT * FROM counter_wm_stream").collect(),
+            key=lambda r: r.n_samples,
+        )
+        rows = [e for c in chunks for e in c]
+        [b] = counter_delta(
+            spark.createDataFrame(
+                [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+                  e["user_id"], e["event_type"], e["value"], e["props"])
+                 for e in rows],
+                schema,
+            )
+        ).collect()
+        assert (last.n_samples, last.n_resets, last.delta) == (
+            b.n_samples, b.n_resets, b.delta
+        )
+        assert last.delta == 110.0  # 10->20 (+10), ->5 (reset +5), ->100 (+95)
+    finally:
+        q.stop()

@@ -294,10 +294,13 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear interpolation onto each event type's daily grid
-    (TimescaleDB ``interpolate`` gapfill — the LOCF resampler's
+    """Linear interpolation onto each USER's daily purchase-value
+    grid (TimescaleDB ``interpolate`` gapfill — the LOCF resampler's
     sibling; ``events_daily_gapfill`` carries forward, this one
-    blends between the surrounding observed days).
+    blends between the surrounding observed days). Keyed per user on
+    the sparse purchase stream so the grid actually has gaps to
+    interpolate (~60% of grid days at sf0.01); per-type grids are
+    fully observed on this corpus and would never exercise the blend.
 
     Scale: dailies collapse map-side to |keys| x |days| rows before
     the spine explode and the two LOCF/NOCB windows — one key-shuffle
@@ -377,11 +380,25 @@ def events_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type IS NOT NULL AND ts IS NOT NULL
         AND value IS NOT NULL AND NOT isnan(value)
     ),
-    cnts AS (
+    obs AS (
       SELECT event_type, bin,
              SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS cb,
              SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS cc
       FROM e GROUP BY 1, 2
+    ),
+    -- the FULL 6-bin grid per type: a bin observed in neither window
+    -- still carries a nonzero smoothed term (p != q whenever the two
+    -- denominators differ) — dropping it understates PSI exactly when
+    -- the window sizes differ most (review r07)
+    grid AS (
+      SELECT t.event_type, b.bin
+      FROM (SELECT DISTINCT event_type FROM e) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) b
+    ),
+    cnts AS (
+      SELECT g.event_type, g.bin,
+             COALESCE(o.cb, 0) AS cb, COALESCE(o.cc, 0) AS cc
+      FROM grid g LEFT JOIN obs o USING (event_type, bin)
     ),
     tots AS (
       SELECT event_type, SUM(cb) AS nb, SUM(cc) AS nc
@@ -407,8 +424,10 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift detection per event type: the
     ``value`` distribution of the first week (baseline) vs everything
     after, over six fixed-width bins with Laplace(+1) smoothing —
-    PSI = Σ (p−q)·ln(p/q). The standard ML-telemetry drift monitor
-    (PSI < 0.1 stable, > 0.25 drifted).
+    PSI = Σ (p−q)·ln(p/q) over the FULL bin grid — bins observed in
+    neither window still contribute their smoothed term, which is
+    nonzero whenever the two window sizes differ. The standard
+    ML-telemetry drift monitor (PSI < 0.1 stable, > 0.25 drifted).
 
     Determinism: p and q are single divisions of exact integers
     (bit-identical doubles); each PSI term is quantized to
@@ -440,9 +459,27 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin"),
         )
     )
-    cnts = e.groupBy("event_type", "bin").agg(
+    obs = e.groupBy("event_type", "bin").agg(
         F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("cb"),
         F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("cc"),
+    )
+    # full 6-bin grid per type: unobserved bins still carry a nonzero
+    # smoothed term when the window sizes differ (review r07); the
+    # grid is |types| x 6 rows, broadcast-joined
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            e.sparkSession.range(6).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    cnts = grid.join(obs, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
     )
     tots = cnts.groupBy("event_type").agg(
         F.sum("cb").alias("nb"), F.sum("cc").alias("nc")

@@ -394,7 +394,12 @@ def streaming_watch_time(
         wm_us = state.getCurrentWatermarkMs() * 1000
         pending.sort(key=lambda r: (r[0], r[1] or ""))  # event_key may be NULL
         n_final = 0
-        while n_final < len(pending) and pending[n_final][0] <= wm_us:
+        # STRICTLY before the watermark: Spark still DELIVERS rows
+        # whose event time equals the watermark (only < wm is dropped
+        # as late), so a ts == wm row with an earlier tiebreak can
+        # arrive in a later micro-batch — committing at == wm would
+        # fold it after its successors (review r07, reproduced live)
+        while n_final < len(pending) and pending[n_final][0] < wm_us:
             n_final += 1
         last_time_us, last_pct, total = fold(
             pending[:n_final], last_time_us, last_pct, total, duration
@@ -710,7 +715,9 @@ def streaming_counter_delta(
         pending.sort(key=lambda r: (r[0], r[1]))
         wm_us = state.getCurrentWatermarkMs() * 1000
         n_final = 0
-        while n_final < len(pending) and pending[n_final][0] <= wm_us:
+        # strictly < wm: rows AT the watermark can still arrive (same
+        # boundary as the watch-time fold above)
+        while n_final < len(pending) and pending[n_final][0] < wm_us:
             n_final += 1
         prev, delta, resets, n, first = fold(
             pending[:n_final], prev, delta, resets, n, first
