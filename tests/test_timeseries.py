@@ -617,3 +617,47 @@ def test_psi_drift_identical_distributions_near_zero(spark, sf_dir):
     # same generator both periods: inside the PSI<0.25 "no drift"
     # band even at this corpus's ~50-sample baseline noise
     assert all(v < 0.25 for v in out.values())
+
+
+def test_trend_robust_known_series(spark, tmp_path):
+    """Daily counts 1,2,4 on three consecutive days: pairwise slopes
+    {1, 1.5, 2} -> Theil-Sen median 1.5; all pairs increasing ->
+    Mann-Kendall S = 3. Verified through the catalog entry AND its
+    DuckDB oracle on the same fixture."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = []
+    eid = 0
+    for day, n in (("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 4)):
+        for _ in range(n):
+            rows.append((eid, f"{day}T0{eid % 8}:00:00"))
+            eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [dt.datetime.fromisoformat(r[1]) for r in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+    sdf = QUERIES["events_trend_robust"](spark, sf_dir).toPandas()
+    [r] = sdf.to_dict("records")
+    assert (r["n_pairs"], r["mk_s"], r["theil_sen_slope"]) == (3, 3, 1.5)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["events_trend_robust"]).df()
+    assert not compare("events_trend_robust", sdf, ddf)

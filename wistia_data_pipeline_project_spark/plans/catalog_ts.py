@@ -630,3 +630,123 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_cusum"),
         F.col("day").alias("peak_day"),
     )
+
+
+@query(
+    "events_trend_robust",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, day,
+             date_diff('day', DATE '1970-01-01', day) AS dnum,
+             COUNT(*) AS cnt
+      FROM e GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             a.dnum AS d1, b.dnum AS d2,
+             CAST(b.cnt AS BIGINT) - CAST(a.cnt AS BIGINT) AS dy,
+             b.dnum - a.dnum AS dx
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.dnum < b.dnum
+    ),
+    sl AS (
+      SELECT event_type, d1, d2, dy, dx,
+             CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(dy AS DOUBLE)
+                                           / CAST(dx AS DOUBLE),
+                                         d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM p
+    )
+    SELECT event_type,
+           CAST(MIN(n_pairs) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN dy > 0 THEN 1
+                         WHEN dy < 0 THEN -1 ELSE 0 END) AS BIGINT)
+             AS mk_s,
+           MIN(CASE WHEN rn = (n_pairs + 1) // 2 THEN slope END)
+             AS theil_sen_slope
+    FROM sl GROUP BY event_type
+    """,
+)
+def events_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend detection per event type over the daily-count
+    series: the Mann-Kendall S statistic (Σ sign(cnt_j − cnt_i) over
+    ordered day pairs — a pure INTEGER, the classic non-parametric
+    monotone-trend test) and the Theil-Sen slope (median of pairwise
+    slopes — the 29%-breakdown robust regression a drift monitor
+    pairs with PSI/CUSUM).
+
+    Determinism: every slope is one double division of two exact
+    integers (bit-identical cross-engine); the median is the DISCRETE
+    pick at rank ceil(n/2) on the total order (slope, d1, d2) — never
+    an interpolating percentile (Spark's ``median``/``percentile``
+    average the two middle elements on even counts; a 30-day series
+    has 435 = odd pairs, but the rank pick stays exact for ANY
+    parity).
+
+    Scale: pairs are O(days²) PER SERIES over the DAILY pre-aggregate
+    — bounded by the day domain, independent of event volume (the
+    anomaly-zscore shape). For decade-long series the documented swap
+    is the repeated-median or a deterministic pair sample; the
+    statistic's shape is unchanged.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = e.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01")).alias("dnum"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.dnum") < F.col("b.dnum")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.dnum").alias("d1"),
+        F.col("b.dnum").alias("d2"),
+        (F.col("b.cnt") - F.col("a.cnt")).alias("dy"),
+        (F.col("b.dnum") - F.col("a.dnum")).alias("dx"),
+    )
+    from pyspark.sql import Window as W
+
+    slope = F.col("dy").cast("double") / F.col("dx").cast("double")
+    sl = p.select(
+        "event_type",
+        "d1",
+        "d2",
+        "dy",
+        slope.alias("slope"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("slope", "d1", "d2")
+        ),
+    ).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+    )
+    mk = F.sum(
+        F.when(F.col("dy") > 0, 1).when(F.col("dy") < 0, -1).otherwise(0)
+    )
+    pick = F.min(
+        F.when(
+            F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2),
+            F.col("slope"),
+        )
+    )
+    return sl.groupBy("event_type").agg(
+        F.min("n_pairs").cast("long").alias("n_pairs"),
+        mk.cast("long").alias("mk_s"),
+        pick.alias("theil_sen_slope"),
+    )
