@@ -384,7 +384,13 @@ def k_core(
     n_prev = und.select("u").distinct().count()
     for _ in range(max_rounds):
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
-        keep = deg.filter(F.col("_d") >= k).select("u")
+        # materialize the survivor list ONCE: the count() fixpoint
+        # check and both semi-joins read the checkpointed blocks
+        # instead of re-running the degree aggregate per consumer
+        # (review r07 pass 2)
+        keep = spill_checkpoint(
+            deg.filter(F.col("_d") >= k).select("u"), eager=True
+        )
         n_now = keep.count()
         if n_now == n_prev:
             return und.groupBy("u").agg(

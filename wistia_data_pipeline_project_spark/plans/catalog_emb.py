@@ -866,10 +866,11 @@ def _adc_scores(
     return pivoted.select("vec_id", adc.alias("adc_dist"))
 
 
-@query(
-    "emb_ivfpq_adc_topk",
-    oracle="""
-    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
+# Shared IVFPQ oracle derivation (the JACCARD_PAIR_CTES pattern):
+# probe/assignment/codebook/ADC spec lives ONCE so the index entry and
+# its recall self-eval can never silently measure different indexes.
+# Ends at `ivfpq` = the top-10 (vec_id, adc_dist) of the composed index.
+_IVFPQ_CTES = """s AS (SELECT unnest(generate_series(0, 7)) AS sub),
     q AS (
       SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
     ),
@@ -938,18 +939,20 @@ def _adc_scores(
                + list_dot_product(cb.cv, cb.cv) AS qd
       FROM cb JOIN qsub USING (sub)
     ),
-    adc AS (
+    ivfpq AS (
       SELECT b.vec_id,
              list_sum(list(dt.qd ORDER BY b.sub)) AS adc_dist
       FROM best b JOIN dtab dt ON b.sub = dt.sub AND b.code = dt.code
-      WHERE b.rn = 1
+      WHERE b.rn = 1 AND b.vec_id IN (SELECT vec_id FROM cand)
       GROUP BY b.vec_id
-    )
-    SELECT a.vec_id, a.adc_dist
-    FROM adc a JOIN cand ON a.vec_id = cand.vec_id
-    ORDER BY a.adc_dist, a.vec_id
-    LIMIT 10
-    """,
+      ORDER BY adc_dist, b.vec_id
+      LIMIT 10
+    )"""
+
+
+@query(
+    "emb_ivfpq_adc_topk",
+    oracle="WITH " + _IVFPQ_CTES + "\n    SELECT vec_id, adc_dist FROM ivfpq",
 )
 def emb_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-10 — the production-standard ANN index (FAISS
@@ -1578,84 +1581,7 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "emb_ivfpq_recall",
-    oracle="""
-    WITH s AS (SELECT unnest(generate_series(0, 7)) AS sub),
-    q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-    ),
-    c AS (
-      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < 8
-    ),
-    probe AS (
-      SELECT centroid_id FROM c, q
-      ORDER BY list_dot_product(cv, qv)
-                 / (sqrt(list_dot_product(cv, cv))
-                    * sqrt(list_dot_product(qv, qv))) DESC,
-               centroid_id
-      LIMIT 2
-    ),
-    scored AS (
-      SELECT e.vec_id, c.centroid_id,
-             list_dot_product(e.embedding::DOUBLE[], c.cv)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
-      FROM embeddings e, c
-      WHERE e.vec_id <> 0
-    ),
-    best_cell AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored
-      ) WHERE rn = 1
-    ),
-    cand AS (
-      SELECT b.vec_id FROM best_cell b
-      JOIN probe p ON b.centroid_id = p.centroid_id
-    ),
-    cb AS (
-      SELECT CAST(vec_id AS INT) AS code, sub,
-             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS cv
-      FROM embeddings, s WHERE vec_id < 16
-    ),
-    v AS (
-      SELECT vec_id, sub,
-             (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS vv
-      FROM embeddings, s
-    ),
-    d AS (
-      SELECT vec_id, sub, code,
-             list_dot_product(vv, vv) - 2 * list_dot_product(vv, cv)
-               + list_dot_product(cv, cv) AS dist
-      FROM v JOIN cb USING (sub)
-    ),
-    best AS (
-      SELECT vec_id, sub, code,
-             row_number() OVER (PARTITION BY vec_id, sub
-                                ORDER BY dist, code) AS rn
-      FROM d
-    ),
-    qsub AS (
-      SELECT sub, (embedding::DOUBLE[])[8*sub + 1 : 8*sub + 8] AS qv
-      FROM embeddings, s WHERE vec_id = 0
-    ),
-    dtab AS (
-      SELECT cb.sub, cb.code,
-             list_dot_product(qsub.qv, qsub.qv)
-               - 2 * list_dot_product(qsub.qv, cb.cv)
-               + list_dot_product(cb.cv, cb.cv) AS qd
-      FROM cb JOIN qsub USING (sub)
-    ),
-    ivfpq AS (
-      SELECT b.vec_id
-      FROM best b JOIN dtab dt ON b.sub = dt.sub AND b.code = dt.code
-      WHERE b.rn = 1 AND b.vec_id IN (SELECT vec_id FROM cand)
-      GROUP BY b.vec_id
-      ORDER BY list_sum(list(dt.qd ORDER BY b.sub)), b.vec_id
-      LIMIT 10
-    ),
+    oracle="WITH " + _IVFPQ_CTES + """,
     exact AS (
       SELECT e.vec_id
       FROM embeddings e, q

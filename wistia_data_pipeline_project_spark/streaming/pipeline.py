@@ -673,7 +673,13 @@ def streaming_counter_delta(
             # refuses to expose getCurrentWatermarkMs without it
             "ts",
             F.unix_micros(F.col("ts")).alias("ts_us"),
-            F.col("event_id").cast("long").alias("event_id"),
+            # NULL event_id maps to LONG_MIN: the batch fold's window
+            # orders (ts, event_id) with nulls FIRST, and a NULL here
+            # would reach the Arrow batch as NaN and crash int(eid)
+            # (review r07 pass 2)
+            F.coalesce(
+                F.col("event_id").cast("long"), F.lit(-(2**63))
+            ).alias("event_id"),
             (F.col("value").cast("decimal(12,2)") * 100)
             .cast("long")
             .alias("cents"),
