@@ -60,19 +60,23 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # roll-by-k decorrelation is modulo the dimension: copy k and
     # copy k+dim would be IDENTICAL vectors under fresh ids, handing
     # every vector an exact cosine-1 twin and re-creating the pair
-    # inflation this corpus exists to avoid — refuse rather than wrap
-    if n_copies > mats.shape[1]:
+    # inflation this corpus exists to avoid. Second decorrelation
+    # axis past dim copies: a GLOBAL sign flip per dim-sized block —
+    # cosine(v, -v) = -1 (maximally far, never a near-dup) and
+    # -roll(a) vs -roll(b) is as decorrelated as the unflipped pair,
+    # so blocks 0..dim-1 and dim..2*dim-1 stay structurally disjoint.
+    if n_copies > 2 * mats.shape[1]:
         raise SystemExit(
-            f"n_copies={n_copies} exceeds embedding dim {mats.shape[1]}: "
-            "np.roll decorrelation wraps modulo dim (copies collide "
-            "exactly); lower n_copies or add a second decorrelation axis"
+            f"n_copies={n_copies} exceeds 2*dim={2 * mats.shape[1]}: "
+            "roll+sign-flip decorrelation is exhausted; add a third axis"
         )
     parts = []
     for k in range(n_copies):
         c = emb.copy()
         c["vec_id"] = c["vec_id"] + k * n_vec
         if k > 0:
-            c["embedding"] = list(np.roll(mats, k, axis=1))
+            sign = -1.0 if (k // mats.shape[1]) % 2 else 1.0
+            c["embedding"] = list(sign * np.roll(mats, k % mats.shape[1], axis=1))
         parts.append(c)
     bige = parts[0] if n_copies == 1 else __import__("pandas").concat(parts)
     tbl = pa.Table.from_pandas(bige, preserve_index=False)
