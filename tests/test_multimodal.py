@@ -171,3 +171,41 @@ def test_image_near_dup_pairs_finds_planted_duplicate(spark, assets):
     }
     assert pairs.get((9000, 9100)) == 0
     assert (9000, 9001) not in pairs  # different images stay apart
+
+
+def test_image_dedup_cascade_collapses_exact_groups(spark):
+    """Three byte-identical thumbnails + one near-dup + one far image:
+    the exact group collapses to rep 1 (size 3), the near-dup pairs
+    with it once carrying n_cross_pairs = 3*1, and the far image pairs
+    with nobody. The raw pair entry would emit C(3,2)=3 hamming-0
+    pairs the cascade never materializes."""
+    from wistia_data_pipeline_project_spark.operators.multimodal import (
+        attach_fake_thumbnails,
+        image_dedup_cascade,
+        image_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-6] + "cat et"           # small byte change
+    far = "".join(chr(33 + (i * 7) % 90) for i in range(len(base)))
+    rows = [(1, base), (2, base), (3, base), (4, near), (5, far)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    thumbs = attach_fake_thumbnails(docs)
+
+    raw = image_near_dup_pairs(thumbs, max_hamming=3).collect()
+    n_exact_raw = sum(1 for r in raw if r.hamming == 0)
+    assert n_exact_raw == 3  # C(3,2) identical-group pairs
+
+    out = {(r.rep_a, r.rep_b): r for r in
+           image_dedup_cascade(thumbs, max_hamming=3).collect()}
+    # no hamming-0 pairs survive the collapse
+    assert all(r.hamming >= 1 for r in out.values())
+    # if the near-dup pairs with the identical group in the RAW
+    # entry, the cascade must carry it once via the representative
+    # with the full multiplicity
+    if any({r.asset_a, r.asset_b} & {1, 2, 3} and 4 in (r.asset_a, r.asset_b)
+           for r in raw):
+        r = out[(1, 4)]
+        assert (r.size_a, r.size_b, r.n_cross_pairs) == (3, 1, 3)
+    # the far image never pairs
+    assert not any(5 in k for k in out)

@@ -136,6 +136,7 @@ NOTES = {
     "docs_source_caps": "row_number cutoff per source partition; two-phase approx-threshold swap documented for mega-domain skew",
     "events_heartbeat_uptime": "uniform-width interval union telescopes to a lead-1 window + combinable agg; no interval join",
     "docs_kcore_2": "iterative peeling over the shared pair checkpoint: per round one degree agg + two node-keyed semi-joins; audited at fixpoint steady state",
+    "mm_image_dedup_cascade": "exact-hash collapse to representatives BEFORE the pigeonhole join; bucket population bounded by DISTINCT codes - viral-duplicate immune (sf10 finding)",
     "events_trend_robust": "O(days^2) pair join over the DAILY pre-agg (bounded by day domain, not events); disc-median via rank pick, never interpolating percentile",
     "events_cusum_changepoint": "sequential CUSUM recursion replaced by its exact two-window closed form (cumsum - running-min) over the daily pre-agg; integer-scaled until one final division",
     "events_psi_drift": "bin counts collapse map-side to <=6 rows per (type,side); PSI terms DECIMAL(18,6)-quantized (libm ln ulp absorbed)",

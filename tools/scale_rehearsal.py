@@ -92,9 +92,16 @@ def main() -> int:
     # round-6 48g requirement is retired (SCALE.md r07). The knob
     # remains for experiments; SPARK_GRAFT_CKPT_LEVEL=DISK_ONLY
     # additionally forces checkpoints fully off-heap.
+    # SPARK_GRAFT_REHEARSAL_PARTITIONS: a cluster scales shuffle
+    # partitions with data; the fixed-32 local default starts
+    # spilling around the 100x decade (SCALE.md r07 sf10 sweep) —
+    # the knob separates partition pressure from algorithmic growth
     spark = (
         SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("SPARK_GRAFT_REHEARSAL_PARTITIONS", "32"),
+        )
         .config(
             "spark.driver.memory",
             _os.environ.get("SPARK_GRAFT_REHEARSAL_MEM", "16g"),

@@ -440,6 +440,13 @@ def image_near_dup_pairs(
     # the decode job — it materializes on the first action; serialized
     # spill-friendly storage since the table scales with the corpus.
     codes = spill_checkpoint(average_hash(assets))
+    return _ahash_block_pairs(codes, max_hamming)
+
+
+def _ahash_block_pairs(codes: DataFrame, max_hamming: int) -> DataFrame:
+    """Pigeonhole block join over an (asset_id, ahash) code table —
+    shared by the raw pair entry and the dedup cascade (which runs it
+    over exact-hash REPRESENTATIVES)."""
     blocks = codes.select(
         "asset_id",
         "ahash",
@@ -478,3 +485,60 @@ def image_near_dup_pairs(
         "asset_b",
         F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def image_dedup_cascade(
+    assets: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Exact-then-near image dedup cascade: collapse EXACT aHash
+    duplicates to one representative per code (min asset_id), then
+    run the pigeonhole near-dup join over REPRESENTATIVES only.
+
+    This is the production answer to mega-duplicate groups — the
+    round-7 sf10 rehearsal measured the raw pair entry emitting
+    C(g,2) pairs per g-sized identical-image group (20.2M pairs at
+    100x, 17x the 3.3x data growth): a viral image duplicated 10^6
+    times would emit 5*10^11 raw pairs, while the cascade emits ONE
+    representative whose ``group_size`` carries the multiplicity.
+    Representative pairs have distinct codes, so ``hamming >= 1`` by
+    construction; ``n_cross_pairs = size_a * size_b`` is the raw pair
+    count each representative edge stands for.
+
+    Scale: the collapse is one map-combinable aggregate on the
+    16-byte code; the block join's bucket population is bounded by
+    DISTINCT codes per lane value, immune to duplicate-group size.
+    """
+    codes = spill_checkpoint(average_hash(assets))
+    groups = codes.groupBy("ahash").agg(
+        F.min("asset_id").alias("asset_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    reps = spill_checkpoint(groups.select("asset_id", "ahash"))
+    sizes = groups.select(
+        F.col("asset_id").alias("_rid"), "group_size"
+    )
+    pairs = _ahash_block_pairs(reps, max_hamming)
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("_rid", "asset_a").withColumnRenamed(
+                "group_size", "size_a"
+            ),
+            "asset_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_rid", "asset_b").withColumnRenamed(
+                "group_size", "size_b"
+            ),
+            "asset_b",
+        )
+        .select(
+            F.col("asset_a").alias("rep_a"),
+            F.col("asset_b").alias("rep_b"),
+            "hamming",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            (F.col("size_a") * F.col("size_b"))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+    )

@@ -166,10 +166,11 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_image_near_dup",
-    oracle=f"""
-    WITH img AS (
+# Shared aHash fingerprint derivation (the IVFPQ_CTES pattern): the
+# raster gather indices, integer mean-threshold, and 4x16-bit packing
+# live ONCE so the raw pair entry and the dedup cascade can never
+# silently hash different images.
+_AHASH_FP_CTES = f"""img AS (
       SELECT doc_id, text, length(text) AS len, 16 AS w, 12 AS h
       FROM {DOCS_ASCII_SQL}
     ),
@@ -200,7 +201,12 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN bit << (i - 32) ELSE 0 END) AS b2,
              SUM(CASE WHEN i >= 48 THEN bit << (i - 48) ELSE 0 END) AS b3
       FROM bits GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "mm_image_near_dup",
+    oracle="WITH " + _AHASH_FP_CTES + """
     SELECT a.doc_id AS asset_a, b.doc_id AS asset_b,
            CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
@@ -377,4 +383,49 @@ def mm_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is proven byte-identical, not just deterministic."""
     return M.resize_images(_assets(spark, sf_dir), 8, 8).select(
         "asset_id", "width", "height", F.md5("payload").alias("payload_md5")
+    )
+
+
+@query(
+    "mm_image_dedup_cascade",
+    oracle="WITH " + _AHASH_FP_CTES + """,
+    g AS (
+      SELECT MIN(doc_id) AS rep_id, COUNT(*) AS group_size,
+             b0, b1, b2, b3
+      FROM fp GROUP BY b0, b1, b2, b3
+    )
+    SELECT a.rep_id AS rep_a, b.rep_id AS rep_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming,
+           CAST(a.group_size AS BIGINT) AS size_a,
+           CAST(b.group_size AS BIGINT) AS size_b,
+           CAST(a.group_size * b.group_size AS BIGINT) AS n_cross_pairs
+    FROM g a JOIN g b ON a.rep_id < b.rep_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def mm_image_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-then-near image dedup cascade over the same thumbnails as
+    ``mm_image_near_dup``: exact aHash duplicates collapse to one
+    representative (min asset_id) carrying the group size, and the
+    pigeonhole near-dup join runs over REPRESENTATIVES only —
+    ``n_cross_pairs = size_a·size_b`` is the raw pair volume each
+    representative edge stands for.
+
+    Why it exists: the round-7 sf10 rehearsal measured the raw pair
+    entry at 20.2M pairs (17× the 3.3× data step) because the 100-copy
+    corpus gives every image 99 exact-hash twins — C(g,2) pairs per
+    g-sized group. The cascade's bucket population is bounded by
+    DISTINCT codes, immune to duplicate-group size: the viral-image
+    hazard (10⁶ copies → 5·10¹¹ raw pairs) collapses to one
+    representative row. Representative pairs have distinct codes, so
+    hamming ≥ 1 by construction; at the driver SFs (unique texts,
+    all groups size 1) the cascade's pair set equals the raw entry's
+    nonzero-hamming pairs with sizes 1.
+    """
+    thumbs = M.attach_fake_thumbnails(_docs_ascii(spark, sf_dir))
+    return M.image_dedup_cascade(thumbs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
     )
