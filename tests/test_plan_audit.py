@@ -116,6 +116,10 @@ MATERIALIZING = {
     # per near-dup member, serialized spill level) + the shared
     # jaccard pair checkpoint it consumes — not a driver collect
     "docs_kcore_2",
+    # the 16-byte aHash code table + the representative list are
+    # spill-checkpointed (both feed two consumers); executor-local,
+    # never a driver collect — the mm_image_near_dup precedent
+    "mm_image_dedup_cascade",
     "events_heavy_hitters",
     "docs_dup_clusters",
     # inherits connected_components' per-iteration localCheckpoint
