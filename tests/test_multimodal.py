@@ -209,3 +209,46 @@ def test_image_dedup_cascade_collapses_exact_groups(spark):
         assert (r.size_a, r.size_b, r.n_cross_pairs) == (3, 1, 3)
     # the far image never pairs
     assert not any(5 in k for k in out)
+
+
+def test_ahash_block_pairs_pigeonhole_completeness(spark):
+    """A hamming-4 pair engineered to put ONE differing bit in each
+    16-bit lane is invisible to the fixed 4-lane join (the raw
+    entry's documented recall caveat) but MUST be found when the lane
+    count is derived as max_hamming+1 — the cascade's guarantee."""
+    from wistia_data_pipeline_project_spark.operators.multimodal import (
+        _ahash_block_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    # flip bit 0 of each 16-bit lane: hamming 4, one bit per lane
+    adv = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    codes = spark.createDataFrame(
+        [(1, base), (2, adv)], "asset_id long, ahash long"
+    )
+    missed = _ahash_block_pairs(codes, max_hamming=4, n_blocks=4).collect()
+    assert missed == []  # 4 lanes: the adversarial pair shares none
+    found = _ahash_block_pairs(codes, max_hamming=4, n_blocks=5).collect()
+    assert [(r.asset_a, r.asset_b, r.hamming) for r in found] == [(1, 2, 4)]
+
+
+def test_ahash_block_pairs_rejects_bad_lane_count(spark):
+    codes = spark.createDataFrame([(1, 0)], "asset_id long, ahash long")
+    with pytest.raises(ValueError, match="n_blocks"):
+        M._ahash_block_pairs(codes, max_hamming=1, n_blocks=1)
+
+
+def test_spill_checkpoint_rejects_bad_level(spark, monkeypatch):
+    """A typo'd SPARK_GRAFT_CKPT_LEVEL must fail as a clear config
+    error naming the variable, not an AttributeError mid-operator."""
+    from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
+    df = spark.range(3)
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_LEVEL", "disk_only")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CKPT_LEVEL"):
+        spill_checkpoint(df)
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_LEVEL", "__doc__")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_CKPT_LEVEL"):
+        spill_checkpoint(df)
+    monkeypatch.setenv("SPARK_GRAFT_CKPT_LEVEL", "DISK_ONLY")
+    assert spill_checkpoint(df).count() == 3

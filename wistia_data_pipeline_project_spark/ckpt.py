@@ -31,10 +31,36 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 
+# Storage levels a checkpoint may legitimately use. Anything else in
+# the env var (a typo like "disk_only", or a non-StorageLevel attribute
+# such as "__doc__") must fail at configuration time with a clear
+# message, not as an opaque AttributeError deep inside an operator.
+_ALLOWED_LEVELS = (
+    "MEMORY_AND_DISK",
+    "MEMORY_AND_DISK_2",
+    "MEMORY_AND_DISK_DESER",
+    "MEMORY_ONLY",
+    "MEMORY_ONLY_2",
+    "DISK_ONLY",
+    "DISK_ONLY_2",
+    "DISK_ONLY_3",
+)
+
+
 def spill_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     """``localCheckpoint`` at a serialized, disk-evictable storage
     level (env-overridable via ``SPARK_GRAFT_CKPT_LEVEL``, e.g.
     ``DISK_ONLY`` for a hard off-heap rehearsal ceiling)."""
     name = os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "MEMORY_AND_DISK")
+    if name not in _ALLOWED_LEVELS:
+        raise ValueError(
+            f"SPARK_GRAFT_CKPT_LEVEL={name!r} is not a recognized "
+            f"storage level; accepted values: {', '.join(_ALLOWED_LEVELS)}"
+        )
     level = getattr(StorageLevel, name)
+    if not isinstance(level, StorageLevel):  # pragma: no cover - belt
+        raise ValueError(
+            f"StorageLevel.{name} resolved to {type(level).__name__}, "
+            "not a StorageLevel"
+        )
     return df.localCheckpoint(eager=eager, storageLevel=level)

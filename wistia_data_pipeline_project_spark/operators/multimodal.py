@@ -443,10 +443,31 @@ def image_near_dup_pairs(
     return _ahash_block_pairs(codes, max_hamming)
 
 
-def _ahash_block_pairs(codes: DataFrame, max_hamming: int) -> DataFrame:
+def _ahash_block_pairs(
+    codes: DataFrame, max_hamming: int, n_blocks: int = 4
+) -> DataFrame:
     """Pigeonhole block join over an (asset_id, ahash) code table —
     shared by the raw pair entry and the dedup cascade (which runs it
-    over exact-hash REPRESENTATIVES)."""
+    over exact-hash REPRESENTATIVES).
+
+    Completeness: splitting 64 bits into ``n_blocks`` lanes guarantees
+    every pair within Hamming ``n_blocks - 1`` shares a lane; at
+    ``max_hamming >= n_blocks`` the join is a high-RECALL candidate
+    stage, not an exact pair set (a pair can spread one differing bit
+    into every lane). Callers that need the exact set must pass
+    ``n_blocks >= max_hamming + 1``.
+    """
+    if not 2 <= n_blocks <= 32:
+        raise ValueError(f"n_blocks must be in [2, 32], got {n_blocks}")
+    # nearly-equal bit lanes covering all 64 bits (first `rem` lanes
+    # one bit wider); widths <= 32 so every mask fits a signed long
+    base_w, rem = divmod(64, n_blocks)
+    lanes = []
+    offset = 0
+    for i in range(n_blocks):
+        w = base_w + (1 if i < rem else 0)
+        lanes.append((i, offset, w))
+        offset += w
     blocks = codes.select(
         "asset_id",
         "ahash",
@@ -455,11 +476,11 @@ def _ahash_block_pairs(codes: DataFrame, max_hamming: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("block_idx"),
-                        F.shiftright(F.col("ahash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("ahash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("block_val"),
                     )
-                    for i in range(4)
+                    for i, off, w in lanes
                 ]
             )
         ).alias("b"),
@@ -488,11 +509,20 @@ def _ahash_block_pairs(codes: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def image_dedup_cascade(
-    assets: DataFrame, max_hamming: int = 4
+    assets: DataFrame, max_hamming: int = 3
 ) -> DataFrame:
     """Exact-then-near image dedup cascade: collapse EXACT aHash
     duplicates to one representative per code (min asset_id), then
     run the pigeonhole near-dup join over REPRESENTATIVES only.
+
+    Unlike the raw pair entry (a documented high-recall candidate
+    stage at hamming 4 with fixed 4 lanes), the cascade's pair set is
+    EXACT for any ``max_hamming``: the lane count is derived as
+    ``max_hamming + 1`` so the pigeonhole guarantee always holds —
+    a pair within the radius cannot spread one differing bit into
+    every lane. Representatives are distinct codes, so lane-bucket
+    population (and thus candidate volume) is bounded by the code
+    space, not duplicate-group size.
 
     This is the production answer to mega-duplicate groups — the
     round-7 sf10 rehearsal measured the raw pair entry emitting
@@ -517,7 +547,7 @@ def image_dedup_cascade(
     sizes = groups.select(
         F.col("asset_id").alias("_rid"), "group_size"
     )
-    pairs = _ahash_block_pairs(reps, max_hamming)
+    pairs = _ahash_block_pairs(reps, max_hamming, n_blocks=max_hamming + 1)
     return (
         pairs.join(
             sizes.withColumnRenamed("_rid", "asset_a").withColumnRenamed(

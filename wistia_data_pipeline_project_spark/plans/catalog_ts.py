@@ -25,12 +25,22 @@ from ..sources.io import load_table
 from .catalog import query
 
 # Shared oracle CTE: the cleaned events stream with cent-scaled
-# readings on the catalog's total order.
+# readings on the catalog's total order. The cents cast is CASE-guarded
+# by the declared value domain (non-NULL, non-NaN, |v| < 1e9): DuckDB
+# evaluates the projection BEFORE any downstream CTE's WHERE, and a
+# bare CAST raises "value is out of range" on a NaN or huge reading
+# instead of letting the consumer exclude the row. The guard keeps the
+# CTE usable both by value-domain entries (events_counter_delta, which
+# re-filters in its own WHERE) and by entries that never read cents
+# (events_state_durations).
 _E_CENTS = """
     WITH e AS (
       SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(18,0))
-               AS cents,
+             CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                       AND abs(value) < 1000000000.0
+                  THEN CAST(CAST(value AS DECIMAL(12,2)) * 100
+                            AS DECIMAL(18,0))
+             END AS cents,
              value
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
