@@ -1025,3 +1025,198 @@ def test_ivfpq_adc_topk_consistency_and_recall(spark, sf_dir):
         if vid in full:
             assert dist == full[vid]
     assert len(set(ivfpq) & set(full)) >= 5
+
+
+def test_three_level_assignment_matches_numpy_reference(spark):
+    """Past iroot(k,2) > coarse_threshold the assignment goes
+    THREE-level (r = icbrt(k); tiers r^2, r; top-1 maps with
+    self-preference, the lower map built by probe-descent with the
+    self candidate unioned in; vectors probe-descend keeping top-p
+    per tier). Verified against an independent numpy replay of the
+    declared construction — the round-8 O(N log N) fix for the
+    measured Theta(N^1.5) two-level assignment (SCALE.md r07)."""
+    import numpy as np
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        _tier_sizes,
+        assign_cells,
+    )
+
+    rng = np.random.RandomState(17)
+    n, dim, k, B, p, na = 120, 8, 30, 3, 2, 2
+    assert _tier_sizes(k, B) == [9, 3]  # r = icbrt(30) = 3
+    vecs = rng.randn(n, dim).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter(f"vec_id < {k}").selectExpr(
+        "cast(vec_id as int) centroid_id", "embedding cv"
+    )
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in assign_cells(
+            df, cents, n_assign=na, n_centroids=k,
+            coarse_threshold=B, coarse_probe=p,
+        ).collect()
+    }
+
+    def cos(a, b):
+        return (a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+
+    s1, s2 = 9, 3
+    # m1: tier-1 -> top-1 tier-2 (exact cross argmax, self-pref)
+    m1 = {
+        c1: min(
+            (-cos(vecs[c1], vecs[c2]), c2 != c1, c2) for c2 in range(s2)
+        )[2]
+        for c1 in range(s1)
+    }
+    # m0: tier-0 -> top-1 tier-1 via probe-descent + self union
+    m0 = {}
+    for c in range(k):
+        kept2 = {
+            c2 for _, c2 in sorted(
+                (-cos(vecs[c], vecs[c2]), c2) for c2 in range(s2)
+            )[:p]
+        }
+        cand = {c1 for c1 in range(s1) if m1[c1] in kept2 and c1 != c}
+        if c < s1:
+            cand.add(c)
+        m0[c] = min((-cos(vecs[c], vecs[c1]), c1 != c, c1) for c1 in cand)[2]
+    # vector descent
+    want = set()
+    for v in range(n):
+        kept2 = {
+            c2 for _, c2 in sorted(
+                (-cos(vecs[v], vecs[c2]), c2) for c2 in range(s2)
+            )[:p]
+        }
+        cand1 = [c1 for c1 in range(s1) if m1[c1] in kept2]
+        kept1 = {
+            c1 for _, c1 in sorted(
+                (-cos(vecs[v], vecs[c1]), c1) for c1 in cand1
+            )[:p]
+        }
+        cand0 = [c for c in range(k) if m0[c] in kept1]
+        for _, c in sorted(
+            (-cos(vecs[v], vecs[c]), c) for c in cand0
+        )[:na]:
+            want.add((v, c))
+    assert got == want and len(want) > 0
+
+
+def test_three_level_duplicate_centroids_lose_no_vectors(spark):
+    """Degenerate corpus at L=3: ALL candidate centroid vectors
+    identical — exact ties at every tier. The self-preference chain
+    (cross-argmax tie-break at the top map, explicit self union in
+    the descent-built map) must keep every cell non-empty so no
+    vector loses its assignment."""
+    import numpy as np
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    rng = np.random.RandomState(5)
+    n, dim, k, B = 80, 4, 30, 3
+    base = rng.randn(dim)
+    vecs = rng.randn(n, dim)
+    vecs[:k] = base  # all 30 centroid rows are the SAME vector
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter(f"vec_id < {k}").selectExpr(
+        "cast(vec_id as int) centroid_id", "embedding cv"
+    )
+    assigned = assign_cells(
+        df, cents, n_assign=1, n_centroids=k, coarse_threshold=B,
+        coarse_probe=2,
+    )
+    got_ids = {r.vec_id for r in assigned.collect()}
+    assert got_ids == set(range(n))
+
+
+def test_tier_sizes_declared_chain():
+    """The tier-size chain is pure integer arithmetic shared with the
+    oracle SQL arms: L = smallest level count with iroot(k,L) <=
+    branch, sizes r^(L-1)..r. Boundaries: 4224 is the last L=2 k
+    (isqrt=64), 274624 the last L=3 k (icbrt=64)."""
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        _iroot,
+        _tier_sizes,
+    )
+
+    assert _tier_sizes(64, 64) == []
+    assert _tier_sizes(65, 64) == [8]          # isqrt(65)
+    assert _tier_sizes(4224, 64) == [64]       # isqrt(4224) = 64
+    assert _tier_sizes(4225, 64) == [256, 16]  # L=3, r=16
+    assert _tier_sizes(8000, 64) == [400, 20]
+    assert _tier_sizes(274624, 64) == [4096, 64]
+    assert _tier_sizes(274625, 64) == [274625 ** 0 * 0 + _iroot(274625, 4) ** 3,
+                                       _iroot(274625, 4) ** 2,
+                                       _iroot(274625, 4)]  # L=4
+    assert _iroot(4096, 3) == 16 and _iroot(4095, 3) == 15
+    assert _iroot(2**62, 2) == 2**31
+
+
+def test_oracle_asg_arms_match_engine_in_all_regimes(spark):
+    """The oracle's UNION-ALL assignment arms (flat / L=2 / L=3 /
+    L=4) must replay the ENGINE's declared construction
+    bit-for-bit in DuckDB. The driver's sweep only ever exercises the
+    flat arm (k <= 64 at every driver SF), so this pins the deeper
+    arms by re-rendering the shared SQL builder with tiny band
+    literals (branch=3, cell_size chosen so k lands in each band) and
+    comparing the (vec_id, centroid_id) assignment sets."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        _tier_sizes,
+        assign_cells,
+    )
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _knn_asg_sql,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 200, 6
+    vecs = rng.randn(n, dim).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(n), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+
+    # cell_size 17 -> k=11: two-level band at branch=3 (3 < 11 <=
+    # 15); cell_size 5 -> k=40: three-level band (15 < 40 <= 63);
+    # cell_size 1 -> k=200: four-level band (63 < 200 <= 255)
+    for cell_size, want_tiers in (
+        (17, [3]),
+        (5, [9, 3]),
+        (1, [27, 9, 3]),
+    ):
+        k = max(8, n // cell_size)
+        assert _tier_sizes(k, 3) == want_tiers
+        cents = df.filter(f"vec_id < {k}").selectExpr(
+            "cast(vec_id as int) centroid_id", "embedding cv"
+        )
+        got = {
+            (r.vec_id, r.centroid_id)
+            for r in assign_cells(
+                df, cents, n_assign=4, n_centroids=k,
+                coarse_threshold=3, coarse_probe=2,
+            ).collect()
+        }
+        sql = (
+            _knn_asg_sql(False, cell_size=cell_size, flat_k=3, branch=3)
+            + " SELECT vec_id, centroid_id FROM asg"
+        )
+        want = {(r[0], r[1]) for r in con.sql(sql).fetchall()}
+        assert got == want and len(want) >= n, (cell_size, len(got))

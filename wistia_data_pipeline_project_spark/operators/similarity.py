@@ -561,6 +561,119 @@ def _pair_build_bytes(
     return int(min(int(stats), 1 << 60) * n_assign * 1.5)
 
 
+def _iroot(n: int, p: int) -> int:
+    """Largest integer r with r**p <= n — EXACT integer arithmetic
+    (a float ``n ** (1/p)`` mis-rounds near perfect powers, e.g.
+    4096^(1/3) = 15.999…), so the declared tier sizes replay
+    identically in Python, numpy references, and the oracle SQL's
+    bounded-search formulation."""
+    if n <= 0:
+        return 0
+    r = int(round(n ** (1.0 / p)))
+    while r > 1 and r**p > n:
+        r -= 1
+    while (r + 1) ** p <= n:
+        r += 1
+    return r
+
+
+# Declared branching bound for the hierarchical tier chain. Separate
+# from coarse_threshold (the flat-vs-hierarchical gate, 64): a small
+# branch makes the level count grow one band sooner (L3 from k=81,
+# L4 from k=729, ...), which is what keeps per-row assignment work
+# O(branch * L) = O(log k) INSIDE each measured scale decade instead
+# of only across band flips — the round-8 answer to the sf10
+# rehearsal's Theta(N^1.5) two-level measurement (SCALE.md r07). A
+# declared-blocking constant replayed in the oracle arms' band
+# literals (80 / 728 / 6560) — regenerate together.
+TIER_BRANCH = 8
+
+
+def _tier_sizes(n_centroids: int, branch: int) -> list[int]:
+    """Declared tier-size chain for L-level hierarchical assignment:
+    the smallest L >= 2 with ``iroot(k, L) <= branch``, then tier
+    sizes ``s_l = r ** (L - l)`` for l = 1..L-1 (tier 0 is the full
+    centroid set). L=2 reproduces the historical two-level chain
+    exactly (s_1 = isqrt(k)); each level's branching factor is ~r <=
+    branch, so descent work per row is O(L * probe * branch) =
+    O(log k). Returns [] when k <= branch (flat-equivalent chain)."""
+    if n_centroids <= branch:
+        return []
+    level = 2
+    while _iroot(n_centroids, level) > branch:
+        level += 1
+    r = _iroot(n_centroids, level)
+    return [r ** (level - lv) for lv in range(1, level)]
+
+
+# broadcast a descent map only below this row count — above it the
+# map itself is corpus-scaled (k = N/250 rows of flattened vectors)
+# and must flow through a shuffled hash join on the cell id instead
+# of the driver. Join strategy never changes results.
+_MAP_BCAST_MAX_ROWS = 2_000_000
+
+
+def _probe_descend(
+    rows: DataFrame,
+    key_col: str,
+    vec_col: str,
+    extra_cols: list[str],
+    tiers: list[DataFrame],
+    tier_rows: list[int],
+    maps: dict[int, DataFrame],
+    probe: int,
+    target: int,
+) -> DataFrame:
+    """Descend ``rows`` (key, vec, *extras) from the top tier to tier
+    ``target``: score ALL top-tier cells (<= branch of them), keep the
+    top-``probe`` per key, then at each lower tier score only the
+    members (via the tier's top-1 parent map) of the kept cells and
+    keep top-``probe`` again. Returns (key, vec, *extras, _cell) with
+    ``_cell`` a tier-``target`` cell id. Every rank is the declared
+    (sim DESC, cell_id ASC) order, replayed verbatim in the oracle."""
+    top_i = len(tiers) - 1
+    par = tiers[top_i].select(
+        F.col("centroid_id").alias("_pid"), F.col("cv").alias("_pv")
+    )
+    sim = cosine(as_double(F.col(vec_col)), as_double(F.col("_pv")))
+    w = Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("_cell"))
+    cand = (
+        rows.select(key_col, vec_col, *extra_cols)
+        .crossJoin(F.broadcast(par))
+        .select(
+            key_col,
+            vec_col,
+            *extra_cols,
+            F.col("_pid").alias("_cell"),
+            sim.alias("_sim"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= probe)
+        .select(key_col, vec_col, *extra_cols, "_cell")
+    )
+    for lvl in range(top_i - 1, target - 1, -1):
+        m = maps[lvl]
+        mdf = (
+            F.broadcast(m) if tier_rows[lvl] <= _MAP_BCAST_MAX_ROWS else m
+        )
+        msim = cosine(as_double(F.col(vec_col)), as_double(F.col("_mv")))
+        cand = (
+            cand.join(mdf, F.col("_cell") == F.col("_mp"))
+            .select(
+                key_col,
+                vec_col,
+                *extra_cols,
+                F.col("_mc").alias("_ncell"),
+                msim.alias("_sim"),
+            )
+            .withColumnRenamed("_ncell", "_cell")
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= probe)
+            .select(key_col, vec_col, *extra_cols, "_cell")
+        )
+    return cand
+
+
 def assign_cells(
     df: DataFrame,
     centroids: DataFrame,
@@ -571,6 +684,7 @@ def assign_cells(
     n_centroids: int | None = None,
     coarse_threshold: int = 64,
     coarse_probe: int = 2,
+    tier_branch: int | None = None,
 ) -> DataFrame:
     """Top-``n_assign`` IVF cell assignment shared by every
     cell-blocked operator (kNN candidate pairs, SemDeDup clustering):
@@ -581,85 +695,161 @@ def assign_cells(
     rationale): the flat broadcast cross-join scores N×k cosines —
     O(N²/250) once the cell count k = N/250 scales with the corpus —
     and past ``coarse_threshold`` cells (caller declares
-    ``n_centroids``) assignment goes TWO-LEVEL hierarchical IVF: the
-    first ⌊√k⌋ centroids double as coarse cells, every centroid maps
-    to its top-1 coarse cell, every vector probes its top-
-    ``coarse_probe`` coarse cells and ranks only their member
-    centroids — O(N·√k), the same declared-argmax construction one
-    level up, replayed verbatim in the oracle SQL's scalar-k branch.
-    Below the threshold (every driver SF) the flat path is the
-    round-5 expression tree unchanged.
+    ``n_centroids``) assignment goes L-LEVEL hierarchical IVF
+    (``_tier_sizes``): nested centroid prefixes of sizes r^(L-1) ..
+    r^1 (r = iroot(k, L) <= coarse_threshold) form a coarse tree;
+    each tier member maps top-1 to its parent tier (self-preference
+    on ties); every vector scores the <= coarse_threshold top-tier
+    cells and probe-descends (top-``coarse_probe`` kept per tier),
+    ranking only the mapped members of kept cells at each step —
+    O(N · L · r) = O(N log N), the same declared-argmax construction
+    repeated per level, replayed verbatim in the oracle SQL's
+    scalar-k arms (flat k <= 64, L=2 for k <= 4224, L=3 for k <=
+    274624 — deeper regimes start at ~68M vectors under the N/250
+    cell rule, beyond any oracle-checkable corpus, and are declared
+    engine-only). At L=2 the construction — and therefore every hash
+    — is bit-identical to the historical two-level path (coarse
+    count isqrt(k)); below the threshold (every driver SF) the flat
+    path is the round-5 expression tree unchanged.
 
-    The centroid→coarse map self-prefers on exact ties (a coarse
-    centroid always maps to itself), so every coarse cell retains at
-    least its own centroid and a probed cell can never be empty — on
-    degenerate corpora (duplicate centroid vectors) no vector can
-    silently lose all candidates and drop out of the assignment.
+    Each tier map self-prefers on exact ties (a member of the parent
+    tier always maps to itself — for descent-built maps the self
+    candidate is explicitly unioned in), so every cell at every tier
+    retains at least its own twin from the tier below, a probed cell
+    can never be empty, and no vector can silently lose all
+    candidates on degenerate corpora (review r07).
     """
     extra_cols = extra_cols or []
     w_rank = F.row_number().over(
         Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
     )
     if n_centroids is not None and n_centroids > coarse_threshold:
-        import math
-
-        n_coarse = math.isqrt(n_centroids)
-        coarse = centroids.filter(F.col("centroid_id") < n_coarse).select(
-            F.col("centroid_id").alias("coarse_id"),
-            F.col("cv").alias("ccv"),
+        # chain branch defaults to min(TIER_BRANCH, coarse_threshold):
+        # callers that shrink the flat gate for tests get a matching
+        # chain; production (threshold 64) gets the declared 8
+        tb = (
+            tier_branch
+            if tier_branch is not None
+            else min(TIER_BRANCH, coarse_threshold)
         )
-        coarse_sim = cosine(as_double(F.col("cv")), as_double(F.col("ccv")))
-        # self-preference tiebreak: a coarse centroid c (< n_coarse)
-        # always maps to ITSELF — cos(c,c)=1.0 is the argmax, and on
-        # an exact tie (duplicate centroid vectors) the is-self key
-        # wins before the coarse_id one. Guarantees every coarse cell
-        # retains at least its own centroid as a member, so a probed
-        # cell can never be empty and no vector can silently lose all
-        # its candidates on degenerate corpora (review r07). Replayed
-        # verbatim in both two-level oracle SQLs.
-        w_c = F.row_number().over(
-            Window.partitionBy("centroid_id").orderBy(
-                F.desc("_sim"),
-                F.desc(F.col("coarse_id") == F.col("centroid_id")),
-                F.asc("coarse_id"),
+        sizes = _tier_sizes(n_centroids, tb)
+        n_levels = len(sizes) + 1
+        tiers = [centroids] + [
+            centroids.filter(F.col("centroid_id") < s).select(
+                "centroid_id", "cv"
             )
+            for s in sizes
+        ]
+        tier_rows = [n_centroids] + sizes
+        # maps[l]: tier-l member -> its top-1 tier-(l+1) parent, as
+        # (_mc child id, _mv child vec, _mp parent id). The topmost
+        # map is an exact cross-join argmax (both sides <=
+        # branch^2 x branch rows); lower maps probe-descend through
+        # the maps already built — linear in k, never k x sqrt(k).
+        w_self = Window.partitionBy("centroid_id").orderBy(
+            F.desc("_sim"),
+            F.desc(F.col("_qid") == F.col("centroid_id")),
+            F.asc("_qid"),
         )
-        cmap = (
-            centroids.crossJoin(F.broadcast(coarse))
-            .select("centroid_id", "cv", "coarse_id", coarse_sim.alias("_sim"))
-            .withColumn("_rk", w_c)
-            .filter(F.col("_rk") == 1)
-            .select("centroid_id", "cv", "coarse_id")
+        par_top = tiers[n_levels - 1].select(
+            F.col("centroid_id").alias("_qid"), F.col("cv").alias("_qv")
         )
-        vec_coarse_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("ccv")))
-        w_v = F.row_number().over(
-            Window.partitionBy(key_col).orderBy(
-                F.desc("_sim"), F.asc("coarse_id")
+        top_sim = cosine(as_double(F.col("cv")), as_double(F.col("_qv")))
+        maps: dict[int, DataFrame] = {
+            n_levels
+            - 2: (
+                tiers[n_levels - 2]
+                .crossJoin(F.broadcast(par_top))
+                .select("centroid_id", "cv", "_qid", top_sim.alias("_sim"))
+                .withColumn("_rk", F.row_number().over(w_self))
+                .filter(F.col("_rk") == 1)
+                .select(
+                    F.col("centroid_id").alias("_mc"),
+                    F.col("cv").alias("_mv"),
+                    F.col("_qid").alias("_mp"),
+                )
             )
-        )
-        vprobe = (
-            df.select(key_col, vec_col, *extra_cols)
-            .crossJoin(F.broadcast(coarse))
-            .select(
-                key_col,
-                vec_col,
-                *extra_cols,
-                F.col("coarse_id"),
-                vec_coarse_sim.alias("_sim"),
+        }
+        for lvl in range(n_levels - 3, -1, -1):
+            probed = _probe_descend(
+                tiers[lvl],
+                "centroid_id",
+                "cv",
+                [],
+                tiers,
+                tier_rows,
+                maps,
+                coarse_probe,
+                lvl + 2,
             )
-            .withColumn("_rk", w_v)
-            .filter(F.col("_rk") <= coarse_probe)
-            .select(key_col, vec_col, *extra_cols, "coarse_id")
+            m_above = maps[lvl + 1]
+            mdf = (
+                F.broadcast(m_above)
+                if tier_rows[lvl + 1] <= _MAP_BCAST_MAX_ROWS
+                else m_above
+            )
+            # candidate parents at tier lvl+1 = mapped members of the
+            # kept tier-(lvl+2) cells, self EXCLUDED from the probe
+            # side and re-added explicitly for members of tier lvl+1
+            # (exactly once), so the self-preference row always
+            # exists regardless of which cells the descent kept
+            cand = (
+                probed.join(mdf, F.col("_cell") == F.col("_mp"))
+                .filter(F.col("_mc") != F.col("centroid_id"))
+                .select(
+                    "centroid_id",
+                    "cv",
+                    F.col("_mc").alias("_qid"),
+                    F.col("_mv").alias("_qv"),
+                )
+            )
+            selfrows = tiers[lvl].filter(
+                F.col("centroid_id") < sizes[lvl]
+            ).select(
+                "centroid_id",
+                "cv",
+                F.col("centroid_id").alias("_qid"),
+                F.col("cv").alias("_qv"),
+            )
+            m_sim = cosine(as_double(F.col("cv")), as_double(F.col("_qv")))
+            built = (
+                cand.unionByName(selfrows)
+                .select("centroid_id", "cv", "_qid", m_sim.alias("_sim"))
+                .withColumn("_rk", F.row_number().over(w_self))
+                .filter(F.col("_rk") == 1)
+                .select(
+                    F.col("centroid_id").alias("_mc"),
+                    F.col("cv").alias("_mv"),
+                    F.col("_qid").alias("_mp"),
+                )
+            )
+            # truncate lineage when the tree is deep: lower maps and
+            # the vector descent both re-reference this frame, and at
+            # L >= 3 the un-checkpointed plan would inline the whole
+            # upper tree once per consumer. Tier-l maps are s_l rows
+            # (tier 0: k = N/250) — serialized disk-evictable.
+            if n_levels >= 3:
+                built = spill_checkpoint(built)
+            maps[lvl] = built
+        vprobe = _probe_descend(
+            df, key_col, vec_col, extra_cols, tiers, tier_rows, maps,
+            coarse_probe, 1,
         )
-        # each centroid lives in exactly ONE coarse cell (top-1 map),
-        # so the probe join can never duplicate a (vector, centroid)
-        # candidate — no distinct needed before the rank
-        cand_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-        scored = vprobe.join(F.broadcast(cmap), "coarse_id").select(
+        # each tier-0 centroid lives in exactly ONE tier-1 cell
+        # (top-1 map), so the final join can never duplicate a
+        # (vector, centroid) candidate — no distinct before the rank
+        m0 = maps[0]
+        m0df = (
+            F.broadcast(m0)
+            if tier_rows[0] <= _MAP_BCAST_MAX_ROWS
+            else m0
+        )
+        cand_sim = cosine(as_double(F.col(vec_col)), as_double(F.col("_mv")))
+        scored = vprobe.join(m0df, F.col("_cell") == F.col("_mp")).select(
             key_col,
             vec_col,
             *extra_cols,
-            F.col("centroid_id"),
+            F.col("_mc").alias("centroid_id"),
             cand_sim.alias("_sim"),
         )
     else:
@@ -690,6 +880,7 @@ def knn_candidate_pairs(
     n_centroids: int | None = None,
     coarse_threshold: int = 64,
     coarse_probe: int = 2,
+    tier_branch: int | None = None,
 ) -> DataFrame:
     """The scored candidate-pair stage of ``knn_join_blocked``: every
     ordered pair of distinct vectors co-resident in at least one
@@ -721,14 +912,19 @@ def knn_candidate_pairs(
     the one super-linear stage the sf1→sf3 rehearsal measured (exp₃
     1.21 at 60k vectors, SCALE.md round 6). When the caller declares
     ``n_centroids`` and it exceeds ``coarse_threshold``, assignment
-    goes TWO-LEVEL (standard hierarchical IVF): the first ⌊√k⌋
-    centroids double as coarse cells, every centroid maps to its
-    top-1 coarse cell, every vector probes its top-``coarse_probe``
-    coarse cells and ranks only their member centroids — O(N·√k),
-    same declared-argmax construction one level up, replayed verbatim
-    in the oracle SQL (scalar-k branch), so results stay hash-exact
-    at every scale. Below the threshold (every driver SF: k = 8–20)
-    the flat path runs UNCHANGED — bit-identical to round 5.
+    goes L-LEVEL hierarchical IVF (``_tier_sizes``, round 8): nested
+    centroid prefixes of sizes r^(L-1)..r (r = iroot(k, L) <=
+    coarse_threshold) form a coarse tree, each tier maps top-1 into
+    the tier above (self-preference on ties), and every row
+    probe-descends keeping top-``coarse_probe`` per tier —
+    O(N·L·r) = O(N log N), the same declared-argmax construction
+    repeated per level, replayed verbatim in the oracle SQL's
+    scalar-k arms, so results stay hash-exact at every
+    oracle-checkable scale (arms cover L <= 3, k <= 274624). At L=2
+    (64 < k <= 4224) this IS the historical two-level path
+    bit-for-bit (coarse count isqrt(k)); below the threshold (every
+    driver SF: k = 8–20) the flat path runs UNCHANGED — bit-identical
+    to round 5.
 
     See ``knn_join_blocked`` for the blocking declaration, the
     ``dim``-unrolled cosine rationale, and the ``broadcast_pairs``
@@ -755,6 +951,7 @@ def knn_candidate_pairs(
         n_centroids=n_centroids,
         coarse_threshold=coarse_threshold,
         coarse_probe=coarse_probe,
+        tier_branch=tier_branch,
     )
     if dim is not None:
         # FLATTEN the vector to ``dim`` double columns before pairing.
@@ -879,6 +1076,7 @@ def knn_join_blocked(
     n_centroids: int | None = None,
     coarse_threshold: int = 64,
     coarse_probe: int = 2,
+    tier_branch: int | None = None,
 ) -> DataFrame:
     """Approximate KNN self-join (the kNN-graph builder behind semantic
     dedup and diversity sampling): every vector gets its top-k cosine
@@ -941,6 +1139,7 @@ def knn_join_blocked(
         n_centroids=n_centroids,
         coarse_threshold=coarse_threshold,
         coarse_probe=coarse_probe,
+        tier_branch=tier_branch,
     )
     return knn_topk_from_pairs(pairs, k=k)
 
@@ -1088,6 +1287,7 @@ def semdedup_stats(
     n_centroids: int | None = None,
     coarse_threshold: int = 64,
     coarse_probe: int = 2,
+    tier_branch: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -1109,11 +1309,12 @@ def semdedup_stats(
 
     Scale: assignment is the shared ``assign_cells`` helper (top-1
     here): flat broadcast cross-join + per-key rank at driver SFs,
-    TWO-LEVEL coarse-probed past ``coarse_threshold`` cells when the
-    caller declares ``n_centroids`` — the same O(N·√k) fix the kNN
-    pair build got (the sf3 rehearsal measured THIS operator
-    quadratic, exp₃ 1.99 at 120k doubled vectors, before the regime
-    was wired through). The pair space stays sum over cells of
+    L-LEVEL coarse-probe-descended past ``coarse_threshold`` cells
+    when the caller declares ``n_centroids`` — O(N log N), the
+    round-8 fix for the Θ(N^1.5) two-level assignment the sf10
+    rehearsal measured on THIS operator (exp 1.51, exactly its then-
+    declared N·√k arithmetic, SCALE.md r07; the sf3 rehearsal had
+    measured the flat regime quadratic before that, exp₃ 1.99). The pair space stays sum over cells of
     |cell|^2, bounded by the scaled cell count (see
     ``_centroids_scaled``); with ``dim`` the pair cosine runs as
     flat-column codegen multiply-adds (the ``knn_join_blocked``
@@ -1129,6 +1330,7 @@ def semdedup_stats(
         n_centroids=n_centroids,
         coarse_threshold=coarse_threshold,
         coarse_probe=coarse_probe,
+        tier_branch=tier_branch,
     )
     if dim is not None:
         vd = as_double(F.col(vec_col))

@@ -110,10 +110,11 @@ def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             label_col="label",
             carry_labels=True,
             n_rows=_nvec(sf_dir, emb),
-            # declares k so assignment can go two-level past 64 cells
-            # (O(N·√k) instead of the flat O(N·k) cross-join — the
-            # sf3 rehearsal's one super-linear stage); every driver
-            # SF stays below the threshold on the UNCHANGED flat path
+            # declares k so assignment goes L-level hierarchical past
+            # 64 cells (O(N log N) probe-descent, round 8 — was
+            # two-level O(N·√k), measured Θ(N^1.5) at sf10); every
+            # driver SF stays below the threshold on the UNCHANGED
+            # flat path
             n_centroids=max(8, _nvec(sf_dir, emb) // 250),
         )
 
@@ -465,91 +466,249 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_asg_sql(with_label: bool) -> str:
-    """The assignment CTE prefix shared by both kNN-graph oracles,
-    replaying ``knn_candidate_pairs``'s TWO assignment regimes with a
-    scalar-k branch (UNION ALL arms gated on ``(SELECT k FROM kk)``),
-    so ONE oracle string stays hash-exact at every scale factor:
-    flat N×k argmax at k ≤ 64 (every driver SF), two-level
-    coarse-probe assignment past it (the sf3 fix — same declared
-    argmax construction one level up). Literals 4 (n_assign), 2
-    (coarse_probe), 64 (threshold), 250 (cell size) mirror the
-    ``_knn_pairs_cached`` call — regenerate together."""
-    lbl_e = ", e.label" if with_label else ""
-    lbl = ", label" if with_label else ""
-    lbl_v = ", v.label" if with_label else ""
-    return f"""
-    WITH kk AS (
-      SELECT greatest(8, (SELECT COUNT(*) // 250 FROM embeddings)) AS k
-    ),
-    c AS (
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions — the one
+    expression every assignment oracle uses (identical FP evaluation
+    order to the engine's fold / unrolled dot, the property the whole
+    hash-exact ANN catalog rests on)."""
+    return (
+        f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _asg_arm_ctes(
+    L: int,
+    vt: str,
+    carry: tuple[str, ...],
+    flat_k: int,
+    branch: int,
+    probe: int,
+) -> list[str]:
+    """CTEs replaying ONE L-level hierarchical-assignment arm of
+    ``similarity.assign_cells`` (band-gated on the scalar k): the
+    exact-integer root r (bounded search — float pow mis-rounds at
+    perfect powers; NULL outside the band empties every downstream
+    tier CTE), nested tier prefixes of sizes r^(L-1)..r, the exact
+    cross-argmax top map with self-preference, descent-built lower
+    maps (probe top-``probe`` per tier, self candidate excluded from
+    the probe side and unioned back exactly once), the vector
+    probe-descent, and ``a{L}s`` = (vec_id, *carry, embedding,
+    centroid_id, sim). Generated from one loop so every arm IS the
+    same construction one level deeper — the structural property the
+    engine's ``_probe_descend`` loop has by the same argument."""
+    p = f"a{L}"
+    lo = flat_k if L == 2 else (branch + 1) ** (L - 1) - 1
+    hi = (branch + 1) ** L - 1
+    xprod = "*".join(["x"] * L)
+    cos = _cos_sql
+
+    def size(lv: int) -> str:
+        return " * ".join([f"{p}r.r"] * (L - lv))
+
+    def cyp(q: str) -> str:
+        return "".join(f", {q}.{c}" for c in carry)
+
+    cy = "".join(f", {c}" for c in carry)
+    ctes = [
+        f"""{p}r AS (
+      SELECT max(x) AS r FROM generate_series(1, {branch}) t(x), kk
+      WHERE {xprod} <= kk.k AND kk.k > {lo} AND kk.k <= {hi}
+    )"""
+    ]
+    for lv in range(1, L):
+        ctes.append(
+            f"""{p}t{lv} AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS tv
+      FROM embeddings, {p}r WHERE vec_id < {size(lv)}
+    )"""
+        )
+    child = "c" if L == 2 else f"{p}t{L - 2}"
+    ch_id = "centroid_id" if L == 2 else "id"
+    ch_v = "cv" if L == 2 else "tv"
+    ctes.append(
+        f"""{p}m{L - 2} AS (
+      SELECT cid, cvv, pid FROM (
+        SELECT ch.{ch_id} AS cid, ch.{ch_v} AS cvv, pa.id AS pid,
+               row_number() OVER (PARTITION BY ch.{ch_id} ORDER BY
+                 {cos(f"ch.{ch_v}", "pa.tv")} DESC,
+                 (pa.id = ch.{ch_id}) DESC,
+                 pa.id) AS rn
+        FROM {child} ch, {p}t{L - 1} pa
+      ) WHERE rn = 1
+    )"""
+    )
+    for lv in range(L - 3, -1, -1):
+        src = "c" if lv == 0 else f"{p}t{lv}"
+        s_id = "centroid_id" if lv == 0 else "id"
+        s_v = "cv" if lv == 0 else "tv"
+        ctes.append(
+            f"""{p}m{lv}d{L - 1} AS (
+      SELECT cid, cvv, cell FROM (
+        SELECT ch.{s_id} AS cid, ch.{s_v} AS cvv, pa.id AS cell,
+               row_number() OVER (PARTITION BY ch.{s_id} ORDER BY
+                 {cos(f"ch.{s_v}", "pa.tv")} DESC,
+                 pa.id) AS rn
+        FROM {src} ch, {p}t{L - 1} pa
+      ) WHERE rn <= {probe}
+    )"""
+        )
+        for t in range(L - 2, lv + 1, -1):
+            ctes.append(
+                f"""{p}m{lv}d{t} AS (
+      SELECT cid, cvv, cell FROM (
+        SELECT d.cid, d.cvv, m.cid AS cell,
+               row_number() OVER (PARTITION BY d.cid ORDER BY
+                 {cos("d.cvv", "m.cvv")} DESC, m.cid) AS rn
+        FROM {p}m{lv}d{t + 1} d JOIN {p}m{t} m ON m.pid = d.cell
+      ) WHERE rn <= {probe}
+    )"""
+            )
+        ctes.append(
+            f"""{p}m{lv}c AS (
+      SELECT d.cid, d.cvv, m.cid AS qid, m.cvv AS qvv
+      FROM {p}m{lv}d{lv + 2} d JOIN {p}m{lv + 1} m ON m.pid = d.cell
+      WHERE m.cid <> d.cid
+      UNION ALL
+      SELECT ch.{s_id}, ch.{s_v}, ch.{s_id}, ch.{s_v}
+      FROM {src} ch, {p}r WHERE ch.{s_id} < {size(lv + 1)}
+    )"""
+        )
+        ctes.append(
+            f"""{p}m{lv} AS (
+      SELECT cid, cvv, qid AS pid FROM (
+        SELECT cid, cvv, qid, qvv,
+               row_number() OVER (PARTITION BY cid ORDER BY
+                 {cos("cvv", "qvv")} DESC,
+                 (qid = cid) DESC,
+                 qid) AS rn
+        FROM {p}m{lv}c
+      ) WHERE rn = 1
+    )"""
+        )
+    ctes.append(
+        f"""{p}v{L - 1} AS (
+      SELECT vec_id{cy}, embedding, cell FROM (
+        SELECT V.vec_id{cyp("V")}, V.embedding, t.id AS cell,
+               row_number() OVER (PARTITION BY V.vec_id ORDER BY
+                 {cos("V.embedding::DOUBLE[]", "t.tv")} DESC,
+                 t.id) AS rn
+        FROM {vt} V, {p}t{L - 1} t
+      ) WHERE rn <= {probe}
+    )"""
+    )
+    for t in range(L - 2, 0, -1):
+        ctes.append(
+            f"""{p}v{t} AS (
+      SELECT vec_id{cy}, embedding, cell FROM (
+        SELECT d.vec_id{cyp("d")}, d.embedding, m.cid AS cell,
+               row_number() OVER (PARTITION BY d.vec_id ORDER BY
+                 {cos("d.embedding::DOUBLE[]", "m.cvv")} DESC,
+                 m.cid) AS rn
+        FROM {p}v{t + 1} d JOIN {p}m{t} m ON m.pid = d.cell
+      ) WHERE rn <= {probe}
+    )"""
+        )
+    ctes.append(
+        f"""{p}s AS (
+      SELECT v.vec_id{cyp("v")}, v.embedding, m.cid AS centroid_id,
+             {cos("v.embedding::DOUBLE[]", "m.cvv")} AS sim
+      FROM {p}v1 v JOIN {p}m0 m ON m.pid = v.cell
+    )"""
+    )
+    return ctes
+
+
+def _asg_prefix_sql(
+    vt: str,
+    carry: tuple[str, ...],
+    kk_body: str,
+    pre_ctes: str = "",
+    flat_k: int = 64,
+    branch: int = 8,
+    probe: int = 2,
+    arms: tuple[int, ...] = (2, 3, 4),
+) -> str:
+    """The WITH-prefix shared by every hierarchical-assignment
+    oracle: kk (scalar cell count), c (centroid prefix), the flat
+    N×k arm (k <= ``flat_k`` — every driver SF), and one
+    ``_asg_arm_ctes`` block per unrolled level count. Scored sources
+    are ``scored_flat`` and ``a{L}s``; the caller appends its own
+    outer rank arms. Band boundaries derive from ``branch`` B=8:
+    L=2 for flat_k < k <= 80, L=3 to 728, L=4 to 6560 — the declared
+    ``similarity.TIER_BRANCH`` chain. Past k=6560 the ENGINE recurses
+    to L >= 5 with the identical construction; that regime is
+    engine-only by declaration (k > 6560 means >1.6M vectors under
+    the N/250 cell rule — beyond every oracle-checkable corpus
+    through the sf30 rehearsals)."""
+    cos = _cos_sql
+    cyv = "".join(f", V.{c}" for c in carry)
+    parts = [
+        f"kk AS ({kk_body})",
+        f"""c AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
       FROM embeddings WHERE vec_id < (SELECT k FROM kk)
-    ),
-    coarse AS (
-      SELECT vec_id AS coarse_id, embedding::DOUBLE[] AS ccv
-      FROM embeddings
-      WHERE vec_id < (SELECT CAST(floor(sqrt(k)) AS BIGINT) FROM kk)
-    ),
-    cmap AS (
-      SELECT centroid_id, cv, coarse_id FROM (
-        SELECT c.centroid_id, c.cv, co.coarse_id,
-               row_number() OVER (PARTITION BY c.centroid_id ORDER BY
-                 list_dot_product(c.cv, co.ccv)
-                   / (sqrt(list_dot_product(c.cv, c.cv))
-                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
-                 (co.coarse_id = c.centroid_id) DESC,
-                 co.coarse_id) AS rn
-        FROM c, coarse co
-      ) WHERE rn = 1
-    ),
-    vprobe AS (
-      SELECT vec_id{lbl}, embedding, coarse_id FROM (
-        SELECT e.vec_id{lbl_e}, e.embedding, co.coarse_id,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.embedding::DOUBLE[], co.ccv)
-                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                            e.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
-                 co.coarse_id) AS rn
-        FROM embeddings e, coarse co
-      ) WHERE rn <= 2
-    ),
-    scored_flat AS (
-      -- regime gate INSIDE the arm: when two-level is active this
-      -- filter empties a join side BEFORE the N×k cross product and
-      -- the window, instead of discarding rows post-hoc (review r06)
-      SELECT e.vec_id{lbl_e}, c.centroid_id,
-             list_dot_product(e.embedding::DOUBLE[], c.cv)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
-      FROM embeddings e, c
-      WHERE (SELECT k FROM kk) <= 64
-    ),
-    scored_two AS (
-      SELECT v.vec_id{lbl_v}, m.centroid_id,
-             list_dot_product(v.embedding::DOUBLE[], m.cv)
-               / (sqrt(list_dot_product(v.embedding::DOUBLE[],
-                                        v.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(m.cv, m.cv))) AS sim
-      FROM vprobe v JOIN cmap m USING (coarse_id)
-      WHERE (SELECT k FROM kk) > 64
-    ),
-    asg AS (
+    )""",
+        f"""scored_flat AS (
+      SELECT V.vec_id{cyv}, V.embedding, c.centroid_id,
+             {cos("V.embedding::DOUBLE[]", "c.cv")} AS sim
+      FROM {vt} V, c
+      WHERE (SELECT k FROM kk) <= {flat_k}
+    )""",
+    ]
+    for L in arms:
+        parts.extend(_asg_arm_ctes(L, vt, carry, flat_k, branch, probe))
+    return "\n    WITH " + pre_ctes + ",\n    ".join(parts)
+
+
+def _knn_asg_sql(
+    with_label: bool,
+    cell_size: int = 250,
+    flat_k: int = 64,
+    branch: int = 8,
+    n_assign: int = 4,
+    probe: int = 2,
+) -> str:
+    """The assignment CTE prefix shared by both kNN-graph oracles,
+    replaying ``knn_candidate_pairs``'s assignment regimes with
+    scalar-k UNION-ALL arms so ONE oracle string stays hash-exact at
+    every oracle-checkable scale factor: flat N×k argmax at k <= 64
+    (every driver SF), then the L-level hierarchical descent
+    (``similarity._tier_sizes`` at TIER_BRANCH=8) with unrolled arms
+    for L = 2 (k <= 80), 3 (<= 728) and 4 (<= 6560) — the round-8
+    O(N log N) construction. Literals 4 (n_assign), 2 (probe), 64
+    (threshold), 8 (branch), 250 (cell size) mirror the
+    ``_knn_pairs_cached`` call — regenerate together. Every arm's
+    cross products are gated INSIDE the arm (via the band-gated root
+    scalar), so inactive regimes empty a join side BEFORE the product
+    (review r06)."""
+    carry = ("label",) if with_label else ()
+    lbl = ", label" if with_label else ""
+    kk_body = (
+        f"\n      SELECT greatest(8, (SELECT COUNT(*) // {cell_size}"
+        " FROM embeddings)) AS k\n    "
+    )
+    prefix = _asg_prefix_sql(
+        "embeddings", carry, kk_body, flat_k=flat_k, branch=branch,
+        probe=probe,
+    )
+    arm_sqls = []
+    for src in ("scored_flat", "a2s", "a3s", "a4s"):
+        arm_sqls.append(
+            f"""
       SELECT vec_id{lbl}, centroid_id FROM (
         SELECT vec_id{lbl}, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored_flat
-      ) WHERE rn <= 4
-      UNION ALL
-      SELECT vec_id{lbl}, centroid_id FROM (
-        SELECT vec_id{lbl}, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored_two
-      ) WHERE rn <= 4
-    )"""
+        FROM {src}
+      ) WHERE rn <= {n_assign}"""
+        )
+    return (
+        prefix
+        + ",\n    asg AS ("
+        + "\n      UNION ALL".join(arm_sqls)
+        + "\n    )"
+    )
 
 
 @query(
@@ -998,92 +1157,45 @@ def emb_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_semdedup",
-    oracle="""
-    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+def _semdedup_oracle_sql(threshold: float = 0.45, cell_size: int = 250) -> str:
+    """SemDeDup oracle on the duplicate-injected (doubled) corpus:
+    the shared ``_asg_prefix_sql`` arms over vector source ``d``
+    (top-1 keep per vector), then the within-cluster dominance drop
+    rule. Threshold / cell-size literals mirror the catalog entry —
+    regenerate together."""
+    pre = """nn AS (SELECT COUNT(*) AS n FROM embeddings),
     d AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + nn.n, embedding FROM embeddings, nn
     ),
-    kk AS (SELECT greatest(8, (2 * n) // 250) AS k FROM nn),
-    c AS (
-      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < (SELECT k FROM kk)
-    ),
-    coarse AS (
-      SELECT vec_id AS coarse_id, embedding::DOUBLE[] AS ccv
-      FROM embeddings
-      WHERE vec_id < (SELECT CAST(floor(sqrt(k)) AS BIGINT) FROM kk)
-    ),
-    cmap AS (
-      SELECT centroid_id, cv, coarse_id FROM (
-        SELECT c.centroid_id, c.cv, co.coarse_id,
-               row_number() OVER (PARTITION BY c.centroid_id ORDER BY
-                 list_dot_product(c.cv, co.ccv)
-                   / (sqrt(list_dot_product(c.cv, c.cv))
-                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
-                 (co.coarse_id = c.centroid_id) DESC,
-                 co.coarse_id) AS rn
-        FROM c, coarse co
-      ) WHERE rn = 1
-    ),
-    vprobe AS (
-      SELECT vec_id, embedding, coarse_id FROM (
-        SELECT d.vec_id, d.embedding, co.coarse_id,
-               row_number() OVER (PARTITION BY d.vec_id ORDER BY
-                 list_dot_product(d.embedding::DOUBLE[], co.ccv)
-                   / (sqrt(list_dot_product(d.embedding::DOUBLE[],
-                                            d.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(co.ccv, co.ccv))) DESC,
-                 co.coarse_id) AS rn
-        FROM d, coarse co
-      ) WHERE rn <= 2
-    ),
-    scored_flat AS (
-      SELECT d.vec_id, d.embedding, c.centroid_id,
-             list_dot_product(d.embedding::DOUBLE[], c.cv)
-               / (sqrt(list_dot_product(d.embedding::DOUBLE[], d.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
-      FROM d, c
-      WHERE (SELECT k FROM kk) <= 64
-    ),
-    scored_two AS (
-      SELECT v.vec_id, v.embedding, m.centroid_id,
-             list_dot_product(v.embedding::DOUBLE[], m.cv)
-               / (sqrt(list_dot_product(v.embedding::DOUBLE[],
-                                        v.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(m.cv, m.cv))) AS sim
-      FROM vprobe v JOIN cmap m USING (coarse_id)
-      WHERE (SELECT k FROM kk) > 64
-    ),
-    m AS (
+    """
+    kk_body = f"SELECT greatest(8, (2 * n) // {cell_size}) AS k FROM nn"
+    prefix = _asg_prefix_sql("d", (), kk_body, pre_ctes=pre)
+    arms = []
+    for src in ("scored_flat", "a2s", "a3s", "a4s"):
+        arms.append(
+            f"""
       SELECT CAST(centroid_id AS INT) AS centroid_id, vec_id,
              embedding::DOUBLE[] AS v
       FROM (
         SELECT vec_id, embedding, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored_flat
-      ) WHERE rn = 1
-      UNION ALL
-      SELECT CAST(centroid_id AS INT) AS centroid_id, vec_id,
-             embedding::DOUBLE[] AS v
-      FROM (
-        SELECT vec_id, embedding, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored_two
-      ) WHERE rn = 1
+        FROM {src}
+      ) WHERE rn = 1"""
+        )
+    return (
+        prefix
+        + ",\n    m AS ("
+        + "\n      UNION ALL".join(arms)
+        + f"""
     ),
     drp AS (
       SELECT DISTINCT a.centroid_id, b.vec_id AS dropped
       FROM m a JOIN m b
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v)
-              / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+      WHERE {_cos_sql("a.v", "b.v")} >= {threshold}
     ),
     mem AS (SELECT centroid_id, COUNT(*) AS n_members FROM m GROUP BY 1),
     dr AS (SELECT centroid_id, COUNT(*) AS n_dropped FROM drp GROUP BY 1)
@@ -1091,7 +1203,13 @@ def emb_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(dr.n_dropped, 0) AS n_dropped,
            mem.n_members - COALESCE(dr.n_dropped, 0) AS n_kept
     FROM mem LEFT JOIN dr USING (centroid_id)
-    """,
+    """
+    )
+
+
+@query(
+    "emb_semdedup",
+    oracle=_semdedup_oracle_sql(),
 )
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on a duplicate-injected corpus (embeddings unioned
@@ -1123,8 +1241,10 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
     )
     dim = len(_query_vec(spark, sf_dir, 0))
-    # declares k so assignment goes two-level past 64 cells (the sf3
-    # rehearsal measured THIS entry's flat 1-NN assignment quadratic);
+    # declares k so assignment goes L-level hierarchical past 64
+    # cells (O(N log N) probe-descent, round 8 — the sf10 rehearsal
+    # measured the two-level regime at exactly its declared Θ(N^1.5),
+    # and sf3 had measured the flat regime quadratic before that);
     # driver SFs (k = 8) stay on the unchanged flat path
     return S.semdedup_stats(
         doubled, cents, threshold=0.45, dim=dim, n_centroids=k
