@@ -172,3 +172,40 @@ def test_banded_tie_semantics_micro(spark):
         for d_ in out.values():
             assert d_.n_users == 2
             assert d_.min_total == d_.max_total
+
+
+def test_user_deciles_approx_gate_on_all_distinct_domain(spark, tmp_path):
+    """The GK-sketch variant (the REQUIRED swap past ~1e7 distinct
+    totals) on a fully-distinct synthetic domain: every gate boolean
+    must hold, the exact fields must match a Python replay, and each
+    sketch boundary must sit within its declared rank band of the
+    true sorted order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 5000  # all-distinct per-user totals (one event per user)
+    rng = np.random.RandomState(41)
+    vals = np.round(rng.uniform(1, 10_000, n), 2)
+    vals = np.unique(vals)  # drop accidental ties -> all distinct
+    n = len(vals)
+    ts = pd.Timestamp("2024-03-01 12:00:00")
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([ts.to_pydatetime()] * n, pa.timestamp("us")),
+        "user_id": pa.array(range(1, n + 1), pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([float(v) for v in vals], pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/events.parquet")
+
+    row = QUERIES["events_user_deciles_approx"](spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_users == n
+    assert r.min_total == float(vals.min())
+    assert r.max_total == float(vals.max())
+    assert r.bounds_monotone and r.cum_ranks_in_band

@@ -727,6 +727,113 @@ def events_user_deciles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_user_deciles_approx",
+    oracle=E_CTE
+    + """,
+    u AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM e WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(total) AS DOUBLE) AS min_total,
+           CAST(MAX(total) AS DOUBLE) AS max_total,
+           TRUE AS bounds_monotone,
+           TRUE AS cum_ranks_in_band
+    FROM u
+    """,
+)
+def events_user_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT-HEAVY-domain decile variant (VERDICT r07 item 4):
+    boundaries from ONE ``approx_percentile`` pass (mergeable
+    Greenwald-Khanna sketch, bounded memory) instead of
+    ``percentile_disc`` — the swap the banded entry documents as
+    REQUIRED past ~1e7 distinct totals, where the disc aggregate's
+    value→count merge map loses to the sketch (measured 34 s vs 3.6 s
+    at 5M/60M distinct keys, SCALE.md r07).
+
+    Gated by the sketch's own guarantee, the
+    ``events_approx_percentiles`` pattern: with accuracy A the rank
+    error is <= 1/A around the target rank ceil(p·n), so for each
+    boundary b_i the count of totals <= b_i must reach
+    floor((i/10 - 1/A)·n), and the count EXCLUDING ties above the
+    first occurrence must stay under ceil((i/10 + 1/A)·n).
+    Boundary values themselves are engine-specific sketch output, so
+    the oracle-checked statement is the structural TRUE pair plus the
+    exact (n_users, min, max) — the band booleans fail the hash on
+    either engine if the sketch ever violates its bound. Production
+    drops the gate aggregates (one extra pass over the 1-row-per-user
+    relation).
+
+    Scale: per-user totals map-side combine; the sketch is
+    map-side-combinable with ~A samples of state per combiner
+    regardless of distinct count; assignment/gating is a broadcast
+    1-row join + one combinable aggregate. No stage depends on the
+    DISTINCT cardinality of totals — the axis that kills both the
+    ntile sort (global sort) and percentile_disc (merge map).
+    """
+    acc = 10_000  # rank error <= 1e-4; exact below 10k users
+    eps = 1.0 / acc
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    u = (
+        e.groupBy("user_id")
+        .agg(F.sum(dec("value", 18, 2)).alias("total"))
+        .select(F.col("total").cast("double").alias("total"))
+        .cache()
+    )
+    ps = ", ".join(f"0.{i}" for i in range(1, 10))
+    b = u.agg(
+        F.expr(f"approx_percentile(total, array({ps}), {acc})").alias("bs"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("total").alias("min_total"),
+        F.max("total").alias("max_total"),
+    )
+    j = u.crossJoin(F.broadcast(b))
+    cum = j.groupBy("n_users", "min_total", "max_total", "bs").agg(
+        *[
+            F.sum(
+                (F.col("total") <= F.col("bs")[i - 1]).cast("long")
+            ).alias(f"cnt{i}")
+            for i in range(1, 10)
+        ],
+        *[
+            F.sum(
+                (F.col("total") == F.col("bs")[i - 1]).cast("long")
+            ).alias(f"tie{i}")
+            for i in range(1, 10)
+        ],
+    )
+    monotone = F.lit(True)
+    for i in range(1, 9):
+        monotone = monotone & (F.col("bs")[i - 1] <= F.col("bs")[i])
+    # the sketch targets rank ceil(p*n) (Spark's convention), so the
+    # integer band is [floor((p-eps)*n), ceil((p+eps)*n)] — floor/ceil
+    # absorb the rank-convention unit alongside the 1/A error term
+    in_band = F.lit(True)
+    for i in range(1, 10):
+        p = i / 10.0
+        n = F.col("n_users").cast("double")
+        in_band = (
+            in_band
+            & (F.col(f"cnt{i}") >= F.floor((p - eps) * n))
+            & (
+                (F.col(f"cnt{i}") - F.col(f"tie{i}") + 1)
+                <= F.ceil((p + eps) * n)
+            )
+        )
+    return cum.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        "min_total",
+        "max_total",
+        monotone.alias("bounds_monotone"),
+        in_band.alias("cum_ranks_in_band"),
+    )
+
+
+@query(
     "events_scd2_history",
     oracle=E_CTE
     + """,
