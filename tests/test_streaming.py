@@ -628,3 +628,158 @@ def test_streaming_counter_delta_watermark_boundary_row(spark, tmp_path):
         assert last.delta == 110.0  # 10->20 (+10), ->5 (reset +5), ->100 (+95)
     finally:
         q.stop()
+
+
+def test_streaming_heartbeat_uptime_matches_batch(spark, tmp_path):
+    """The streaming heartbeat twin's LAST emission per user equals
+    the batch heartbeat_uptime on the same beats — including
+    out-of-order arrival across micro-batches inside the watermark
+    (a late mid-gap beat must re-split an interval that a premature
+    commit would have frozen as one break)."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        heartbeat_uptime,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_heartbeat_uptime,
+    )
+
+    rows = [
+        # user 1: beats at 0:00, 0:04, 0:08, 1:00 (tol 5min):
+        # gaps 4m,4m live; 52m break, but the 0:08 beat still holds
+        # its full 5m interval, as does the last: 4+4+5+5 = 18m,
+        # 2 islands
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:04:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:08:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        # user 2: one beat -> uptime = tol, coverage 1.0
+        {"event_id": 5, "ts": "2024-01-01T00:30:00", "user_id": 2,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+    ]
+    # chunk 1 delivers beats 1, 3, 4; chunk 2 delivers 2 and 5 LATE —
+    # the 0:04 beat must re-split the 0:00->0:08 gap
+    d = tmp_path / "hb_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((rows[0::2], rows[1::2])):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_heartbeat_uptime(stream, watermark="1 day"),
+        "hb_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM hb_stream").collect()
+        last = {}
+        for r in emitted:
+            if r.user_id not in last or r.n_beats > last[r.user_id].n_beats:
+                last[r.user_id] = r
+        batch_df = spark.createDataFrame(
+            [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+              e["user_id"], e["event_type"], e["value"], e["props"])
+             for e in rows],
+            schema,
+        )
+        batch = {r.user_id: r for r in heartbeat_uptime(batch_df).collect()}
+        assert set(last) == set(batch)
+        for uid, b in batch.items():
+            s = last[uid]
+            assert (s.n_beats, s.uptime_us, s.n_islands, s.span_us,
+                    s.coverage) == (
+                b.n_beats, b.uptime_us, b.n_islands, b.span_us,
+                b.coverage), uid
+        assert (last[1].uptime_us, last[1].n_islands) == (
+            18 * 60 * 1_000_000, 2)
+        assert (last[2].uptime_us, last[2].coverage) == (300_000_000, 1.0)
+    finally:
+        q.stop()
+
+
+def test_streaming_heartbeat_uptime_watermark_boundary_row(spark, tmp_path):
+    """A beat AT the current watermark can still arrive in a later
+    micro-batch; the strict '< wm' commit bound (the counter twin's
+    regression) plus the pending re-sort must keep the final emission
+    equal to batch even when the boundary-timestamp beat and a
+    mid-gap straggler land in separate later batches."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        heartbeat_uptime,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_heartbeat_uptime,
+    )
+
+    def ev(eid, ts):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "view", "value": 1.0, "props": "{}"}
+
+    chunks = [
+        # batch A advances the watermark to 2024-01-02 (max ts - 1d)
+        [ev(1, "2024-01-01T23:58:00"), ev(9, "2024-01-03T00:00:00")],
+        # batch B: a beat EXACTLY AT the watermark
+        [ev(6, "2024-01-02T00:00:00")],
+        # batch C: same timestamp, earlier tiebreak — still not late
+        [ev(5, "2024-01-02T00:00:00")],
+    ]
+    d = tmp_path / "hb_wm_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_heartbeat_uptime(stream, watermark="1 day"),
+        "hb_wm_stream",
+        output_mode="update",
+    )
+    try:
+        last = max(
+            spark.sql("SELECT * FROM hb_wm_stream").collect(),
+            key=lambda r: r.n_beats,
+        )
+        rows = [e for c in chunks for e in c]
+        [b] = heartbeat_uptime(
+            spark.createDataFrame(
+                [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+                  e["user_id"], e["event_type"], e["value"], e["props"])
+                 for e in rows],
+                schema,
+            )
+        ).collect()
+        assert (last.n_beats, last.uptime_us, last.n_islands,
+                last.span_us, last.coverage) == (
+            b.n_beats, b.uptime_us, b.n_islands, b.span_us, b.coverage)
+        # 23:58 -> 00:00 gap 2m live; duplicate-ts zero step; 00:00
+        # holds its 5m across the break, the last beat holds 5m:
+        # uptime 2m + 5m + 5m = 12m, 2 islands
+        assert (last.uptime_us, last.n_islands) == (12 * 60 * 1_000_000, 2)
+    finally:
+        q.stop()

@@ -757,3 +757,132 @@ def streaming_counter_delta(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+HEARTBEAT_STATE_SCHEMA = (
+    "first_us long, prev_us long, n_beats long, uptime_excl_us long, "
+    "n_breaks long, pend_ts array<long>, pend_eid array<long>"
+)
+HEARTBEAT_OUTPUT_SCHEMA = (
+    "user_id long, n_beats long, uptime_us long, n_islands long, "
+    "span_us long, coverage double"
+)
+
+
+def streaming_heartbeat_uptime(
+    events_stream: DataFrame,
+    watermark: str = "1 day",
+    tolerance_us: int = 300_000_000,
+) -> DataFrame:
+    """Streaming twin of ``timeseries.heartbeat_uptime``
+    (union-of-intervals liveness per user, VERDICT r07 item 7 — the
+    second stateful hyperfunction shape under the strict-watermark
+    commit discipline). The batch union telescopes to a per-beat sum
+    (a non-last beat contributes ``min(next_ts - ts, tolerance)``),
+    so the streaming state is the counter twin's lag-1 register: the
+    LAST committed beat's contribution stays open until its successor
+    commits; committed sums exclude it, and every emission closes it
+    provisionally with ``tolerance`` (exactly the batch rule for the
+    final beat).
+
+    Commit discipline: beats fold into committed state only once
+    STRICTLY older than the watermark (``< wm`` — a row AT the
+    watermark can still arrive; for this fold a same-timestamp
+    straggler is a zero-length step either way, but the strict bound
+    is the uniform discipline the counter regression pinned); newer
+    beats buffer in state and fold provisionally on a copy, so every
+    update-mode emission reflects all data seen so far in event-time
+    order and the final emission equals the batch operator.
+
+    State lifecycle: like the counter twin, liveness series are
+    long-lived registers — no event-time eviction; state is one
+    fixed-width row plus the watermark-bounded pending buffer per
+    active user.
+    """
+    tol = int(tolerance_us)
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            # ts survives the projection: the watermark attribute
+            # must be present for getCurrentWatermarkMs (see the
+            # counter twin)
+            "ts",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            # NULL event_id -> LONG_MIN (nulls-first total order;
+            # a NaN would crash int(eid) in the Arrow batch)
+            F.coalesce(
+                F.col("event_id").cast("long"), F.lit(-(2**63))
+            ).alias("event_id"),
+        )
+    )
+
+    def fold(rows, first, prev, n, uptime_excl, breaks):
+        for ts_us, _ in rows:
+            n += 1
+            if prev is None:
+                first = ts_us
+            else:
+                gap = ts_us - prev
+                uptime_excl += min(gap, tol)
+                if gap > tol:
+                    breaks += 1
+            prev = ts_us
+        return first, prev, n, uptime_excl, breaks
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            first, prev, n, upx, breaks, p_ts, p_eid = state.get
+            pending = list(zip(p_ts, p_eid))
+        else:
+            first = prev = None
+            n = upx = breaks = 0
+            pending = []
+        if state.hasTimedOut:  # pragma: no cover - no timeout is set
+            state.remove()
+            return
+        for pdf in pdfs:
+            for ts_us, eid in zip(pdf["ts_us"], pdf["event_id"]):
+                pending.append((int(ts_us), int(eid)))
+        pending.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        n_final = 0
+        while n_final < len(pending) and pending[n_final][0] < wm_us:
+            n_final += 1
+        first, prev, n, upx, breaks = fold(
+            pending[:n_final], first, prev, n, upx, breaks
+        )
+        pending = pending[n_final:]
+        state.update((
+            first, prev, n, upx, breaks,
+            [p[0] for p in pending],
+            [p[1] for p in pending],
+        ))
+        pf, pp, pn, pupx, pbr = fold(pending, first, prev, n, upx, breaks)
+        if pn == 0:
+            return
+        uptime = pupx + tol  # close the open last-beat interval
+        span = pp - pf + tol
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0],
+                "n_beats": pn,
+                "uptime_us": uptime,
+                "n_islands": pbr + 1,
+                "span_us": span,
+                "coverage": float(uptime) / float(span),
+            }]
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        HEARTBEAT_OUTPUT_SCHEMA,
+        HEARTBEAT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
