@@ -1220,3 +1220,37 @@ def test_oracle_asg_arms_match_engine_in_all_regimes(spark):
         )
         want = {(r[0], r[1]) for r in con.sql(sql).fetchall()}
         assert got == want and len(want) >= n, (cell_size, len(got))
+
+
+def test_near_dup_cascade_collapses_mega_group(spark):
+    """A 100-copy identical-vector group + one near-dup + one far
+    vector: the raw blocked entry would emit C(100,2)=4950 cosine-1
+    intra pairs; the cascade emits ZERO intra pairs and one
+    representative edge to the near-dup carrying n_cross_pairs =
+    100*1 — the viral-copy quadratic killed by construction."""
+    import numpy as np
+
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        cosine_near_dup_blocked,
+        near_dup_cascade,
+    )
+
+    rng = np.random.RandomState(31)
+    dim = 8
+    base = rng.randn(dim)
+    near = base + 0.05 * rng.randn(dim)   # cosine ~0.999
+    far = -base                            # cosine -1
+    rows = [(i, [float(x) for x in base]) for i in range(100)]
+    rows.append((100, [float(x) for x in near]))
+    rows.append((101, [float(x) for x in far]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = df.filter("vec_id IN (0, 100, 101)").selectExpr(
+        "cast(vec_id as int) centroid_id", "embedding cv"
+    )
+
+    raw = cosine_near_dup_blocked(df, cents, threshold=0.9, n_assign=2)
+    assert raw.count() == 100 * 99 // 2 + 100  # intra pairs + near edges
+
+    out = near_dup_cascade(df, cents, threshold=0.9, n_assign=2).collect()
+    assert [(r.rep_a, r.rep_b, r.size_a, r.size_b, r.n_cross_pairs)
+            for r in out] == [(0, 100, 100, 1, 100)]

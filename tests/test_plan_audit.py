@@ -163,6 +163,12 @@ MATERIALIZING = {
     # volume, executor-local, not a driver collect)
     "emb_knn_join",
     "emb_hard_negatives",
+    # the exact-duplicate group table (one row per DISTINCT vector)
+    # is spill-checkpointed: reps + sizes both consume it, and the
+    # un-checkpointed plan would run the vector-key collapse twice —
+    # executor-local, never a driver collect (the image-cascade
+    # precedent)
+    "emb_near_dup_cascade",
 }
 
 

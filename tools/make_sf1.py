@@ -37,7 +37,11 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
         f"SELECT * FROM read_parquet('{src}/documents.parquet')"
     ).df()
     n_docs = len(docs)
-    out = []
+    # STREAM one copy per row group through a single ParquetWriter:
+    # a 300-copy (sf30) concat of the text column would hold ~30 GB
+    # in pandas at once; the streamed file carries the identical rows
+    # in the identical order (round 8, fifth decade)
+    n_docs_out, dw = 0, None
     for k in range(n_copies):
         c = docs.copy()
         c["doc_id"] = c["doc_id"] + k * n_docs
@@ -47,10 +51,12 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
                 " ".join(t + suf for t in txt.split()) for txt in c["text"]
             ]
             c["n_chars"] = [len(t) for t in c["text"]]
-        out.append(c)
-    big = out[0] if n_copies == 1 else __import__("pandas").concat(out)
-    pq.write_table(pa.Table.from_pandas(big, preserve_index=False),
-                   f"{dst}/documents.parquet")
+        t = pa.Table.from_pandas(c, preserve_index=False)
+        if dw is None:
+            dw = pq.ParquetWriter(f"{dst}/documents.parquet", t.schema)
+        dw.write_table(t)
+        n_docs_out += len(c)
+    dw.close()
 
     emb = con.sql(
         f"SELECT * FROM read_parquet('{src}/embeddings.parquet')"
@@ -65,29 +71,46 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # cosine(v, -v) = -1 (maximally far, never a near-dup) and
     # -roll(a) vs -roll(b) is as decorrelated as the unflipped pair,
     # so blocks 0..dim-1 and dim..2*dim-1 stay structurally disjoint.
-    if n_copies > 2 * mats.shape[1]:
+    # THIRD axis past 2*dim copies (round 8, sf30): a deterministic
+    # elementwise sign PATTERN per 2*dim-sized superblock — patterns
+    # cancel inside a copy (dot(s·v, s·w) = dot(v, w), within-copy
+    # cosine structure EXACT) while cross-superblock products pick up
+    # ~dim/2 random sign flips (decorrelated like a fresh gaussian).
+    # Copies below 2*dim use pattern 0 (all ones), so sf3/sf10
+    # corpora regenerate byte-identically.
+    dim_e = mats.shape[1]
+    if n_copies > 2 * dim_e * 64:
         raise SystemExit(
-            f"n_copies={n_copies} exceeds 2*dim={2 * mats.shape[1]}: "
-            "roll+sign-flip decorrelation is exhausted; add a third axis"
+            f"n_copies={n_copies} exceeds 2*dim*64={2 * dim_e * 64}: "
+            "roll+flip+pattern decorrelation is exhausted; add an axis"
         )
-    parts = []
+    n_vec_out, ew = 0, None
     for k in range(n_copies):
         c = emb.copy()
         c["vec_id"] = c["vec_id"] + k * n_vec
         if k > 0:
-            sign = -1.0 if (k // mats.shape[1]) % 2 else 1.0
-            c["embedding"] = list(sign * np.roll(mats, k % mats.shape[1], axis=1))
-        parts.append(c)
-    bige = parts[0] if n_copies == 1 else __import__("pandas").concat(parts)
-    tbl = pa.Table.from_pandas(bige, preserve_index=False)
-    # embedding column must stay list<float32> (the driver's schema)
-    idx = tbl.schema.get_field_index("embedding")
-    tbl = tbl.set_column(
-        idx, "embedding",
-        pa.array([list(map(float, v)) for v in bige["embedding"]],
-                 type=pa.list_(pa.float32())),
-    )
-    pq.write_table(tbl, f"{dst}/embeddings.parquet")
+            sign = -1.0 if (k // dim_e) % 2 else 1.0
+            m = sign * np.roll(mats, k % dim_e, axis=1)
+            block = k // (2 * dim_e)
+            if block > 0:
+                pat = np.random.RandomState(7700 + block).choice(
+                    np.array([-1.0, 1.0], dtype=np.float32), size=dim_e
+                )
+                m = m * pat
+            c["embedding"] = list(m.astype(np.float32))
+        tbl = pa.Table.from_pandas(c, preserve_index=False)
+        # embedding column must stay list<float32> (driver's schema)
+        idx = tbl.schema.get_field_index("embedding")
+        tbl = tbl.set_column(
+            idx, "embedding",
+            pa.array([list(map(float, v)) for v in c["embedding"]],
+                     type=pa.list_(pa.float32())),
+        )
+        if ew is None:
+            ew = pq.ParquetWriter(f"{dst}/embeddings.parquet", tbl.schema)
+        ew.write_table(tbl)
+        n_vec_out += len(c)
+    ew.close()
 
     # events: copy k offsets user_id by a disjoint stride (per-user
     # attribution chains stay intact within a copy; the KEY cardinality
@@ -108,18 +131,18 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
     # merging distinct users' attribution chains (review r05)
     user_stride = int(ev["user_id"].max()) - int(ev["user_id"].min()) + 1
     event_stride = int(ev["event_id"].max()) - int(ev["event_id"].min()) + 1
-    eparts = []
+    n_ev_out, vw = 0, None
     for k in range(n_copies):
         c = ev.copy()
         if k > 0:
             c["user_id"] = c["user_id"] + k * user_stride
             c["event_id"] = c["event_id"] + k * event_stride
-        eparts.append(c)
-    bigev = eparts[0] if n_copies == 1 else __import__("pandas").concat(eparts)
-    pq.write_table(
-        pa.Table.from_pandas(bigev, preserve_index=False),
-        f"{dst}/events.parquet",
-    )
+        t = pa.Table.from_pandas(c, preserve_index=False)
+        if vw is None:
+            vw = pq.ParquetWriter(f"{dst}/events.parquet", t.schema)
+        vw.write_table(t)
+        n_ev_out += len(c)
+    vw.close()
 
     # dims referenced by fact-side entries (the quality contract's
     # referential check reads customer): copied VERBATIM — dims stay
@@ -194,8 +217,8 @@ def make(src: str, dst: str, n_copies: int = 10) -> None:
         f"SELECT count(*) FROM read_parquet('{dst}/lineitem.parquet')"
     ).fetchone()[0]
     print(
-        f"wrote {len(big)} docs, {len(bige)} vectors, "
-        f"{len(bigev)} events, {n_orders} orders, {n_li} lineitems to {dst}"
+        f"wrote {n_docs_out} docs, {n_vec_out} vectors, "
+        f"{n_ev_out} events, {n_orders} orders, {n_li} lineitems to {dst}"
     )
 
 

@@ -238,6 +238,82 @@ def cosine_near_dup_blocked(
     )
 
 
+def near_dup_cascade(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+    n_assign: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-then-near embedding dedup cascade (the
+    ``multimodal.image_dedup_cascade`` pattern on the vector column,
+    VERDICT r07 item 5): collapse BIT-IDENTICAL vectors to one
+    representative per distinct vector (min key, with multiplicity),
+    then run the IVF-blocked near-dup join over REPRESENTATIVES only.
+
+    This is the production answer to copy-heavy embedding corpora:
+    the raw pair entry emits C(g, 2) cosine-1 pairs per g-sized
+    identical-vector group (the round-7 sf10 image sweep measured
+    that quadratic directly; 10^6 copies of one viral document's
+    embedding → 5*10^11 raw pairs), while the cascade emits ONE
+    representative whose ``group_size`` carries the multiplicity —
+    intra-group pairs never materialize, and
+    ``n_cross_pairs = size_a * size_b`` is the raw pair count each
+    representative edge stands for. Representative pairs have
+    DISTINCT vectors, so cell pair volume is bounded by distinct
+    count, immune to duplicate-group size.
+
+    The collapse groups by the vector VALUE itself (exact array
+    equality — declared, and replayed verbatim by a GROUP BY on the
+    list in the oracle); no hash step means no collision caveat at
+    the cost of shuffling the 4·dim-byte key once, map-side combined.
+
+    Scale: one map-combinable aggregate on the vector key, then the
+    ``cosine_near_dup_blocked`` path over |distinct| rows; the sizes
+    join is two broadcast-or-shuffled equi-joins on the rep key.
+    """
+    groups = spill_checkpoint(
+        df.groupBy(vec_col).agg(
+            F.min(key_col).alias(key_col),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+    reps = groups.select(key_col, vec_col)
+    sizes = groups.select(F.col(key_col).alias("_rid"), "group_size")
+    pairs = cosine_near_dup_blocked(
+        reps,
+        centroids,
+        threshold=threshold,
+        n_assign=n_assign,
+        vec_col=vec_col,
+        key_col=key_col,
+    )
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("_rid", "vec_a").withColumnRenamed(
+                "group_size", "size_a"
+            ),
+            "vec_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_rid", "vec_b").withColumnRenamed(
+                "group_size", "size_b"
+            ),
+            "vec_b",
+        )
+        .select(
+            F.col("vec_a").alias("rep_a"),
+            F.col("vec_b").alias("rep_b"),
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            (F.col("size_a") * F.col("size_b"))
+            .cast("long")
+            .alias("n_cross_pairs"),
+        )
+    )
+
+
 def ivf_topk_cosine(
     df: DataFrame,
     query_vec: list[float],

@@ -234,9 +234,74 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_assign=2 misses 38/144 pairs at sf0.1); at production scale the
     cell count grows ~√N while n_assign stays fixed, so the probe
     fraction shrinks. Pair keys only — membership is stable to float64
-    rounding on both engines."""
+    rounding on both engines.
+
+    Copy-heavy corpora (g identical vectors → C(g,2) cosine-1 raw
+    pairs) should use ``emb_near_dup_cascade``, which collapses exact
+    duplicates to representatives with multiplicity BEFORE the pair
+    join — this raw entry keeps its semantics for corpora where raw
+    pairs ARE the product."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_near_dup_blocked(emb, _centroids(emb), threshold=0.45, n_assign=4)
+
+
+@query(
+    "emb_near_dup_cascade",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    d AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + nn.n, embedding FROM embeddings, nn
+    ),
+    g AS (
+      SELECT MIN(vec_id) AS rid, COUNT(*) AS gs, embedding
+      FROM d GROUP BY embedding
+    )
+    SELECT a.rid AS rep_a, b.rid AS rep_b,
+           CAST(a.gs AS BIGINT) AS size_a,
+           CAST(b.gs AS BIGINT) AS size_b,
+           CAST(a.gs * b.gs AS BIGINT) AS n_cross_pairs
+    FROM g a JOIN g b ON a.rid < b.rid
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+          >= 0.45
+    """,
+)
+def emb_near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-then-near embedding dedup cascade
+    (``similarity.near_dup_cascade``) on a duplicate-injected corpus
+    (embeddings unioned with an id-offset copy, the emb_semdedup
+    pattern — every vector has a bit-identical twin): collapse exact
+    duplicates to min-id representatives with multiplicity, then the
+    IVF-blocked near-dup join over representatives only. The raw
+    entry would emit a cosine-1 pair per twin (N of them) plus 4x
+    the natural near-dup pairs; the cascade emits exactly the
+    DISTINCT-vector pair set with ``n_cross_pairs = size_a * size_b``
+    carrying the multiplicity — the viral-copy-immune production
+    route (VERDICT r07 item 5; the sf10 image sweep measured the
+    quadratic this kills).
+
+    The collapse is declared exact array-value grouping, replayed by
+    the oracle's GROUP BY on the list; blocking is the same declared
+    8-cell/4-probe scheme as ``emb_cosine_near_dup`` (measured recall
+    1.0 vs exact all-pairs at this threshold), so the oracle verifies
+    against exact all-pairs over the collapsed groups.
+
+    Scale: one map-combinable aggregate on the vector key + the
+    blocked verify over |distinct| rows; intra-group pairs never
+    materialize at any duplication factor.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _nvec(sf_dir, emb)
+    copy = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"), "embedding"
+    )
+    doubled = emb.select("vec_id", "embedding").unionByName(copy)
+    return S.near_dup_cascade(
+        doubled, _centroids(emb), threshold=0.45, n_assign=4
+    )
 
 
 @query(
