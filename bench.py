@@ -103,6 +103,24 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # self-describing provenance (VERDICT r07 item 8): "round" is the
+    # BUILD round this bench ran in (1 + latest driver artifact —
+    # the driver writes its round-N artifacts at END of round N), so
+    # a BENCH_full_r{N+1} file written during round N's close no
+    # longer needs the bench.py naming note to interpret.
+    try:
+        import re
+        from pathlib import Path as _P
+
+        _rounds = [
+            int(m.group(1))
+            for f in _P(__file__).resolve().parent.glob("*_r*.json")
+            if (m := re.fullmatch(r"(?:BENCH|CORRECTNESS)_r(\d+)", f.stem))
+        ]
+        payload["round"] = max(_rounds, default=0) + 1
+        payload["phase"] = "in-round build" if sys.argv[1:] else "full catalog"
+    except OSError:
+        pass
     print(json.dumps(payload))
     # The driver records only the stdout tail (2000 chars), which
     # truncates the per-query map past ~150 entries (VERDICT r06 item
