@@ -142,6 +142,8 @@ NOTES = {
     "events_psi_drift": "bin counts collapse map-side to <=6 rows per (type,side); PSI terms DECIMAL(18,6)-quantized (libm ln ulp absorbed)",
     "emb_ivfpq_recall": "id-set overlap of the composed index vs the exact L2 heap; costs its two searches",
     "emb_ivfpq_adc_topk": "FAISS-IVFPQ shape: 2-row probe broadcast prunes cells; codes-vs-candidates semi-join is the one SMJ (AQE broadcasts it at driver SFs; at scale candidates are N*probe/k rows - SMJ is correct); both approximations declared + SQL-replayed",
+    "emb_near_dup_cascade": "bit-identical vector collapse (map-combinable agg on the vector key) to representatives BEFORE the IVF-blocked verify; rep pair volume bounded by DISTINCT vectors - viral-copy immune (the image-cascade pattern)",
+    "events_user_deciles_approx": "mergeable GK sketch bounds combiner state regardless of DISTINCT totals (the percentile_disc merge-map killer); 1-row bounds broadcast + one combinable gate agg",
 }
 
 
