@@ -689,7 +689,8 @@ def events_user_deciles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` (mergeable Greenwald-Khanna sketch, bounded
     memory: 3.6 s at 60M keys vs the exact sort's 101.7 s) — the
     assignment side is unchanged; only boundary picking trades
-    exactness for a bounded rank error.
+    exactness for a bounded rank error. That swap ships as
+    ``events_user_deciles_approx`` (round 8), rank-error gated.
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
