@@ -179,6 +179,17 @@ def test_stratified_sample_uses_window_group_limit(plans):
     assert "WindowGroupLimit" in plans["docs_stratified_sample"]
 
 
+def test_knn_rank_consumers_use_window_group_limit(plans):
+    """The top-k rank over the shared scored-pair checkpoint must
+    compile to the TWO-PHASE WindowGroupLimit (partial per-mapper
+    top-k before the exchange) — at sf10 the pair list is ~4e8 rows
+    and a full per-vector sort would dominate the consumers' cost
+    (SCALE.md r08: with this plan the re-rank is I/O-bound on the
+    checkpoint tier, not compute-bound)."""
+    for name in ("emb_knn_join", "emb_hard_negatives"):
+        assert plans[name].count("WindowGroupLimit") >= 2, name
+
+
 def test_no_collect_in_query_builders(plans):
     """Building every catalog plan must not leave a driver-side
     collect footprint: plans exist for all entries without any
