@@ -101,6 +101,14 @@ def main() -> int:
         "grouped-map fold": fact_media_engagement_fold,
         "partition-scan fold": fact_media_engagement_fold_scan,
     }
+    # WT_IMPLS=window-lag,partition-scan fold  -> subset (the
+    # grouped-map formulation is the known per-group-overhead loser;
+    # at sf30's ~9M visitor-day groups it is minutes of pure Arrow
+    # slicing — skip it once its curve is established)
+    chosen = os.environ.get("WT_IMPLS")
+    if chosen:
+        keep = {c.strip() for c in chosen.split(",")}
+        impls = {k: v for k, v in impls.items() if k in keep}
     print(f"{'impl':22} " + " ".join(f"{d:>14}" for d in dirs) + "   rows")
     for label, fn in impls.items():
         cells, rows = [], None

@@ -171,6 +171,10 @@ def cosine_near_dup_blocked(
     n_assign: int = 2,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    n_centroids: int | None = None,
+    coarse_threshold: int = 64,
+    coarse_probe: int = 2,
+    tier_branch: int | None = None,
 ) -> DataFrame:
     """The 100 TB path for embedding near-dup: block the pair space by
     IVF centroid, then run the exact kernel within each block.
@@ -192,17 +196,22 @@ def cosine_near_dup_blocked(
     import numpy as np
     import pandas as pd
 
-    sim = cosine(as_double(F.col(vec_col)), as_double(F.col("cv")))
-    scored = df.select(key_col, vec_col).crossJoin(F.broadcast(centroids)).select(
-        key_col, vec_col, F.col("centroid_id"), sim.alias("_sim")
-    )
-    w_rank = F.row_number().over(
-        Window.partitionBy(key_col).orderBy(F.desc("_sim"), F.asc("centroid_id"))
-    )
-    assigned = (
-        scored.withColumn("_rk", w_rank)
-        .filter(F.col("_rk") <= n_assign)
-        .select("centroid_id", key_col, vec_col)
+    # assignment rides the shared helper (round 8): bit-identical to
+    # the historical inline flat cross-join below the threshold, and
+    # callers that declare ``n_centroids`` get the L-level
+    # hierarchical descent past it — the same scaled-cell regime the
+    # kNN pair build uses, so the verify stage's Σ|cell|² stays
+    # bounded when the corpus decades up
+    assigned = assign_cells(
+        df.select(key_col, vec_col),
+        centroids,
+        n_assign=n_assign,
+        vec_col=vec_col,
+        key_col=key_col,
+        n_centroids=n_centroids,
+        coarse_threshold=coarse_threshold,
+        coarse_probe=coarse_probe,
+        tier_branch=tier_branch,
     )
 
     def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -245,6 +254,10 @@ def near_dup_cascade(
     n_assign: int = 2,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    n_centroids: int | None = None,
+    coarse_threshold: int = 64,
+    coarse_probe: int = 2,
+    tier_branch: int | None = None,
 ) -> DataFrame:
     """Exact-then-near embedding dedup cascade (the
     ``multimodal.image_dedup_cascade`` pattern on the vector column,
@@ -288,6 +301,10 @@ def near_dup_cascade(
         n_assign=n_assign,
         vec_col=vec_col,
         key_col=key_col,
+        n_centroids=n_centroids,
+        coarse_threshold=coarse_threshold,
+        coarse_probe=coarse_probe,
+        tier_branch=tier_branch,
     )
     return (
         pairs.join(

@@ -245,292 +245,6 @@ def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_blocked(emb, _centroids(emb), threshold=0.45, n_assign=4)
 
 
-@query(
-    "emb_near_dup_cascade",
-    oracle="""
-    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
-    d AS (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + nn.n, embedding FROM embeddings, nn
-    ),
-    g AS (
-      SELECT MIN(vec_id) AS rid, COUNT(*) AS gs, embedding
-      FROM d GROUP BY embedding
-    )
-    SELECT a.rid AS rep_a, b.rid AS rep_b,
-           CAST(a.gs AS BIGINT) AS size_a,
-           CAST(b.gs AS BIGINT) AS size_b,
-           CAST(a.gs * b.gs AS BIGINT) AS n_cross_pairs
-    FROM g a JOIN g b ON a.rid < b.rid
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-            / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-               * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-          >= 0.45
-    """,
-)
-def emb_near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-then-near embedding dedup cascade
-    (``similarity.near_dup_cascade``) on a duplicate-injected corpus
-    (embeddings unioned with an id-offset copy, the emb_semdedup
-    pattern — every vector has a bit-identical twin): collapse exact
-    duplicates to min-id representatives with multiplicity, then the
-    IVF-blocked near-dup join over representatives only. The raw
-    entry would emit a cosine-1 pair per twin (N of them) plus 4x
-    the natural near-dup pairs; the cascade emits exactly the
-    DISTINCT-vector pair set with ``n_cross_pairs = size_a * size_b``
-    carrying the multiplicity — the viral-copy-immune production
-    route (VERDICT r07 item 5; the sf10 image sweep measured the
-    quadratic this kills).
-
-    The collapse is declared exact array-value grouping, replayed by
-    the oracle's GROUP BY on the list; blocking is the same declared
-    8-cell/4-probe scheme as ``emb_cosine_near_dup`` (measured recall
-    1.0 vs exact all-pairs at this threshold), so the oracle verifies
-    against exact all-pairs over the collapsed groups.
-
-    Scale: one map-combinable aggregate on the vector key + the
-    blocked verify over |distinct| rows; intra-group pairs never
-    materialize at any duplication factor.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = _nvec(sf_dir, emb)
-    copy = emb.select(
-        (F.col("vec_id") + F.lit(n)).alias("vec_id"), "embedding"
-    )
-    doubled = emb.select("vec_id", "embedding").unionByName(copy)
-    return S.near_dup_cascade(
-        doubled, _centroids(emb), threshold=0.45, n_assign=4
-    )
-
-
-@query(
-    "emb_hamming_topk",
-    oracle="""
-    WITH codes AS (
-      SELECT vec_id,
-             CAST(list_sum([CASE WHEN embedding[i+1] > 0
-                                 THEN power(2, i) ELSE 0 END
-                            FOR i IN generate_series(0, 31)]) AS BIGINT)
-               AS lo,
-             CAST(list_sum([CASE WHEN embedding[i+1] > 0
-                                 THEN power(2, i - 32) ELSE 0 END
-                            FOR i IN generate_series(32, 63)]) AS BIGINT)
-               AS hi
-      FROM embeddings WHERE embedding IS NOT NULL
-    ),
-    q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0)
-    SELECT c.vec_id,
-           CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi))
-                AS INTEGER) AS hamming
-    FROM codes c, q
-    WHERE c.vec_id <> 0
-    ORDER BY hamming, c.vec_id
-    LIMIT 10
-    """,
-)
-def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-sketch ANN: sign-quantize every vector to a 64-bit code
-    (two 32-bit halves), rank by Hamming distance to vec 0's code.
-    Sign quantization has NO float-rounding ambiguity, so unlike the
-    cosine paths this sketch pipeline is EXACTLY oracle-checked end
-    to end — codes, distances, and ranking. The query code folds into
-    codegen as two literals (from the cached query vector)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = _query_vec(spark, sf_dir, 0)
-    return S.hamming_topk(emb, q, k=10, exclude_key=0)
-
-
-@query(
-    "emb_kmeans_quality",
-    oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           8 AS n_clusters,
-           TRUE AS objective_improved
-    FROM embeddings
-    """,
-)
-def emb_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF centroid TRAINING (spherical k-means, 2 Lloyd updates +
-    final objective) as an iterative-algorithm catalog entry. The float centroids are
-    engine-specific, so the oracle-checked statement is structural:
-    every vector participates, k clusters come back, and the spherical
-    objective (mean assignment cosine) did not degrade across
-    iterations — Lloyd's monotonicity, which would break under any
-    assignment/update bug."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids, hist = S.kmeans_fit(emb, k=8, max_iter=3, track_history=False)
-    n_vec = emb.count()
-    n_cl = centroids.count()
-    improved = bool(hist[-1] >= hist[0] - 1e-9)
-    return spark.range(1).select(
-        F.lit(n_vec).cast("bigint").alias("n_vectors"),
-        F.lit(int(n_cl)).cast("int").alias("n_clusters"),
-        F.lit(improved).alias("objective_improved"),
-    )
-
-
-@query(
-    "emb_ivf_topk",
-    oracle="""
-    WITH q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-    ),
-    c AS (
-      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < 8
-    ),
-    probe AS (
-      SELECT centroid_id FROM c, q
-      ORDER BY list_dot_product(cv, qv)
-                 / (sqrt(list_dot_product(cv, cv))
-                    * sqrt(list_dot_product(qv, qv))) DESC,
-               centroid_id
-      LIMIT 2
-    ),
-    scored AS (
-      SELECT e.vec_id, c.centroid_id,
-             list_dot_product(e.embedding::DOUBLE[], c.cv)
-               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
-      FROM embeddings e, c
-      WHERE e.vec_id <> 0
-    ),
-    best AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT vec_id, centroid_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY sim DESC, centroid_id) AS rn
-        FROM scored
-      ) WHERE rn = 1
-    ),
-    cand AS (
-      SELECT b.vec_id FROM best b JOIN probe p ON b.centroid_id = p.centroid_id
-    )
-    SELECT e.vec_id,
-           list_dot_product(e.embedding::DOUBLE[], q.qv)
-             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
-    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
-    ORDER BY cosine_sim DESC, e.vec_id
-    LIMIT 10
-    """,
-)
-def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-10 (probe 2 of 8 centroid partitions).
-
-    EXACTLY oracle-checked, like the knn-join: the seed centroids
-    (vec_id < 8), the 1-NN assignment tie-breaks, and the 2-probe
-    selection are all declared structure the oracle replays in SQL, so
-    the ANN approximation lives in the blocking, never in unverifiable
-    arithmetic. Recall vs the exact top-k is separately asserted in
-    tests.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _centroids(emb)
-    q = _query_vec(spark, sf_dir, 0)
-    return S.ivf_topk_cosine(
-        emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=2, centroids=centroids
-    )
-
-
-@query(
-    "emb_ivf_topk_fullprobe",
-    oracle="""
-    WITH q AS (
-      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-    )
-    SELECT e.vec_id,
-           list_dot_product(e.embedding::DOUBLE[], q.qv)
-             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-    ORDER BY cosine_sim DESC, e.vec_id
-    LIMIT 10
-    """,
-)
-def emb_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k probing ALL cells: must equal the exact brute-force
-    top-k (same oracle as emb_topk_cosine) — turns the ANN machinery's
-    correctness into an exact, oracle-checked statement; the 2-probe
-    entry then only adds the recall/latency trade."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _centroids(emb)
-    q = _query_vec(spark, sf_dir, 0)
-    return S.ivf_topk_cosine(
-        emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=8, centroids=centroids
-    )
-
-
-@query(
-    "emb_int8_quantization",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
-    ),
-    s AS (
-      SELECT vec_id, x, list_max([abs(e) FOR e IN x]) AS scale FROM v
-    ),
-    q AS (
-      SELECT vec_id, x, scale,
-             CASE WHEN scale > 0
-                  THEN [floor(e / scale * 127 + 0.5) FOR e IN x]
-                  ELSE [0.0 FOR e IN x] END AS qs
-      FROM s
-    ),
-    d AS (
-      SELECT vec_id, scale, qs,
-             [x[i] - qs[i] * scale / 127 FOR i IN generate_series(1, len(x))]
-               AS diff,
-             len(x) AS dim
-      FROM q
-    )
-    SELECT vec_id, scale,
-           CAST(list_max([abs(e) FOR e IN qs]) AS BIGINT) AS max_abs_q,
-           list_reduce(list_prepend(0.0, [e * e FOR e IN diff]),
-                       (a, b) -> a + b) AS sq_err,
-           CAST(dim AS BIGINT) AS dim
-    FROM d
-    """,
-)
-def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 scalar quantization of the embedding column:
-    per-vector max-abs scale, code = floor(x/scale·127 + 0.5), plus
-    the exact reconstruction squared error — the 4× memory/bandwidth
-    compression step in front of large-scale ANN (quantized codes
-    ship through shuffles; floats stay in cold storage).
-
-    Cross-engine exactness: every step is elementwise IEEE arithmetic
-    written in the same association order in both engines, and the
-    error sum is a SEQUENTIAL left fold over the array (array order
-    is deterministic, unlike row order) — so even the accumulated
-    double hash-matches bit-for-bit. Pure codegen projection: no
-    shuffle, no UDF.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = S.as_double(F.col("embedding"))
-    scale = F.array_max(F.transform(x, lambda e: F.abs(e)))
-    zeros = F.transform(x, lambda e: F.lit(0.0))
-    qs = F.when(
-        scale > 0,
-        F.transform(x, lambda e: F.floor(e / scale * 127 + F.lit(0.5))),
-    ).otherwise(zeros.cast("array<bigint>"))
-    diff = F.zip_with(x, qs, lambda a, b: a - b * scale / 127)
-    sq_err = F.aggregate(
-        F.transform(diff, lambda e: e * e), F.lit(0.0), lambda a, b: a + b
-    )
-    return emb.select(
-        "vec_id",
-        scale.alias("scale"),
-        F.array_max(F.transform(qs, lambda e: F.abs(e)))
-        .cast("long")
-        .alias("max_abs_q"),
-        sq_err.alias("sq_err"),
-        F.size(x).cast("long").alias("dim"),
-    )
-
-
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine between two DOUBLE[] expressions — the one
     expression every assignment oracle uses (identical FP evaluation
@@ -773,6 +487,339 @@ def _knn_asg_sql(
         + ",\n    asg AS ("
         + "\n      UNION ALL".join(arm_sqls)
         + "\n    )"
+    )
+
+
+def _near_dup_cascade_oracle() -> str:
+    """Declared-blocking oracle for the cascade: the duplicate-
+    injected corpus collapses to one representative per DISTINCT
+    vector (min id + multiplicity), representatives assign through
+    the SHARED flat/L2/L3/L4 arm generator (vector source = the
+    collapsed group table), pairs form within cells and verify at
+    the exact cosine threshold. Literals 4 (n_assign), 250 (cell
+    size over the DOUBLED count), 0.45 (threshold) mirror the
+    catalog entry — regenerate together."""
+    pre = """nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    d AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + nn.n, embedding FROM embeddings, nn
+    ),
+    g AS (
+      SELECT MIN(vec_id) AS rid, COUNT(*) AS gs, embedding
+      FROM d GROUP BY embedding
+    ),
+    grp AS (SELECT rid AS vec_id, embedding FROM g),
+    """
+    kk_body = "SELECT greatest(8, (2 * n) // 250) AS k FROM nn"
+    prefix = _asg_prefix_sql("grp", (), kk_body, pre_ctes=pre)
+    arms = []
+    for src in ("scored_flat", "a2s", "a3s", "a4s"):
+        arms.append(
+            f"""
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM {src}
+      ) WHERE rn <= 4"""
+        )
+    return (
+        prefix
+        + ",\n    asg AS ("
+        + "\n      UNION ALL".join(arms)
+        + f"""
+    ),
+    p AS (
+      SELECT DISTINCT a.vec_id AS rep_a, b.vec_id AS rep_b
+      FROM asg a JOIN asg b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT p.rep_a, p.rep_b,
+           CAST(ga.gs AS BIGINT) AS size_a,
+           CAST(gb.gs AS BIGINT) AS size_b,
+           CAST(ga.gs * gb.gs AS BIGINT) AS n_cross_pairs
+    FROM p
+    JOIN g ga ON ga.rid = p.rep_a
+    JOIN g gb ON gb.rid = p.rep_b
+    WHERE {_cos_sql("ga.embedding::DOUBLE[]", "gb.embedding::DOUBLE[]")}
+          >= 0.45
+    """
+    )
+
+
+@query(
+    "emb_near_dup_cascade",
+    oracle=_near_dup_cascade_oracle(),
+)
+def emb_near_dup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-then-near embedding dedup cascade
+    (``similarity.near_dup_cascade``) on a duplicate-injected corpus
+    (embeddings unioned with an id-offset copy, the emb_semdedup
+    pattern — every vector has a bit-identical twin): collapse exact
+    duplicates to min-id representatives with multiplicity, then the
+    IVF-blocked near-dup verify over representatives only. The raw
+    entry (``emb_cosine_near_dup``) would emit a cosine-1 pair per
+    twin (N of them) plus 4x the natural near-dup pairs; the cascade
+    emits exactly the DISTINCT-vector pair set with
+    ``n_cross_pairs = size_a * size_b`` carrying the multiplicity —
+    the viral-copy-immune production route (VERDICT r07 item 5; the
+    sf10 image sweep measured the quadratic this kills).
+
+    The FULL pipeline is declared and replayed: exact array-value
+    grouping (oracle GROUP BY on the list), the scaled cell count
+    ``max(8, 2N//250)`` with the shared flat/L2/L3/L4 assignment
+    arms over the collapsed group table, within-cell pairing, exact
+    cosine verify — hash-exact at every oracle-checkable scale, no
+    recall caveat (round 8: the first cut used the fixed-8-cell
+    blocking, whose ~N/8-sized cells go quadratic exactly like the
+    raw entry at the fifth decade).
+
+    Scale: one map-combinable aggregate on the vector key; cells of
+    ~250 representatives keep the verify Σ|cell|² linear in DISTINCT
+    vectors; assignment is the O(N log N) L-level descent; intra-
+    group pairs never materialize at any duplication factor.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _nvec(sf_dir, emb)
+    copy = emb.select(
+        (F.col("vec_id") + F.lit(n)).alias("vec_id"), "embedding"
+    )
+    doubled = emb.select("vec_id", "embedding").unionByName(copy)
+    k = max(8, (2 * n) // 250)
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    return S.near_dup_cascade(
+        doubled, cents, threshold=0.45, n_assign=4, n_centroids=k
+    )
+
+
+@query(
+    "emb_hamming_topk",
+    oracle="""
+    WITH codes AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i) ELSE 0 END
+                            FOR i IN generate_series(0, 31)]) AS BIGINT)
+               AS lo,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i - 32) ELSE 0 END
+                            FOR i IN generate_series(32, 63)]) AS BIGINT)
+               AS hi
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CAST(bit_count(xor(c.lo, q.qlo)) + bit_count(xor(c.hi, q.qhi))
+                AS INTEGER) AS hamming
+    FROM codes c, q
+    WHERE c.vec_id <> 0
+    ORDER BY hamming, c.vec_id
+    LIMIT 10
+    """,
+)
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: sign-quantize every vector to a 64-bit code
+    (two 32-bit halves), rank by Hamming distance to vec 0's code.
+    Sign quantization has NO float-rounding ambiguity, so unlike the
+    cosine paths this sketch pipeline is EXACTLY oracle-checked end
+    to end — codes, distances, and ranking. The query code folds into
+    codegen as two literals (from the cached query vector)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return S.hamming_topk(emb, q, k=10, exclude_key=0)
+
+
+@query(
+    "emb_kmeans_quality",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           8 AS n_clusters,
+           TRUE AS objective_improved
+    FROM embeddings
+    """,
+)
+def emb_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (spherical k-means, 2 Lloyd updates +
+    final objective) as an iterative-algorithm catalog entry. The float centroids are
+    engine-specific, so the oracle-checked statement is structural:
+    every vector participates, k clusters come back, and the spherical
+    objective (mean assignment cosine) did not degrade across
+    iterations — Lloyd's monotonicity, which would break under any
+    assignment/update bug."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, hist = S.kmeans_fit(emb, k=8, max_iter=3, track_history=False)
+    n_vec = emb.count()
+    n_cl = centroids.count()
+    improved = bool(hist[-1] >= hist[0] - 1e-9)
+    return spark.range(1).select(
+        F.lit(n_vec).cast("bigint").alias("n_vectors"),
+        F.lit(int(n_cl)).cast("int").alias("n_clusters"),
+        F.lit(improved).alias("objective_improved"),
+    )
+
+
+@query(
+    "emb_ivf_topk",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    probe AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT 2
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+      WHERE e.vec_id <> 0
+    ),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT b.vec_id FROM best b JOIN probe p ON b.centroid_id = p.centroid_id
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+    FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-10 (probe 2 of 8 centroid partitions).
+
+    EXACTLY oracle-checked, like the knn-join: the seed centroids
+    (vec_id < 8), the 1-NN assignment tie-breaks, and the 2-probe
+    selection are all declared structure the oracle replays in SQL, so
+    the ANN approximation lives in the blocking, never in unverifiable
+    arithmetic. Recall vs the exact top-k is separately asserted in
+    tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _centroids(emb)
+    q = _query_vec(spark, sf_dir, 0)
+    return S.ivf_topk_cosine(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=2, centroids=centroids
+    )
+
+
+@query(
+    "emb_ivf_topk_fullprobe",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id,
+           list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_ivf_topk_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing ALL cells: must equal the exact brute-force
+    top-k (same oracle as emb_topk_cosine) — turns the ANN machinery's
+    correctness into an exact, oracle-checked statement; the 2-probe
+    entry then only adds the recall/latency trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _centroids(emb)
+    q = _query_vec(spark, sf_dir, 0)
+    return S.ivf_topk_cosine(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_probe_centroids=8, centroids=centroids
+    )
+
+
+@query(
+    "emb_int8_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, x, list_max([abs(e) FOR e IN x]) AS scale FROM v
+    ),
+    q AS (
+      SELECT vec_id, x, scale,
+             CASE WHEN scale > 0
+                  THEN [floor(e / scale * 127 + 0.5) FOR e IN x]
+                  ELSE [0.0 FOR e IN x] END AS qs
+      FROM s
+    ),
+    d AS (
+      SELECT vec_id, scale, qs,
+             [x[i] - qs[i] * scale / 127 FOR i IN generate_series(1, len(x))]
+               AS diff,
+             len(x) AS dim
+      FROM q
+    )
+    SELECT vec_id, scale,
+           CAST(list_max([abs(e) FOR e IN qs]) AS BIGINT) AS max_abs_q,
+           list_reduce(list_prepend(0.0, [e * e FOR e IN diff]),
+                       (a, b) -> a + b) AS sq_err,
+           CAST(dim AS BIGINT) AS dim
+    FROM d
+    """,
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column:
+    per-vector max-abs scale, code = floor(x/scale·127 + 0.5), plus
+    the exact reconstruction squared error — the 4× memory/bandwidth
+    compression step in front of large-scale ANN (quantized codes
+    ship through shuffles; floats stay in cold storage).
+
+    Cross-engine exactness: every step is elementwise IEEE arithmetic
+    written in the same association order in both engines, and the
+    error sum is a SEQUENTIAL left fold over the array (array order
+    is deterministic, unlike row order) — so even the accumulated
+    double hash-matches bit-for-bit. Pure codegen projection: no
+    shuffle, no UDF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = S.as_double(F.col("embedding"))
+    scale = F.array_max(F.transform(x, lambda e: F.abs(e)))
+    zeros = F.transform(x, lambda e: F.lit(0.0))
+    qs = F.when(
+        scale > 0,
+        F.transform(x, lambda e: F.floor(e / scale * 127 + F.lit(0.5))),
+    ).otherwise(zeros.cast("array<bigint>"))
+    diff = F.zip_with(x, qs, lambda a, b: a - b * scale / 127)
+    sq_err = F.aggregate(
+        F.transform(diff, lambda e: e * e), F.lit(0.0), lambda a, b: a + b
+    )
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_max(F.transform(qs, lambda e: F.abs(e)))
+        .cast("long")
+        .alias("max_abs_q"),
+        sq_err.alias("sq_err"),
+        F.size(x).cast("long").alias("dim"),
     )
 
 
