@@ -796,3 +796,112 @@ def customers_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("acctbal_gap"),
         )
     )
+
+
+@query(
+    "orders_basket_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+    f AS (SELECT l_partkey, COUNT(*) AS n_item FROM b GROUP BY 1),
+    p AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             COUNT(*) AS support
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, support,
+           CAST(support AS DOUBLE) / CAST(fa.n_item AS DOUBLE)
+             AS confidence,
+           CAST(support * n.n_orders AS DOUBLE)
+             / CAST(fa.n_item * fb.n_item AS DOUBLE) AS lift
+    FROM p
+    JOIN f fa ON fa.l_partkey = p.part_a
+    JOIN f fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the A-Priori pair stage):
+    top co-purchased part pairs across orders ranked by lift, with
+    min-support 2 — support = orders containing both parts,
+    confidence = P(b|a), lift = N·n_ab/(n_a·n_b).
+
+    Scale: pairs are generated ORDER-LOCALLY — collect the distinct
+    part set per order (baskets are bounded: ≤7 lineitems in TPC-H,
+    bounded by order size in any retail schema) and expand C(m,2)
+    pairs with an array comprehension, exactly the ``bucket_pairs``
+    shape. No part-key self-join ever happens, so a hot part (a
+    best-seller in 10% of orders) never becomes a hot JOIN key — it
+    only widens baskets it actually appears in. One shuffle on
+    l_orderkey (basket build), one on the pair (support count), both
+    map-side combinable; item frequencies are one extra combinable
+    agg on the same basket table, and the final ranking is a
+    TakeOrdered top-100, no global sort. Determinism: integer
+    support/frequency products, one IEEE double division per metric,
+    total tiebreak (lift desc, part_a, part_b).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("_parts")
+    )
+    # item frequency and the order total ride the SAME basket table
+    # (one lineitem scan, one orderkey shuffle, reused three ways).
+    freq = (
+        baskets.select(F.explode("_parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_parts"),
+                lambda x: F.transform(
+                    F.col("_parts"),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda p: p["part_a"] < p["part_b"],
+    )
+    support = (
+        baskets.select(F.explode(pair).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    fa = freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a")
+    )
+    fb = freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        support.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                F.col("support").cast("double")
+                / F.col("n_a").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(100)
+    )

@@ -389,6 +389,66 @@ def docs_simhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_minhash_estimate_error",
+    oracle=f"""
+    SELECT COUNT(*) AS n_pairs, TRUE AS mean_err_ok, TRUE AS max_err_ok
+    FROM ({JACCARD_CAPPED_SQL})
+    """,
+)
+def docs_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATE-ERROR self-eval — the dedup-family twin of the
+    ANN family's ``emb_ivf_recall``/``emb_pq_recall`` pattern: over
+    the exact Jaccard≥0.8 ground-truth pairs (SQL-replayed), the
+    64-permutation signature agreement fraction must estimate the true
+    Jaccard within statistical bounds — mean |est − J| ≤ 0.04 and
+    max ≤ 0.20 (≈4σ at the J=0.8 threshold, σ = √(J(1−J)/64) = 0.05;
+    measured across the shipped corpora: mean ≈ 0.017, max ≤ 0.097 at
+    sf0.001/0.01/0.1). The ``docs_simhash_quality`` gate pattern: the
+    pair COUNT is hash-checked against SQL, the probabilistic bounds
+    are engine-computed booleans the oracle pins as literal TRUE —
+    xxhash64 signatures themselves are not DuckDB-replayable.
+
+    Scale: the estimate join touches only near-dup-volume pairs (the
+    shared ``_jaccard_pairs_cached`` checkpoint) and corpus-volume
+    signatures once; the per-pair 64-lane agreement fold runs on pair
+    volume, not corpus volume, and the output is one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sigs = D.minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("_sa")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("_sb")
+    )
+    err = (
+        exact.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.abs(
+                F.aggregate(
+                    F.zip_with(
+                        "_sa", "_sb", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                / F.lit(64.0)
+                - F.col("jaccard")
+            ).alias("_err")
+        )
+    )
+    return err.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.mean("_err") <= 0.04).alias("mean_err_ok"),
+        (F.max("_err") <= 0.20).alias("max_err_ok"),
+    )
+
+
+@query(
     "docs_lang_stats",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
