@@ -783,3 +783,177 @@ def test_streaming_heartbeat_uptime_watermark_boundary_row(spark, tmp_path):
         assert (last.uptime_us, last.n_islands) == (12 * 60 * 1_000_000, 2)
     finally:
         q.stop()
+
+
+def test_streaming_state_durations_matches_batch(spark, tmp_path):
+    """The streaming state_durations twin's FINAL emission (max n_obs
+    per user) equals the batch state_durations on the same rows —
+    including a LATE mid-gap observation that must RE-SPLIT a held
+    interval between two states (the non-monotone case the n_obs
+    emission counter exists for)."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        state_durations,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_state_durations,
+    )
+
+    rows = [
+        # user 1: view@0:00, click@0:10, view@0:30, purchase@1:00
+        # -> view held 10m (0:00-0:10) + 30m (0:30-1:00), click held
+        # 20m (0:10-0:30), purchase open (0 held)
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:10:00", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T00:30:00", "user_id": 1,
+         "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T01:00:00", "user_id": 1,
+         "event_type": "purchase", "value": 1.0, "props": "{}"},
+        # user 2: single open observation -> 1 entry, 0 held
+        {"event_id": 5, "ts": "2024-01-01T00:30:00", "user_id": 2,
+         "event_type": "signup", "value": 1.0, "props": "{}"},
+    ]
+    # chunk 1 delivers events 1, 3, 4 (view@0:00 -> view@0:30 looks
+    # like one 30m view hold); chunk 2 delivers the MID-GAP click@0:10
+    # late — view's held total must SHRINK from 60m to 40m and click
+    # must appear with 20m
+    d = tmp_path / "sd_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((rows[0::2], rows[1::2])):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_state_durations(stream, watermark="1 day"),
+        "sd_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM sd_stream").collect()
+        final_n = {}
+        for r in emitted:
+            final_n[r.user_id] = max(final_n.get(r.user_id, 0), r.n_obs)
+        last = {
+            (r.user_id, r.state): r
+            for r in emitted
+            if r.n_obs == final_n[r.user_id]
+        }
+        batch_df = spark.createDataFrame(
+            [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+              e["user_id"], e["event_type"], e["value"], e["props"])
+             for e in rows],
+            schema,
+        )
+        batch = {
+            (r.user_id, r.event_type): r
+            for r in state_durations(batch_df).collect()
+        }
+        assert set(last) == set(batch)
+        for k, b in batch.items():
+            s = last[k]
+            assert (s.n_entries, s.held_us) == (b.n_entries, b.held_us), k
+        m = 60 * 1_000_000
+        assert (last[(1, "view")].n_entries,
+                last[(1, "view")].held_us) == (2, 40 * m)
+        assert (last[(1, "click")].n_entries,
+                last[(1, "click")].held_us) == (1, 20 * m)
+        assert (last[(1, "purchase")].held_us) == 0
+        assert (last[(2, "signup")].n_entries,
+                last[(2, "signup")].held_us) == (1, 0)
+    finally:
+        q.stop()
+
+
+def test_streaming_state_durations_watermark_boundary_row(spark, tmp_path):
+    """A row AT the watermark arriving in a later batch, then a
+    same-timestamp EARLIER-tiebreak straggler: the strict '< wm'
+    commit bound plus the pending re-sort must keep the LOCF chain
+    (and therefore which state holds the next interval) equal to
+    batch — here the boundary row is value-bearing, not a zero-length
+    step."""
+    import datetime as dt
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        state_durations,
+    )
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_state_durations,
+    )
+
+    def ev(eid, ts, state):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": state, "value": 1.0, "props": "{}"}
+
+    chunks = [
+        # batch A advances the watermark to 2024-01-02 (max ts - 1d)
+        [ev(1, "2024-01-01T23:00:00", "view"),
+         ev(9, "2024-01-03T00:00:00", "end")],
+        # batch B: a row EXACTLY AT the watermark — state click holds
+        # until the end row
+        [ev(6, "2024-01-02T00:00:00", "click")],
+        # batch C: same timestamp, EARLIER tiebreak, different state —
+        # the (ts, event_id) order makes click the later row, so click
+        # still holds the 24h interval and seek holds 0
+        [ev(5, "2024-01-02T00:00:00", "seek")],
+    ]
+    d = tmp_path / "sd_wm_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_state_durations(stream, watermark="1 day"),
+        "sd_wm_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM sd_wm_stream").collect()
+        n_max = max(r.n_obs for r in emitted)
+        last = {r.state: r for r in emitted if r.n_obs == n_max}
+        rows = [e for c in chunks for e in c]
+        batch = {
+            r.event_type: r
+            for r in state_durations(
+                spark.createDataFrame(
+                    [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+                      e["user_id"], e["event_type"], e["value"], e["props"])
+                     for e in rows],
+                    schema,
+                )
+            ).collect()
+        }
+        assert set(last) == set(batch)
+        for st, b in batch.items():
+            assert (last[st].n_entries, last[st].held_us) == (
+                b.n_entries, b.held_us), st
+        h = 60 * 60 * 1_000_000
+        assert last["view"].held_us == 1 * h          # 23:00 -> 00:00
+        assert last["seek"].held_us == 0              # zero-length step
+        assert last["click"].held_us == 24 * h        # 00:00 -> next day
+        assert last["end"].held_us == 0               # open tail
+    finally:
+        q.stop()

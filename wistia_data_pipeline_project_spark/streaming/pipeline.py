@@ -886,3 +886,140 @@ def streaming_heartbeat_uptime(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+STATE_DUR_STATE_SCHEMA = (
+    "prev_us long, prev_state string, states array<string>, "
+    "entries array<long>, held array<long>, "
+    "pend_ts array<long>, pend_eid array<long>, pend_state array<string>"
+)
+STATE_DUR_OUTPUT_SCHEMA = (
+    "user_id long, state string, n_entries long, held_us long, n_obs long"
+)
+
+
+def streaming_state_durations(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``timeseries.state_durations`` (time-in-state
+    per (key, state), the TimescaleDB ``state_agg`` shape — the FOURTH
+    stateful hyperfunction under the strict-watermark commit
+    discipline). The batch LOCF telescopes per observation: each
+    committed row enters its state (``n_entries`` += 1) and closes the
+    PREVIOUS observation's open interval (``held_us[prev_state]`` +=
+    Δt); the newest committed observation stays open, exactly the
+    batch operator's no-duration tail.
+
+    Unlike the counter/heartbeat twins, per-STATE totals are NOT
+    monotone across emissions: a late mid-gap row re-splits a held
+    interval between two states (held_A shrinks, held_C appears), so
+    every emission carries the per-user observation count ``n_obs`` —
+    the monotone sequence consumers (and the parity tests) use to pick
+    the final emission per (user, state).
+
+    Commit discipline: rows fold into committed state only once
+    STRICTLY older than the watermark (``< wm``, the counter twin's
+    regression bound); newer rows buffer in state and fold
+    provisionally on a COPY of the accumulator map, so every
+    update-mode emission reflects all data seen so far in event-time
+    order and the final emission equals the batch operator.
+
+    State lifecycle: like the other register twins — one (prev, state)
+    pair plus a bounded per-state accumulator list (|states| is small
+    by domain) plus the watermark-bounded pending buffer; no
+    event-time eviction (an idle-timeout policy changes resources,
+    never values).
+    """
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            # ts survives the projection (watermark attribute — see
+            # the counter twin)
+            "ts",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            # NULL event_id -> LONG_MIN (nulls-first total order)
+            F.coalesce(
+                F.col("event_id").cast("long"), F.lit(-(2**63))
+            ).alias("event_id"),
+            F.col("event_type").alias("state"),
+        )
+    )
+
+    def fold(rows, prev_us, prev_state, acc):
+        for ts_us, _eid, st in rows:
+            a = acc.setdefault(st, [0, 0])
+            a[0] += 1
+            if prev_us is not None:
+                acc[prev_state][1] += ts_us - prev_us
+            prev_us, prev_state = ts_us, st
+        return prev_us, prev_state
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (prev_us, prev_state, sts, ents, held,
+             p_ts, p_eid, p_st) = state.get
+            acc = {s: [e_, h] for s, e_, h in zip(sts, ents, held)}
+            pending = list(zip(p_ts, p_eid, p_st))
+        else:
+            prev_us = prev_state = None
+            acc = {}
+            pending = []
+        if state.hasTimedOut:  # pragma: no cover - no timeout is set
+            state.remove()
+            return
+        for pdf in pdfs:
+            for ts_us, eid, st in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["state"]
+            ):
+                pending.append((int(ts_us), int(eid), st))
+        pending.sort(key=lambda r: (r[0], r[1]))
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        n_final = 0
+        # strictly < wm: a row AT the watermark can still arrive, and
+        # HERE the bound is value-bearing — a same-timestamp straggler
+        # with an earlier tiebreak re-orders the LOCF chain
+        while n_final < len(pending) and pending[n_final][0] < wm_us:
+            n_final += 1
+        prev_us, prev_state = fold(
+            pending[:n_final], prev_us, prev_state, acc
+        )
+        pending = pending[n_final:]
+        sts = sorted(acc)
+        state.update((
+            prev_us, prev_state,
+            sts,
+            [acc[s][0] for s in sts],
+            [acc[s][1] for s in sts],
+            [p[0] for p in pending],
+            [p[1] for p in pending],
+            [p[2] for p in pending],
+        ))
+        # provisional: committed fold + pending folded on a DEEP copy
+        pacc = {s: list(v) for s, v in acc.items()}
+        fold(pending, prev_us, prev_state, pacc)
+        n_obs = sum(v[0] for v in pacc.values())
+        if n_obs == 0:
+            return
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0],
+                "state": s,
+                "n_entries": v[0],
+                "held_us": v[1],
+                "n_obs": n_obs,
+            } for s, v in sorted(pacc.items())]
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        STATE_DUR_OUTPUT_SCHEMA,
+        STATE_DUR_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
