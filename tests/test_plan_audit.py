@@ -141,6 +141,7 @@ MATERIALIZING = {
     "docs_ngram_jaccard",
     "docs_simhash_quality",
     "docs_editdist_verify",
+    "docs_minhash_estimate_error",
     # pagerank's per-round checkpointed rank table (two columns,
     # graph-node-sized) — the iterative-plan pin, not a collect
     "docs_pagerank",

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -811,3 +813,82 @@ def test_cusum_closed_form_equals_recursion(devs):
         cum += y
         low = min(low, cum)
         assert s == cum - min(0, low) == cum - low
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=st.lists(_hf_event, min_size=1, max_size=60))
+def test_ewma_last_matches_python_fold(spark, raw):
+    """ewma_last's truncated closed form tracks the sequential
+    alpha=1/2 fold over per-day totals to within the declared 2^-24
+    truncation error, and the picked columns are exact."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    rows = _hf_rows(raw)
+    df = spark.createDataFrame(rows, _HF_SCHEMA)
+    prepared = df.select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("decimal(18,0)")
+        .alias("cents"),
+    )
+    got = {
+        r.user_id: (r.n_days, r.last_day, r.last_total, r.ewma)
+        for r in ewma_last(prepared).collect()
+    }
+    # python fold over per-day cent totals
+    daily: dict[int, dict[dt.date, int]] = {}
+    for k, ts, _eid, v, _s in rows:
+        daily.setdefault(k, {})[ts.date()] = (
+            daily.get(k, {}).get(ts.date(), 0) + round(v * 100)
+        )
+    assert set(got) == set(daily)
+    for k, per_day in daily.items():
+        days = sorted(per_day)
+        ewma = float(per_day[days[0]])
+        for d in days[1:]:
+            ewma = (ewma + per_day[d]) / 2.0
+        n_days, last_day, last_total, got_ewma = got[k]
+        assert n_days == len(days)
+        assert last_day.date() == days[-1]
+        assert last_total == per_day[days[-1]] / 100.0
+        # truncation drops weight < 2^-24 of each old term
+        assert got_ewma == pytest.approx(ewma / 100.0, rel=1e-5, abs=1e-4)
+
+
+def test_ewma_last_exact_branches(spark):
+    """Unit fixture for the three weight branches: n=1 degenerate,
+    full-weight short series, and the >24-halvings truncation."""
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    T = dt.datetime
+    rows = (
+        # key 1: single day -> ewma == the day's total
+        [(1, T(2024, 1, 1), 100_00)]
+        # key 2: two days -> exact halves
+        + [(2, T(2024, 1, 1), 100_00), (2, T(2024, 1, 2), 300_00)]
+        # key 3: 26 days; day 1 sits 25 halvings back -> weight 0
+        + [(3, T(2024, 1, 1), 77_00)]
+        + [(3, T(2024, 1, 1 + i), 0) for i in range(1, 25)]
+        + [(3, T(2024, 1, 26), 400_00)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, day timestamp, cents long")
+    prepared = df.select(
+        "user_id", "day", F.col("cents").cast("decimal(18,0)").alias("cents")
+    )
+    got = {r.user_id: r for r in ewma_last(prepared).collect()}
+    assert got[1].ewma == 100.0 and got[1].n_days == 1
+    assert got[2].ewma == 200.0  # 100/2 + 300/2
+    # key 3: day-1 weight truncated to zero; remaining mass is the
+    # final day's half: 400/2 = 200 exactly (zeros elsewhere)
+    assert got[3].n_days == 26
+    assert got[3].ewma == 200.0
+    assert got[3].last_total == 400.0

@@ -925,3 +925,75 @@ def heartbeat_uptime(
         span.cast("long").alias("span_us"),
         (uptime.cast("double") / span.cast("double")).alias("coverage"),
     )
+
+
+def ewma_last(
+    df: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    cents_col: str = "cents",
+    trunc_bits: int = 24,
+) -> DataFrame:
+    """Exponentially smoothed daily total per key (alpha = 1/2 — the
+    halving EWMA a monitoring pipeline keeps next to raw daily
+    rollups; pandas ``ewm(alpha=.5)`` over the observed days, gaps
+    ignored): with per-day totals x_1..x_n on the key's day order,
+
+        ewma_1 = x_1;  ewma_i = x_i/2 + ewma_{i-1}/2
+
+    so ewma_n = 2^-(n-1)*x_1 + sum_{i>=2} 2^-(n-i+1)*x_i — every
+    weight an exact power of two. Terms older than ``trunc_bits``
+    halvings (relative weight < 2^-24 ~ 6e-8) are truncated to ZERO by
+    declaration, which makes the whole sum exact integer arithmetic:
+    each kept term is x_i (integer cents, DECIMAL) times the integer
+    2^(trunc_bits - exponent), summed in DECIMAL(38,0), with ONE final
+    IEEE division by 2^trunc_bits * 100 — no double summation order
+    anywhere, so the oracle replays it bit-for-bit. (The quantized
+    ``time_decay_attribution`` needed ROUND-to-decimal because its
+    weights 2^(t/h) are non-integer reals; the observation-indexed
+    EWMA's weights are dyadic, so truncation alone buys exactness.)
+
+    Output per key: ``n_days``, ``last_day``, ``last_total`` (the
+    final day's raw total), ``ewma`` (the smoothed total at the last
+    day).
+
+    Scale: daily pre-agg first (map-combinable, rows collapse to
+    key x days), then ONE key shuffle shared by the row_number
+    window and the final combinable aggregate — O(events) with the
+    window over the already-collapsed daily rows. No grid fan-out, no
+    recursion: the closed form replaces the sequential fold.
+    """
+    daily = df.groupBy(key_col, day_col).agg(
+        F.sum(F.col(cents_col)).cast("decimal(28,0)").alias("_x")
+    )
+    wo = W.partitionBy(key_col).orderBy(day_col)
+    wk = W.partitionBy(key_col)
+    r = (
+        daily.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+    )
+    # halving exponent: first observation decays (n-1) times, every
+    # later one (n-i+1); n = 1 degenerates to exponent 0 (ewma = x_1)
+    ex = F.when(F.col("_rn") == 1, F.col("_n") - 1).otherwise(
+        F.col("_n") - F.col("_rn") + 1
+    )
+    # 2^(trunc_bits - ex) is an exact integer-valued double for
+    # ex <= trunc_bits; the decimal cast is exact
+    wgt = F.when(
+        ex <= F.lit(trunc_bits),
+        F.pow(F.lit(2.0), F.lit(trunc_bits) - ex).cast("decimal(18,0)"),
+    ).otherwise(F.lit(0).cast("decimal(18,0)"))
+    scale = float(2**trunc_bits) * 100.0
+    return r.groupBy(key_col).agg(
+        F.max("_n").cast("long").alias("n_days"),
+        F.max(F.col(day_col)).alias("last_day"),
+        (
+            F.max(F.struct(F.col(day_col), F.col("_x")))["_x"].cast(
+                "double"
+            )
+            / F.lit(100.0)
+        ).alias("last_total"),
+        (
+            F.sum(F.col("_x") * wgt).cast("double") / F.lit(scale)
+        ).alias("ewma"),
+    )

@@ -760,3 +760,79 @@ def events_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         mk.cast("long").alias("mk_s"),
         pick.alias("theil_sen_slope"),
     )
+
+
+@query(
+    "events_ewma_smoothed",
+    oracle=_E_CENTS
+    + """,
+    d AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(cents) AS DECIMAL(20,0)) AS x
+      FROM e WHERE cents IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY day DESC) AS rn_d,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM d
+    ),
+    w AS (
+      SELECT user_id, day, x, n, rn_d,
+             CASE WHEN rn = 1 THEN n - 1 ELSE n - rn + 1 END AS ex
+      FROM r
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           MAX(day) AS last_day,
+           CAST(MIN(CASE WHEN rn_d = 1 THEN x END) AS DOUBLE) / 100.0
+             AS last_total,
+           CAST(SUM(CASE WHEN ex <= 24
+                         THEN x * CAST(pow(2.0, 24 - ex)
+                                       AS DECIMAL(18,0))
+                         ELSE 0 END) AS DOUBLE) / 1677721600.0 AS ewma
+    FROM w GROUP BY user_id
+    """,
+)
+def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially smoothed daily spend (alpha = 1/2 EWMA
+    over the observed-day sequence — the smoothing hyperfunction a
+    monitoring stack keeps beside raw rollups; reference north-star
+    rollup generalized the same way as the counter/state entries).
+    Reports each user's final smoothed daily total next to the raw
+    last-day total and the day count.
+
+    Determinism (see ``TS.ewma_last``): alpha = 1/2 makes every
+    weight an exact power of two; terms past 24 halvings truncate to
+    zero BY DECLARATION, so the smoothed value is one exact
+    DECIMAL(38,0) integer sum and ONE final IEEE division — no double
+    summation order, no ROUND-on-double, both engines bit-identical.
+    The 30-day corpus exercises the truncation branch (n - 1 > 24 for
+    most users) AND the degenerate n = 1 and full-weight branches.
+
+    Scale: daily pre-agg collapses events map-side; ONE user_id
+    shuffle then serves the row_number window and the final
+    combinable aggregate. O(events) with the window over collapsed
+    daily rows only — the closed form replaces the sequential fold,
+    so no mapInPandas state pass is needed.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        # declared domain, as events_counter_delta: NaN / +-Inf /
+        # |value| >= 1e9 excluded in BOTH engines
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.abs(F.col("value")) < F.lit(1e9))
+    )
+    cents = F.col("value").cast("decimal(12,2)") * 100
+    prepared = e.select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        cents.cast("decimal(18,0)").alias("cents"),
+    )
+    return TS.ewma_last(
+        prepared, key_col="user_id", day_col="day", cents_col="cents"
+    )
