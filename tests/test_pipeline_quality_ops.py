@@ -921,3 +921,36 @@ def test_hyperfunction_entries_oracle_parity_on_hostile_events(
         sdf = QUERIES[name](spark, sf_dir).toPandas()
         ddf = con.sql(oracle_sql()[name]).df()
         assert not compare(name, sdf, ddf), name
+
+
+def test_taxonomy_classify_argmax_and_tie_priority(spark):
+    rules = [
+        ("alpha", ("a", "b")),
+        ("beta", ("c", "d")),
+        ("gamma", ("e",)),
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),     # alpha 2, beta 1 -> alpha
+            (2, "c d a"),     # beta 2 wins
+            (3, "a c"),       # 1-1 tie -> earlier rule (alpha)
+            (4, "e e e c d"), # gamma 3 beats beta 2
+            (5, "x y z"),     # all zero -> earliest rule on ties
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.topic
+        for r in X.taxonomy_classify(df, rules).collect()
+    }
+    assert got == {1: "alpha", 2: "beta", 3: "alpha", 4: "gamma", 5: "alpha"}
+
+
+def test_taxonomy_classify_single_rule_and_empty(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    [r] = X.taxonomy_classify(df, [("only", ("a",))]).collect()
+    assert r.topic == "only"
+    with _pytest.raises(ValueError):
+        X.taxonomy_classify(df, [])

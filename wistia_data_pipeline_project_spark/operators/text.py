@@ -602,3 +602,61 @@ def unigram_nll(
             (F.sum("nll_q").cast("double") / F.count(F.lit(1))).alias("avg_nll"),
         )
     )
+
+
+def taxonomy_classify(
+    df: DataFrame,
+    rules: list[tuple[str, tuple[str, ...]]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based topic routing (the keyword-taxonomy classifier a
+    training-mix pipeline runs before domain weighting — the
+    coarse-grained cousin of model-based routers, kept deterministic
+    so mixture weights are reproducible): each topic owns a keyword
+    set; a document scores one point per matching token and routes to
+    the highest-scoring topic, earlier rules winning ties (a declared
+    priority order, not an arbitrary one).
+
+    Adds a ``topic`` column. Scores are native higher-order-function
+    expressions (``size(filter(split(...)))``) — whole-stage codegen,
+    zero UDF, one corpus scan; the CASE argmax keeps the route
+    decision row-local.
+    """
+    if not rules:
+        raise ValueError("rules must not be empty")
+    toks = F.split(F.col(text_col), " ")
+    def _member(kws):
+        # OR chain instead of isin (lambda variables don't support the
+        # In expression inside higher-order functions); the factory
+        # returns a ONE-parameter lambda — F.filter dispatches on the
+        # lambda's arity, so a bound default would flip it to the
+        # (element, index) signature
+        def pred(w):
+            cond = w == F.lit(kws[0])
+            for k in kws[1:]:
+                cond = cond | (w == F.lit(k))
+            return cond
+
+        return pred
+
+    scores = [F.size(F.filter(toks, _member(kws))) for _, kws in rules]
+    # CASE chain: rule i fires when its score >= every LATER score —
+    # the first index achieving the running max, i.e. argmax with
+    # earliest-rule tie priority (replayed verbatim in the oracle)
+    route = None
+    for i in range(len(rules) - 1):
+        cond = None
+        for j in range(i + 1, len(rules)):
+            c = scores[i] >= scores[j]
+            cond = c if cond is None else (cond & c)
+        route = (
+            F.when(cond, F.lit(rules[i][0]))
+            if route is None
+            else route.when(cond, F.lit(rules[i][0]))
+        )
+    route = (
+        route.otherwise(F.lit(rules[-1][0]))
+        if route is not None
+        else F.lit(rules[-1][0])
+    )
+    return df.withColumn("topic", route)

@@ -3255,3 +3255,81 @@ def docs_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return C.k_core(pairs, k=2, max_rounds=12)
+
+
+_TAXONOMY_RULES: list[tuple[str, tuple[str, ...]]] = [
+    ("joins", ("join", "merge", "hash", "key")),
+    ("scan_io", ("scan", "filter", "column", "batch")),
+    ("streaming", ("stream", "window")),
+    ("sort_agg", ("sort", "order", "group", "agg")),
+]
+
+
+@query(
+    "docs_taxonomy_classify",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source, n_chars,
+        len(list_filter(string_split(text, ' '),
+            x -> x IN ('join','merge','hash','key'))) AS c1,
+        len(list_filter(string_split(text, ' '),
+            x -> x IN ('scan','filter','column','batch'))) AS c2,
+        len(list_filter(string_split(text, ' '),
+            x -> x IN ('stream','window'))) AS c3,
+        len(list_filter(string_split(text, ' '),
+            x -> x IN ('sort','order','group','agg'))) AS c4
+      FROM documents
+    ),
+    t AS (
+      SELECT *, CASE
+        WHEN c1 >= c2 AND c1 >= c3 AND c1 >= c4 THEN 'joins'
+        WHEN c2 >= c3 AND c2 >= c4 THEN 'scan_io'
+        WHEN c3 >= c4 THEN 'streaming'
+        ELSE 'sort_agg' END AS topic
+      FROM d
+    ),
+    g AS (
+      SELECT topic, COUNT(*) AS n_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM t GROUP BY topic
+    )
+    SELECT topic, n_docs, n_langs, n_sources, total_chars,
+           CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER () AS doc_share
+    FROM g
+    """,
+)
+def docs_taxonomy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy topic routing + mixture profile (the
+    domain-classification step a training-mix pipeline runs before
+    setting per-domain weights — RefinedWeb/Dolma-style coarse
+    routing, deterministic so the mixture is reproducible): every
+    document scores one point per keyword hit per topic, routes to the
+    argmax with declared rule priority on ties, and the profile
+    reports per-topic doc counts, language/source spread, char mass,
+    and corpus share.
+
+    Determinism: integer token counts, CASE argmax with a total
+    priority order, one exact-integer double division for the share.
+
+    Scale: ONE corpus scan with all four scores as codegen'd
+    higher-order expressions (no explode — the split array never
+    shuffles); the aggregate is map-combinable on ~|topics| groups,
+    and the share window runs over topic-count rows, not documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.taxonomy_classify(docs, _TAXONOMY_RULES)
+    g = t.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    from pyspark.sql import Window as W
+
+    return g.withColumn(
+        "doc_share",
+        F.col("n_docs").cast("double")
+        / F.sum("n_docs").over(W.partitionBy()).cast("double"),
+    )
