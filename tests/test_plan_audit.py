@@ -142,6 +142,7 @@ MATERIALIZING = {
     "docs_simhash_quality",
     "docs_editdist_verify",
     "docs_minhash_estimate_error",
+    "docs_source_overlap",
     # pagerank's per-round checkpointed rank table (two columns,
     # graph-node-sized) — the iterative-plan pin, not a collect
     "docs_pagerank",

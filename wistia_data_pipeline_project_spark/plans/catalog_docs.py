@@ -3333,3 +3333,67 @@ def docs_taxonomy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("double")
         / F.sum("n_docs").over(W.partitionBy()).cast("double"),
     )
+
+
+@query(
+    "docs_source_overlap",
+    oracle="WITH "
+    + JACCARD_PAIR_CTES
+    + """
+    SELECT least(sa.source, sb.source) AS source_a,
+           greatest(sa.source, sb.source) AS source_b,
+           sa.source = sb.source AS within_source,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN documents sa ON sa.doc_id = pairs.da
+    JOIN documents sb ON sb.doc_id = pairs.db
+    GROUP BY 1, 2, 3
+    """,
+)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (the curation question behind
+    RefinedWeb-style source auditing: WHICH sources copy from each
+    other?): every exact-Jaccard >= 0.8 near-dup pair is attributed
+    to its unordered (source, source) cell, separating within-source
+    boilerplate from cross-source contamination — the signal that
+    decides whether to drop a source or just dedup it.
+
+    Eighth consumer of the shared ``_jaccard_pairs_cached``
+    checkpoint (zero marginal shingle-join cost); sources attach via
+    two doc_id joins against a 2-column projection of the corpus.
+
+    Scale: the joins run at PAIR volume on the doc_id key (the
+    corpus side prunes to doc_id+source at the scan); output is
+    |sources|^2 cells at most. The unordered normalization
+    (least/greatest) keeps each cell a single group with no
+    post-merge.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            (F.col("_sa") == F.col("_sb")).alias("within_source"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
