@@ -957,3 +957,158 @@ def test_streaming_state_durations_watermark_boundary_row(spark, tmp_path):
         assert last["end"].held_us == 0               # open tail
     finally:
         q.stop()
+
+
+def _ewma_batch(spark, rows, schema):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    batch_df = spark.createDataFrame(
+        [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+          e["user_id"], e["event_type"], e["value"], e["props"])
+         for e in rows],
+        schema,
+    )
+    prepared = batch_df.select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("decimal(18,0)")
+        .alias("cents"),
+    )
+    return {r.user_id: r for r in ewma_last(prepared).collect()}
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """The streaming EWMA twin's final emission (max n_days per user)
+    is BIT-IDENTICAL to the batch ewma_last on the same rows — the
+    bounded 25-day deque recomputes the same truncated integer shift
+    sum — including a late same-day partial arriving in a later
+    micro-batch inside the watermark."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_ewma_smoothed,
+    )
+
+    def ev(eid, ts, uid, v):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "view", "value": v, "props": "{}"}
+
+    rows = [
+        # user 1: day totals 100 / 40 / 16 -> ewma 100/8? no: fold
+        # (100 -> (100+40)/2=70 -> (70+16)/2=43)
+        ev(1, "2024-01-01T09:00:00", 1, 60.0),
+        ev(2, "2024-01-01T15:00:00", 1, 40.0),   # day1 total 100
+        ev(3, "2024-01-02T10:00:00", 1, 40.0),   # day2 total 40
+        ev(4, "2024-01-03T11:00:00", 1, 16.0),   # day3 total 16
+        # user 2: single day
+        ev(5, "2024-01-02T08:00:00", 2, 7.5),
+    ]
+    # chunk 1 delivers 1,4,5; chunk 2 delivers 2 (same-day partial,
+    # LATE) and 3 (mid-gap day)
+    d = tmp_path / "ewma_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((rows[0::3] , [r for j, r in enumerate(rows) if j % 3])):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_ewma_smoothed(stream, watermark="1 day"),
+        "ewma_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM ewma_stream").collect()
+        last = {}
+        for r in emitted:
+            if r.user_id not in last or r.n_obs > last[r.user_id].n_obs:
+                last[r.user_id] = r
+        batch = _ewma_batch(spark, rows, schema)
+        assert set(last) == set(batch)
+        for uid, b in batch.items():
+            s = last[uid]
+            assert (s.n_days, s.last_total, s.ewma) == (
+                b.n_days, b.last_total, b.ewma
+            ), uid
+            assert s.last_day.replace(tzinfo=None) == b.last_day
+        assert last[1].ewma == 43.0  # (100 -> 70 -> 43) by hand
+    finally:
+        q.stop()
+
+
+def test_streaming_ewma_day_commits_only_past_day_end(spark, tmp_path):
+    """A day commits only once the watermark passes its END: a row AT
+    the watermark belongs to a still-open day, and a second partial
+    for that day arriving later must merge into the SAME day total
+    (committing on day START would freeze the day half-summed)."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_ewma_smoothed,
+    )
+
+    def ev(eid, ts, v):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "view", "value": v, "props": "{}"}
+
+    chunks = [
+        # batch A: wm advances to 2024-01-03 (max ts - 1 day); the
+        # Jan-1 day (end Jan-2 <= wm) is committed, Jan-4 pending
+        [ev(1, "2024-01-01T06:00:00", 80.0),
+         ev(2, "2024-01-04T00:00:00", 10.0)],
+        # batch B: a row AT the watermark — day Jan-3 (end Jan-4 > wm)
+        # must stay OPEN
+        [ev(3, "2024-01-03T00:00:00", 4.0)],
+        # batch C: second partial for the same open day
+        [ev(4, "2024-01-03T18:00:00", 6.0)],
+    ]
+    d = tmp_path / "ewma_wm_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_ewma_smoothed(stream, watermark="1 day"),
+        "ewma_wm_stream",
+        output_mode="update",
+    )
+    try:
+        last = max(
+            spark.sql("SELECT * FROM ewma_wm_stream").collect(),
+            key=lambda r: r.n_obs,
+        )
+        rows = [e for c in chunks for e in c]
+        batch = _ewma_batch(spark, rows, schema)
+        b = batch[1]
+        assert (last.n_days, last.last_total, last.ewma) == (
+            b.n_days, b.last_total, b.ewma
+        )
+        # day order: 80 -> (80+10)/2? no — days sort by DATE:
+        # Jan1=80, Jan3=10, Jan4=10 -> 80 -> 45 -> 27.5
+        assert last.n_days == 3
+        assert last.ewma == 27.5
+    finally:
+        q.stop()

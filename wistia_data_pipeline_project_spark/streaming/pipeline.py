@@ -1023,3 +1023,142 @@ def streaming_state_durations(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_STATE_SCHEMA = (
+    "n_days long, n_obs long, days array<long>, xs array<long>, "
+    "pend_days array<long>, pend_xs array<long>"
+)
+EWMA_OUTPUT_SCHEMA = (
+    "user_id long, n_days long, n_obs long, last_day timestamp, "
+    "last_total double, ewma double"
+)
+
+_EWMA_TRUNC_BITS = 24
+_EWMA_KEEP = _EWMA_TRUNC_BITS + 1  # all days that can carry weight
+_DAY_US = 86_400_000_000
+
+
+def streaming_ewma_smoothed(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``timeseries.ewma_last`` (alpha = 1/2 EWMA
+    of per-day totals — the FIFTH stateful hyperfunction under the
+    strict-watermark commit discipline). The batch operator's
+    24-halving truncation is what makes the streaming register O(1):
+    only the last 25 OBSERVED days can carry weight, so state is a
+    bounded (day, total) deque plus the day count — the fold
+    recomputes the truncated closed form exactly, in Python integers,
+    and the final emission is bit-identical to the batch entry
+    (same integer shift sum, same single IEEE division).
+
+    Commit discipline, at DAY granularity: a day folds into the
+    committed deque only once the watermark has passed its END
+    (``day_end <= wm`` — a row AT the watermark belongs to a day
+    whose end is still ahead of it, so the strict row bound of the
+    counter twin is implied); open days accumulate in a pending
+    per-day partial-sum buffer and fold provisionally on a copy, so
+    every update-mode emission reflects all data seen so far in
+    event-time order.
+
+    ``n_days`` is non-decreasing but NOT strict (a late partial
+    merges into an existing day), so every emission also carries
+    ``n_obs`` — the per-user folded-row count, strictly growing with
+    every arrival — and consumers (and the parity tests) pick the
+    final emission by max ``n_obs``, the state_durations pattern.
+
+    State lifecycle: one bounded deque per active user (25 longs) +
+    the watermark-bounded pending buffer; no event-time eviction.
+    """
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs(F.col("value")) < F.lit(1e9))
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            # ts survives the projection (watermark attribute)
+            "ts",
+            F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias(
+                "day_us"
+            ),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def ewma_from(deque, n):
+        m = len(deque)
+        total = 0
+        for j, (_d, x) in enumerate(deque, start=1):
+            rn = n - m + j
+            ex = n - 1 if rn == 1 else n - rn + 1
+            if ex <= _EWMA_TRUNC_BITS:
+                total += x << (_EWMA_TRUNC_BITS - ex)
+        return total / float((1 << _EWMA_TRUNC_BITS) * 100)
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, n_obs, days, xs, p_days, p_xs = state.get
+            deque = list(zip(days, xs))
+            pending = dict(zip(p_days, p_xs))
+        else:
+            n, n_obs, deque, pending = 0, 0, [], {}
+        if state.hasTimedOut:  # pragma: no cover - no timeout is set
+            state.remove()
+            return
+        for pdf in pdfs:
+            for day_us, cents in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us)
+                n_obs += 1
+                pending[d] = pending.get(d, 0) + int(cents)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # commit CLOSED days (end <= wm) oldest-first; open days stay
+        # pending. Committed days are always older than pending ones.
+        for d in sorted(pending):
+            if d + _DAY_US <= wm_us:
+                n += 1
+                deque.append((d, pending.pop(d)))
+        deque = deque[-_EWMA_KEEP:]
+        state.update((
+            n,
+            n_obs,
+            [d for d, _ in deque],
+            [x for _, x in deque],
+            sorted(pending),
+            [pending[d] for d in sorted(pending)],
+        ))
+        # provisional: committed deque + open days folded on a copy
+        pn, pdq = n, list(deque)
+        for d in sorted(pending):
+            pn += 1
+            pdq.append((d, pending[d]))
+        pdq = pdq[-_EWMA_KEEP:]
+        if pn == 0:
+            return
+        last_day, last_x = pdq[-1]
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0],
+                "n_days": pn,
+                "n_obs": n_obs,
+                "last_day": pd.to_datetime(last_day, unit="us"),
+                "last_total": last_x / 100.0,
+                "ewma": ewma_from(pdq, pn),
+            }]
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
