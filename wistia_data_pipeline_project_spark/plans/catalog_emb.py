@@ -2185,3 +2185,124 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return S.dim_stats(emb)
+
+
+@query(
+    "emb_label_drift",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    d AS (
+      SELECT vec_id, label, vec_id % 2 AS h, i,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, dims
+    ),
+    cent AS (
+      SELECT label, h, i,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM d GROUP BY 1, 2, 3
+    ),
+    n AS (
+      SELECT label, vec_id % 2 AS h, COUNT(*) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.label, a.c AS ca, b.c AS cb
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.i = b.i AND a.h = 0 AND b.h = 1
+    ),
+    s AS (
+      SELECT label,
+        CAST(SUM(CAST(ROUND(ca * cb, 9) AS DECIMAL(28,9))) AS DOUBLE)
+          AS dot,
+        CAST(SUM(CAST(ROUND(ca * ca, 9) AS DECIMAL(28,9))) AS DOUBLE)
+          AS na,
+        CAST(SUM(CAST(ROUND(cb * cb, 9) AS DECIMAL(28,9))) AS DOUBLE)
+          AS nb
+      FROM j GROUP BY 1
+    )
+    SELECT s.label, CAST(n0.n AS BIGINT) AS n_a,
+           CAST(n1.n AS BIGINT) AS n_b,
+           dot / (sqrt(na) * sqrt(nb)) AS centroid_cosine
+    FROM s
+    JOIN n n0 ON n0.label = s.label AND n0.h = 0
+    JOIN n n1 ON n1.label = s.label AND n1.h = 1
+    """,
+)
+def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label between two deterministic
+    corpus halves (vec_id parity — the stand-in for before/after an
+    encoder upgrade or a crawl refresh): the cosine between each
+    label's half-A and half-B centroids, with half sizes. A healthy
+    re-embed stays near 1.0 per label; a drop flags the labels whose
+    region of the space moved — the embedding twin of the value-space
+    ``events_psi_drift``.
+
+    Determinism: the ``emb_centroid_classify`` discipline — per-dim
+    sums quantize elements to DECIMAL(18,6), dot/norm terms quantize
+    products to DECIMAL(28,9), every downstream double op (sqrt,
+    multiply, divide) is a correctly-rounded IEEE op on bit-identical
+    inputs.
+
+    Scale: the explode collapses map-side into |labels| x 2 x dim
+    partial sums (one small shuffle); everything after is
+    centroid-table-sized. No pair joins, no windows — scan-bound at
+    any corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x"),
+    )
+    cent = d.groupBy("label", "h", "i").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    n = emb.groupBy("label", (F.col("vec_id") % 2).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = cent.filter(F.col("h") == 0).select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("h") == 1).select(
+        "label", "i", F.col("c").alias("cb")
+    )
+    s = (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.round(F.col("ca") * F.col("cb"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("dot"),
+            F.sum(
+                F.round(F.col("ca") * F.col("ca"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("na"),
+            F.sum(
+                F.round(F.col("cb") * F.col("cb"), 9).cast("decimal(28,9)")
+            )
+            .cast("double")
+            .alias("nb"),
+        )
+    )
+    n0 = n.filter(F.col("h") == 0).select("label", F.col("n").alias("n_a"))
+    n1 = n.filter(F.col("h") == 1).select("label", F.col("n").alias("n_b"))
+    return (
+        s.join(F.broadcast(n0), "label")
+        .join(F.broadcast(n1), "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            (
+                F.col("dot")
+                / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+            ).alias("centroid_cosine"),
+        )
+    )

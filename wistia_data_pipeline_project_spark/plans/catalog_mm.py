@@ -228,7 +228,15 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake raster's gather indices, exact integer mean-threshold — see
     ``average_hash``) must match the blocked Spark pipeline exactly.
     Hamming verify is two codegen'd ops per candidate on both
-    engines."""
+    engines.
+
+    PRODUCTION NOTE: the raw pair listing is quadratic in
+    duplicate-GROUP size (a g-copy viral image emits C(g,2) pairs —
+    measured 20.2M pairs at sf10); keep this entry for corpora where
+    the raw pairs ARE the product, and use ``mm_image_dedup_cascade``
+    (exact-hash collapse to representatives BEFORE the pigeonhole
+    join — pair volume linear in DISTINCT images) as the 100-TB
+    default."""
     thumbs = M.attach_fake_thumbnails(_docs_ascii(spark, sf_dir))
     return M.image_near_dup_pairs(thumbs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
