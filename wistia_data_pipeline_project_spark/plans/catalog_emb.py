@@ -2306,3 +2306,75 @@ def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+@query(
+    "emb_hamming_recall",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    full_top AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               e.vec_id
+      LIMIT 10
+    ),
+    codes AS (
+      SELECT vec_id,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i) ELSE 0 END
+                            FOR i IN generate_series(0, 31)]) AS BIGINT)
+               AS lo,
+             CAST(list_sum([CASE WHEN embedding[i+1] > 0
+                                 THEN power(2, i - 32) ELSE 0 END
+                            FOR i IN generate_series(32, 63)]) AS BIGINT)
+               AS hi
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    qc AS (SELECT lo AS qlo, hi AS qhi FROM codes WHERE vec_id = 0),
+    ham_top AS (
+      SELECT c.vec_id
+      FROM codes c, qc
+      WHERE c.vec_id <> 0
+      ORDER BY bit_count(xor(c.lo, qc.qlo))
+                 + bit_count(xor(c.hi, qc.qhi)),
+               c.vec_id
+      LIMIT 10
+    )
+    SELECT 10 AS k, 64 AS n_bits,
+           (SELECT COUNT(*) FROM full_top JOIN ham_top USING (vec_id))
+             AS n_overlap,
+           CAST((SELECT COUNT(*) FROM full_top JOIN ham_top USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """,
+)
+def emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval quality — the recall twin the
+    sign-bit sketch was missing (every other index family has one:
+    ivf/pq/ivfpq/matryoshka): top-10 by 64-bit Hamming vs the exact
+    cosine top-10, overlap measured exactly (both id-sets
+    deterministic: sign quantization has no float ambiguity, the
+    exact side is the shared cosine total order, and ties break on
+    vec_id in both engines).
+
+    Scale: two shuffle-free top-k heaps over one corpus scan each —
+    the Hamming pass reads 16 bytes per vector once codes are
+    derived; nothing here grows past k rows after the scans.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    body = emb.filter(F.col("vec_id") != 0)
+    full_top = S.topk_cosine(body, q, k=10).select("vec_id")
+    ham_top = S.hamming_topk(emb, q, k=10, exclude_key=0).select("vec_id")
+    return full_top.join(ham_top, "vec_id").agg(
+        F.lit(10).cast("integer").alias("k"),
+        F.lit(64).cast("integer").alias("n_bits"),
+        F.count(F.lit(1)).alias("n_overlap"),
+        (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+    )
