@@ -917,6 +917,7 @@ def test_hyperfunction_entries_oracle_parity_on_hostile_events(
         "events_psi_drift",
         "events_state_durations",
         "events_heartbeat_uptime",
+        "events_ewma_smoothed",
     ):
         sdf = QUERIES[name](spark, sf_dir).toPandas()
         ddf = con.sql(oracle_sql()[name]).df()

@@ -983,11 +983,12 @@ def _ewma_batch(spark, rows, schema):
 
 
 def test_streaming_ewma_matches_batch(spark, tmp_path):
-    """The streaming EWMA twin's final emission (max n_days per user)
+    """The streaming EWMA twin's final emission (max n_obs per user)
     is BIT-IDENTICAL to the batch ewma_last on the same rows — the
     bounded 25-day deque recomputes the same truncated integer shift
-    sum — including a late same-day partial arriving in a later
-    micro-batch inside the watermark."""
+    sum — including a mid-gap day delivered late in a second
+    micro-batch, IN CONTRACT (its rows sit at/above the watermark the
+    first batch advanced to, and its day is still open)."""
     import json as _json
     import os
 
@@ -1000,21 +1001,26 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
         return {"event_id": eid, "ts": ts, "user_id": uid,
                 "event_type": "view", "value": v, "props": "{}"}
 
-    rows = [
-        # user 1: day totals 100 / 40 / 16 -> ewma 100/8? no: fold
-        # (100 -> (100+40)/2=70 -> (70+16)/2=43)
+    # user 1 day totals 100 / 40 / 16 -> fold 100 -> 70 -> 43
+    chunk1 = [
         ev(1, "2024-01-01T09:00:00", 1, 60.0),
         ev(2, "2024-01-01T15:00:00", 1, 40.0),   # day1 total 100
-        ev(3, "2024-01-02T10:00:00", 1, 40.0),   # day2 total 40
         ev(4, "2024-01-03T11:00:00", 1, 16.0),   # day3 total 16
-        # user 2: single day
-        ev(5, "2024-01-02T08:00:00", 2, 7.5),
+        ev(5, "2024-01-02T08:00:00", 2, 7.5),    # user 2: single day
     ]
-    # chunk 1 delivers 1,4,5; chunk 2 delivers 2 (same-day partial,
-    # LATE) and 3 (mid-gap day)
+    # after chunk 1 the watermark is Jan-2 11:00 (max ts - 1 day);
+    # chunk 2's day-2 rows arrive late but AT/ABOVE the watermark
+    # (12:00, 12:30) and day 2 (end Jan-3) is still open — the
+    # in-contract straggler case, split across two rows so the
+    # pending partial-sum merge is exercised too
+    chunk2 = [
+        ev(3, "2024-01-02T12:00:00", 1, 15.0),
+        ev(6, "2024-01-02T12:30:00", 1, 25.0),   # day2 total 40
+    ]
+    rows = chunk1 + chunk2
     d = tmp_path / "ewma_in"
     os.makedirs(d)
-    for i, chunk in enumerate((rows[0::3] , [r for j, r in enumerate(rows) if j % 3])):
+    for i, chunk in enumerate((chunk1, chunk2)):
         with open(d / f"events_{i}.jsonl", "w") as f:
             for e in chunk:
                 f.write(_json.dumps(e) + "\n")

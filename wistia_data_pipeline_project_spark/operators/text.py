@@ -624,6 +624,9 @@ def taxonomy_classify(
     """
     if not rules:
         raise ValueError("rules must not be empty")
+    for topic, kws in rules:
+        if not kws:
+            raise ValueError(f"rule {topic!r} has an empty keyword set")
     toks = F.split(F.col(text_col), " ")
     def _member(kws):
         # OR chain instead of isin (lambda variables don't support the

@@ -134,11 +134,12 @@ _PAIRS_CACHE: dict[str, tuple[tuple, DataFrame]] = {}
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFrame:
     """The capped-Jaccard 0.8 SCORED pair list (``doc_a``, ``doc_b``,
     ``n_inter``, ``jaccard``), localCheckpointed once per (Spark
-    context, corpus file) — the ``_BPE_CACHE`` pattern. Seven catalog
+    context, corpus file) — the ``_BPE_CACHE`` pattern. Eight catalog
     entries consume this same list: the scored entry itself
     (ngram_jaccard), the quality/verify twins (simhash_quality,
     editdist_verify), and the four graph consumers (keep-best dedup,
-    leakage-safe split, triangles, pagerank); without the cache each
+    leakage-safe split, triangles, pagerank), and the source-overlap
+    matrix (docs_source_overlap); without the cache each
     re-paid the shingle equi-join, the dominant cost of every one of
     them. The checkpoint is lazy (materializes
     on the first consumer's action) and executor-local: the pair

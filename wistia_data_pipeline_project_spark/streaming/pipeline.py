@@ -1122,24 +1122,25 @@ def streaming_ewma_smoothed(
         wm_us = state.getCurrentWatermarkMs() * 1000
         # commit CLOSED days (end <= wm) oldest-first; open days stay
         # pending. Committed days are always older than pending ones.
-        for d in sorted(pending):
+        for d, x in sorted(pending.items()):
             if d + _DAY_US <= wm_us:
                 n += 1
                 deque.append((d, pending.pop(d)))
         deque = deque[-_EWMA_KEEP:]
+        pend = sorted(pending.items())
         state.update((
             n,
             n_obs,
             [d for d, _ in deque],
             [x for _, x in deque],
-            sorted(pending),
-            [pending[d] for d in sorted(pending)],
+            [d for d, _ in pend],
+            [x for _, x in pend],
         ))
         # provisional: committed deque + open days folded on a copy
         pn, pdq = n, list(deque)
-        for d in sorted(pending):
+        for d, x in pend:
             pn += 1
-            pdq.append((d, pending[d]))
+            pdq.append((d, x))
         pdq = pdq[-_EWMA_KEEP:]
         if pn == 0:
             return
