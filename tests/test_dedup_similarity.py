@@ -1254,3 +1254,44 @@ def test_near_dup_cascade_collapses_mega_group(spark):
     out = near_dup_cascade(df, cents, threshold=0.9, n_assign=2).collect()
     assert [(r.rep_a, r.rep_b, r.size_a, r.size_b, r.n_cross_pairs)
             for r in out] == [(0, 100, 100, 1, 100)]
+
+
+def test_label_drift_drops_labels_missing_a_half(spark):
+    """A label with vectors in only one parity half must DROP from
+    emb_label_drift's output (the oracle's inner a.h=0/b.h=1 join
+    semantics), and identical halves must report cosine ~1.0 (exact
+    up to sqrt(x)*sqrt(x) != x in IEEE)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    # label 1: identical vector in both halves (ids 0,1) -> cosine 1.0
+    # label 2: only even ids (2, 4) -> half 1 empty -> dropped
+    rows = [
+        (0, [1.0, 2.0] + [0.0] * 62, 1),
+        (1, [1.0, 2.0] + [0.0] * 62, 1),
+        (2, [3.0] * 64, 2),
+        (4, [5.0] * 64, 2),
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "embeddings.parquet"))
+        out = {
+            r.label: r
+            for r in QUERIES["emb_label_drift"](spark, d).collect()
+        }
+    assert set(out) == {1}
+    assert (out[1].n_a, out[1].n_b) == (1, 1)
+    assert abs(out[1].centroid_cosine - 1.0) < 1e-12
