@@ -163,3 +163,59 @@ def test_rolling_actives_covers_trailing_week(spark, sf_dir, tmp_path):
         "2024-01-01": (2, 2, 1.0),
         "2024-01-09": (1, 1, 1.0),
     }
+
+
+def test_window_funnel_later_start_rescues_expired_window(spark, tmp_path):
+    """The sliding-window funnel's distinguishing case vs
+    events_funnel: user 1's FIRST view expires before the purchase,
+    but a LATER view starts a chain that completes — level 3. User 2
+    converts outside every window — level 2 (click in-window). User
+    3 views only — level 1. Non-view users are outside the funnel
+    universe."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    T = dt.datetime
+    rows = [
+        # user 1: view Jan1 (window ends Jan8: click Jan7 in, purchase
+        # Jan10 OUT) and view Jan6 (window ends Jan13: click Jan7 +
+        # purchase Jan10 both in) -> the later start completes
+        (1, "view", T(2024, 1, 1)),
+        (1, "click", T(2024, 1, 7)),
+        (1, "view", T(2024, 1, 6)),
+        (1, "purchase", T(2024, 1, 10)),
+        # user 2: view day0, click day2, purchase day20 (expired)
+        (2, "view", T(2024, 1, 1)),
+        (2, "click", T(2024, 1, 3)),
+        (2, "purchase", T(2024, 1, 21)),
+        # user 3: view only
+        (3, "view", T(2024, 1, 1)),
+        # user 4: click/purchase but never views -> excluded
+        (4, "click", T(2024, 1, 1)),
+        (4, "purchase", T(2024, 1, 2)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r.level: r.n_users
+        for r in QUERIES["events_window_funnel"](spark, d).collect()
+    }
+    # user 1: first view day1? windows: view Jan1 [.., Jan8]: click
+    # Jan7 in-window, purchase Jan10 OUT; view Jan6 [.., Jan13]:
+    # click Jan7 in, purchase Jan10 in -> level 3
+    assert out == {3: 1, 2: 1, 1: 1}

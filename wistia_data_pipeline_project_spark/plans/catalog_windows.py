@@ -2137,3 +2137,117 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DATE comparing as object vs datetime64 across engines: emit the
     # grain key at midnight-UTC timestamp (the catalog-wide convention)
     return out.withColumn("day", F.col("day").cast("timestamp"))
+
+
+@query(
+    "events_window_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    starts AS (
+      SELECT user_id, ts AS t_v, ts + INTERVAL 7 DAY AS t_end
+      FROM e WHERE event_type = 'view'
+    ),
+    s2 AS (
+      SELECT s.user_id, s.t_v, s.t_end, MIN(c.ts) AS c1
+      FROM starts s JOIN e c
+        ON c.user_id = s.user_id AND c.event_type = 'click'
+       AND c.ts > s.t_v AND c.ts <= s.t_end
+      GROUP BY 1, 2, 3
+    ),
+    s3 AS (
+      SELECT DISTINCT s2.user_id
+      FROM s2 JOIN e p
+        ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+       AND p.ts > s2.c1 AND p.ts <= s2.t_end
+    ),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2u.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS level
+      FROM (SELECT DISTINCT user_id FROM starts) u
+      LEFT JOIN (SELECT DISTINCT user_id FROM s2) s2u
+        ON s2u.user_id = u.user_id
+      LEFT JOIN s3 ON s3.user_id = u.user_id
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM lvl)
+    SELECT level, COUNT(*) AS n_users,
+           CAST(COUNT(*) AS DOUBLE) / CAST(n.n_total AS DOUBLE)
+             AS user_share
+    FROM lvl CROSS JOIN n GROUP BY level, n.n_total
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window funnel (the ClickHouse ``windowFunnel`` shape,
+    which ``events_funnel`` deliberately is NOT): the user's funnel
+    level is the MAXIMAL view → click → purchase chain completed
+    within 7 days of ANY view start — a later view can start the
+    chain an earlier view's expired window could not. Per start the
+    earliest-next-event chain is level-maximal (greedy earliest click
+    leaves the largest residual window), so max-over-starts is exact,
+    not heuristic. Output: users at each max level with shares.
+
+    Determinism: exact timestamp-interval arithmetic (integer
+    microseconds); MIN anchors; the level CASE is a total order.
+
+    Scale: every join is co-partitioned on user_id and bounded by
+    PER-USER activity (views × clicks within one user, never across
+    users) — the same envelope as sessionization; a hot user shows up
+    in ``events_key_skew``'s diagnostic long before this pair product
+    matters. Stage tables shrink monotonically down the funnel; the
+    final histogram is |levels| rows.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "event_type", "ts")
+    week = F.expr("INTERVAL 7 DAYS")
+    starts = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("t_v"),
+        (F.col("ts") + week).alias("t_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t_c")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_p")
+    )
+    s2 = (
+        starts.join(clicks, "user_id")
+        .filter((F.col("t_c") > F.col("t_v")) & (F.col("t_c") <= F.col("t_end")))
+        .groupBy("user_id", "t_v", "t_end")
+        .agg(F.min("t_c").alias("c1"))
+    )
+    s3 = (
+        s2.join(purchases, "user_id")
+        .filter((F.col("t_p") > F.col("c1")) & (F.col("t_p") <= F.col("t_end")))
+        .select("user_id")
+        .distinct()
+        .withColumn("_l3", F.lit(1))
+    )
+    s2u = s2.select("user_id").distinct().withColumn("_l2", F.lit(1))
+    lvl = (
+        starts.select("user_id")
+        .distinct()
+        .join(s2u, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("_l3").isNotNull(), 3)
+            .when(F.col("_l2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("level"),
+        )
+    )
+    return (
+        lvl.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn(
+            "user_share",
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(W.partitionBy()).cast("double"),
+        )
+    )
