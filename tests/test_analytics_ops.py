@@ -219,3 +219,55 @@ def test_window_funnel_later_start_rescues_expired_window(spark, tmp_path):
     # Jan7 in-window, purchase Jan10 OUT; view Jan6 [.., Jan13]:
     # click Jan7 in, purchase Jan10 in -> level 3
     assert out == {3: 1, 2: 1, 1: 1}
+
+
+def test_sequence_match_patterns_micro(spark, tmp_path):
+    """Sequence strings build on the total order (ts, event_id) —
+    same-timestamp ties break on event_id — and the four patterns
+    classify a hand-built corpus exactly."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    T = dt.datetime
+    rows = [
+        # user 1: v,c,p in order (+ tie: click/view same ts, view has
+        # lower event_id -> 'vc' not 'cv') -> ordered_conversion
+        (1, 10, "view", T(2024, 1, 1, 9)),
+        (1, 11, "click", T(2024, 1, 1, 9)),
+        (1, 12, "purchase", T(2024, 1, 2)),
+        # user 2: views only -> never_purchases
+        (2, 20, "view", T(2024, 1, 1)),
+        # user 3: purchase then view -> post_purchase_view (and has p)
+        (3, 30, "purchase", T(2024, 1, 1)),
+        (3, 31, "view", T(2024, 1, 2)),
+        # user 4: ends on error -> error_then_churn + never_purchases
+        (4, 40, "view", T(2024, 1, 1)),
+        (4, 41, "error", T(2024, 1, 2)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r.pattern: r.n_users
+        for r in QUERIES["events_sequence_match"](spark, d).collect()
+    }
+    assert out == {
+        "ordered_conversion": 1,   # user 1 only (tie resolved v first)
+        "never_purchases": 2,      # users 2, 4
+        "post_purchase_view": 1,   # user 3
+        "error_then_churn": 1,     # user 4
+    }

@@ -2251,3 +2251,117 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_users").over(W.partitionBy()).cast("double"),
         )
     )
+
+
+@query(
+    "events_sequence_match",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                  ELSE 'o' END AS c
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    seq AS (
+      SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS seq
+      FROM e GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM seq),
+    m AS (
+      SELECT 'ordered_conversion' AS pattern,
+             COUNT(*) FILTER (WHERE regexp_matches(seq, 'v.*c.*p'))
+               AS n_users FROM seq
+      UNION ALL
+      SELECT 'never_purchases',
+             COUNT(*) FILTER (WHERE NOT regexp_matches(seq, 'p')) FROM seq
+      UNION ALL
+      SELECT 'post_purchase_view',
+             COUNT(*) FILTER (WHERE regexp_matches(seq, 'p.*v')) FROM seq
+      UNION ALL
+      SELECT 'error_then_churn',
+             COUNT(*) FILTER (WHERE regexp_matches(seq, 'o[^vcps]*$'))
+               FROM seq
+    )
+    SELECT pattern, CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users AS DOUBLE) / CAST(n.n_total AS DOUBLE)
+             AS user_share
+    FROM m CROSS JOIN n
+    """,
+)
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the ClickHouse
+    ``sequenceMatch`` mechanism, which subsumes shapes the funnel
+    joins cannot express — negations, anchors, adjacency): each
+    user's history collapses to ONE ordered type-string
+    (v/c/p/s/o on the total order (ts, event_id)) and patterns are
+    plain regexes over it — here: the ordered-conversion
+    subsequence, never-purchases, post-purchase re-engagement, and
+    error-as-final-event churn.
+
+    Determinism: the sequence string is built on the catalog's total
+    order in both engines (struct-sorted collect_list vs ORDER BY
+    inside string_agg); the four patterns use only portable regex
+    (literals, classes, anchors, ``.*``) with identical Java/RE2
+    semantics.
+
+    Scale: ONE user_id shuffle; per-user strings are bounded by
+    per-user activity (the sessionization envelope — a hot user
+    surfaces in ``events_key_skew`` long before a string matters);
+    all four patterns evaluate in a single pass over the |users|-row
+    sequence table (one agg, ``stack`` to rows — no re-scan per
+    pattern).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("o")
+        .alias("_c"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "_c"))
+                ),
+                lambda s: s["_c"],
+            ),
+        ).alias("seq")
+    )
+    pats = [
+        ("ordered_conversion", "v.*c.*p"),
+        ("never_purchases", "^[^p]*$"),
+        ("post_purchase_view", "p.*v"),
+        ("error_then_churn", "o[^vcps]*$"),
+    ]
+    agg = seq.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.sum(F.when(F.col("seq").rlike(p), 1).otherwise(0)).alias(
+                f"_m{i}"
+            )
+            for i, (_, p) in enumerate(pats)
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', _m{i}" for i, (name, _) in enumerate(pats)
+    )
+    return agg.selectExpr(
+        f"stack({len(pats)}, {stack_args}) AS (pattern, n_users)",
+        "n_total",
+    ).select(
+        "pattern",
+        F.col("n_users").cast("long").alias("n_users"),
+        (
+            F.col("n_users").cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("user_share"),
+    )
