@@ -252,3 +252,34 @@ def test_spill_checkpoint_rejects_bad_level(spark, monkeypatch):
         spill_checkpoint(df)
     monkeypatch.setenv("SPARK_GRAFT_CKPT_LEVEL", "DISK_ONLY")
     assert spill_checkpoint(df).count() == 3
+
+
+def test_shot_stats_hand_built_boundary(spark):
+    """Known payload: 3 one-pixel-row frames (2 px/frame, 1 channel)
+    with byte mass 0 / 200 / 200 -> exactly one boundary (jump 200
+    over fpx 2 clears 10*jump > 4*fpx), n_shots = 2."""
+    from wistia_data_pipeline_project_spark.operators.multimodal import (
+        shot_stats,
+    )
+
+    schema = (
+        "asset_id long, payload binary, meta struct<"
+        "media_type:string,format:string,width:int,height:int,"
+        "n_channels:int,sample_rate:int,n_frames:int>"
+    )
+    rows = [
+        (
+            1,
+            bytearray([0, 0, 100, 100, 100, 100]),
+            ("video", "fake", 2, 1, 1, None, 3),
+        ),
+        # single-frame video: no transitions -> 1 shot, max_jump 0
+        (2, bytearray([9, 9]), ("video", "fake", 2, 1, 1, None, 1)),
+        # image rows are filtered out entirely
+        (3, bytearray([1, 2, 3]), ("image", "fake", 1, 1, 3, None, None)),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = {r.asset_id: r for r in shot_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1].n_frames, got[1].n_shots, got[1].max_jump) == (3, 2, 200)
+    assert (got[2].n_frames, got[2].n_shots, got[2].max_jump) == (1, 1, 0)

@@ -572,3 +572,92 @@ def image_dedup_cascade(
             .alias("n_cross_pairs"),
         )
     )
+
+
+FRAME_SUM_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("frame_px", T.LongType()),
+    ]
+)
+
+
+def frame_sums(assets: DataFrame) -> DataFrame:
+    """Per-frame total byte mass of every video payload (asset_id,
+    frame_idx, frame_sum, frame_px): the decode runs through the real
+    Arrow ``mapInPandas`` path (fake codec — frame i is rows
+    [i*h, (i+1)*h) of the tiled raster), and the sums are EXACT
+    integers (uint8 summed in int64), which is what lets the shot
+    rule downstream be replayed bit-for-bit in SQL via the tiled
+    stream's prefix-sum closed form."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["media_type"] != "video" or not meta["n_frames"]:
+                    continue
+                w, h, c = (
+                    int(meta["width"]),
+                    int(meta["height"]),
+                    int(meta["n_channels"] or 3),
+                )
+                n = int(meta["n_frames"])
+                stack = fake_decode(payload, w, h * n, c).reshape(n, -1)
+                sums = stack.sum(axis=1, dtype=np.int64)
+                for i in range(n):
+                    rows.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": i,
+                            "frame_sum": int(sums[i]),
+                            "frame_px": h * w * c,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SUM_SCHEMA.fields]
+            )
+
+    return assets.filter(F.col("meta.media_type") == "video").mapInPandas(
+        work, FRAME_SUM_SCHEMA
+    )
+
+
+def shot_stats(
+    assets: DataFrame, jump_num: int = 4, jump_den: int = 10
+) -> DataFrame:
+    """Shot-boundary detection per video (the scene-segmentation pass
+    a video training pipeline runs before frame dedup / clip
+    extraction): a boundary is a frame whose total byte mass jumps by
+    more than ``jump_num/jump_den`` gray levels PER PIXEL-CHANNEL vs
+    its predecessor — evaluated as the exact integer predicate
+    ``jump_den * |Δsum| > jump_num * frame_px`` (no division, no
+    floats). Output per asset: ``n_frames``, ``n_shots`` (boundaries
+    + 1), ``max_jump``.
+
+    Scale: the decode emits n_frames summary rows per video (never
+    rasters); ONE asset-keyed shuffle serves the lag window and the
+    final combinable aggregate — the counter_delta shape on the frame
+    axis.
+    """
+    from pyspark.sql import Window as W
+
+    fs = frame_sums(assets)
+    w = W.partitionBy("asset_id").orderBy("frame_idx")
+    j = fs.withColumn(
+        "_jump",
+        F.abs(F.col("frame_sum") - F.lag("frame_sum").over(w)),
+    )
+    boundary = (
+        F.col("_jump").isNotNull()
+        & (F.col("_jump") * jump_den > F.col("frame_px") * jump_num)
+    ).cast("long")
+    return j.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.sum(boundary) + 1).cast("long").alias("n_shots"),
+        F.coalesce(F.max("_jump"), F.lit(0)).cast("long").alias("max_jump"),
+    )

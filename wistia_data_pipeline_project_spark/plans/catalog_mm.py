@@ -437,3 +437,78 @@ def mm_image_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_dedup_cascade(thumbs, max_hamming=3).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
+
+
+@query(
+    "mm_video_shot_detect",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id, text, length(text) AS len,
+             (doc_id % 32 + 8) * (doc_id % 24 + 8) * 3 AS fpx,
+             doc_id % 10 + 2 AS n
+      FROM {DOCS_ASCII_SQL} WHERE {MT_SQL} = 'video'
+    ),
+    chars AS (
+      SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS v
+      FROM vids, unnest(generate_series(1, len)) AS t(i)
+    ),
+    pre AS (
+      SELECT doc_id, i AS k,
+             SUM(v) OVER (PARTITION BY doc_id ORDER BY i) AS p
+      FROM chars
+    ),
+    tot AS (SELECT doc_id, MAX(p) AS s FROM pre GROUP BY 1),
+    fr AS (
+      -- frame f covers tiled-stream positions [f*fpx, (f+1)*fpx);
+      -- its byte sum is T(b) - T(a) with T(x) = (x // len)*S +
+      -- prefix(x mod len) — decorrelated here so the prefix lookups
+      -- below can LEFT JOIN (prefix(0) = 0 via COALESCE)
+      SELECT v.doc_id, fi.f AS frame_idx, v.fpx,
+             (fi.f * v.fpx) % v.len AS ka,
+             ((fi.f + 1) * v.fpx) % v.len AS kb,
+             (((fi.f + 1) * v.fpx) // v.len)
+               - ((fi.f * v.fpx) // v.len) AS cycles
+      FROM vids v, unnest(generate_series(0, v.n - 1)) AS fi(f)
+    ),
+    f AS (
+      SELECT fr.doc_id, fr.frame_idx, fr.fpx,
+             fr.cycles * tot.s + COALESCE(pb.p, 0) - COALESCE(pa.p, 0)
+               AS fsum
+      FROM fr
+      JOIN tot ON tot.doc_id = fr.doc_id
+      LEFT JOIN pre pa ON pa.doc_id = fr.doc_id AND pa.k = fr.ka
+      LEFT JOIN pre pb ON pb.doc_id = fr.doc_id AND pb.k = fr.kb
+    ),
+    j AS (
+      SELECT doc_id, fpx,
+             abs(fsum - lag(fsum) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx)) AS jump
+      FROM f
+    )
+    SELECT doc_id AS asset_id,
+           COUNT(*) AS n_frames,
+           CAST(1 + COALESCE(SUM(CASE WHEN 10 * jump > 4 * fpx
+                                      THEN 1 END), 0) AS BIGINT)
+             AS n_shots,
+           CAST(COALESCE(MAX(jump), 0) AS BIGINT) AS max_jump
+    FROM j GROUP BY 1
+    """,
+)
+def mm_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over video payloads (the scene
+    segmentation a video training pipeline runs before clip
+    extraction / frame dedup): per-frame byte mass through the REAL
+    Arrow decode path, boundary = the exact integer predicate
+    ``10·|Δsum| > 4·frame_px`` (0.4 gray levels per pixel-channel —
+    fires on ~4% of the corpus transitions, calibrated on the shipped
+    corpora). The oracle replays the frame sums WITHOUT decoding:
+    the tiled stream's range sum telescopes to prefix-sum arithmetic
+    (T(b) − T(a), prefix over the document's chars) — the full
+    decode→frame→lag→aggregate pipeline is hash-exact end to end,
+    not just structurally.
+
+    Scale: the mapInPandas emits n_frames summary ROWS per video
+    (rasters never leave the Arrow batch); one asset-keyed shuffle
+    serves the lag window + combinable aggregate. O(total frames).
+    """
+    return M.shot_stats(_assets(spark, sf_dir))
