@@ -2375,3 +2375,144 @@ def emb_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
     )
+
+
+@query(
+    "emb_ood_detect",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    d AS (
+      SELECT vec_id, label, i,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, dims
+    ),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM d GROUP BY 1, 2
+    ),
+    cc AS (
+      SELECT label,
+             CAST(SUM(CAST(ROUND(c * c, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS cc FROM cent GROUP BY 1
+    ),
+    vv AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+               AS vv FROM d GROUP BY 1
+    ),
+    dots AS (
+      SELECT d.vec_id, d.label,
+             CAST(SUM(CAST(ROUND(d.x * cent.c, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS dot
+      FROM d JOIN cent ON d.label = cent.label AND d.i = cent.i
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.label,
+             dots.dot / (sqrt(vv.vv) * sqrt(cc.cc)) AS cos
+      FROM dots JOIN vv USING (vec_id) JOIN cc USING (label)
+    ),
+    thr AS (
+      SELECT label,
+             percentile_disc(0.1) WITHIN GROUP (ORDER BY cos) AS t
+      FROM scored GROUP BY 1
+    )
+    SELECT s.label,
+           COUNT(*) AS n_vectors,
+           CAST(COALESCE(SUM(CASE WHEN s.cos < thr.t THEN 1 END), 0)
+                AS BIGINT) AS n_ood,
+           CAST(COALESCE(SUM(CASE WHEN s.cos < thr.t THEN 1 END), 0)
+                AS DOUBLE) / COUNT(*) AS ood_frac,
+           MIN(thr.t) AS thr_cosine
+    FROM scored s JOIN thr ON thr.label = s.label
+    GROUP BY s.label
+    """,
+)
+def emb_ood_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-class outlier detection (the OOD-pruning pass an
+    embedding-curation pipeline runs before contrastive training —
+    SemDeDup's complement: instead of removing the TOO-similar, flag
+    the too-DISSIMILAR): each vector scores its cosine against its
+    OWN label's centroid, and vectors below the label's
+    10th-percentile cosine (an actual picked element,
+    ``percentile_disc`` — the banded-deciles cross-engine mechanism)
+    are flagged. Output per label: vector count, flagged count +
+    fraction, and the picked threshold.
+
+    Determinism: the classify/drift decimal discipline for the
+    centroid/dot/norm arithmetic (every cosine bit-identical in both
+    engines), then a DISCRETE percentile pick and a strict
+    ``cos < thr`` flag — no interpolation anywhere.
+
+    Scale: the explode collapses map-side into |labels| x dim
+    centroid partials; the own-label dot joins the broadcast
+    640-row centroid-dim table against the per-dim stream (one
+    corpus-scan shape, no cross-label fan-out like classify's
+    argmax); the percentile is one map-combinable aggregate over
+    |vectors| scored rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x"),
+    )
+    cent = d.groupBy("label", "i").agg(
+        (
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cc = cent.groupBy("label").agg(
+        F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("cc")
+    )
+    vv = d.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("vv")
+    )
+    dots = (
+        d.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("c"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = (
+        dots.join(vv, "vec_id")
+        .join(F.broadcast(cc), "label")
+        .select(
+            "label",
+            (
+                F.col("dot") / (F.sqrt(F.col("vv")) * F.sqrt(F.col("cc")))
+            ).alias("cos"),
+        )
+    )
+    thr = scored.groupBy("label").agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY cos)").alias(
+            "t"
+        )
+    )
+    return (
+        scored.join(F.broadcast(thr), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("cos") < F.col("t")).cast("long"))
+            .cast("long")
+            .alias("n_ood"),
+            (
+                F.sum((F.col("cos") < F.col("t")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("ood_frac"),
+            F.min("t").alias("thr_cosine"),
+        )
+    )
