@@ -2470,23 +2470,24 @@ def emb_ood_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("cc")
     )
-    vv = d.groupBy("vec_id").agg(
-        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)"))
-        .cast("double")
-        .alias("vv")
-    )
+    # dot AND self-norm in ONE (vec, label) aggregate over the single
+    # centroid-joined stream — a separate vv branch re-runs the corpus
+    # explode (the emb_label_drift lesson; 20 static exchanges down to
+    # 16, one fewer corpus-scale shuffle)
     dots = (
         d.join(F.broadcast(cent), ["label", "i"])
         .groupBy("vec_id", "label")
         .agg(
             F.sum(F.round(F.col("x") * F.col("c"), 9).cast("decimal(28,9)"))
             .cast("double")
-            .alias("dot")
+            .alias("dot"),
+            F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            .alias("vv"),
         )
     )
     scored = (
-        dots.join(vv, "vec_id")
-        .join(F.broadcast(cc), "label")
+        dots.join(F.broadcast(cc), "label")
         .select(
             "label",
             (
