@@ -843,6 +843,78 @@ def test_knn_pair_list_invariant_to_shuffle_width(spark, sf_dir):
     assert results["4"] and results["4"] == results["32"]
 
 
+def test_knn_pair_prune_lossless(spark):
+    """``prune_pairs_group_topk`` (the round-9 build-time checkpoint
+    prune) must be invisible to BOTH consumer shapes: plain top-k per
+    vector, and top-k after dropping whole neighbor-label groups
+    (cross-label, with SQL null semantics). Adversarial corpus: one
+    vector whose global top-3 all share one label (so a per-VECTOR
+    partial would lose the cross-label answer), NULL labels on both
+    sides, and cross-group cosine ties."""
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        knn_topk_from_pairs,
+        prune_pairs_group_topk,
+    )
+
+    rows = []
+    # vec 1 (label "a"): best 4 neighbors all label "a" (sims .9x),
+    # then label "b" at .5 and NULL at .4 — the cross-label top-k
+    # lives entirely OUTSIDE the global top-4.
+    for nid, sim, lab in [
+        (10, 0.99, "a"), (11, 0.98, "a"), (12, 0.97, "a"),
+        (13, 0.96, "a"), (20, 0.50, "b"), (21, 0.45, "b"),
+        (22, 0.40, "b"), (23, 0.35, "b"), (30, 0.40, None),
+    ]:
+        rows.append((1, nid, sim, "a", lab))
+    # vec 2 (label NULL): never emits a cross-label pair; plain top-k
+    # still sees everything. Tie at 0.7 across two groups.
+    for nid, sim, lab in [
+        (10, 0.70, "a"), (20, 0.70, "b"), (11, 0.70, "a"),
+        (21, 0.60, "b"), (30, 0.55, None),
+    ]:
+        rows.append((2, nid, sim, None, lab))
+    pairs = spark.createDataFrame(
+        rows,
+        "vec_id long, neighbor_id long, cosine_sim double, "
+        "vec_label string, neighbor_label string",
+    )
+    pruned = prune_pairs_group_topk(pairs, k=3)
+
+    key = lambda r: (r.vec_id, r.rank)  # noqa: E731
+    for cross in (False, True):
+        want = sorted(
+            knn_topk_from_pairs(pairs, k=3, cross_label_only=cross)
+            .collect(), key=key,
+        )
+        got = sorted(
+            knn_topk_from_pairs(pruned, k=3, cross_label_only=cross)
+            .collect(), key=key,
+        )
+        assert want and got == want, f"cross_label_only={cross}"
+    # and the prune genuinely dropped rows (vec 1 keeps 3+3+1, not 9)
+    assert pruned.count() < pairs.count()
+
+
+def test_knn_pair_prune_compiles_to_window_group_limit(spark):
+    """The build-time prune must compile to the TWO-PHASE
+    WindowGroupLimit (partial per-mapper limit BEFORE the exchange):
+    that partial is what keeps the full candidate-pair list from ever
+    materializing into the shuffle that feeds the checkpoint — the
+    whole point of pruning at build time (SCALE.md r07 storage wall)."""
+    from tools.plan_audit import formatted_plan
+    from wistia_data_pipeline_project_spark.operators.similarity import (
+        prune_pairs_group_topk,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5, "a", "b")],
+        "vec_id long, neighbor_id long, cosine_sim double, "
+        "vec_label string, neighbor_label string",
+    )
+    plan = formatted_plan(prune_pairs_group_topk(pairs, k=3))
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 def test_knn_two_level_assignment_matches_numpy_reference(spark):
     """Past coarse_threshold the assignment goes two-level (coarse
     top-1 per centroid, vector top-coarse_probe coarse cells, rank

@@ -1155,6 +1155,60 @@ def knn_topk_from_pairs(
     )
 
 
+def prune_pairs_group_topk(
+    pairs: DataFrame, k: int, group_col: str | None = "neighbor_label"
+) -> DataFrame:
+    """Lossless build-time prune of a scored candidate-pair list
+    before it is checkpointed: keep each vector's top-``k`` rows per
+    (``vec_id``, ``group_col``) by the consumers' exact rank order
+    (``cosine_sim`` DESC, ``neighbor_id`` ASC) — so the STORED list is
+    O(N·L·k) rows (L = label cardinality, a handful) instead of the
+    full Σ cells |cell|² candidate volume. At sf10 the unpruned
+    checkpoint was 72 GB co-resident with the 48 g heap — THE
+    single-JVM storage wall (SCALE.md r07); every consumer ultimately
+    keeps a per-vector top-k, so rows outside every group's top-k can
+    never be observed.
+
+    Commutation proof (why per-GROUP, not per-vector, partials): both
+    checkpoint consumers have the form "drop whole neighbor-label
+    groups, then row_number() per vec_id over (cosine_sim DESC,
+    neighbor_id ASC), keep rank <= j" with j <= k:
+
+    - ``emb_knn_join`` drops nothing (j=3);
+    - ``emb_hard_negatives`` drops the group whose ``neighbor_label``
+      equals ``vec_label`` — and NULL-label groups, since SQL
+      ``vec_label != neighbor_label`` is never true on NULL. The
+      label is a FUNCTION of vec_id, so per vec_id the filter removes
+      whole (vec_id, neighbor_label) groups, never part of one.
+
+    For any union U of surviving groups, the top-j of U under a total
+    order is contained in the union of each group's top-j (a row
+    outside its own group's top-k has k better rows in its own group
+    alone, all of which are in U). The rank order is TOTAL per group
+    ((vec_id, neighbor_id) is unique after the distinct), so per-group
+    top-k is deterministic and the prune is exact — pinned by
+    ``test_knn_pair_prune_lossless`` and by the driver hashes of both
+    consumers.
+
+    Scale: the rank filter compiles to the two-phase
+    ``WindowGroupLimit`` (partial per-mapper limit BEFORE the
+    exchange, CI-pinned in test_plan_audit), so the pair expansion is
+    cut to <= k rows per group per mapper as it is produced — the
+    full list never exists on disk OR in the shuffle that feeds the
+    checkpoint. With ``group_col=None`` (an unlabeled pair list) the
+    partial is per vec_id alone.
+    """
+    keys = ["vec_id"] + ([group_col] if group_col else [])
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= k)
+        .drop("_pr")
+    )
+
+
 def knn_join_blocked(
     df: DataFrame,
     centroids: DataFrame,

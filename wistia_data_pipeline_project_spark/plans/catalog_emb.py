@@ -102,7 +102,7 @@ def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
-        return S.knn_candidate_pairs(
+        pairs = S.knn_candidate_pairs(
             emb,
             _centroids_scaled(sf_dir, emb),
             n_assign=4,
@@ -117,6 +117,13 @@ def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             # flat path
             n_centroids=max(8, _nvec(sf_dir, emb) // 250),
         )
+        # build-time lossless prune (round 9): the stored list is
+        # O(N·labels·3) rows, not the full candidate volume — kills
+        # the sf10 72 GB checkpoint storage wall. Both consumers take
+        # a per-vector top-3 after dropping whole neighbor-label
+        # groups, which per-group partials preserve exactly (proof in
+        # prune_pairs_group_topk's docstring).
+        return S.prune_pairs_group_topk(pairs, k=3)
 
     return cached_pair_checkpoint(
         spark,
