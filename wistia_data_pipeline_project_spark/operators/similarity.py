@@ -1643,6 +1643,89 @@ def mmr_rerank(
     )
 
 
+def mmr_rerank_scored(
+    pairs: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    key_col: str = "vec_id",
+    rel_col: str = "rel_score",
+    nbr_col: str = "neighbor_id",
+    sim_col: str = "pair_sim",
+) -> DataFrame:
+    """MMR greedy over PRE-SCORED candidates — the oracle-exact (and
+    100 TB) formulation of ``mmr_rerank``: every cosine the greedy
+    consults (relevance AND candidate-pair redundancy) is computed
+    ONCE, JVM-side, by the sequential-fold ``cosine`` that
+    bit-matches DuckDB's ``list_dot_product`` — so the Python stage
+    only does argmax/max/multiply/subtract over floats both engines
+    hold identically, and the selection sequence is deterministic
+    cross-engine (the plain ``mmr_rerank`` recomputes sims with
+    numpy's pairwise-summed matmul, which is bit-INcomparable to any
+    SQL fold and fine only engine-internally).
+
+    Input: one row per candidate×co-candidate pair within a query —
+    ``(query_col, key_col, rel_col, nbr_col, sim_col)``, left-joined
+    so a single-candidate query keeps one null-neighbor row. Output:
+    ``(query_col, key_col, rel_col, mmr_rank, mmr_score)``, ranks
+    1..k per query in greedy order with the winning marginal score;
+    the redundancy penalty is clamped at 0 exactly as ``mmr_rerank``
+    (and the ``emb_mmr_rerank`` oracle's ``greatest(max_sim, 0)``).
+
+    Scale shape: one shuffle on ``query_col``; each group is the
+    retriever's bounded top-N candidates squared (N ≤ ~1k → ≤ 1M tiny
+    rows), so millions of queries parallelize on the query axis and
+    the O(k·N) greedy runs Arrow-batched per group with zero vector
+    math in Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    in_types = {f.name: f.dataType.simpleString() for f in pairs.schema.fields}
+    out_fields = (
+        f"{query_col} {in_types[query_col]}, {key_col} {in_types[key_col]}, "
+        f"{rel_col} {in_types[rel_col]}, mmr_rank long, mmr_score double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[query_col].iloc[0]
+        cand = (
+            pdf.drop_duplicates(subset=[key_col])
+            .sort_values(key_col)
+            .reset_index(drop=True)
+        )
+        ids = cand[key_col].to_numpy()
+        rel_orig = cand[rel_col].reset_index(drop=True)
+        rel = cand[rel_col].to_numpy(dtype=np.float64)
+        n = len(ids)
+        pos = {v: i for i, v in enumerate(ids)}
+        simm = np.zeros((n, n))
+        pp = pdf[pdf[nbr_col].notna()]
+        rows_i = [pos[v] for v in pp[key_col]]
+        rows_j = [pos[v] for v in pp[nbr_col]]
+        simm[rows_i, rows_j] = pp[sim_col].to_numpy(dtype=np.float64)
+        max_sim = np.zeros(n)
+        picked = np.zeros(n, dtype=bool)
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            score = lam * rel - (1.0 - lam) * max_sim
+            score[picked] = -np.inf
+            order = np.lexsort((ids, -score))
+            best = order[0]
+            picked[best] = True
+            out.append((q, ids[best], rel_orig.iloc[best], rank, score[best]))
+            max_sim = np.maximum(max_sim, simm[:, best])
+        return pd.DataFrame(
+            out, columns=[query_col, key_col, rel_col, "mmr_rank", "mmr_score"]
+        )
+
+    return (
+        pairs.select(query_col, key_col, rel_col, nbr_col, sim_col)
+        .groupBy(query_col)
+        .applyInPandas(rerank, out_fields)
+    )
+
+
 def ndcg_at_k(
     results: DataFrame,
     ideal: DataFrame,

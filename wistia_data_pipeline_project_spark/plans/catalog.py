@@ -54,6 +54,12 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # duplicate registration is ALWAYS a bug: the later decorator
+        # would silently shadow an established (driver-green) entry in
+        # both dicts, and the oracle gate would keep passing against
+        # the wrong implementation (caught live in round 9 when a new
+        # entry reused an existing name)
+        assert name not in QUERIES, f"duplicate catalog entry: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

@@ -1578,6 +1578,131 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_mmr_rerank_exact",
+    oracle="""
+    WITH RECURSIVE
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 1)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS rel_score,
+             e.embedding::DOUBLE[] AS ev
+      FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel_score, ev FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel_score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 16
+    ),
+    sims AS (
+      SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+             list_dot_product(a.ev, b.ev)
+               / (sqrt(list_dot_product(a.ev, a.ev))
+                  * sqrt(list_dot_product(b.ev, b.ev))) AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    pick(query_id, vec_id, rel_score, mmr_rank, mmr_score, sel) AS (
+      SELECT query_id, vec_id, rel_score, 1::BIGINT, sc, [vec_id] FROM (
+        SELECT query_id, vec_id, rel_score,
+               0.5 * rel_score - 0.5 * 0.0 AS sc,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY 0.5 * rel_score - 0.5 * 0.0 DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT w.query_id, ch.vec_id, ch.rel_score, w.mmr_rank + 1, ch.sc,
+             list_append(w.sel, ch.vec_id)
+      FROM pick w, LATERAL (
+        SELECT c.vec_id, c.rel_score,
+               0.5 * c.rel_score - 0.5 * greatest(
+                 (SELECT max(s.sim) FROM sims s
+                  WHERE s.query_id = c.query_id AND s.i = c.vec_id
+                    AND list_contains(w.sel, s.j)), 0.0) AS sc
+        FROM cand c
+        WHERE c.query_id = w.query_id
+          AND NOT list_contains(w.sel, c.vec_id)
+        ORDER BY sc DESC, c.vec_id
+        LIMIT 1
+      ) ch
+      WHERE w.mmr_rank < 5
+    )
+    SELECT query_id, vec_id, rel_score, mmr_rank, mmr_score FROM pick
+    """,
+)
+def emb_mmr_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for two retrieval queries (vec_id 0 and
+    1 as query vectors): brute-force top-16 candidates by cosine,
+    then the Carbonell–Goldstein greedy (λ=0.5) reranks each list so
+    near-duplicate hits can't monopolize the final k — the
+    post-retrieval complement of SemDeDup's corpus-side dedup.
+
+    Cross-engine exactness (why this uses ``mmr_rerank_scored``, not
+    the numpy-matmul ``mmr_rerank``): every float the greedy compares
+    — relevance AND candidate-pair cosines — is computed JVM-side by
+    the sequential fold that bit-matches DuckDB's
+    ``list_dot_product``, and the oracle replays the selection as a
+    recursive CTE over the same scored pairs with the same
+    ``0.5·rel − 0.5·greatest(max_sim, 0)`` arithmetic and
+    (score DESC, vec_id) tie order — so the greedy's k rounds pick
+    identical rows in both engines, bit-for-bit.
+
+    Scale: candidate retrieval is the two-phase WindowGroupLimit
+    top-N per query; the pair join is candidates×co-candidates within
+    a query (N² ≤ 256 rows per query, never corpus-sized); the greedy
+    is Arrow-batched per query group with zero vector math in Python.
+    Millions of queries parallelize on the query axis.
+    """
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"),
+        S.as_double(F.col("embedding")).alias("qv"),
+    )
+    scored = emb.join(
+        F.broadcast(qdf), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        S.cosine(S.as_double(F.col("embedding")), F.col("qv")).alias(
+            "rel_score"
+        ),
+        S.as_double(F.col("embedding")).alias("ev"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rel_score"), F.asc("vec_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .drop("rn")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+        "left",
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.rel_score").alias("rel_score"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        S.cosine(F.col("a.ev"), F.col("b.ev")).alias("pair_sim"),
+    )
+    return S.mmr_rerank_scored(pairs, k=5, lam=0.5)
+
+
+@query(
     "emb_centroid_classify",
     oracle="""
     WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
