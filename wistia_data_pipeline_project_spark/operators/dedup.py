@@ -788,13 +788,55 @@ def prefix_jaccard_pairs(
     )
     pre = ranked.select(
         F.col(key_col),
-        F.explode(F.slice("_sorted", 1, p_len)).alias("shingle"),
+        F.col("_n"),
+        F.posexplode(F.slice("_sorted", 1, p_len)).alias("_pos", "shingle"),
     )
-    a = pre.select(F.col(key_col).alias("doc_a"), "shingle")
-    b = pre.select(F.col(key_col).alias("doc_b"), "shingle")
+    a = pre.select(
+        F.col(key_col).alias("doc_a"),
+        "shingle",
+        F.col("_pos").alias("_pa"),
+        F.col("_n").alias("_na"),
+    )
+    b = pre.select(
+        F.col(key_col).alias("doc_b"),
+        "shingle",
+        F.col("_pos").alias("_pb"),
+        F.col("_n").alias("_nb"),
+    )
+    # PPJoin+ candidate-time bounds (round 9 — Xiao et al. 2008 §3):
+    # both prune BEFORE the distinct, both conservative by one token
+    # of slack so no float-boundary discrepancy with the verify's
+    # double-divided ``jaccard >= threshold`` can ever drop a true
+    # pair (the verify stays the exactness decision-maker; these
+    # filters only shrink its input):
+    # - LENGTH: J >= t forces min(|a|,|b|) >= t*max(|a|,|b|).
+    # - POSITIONAL: a match at 0-based prefix positions (pa, pb)
+    #   bounds the overlap by min(pa,pb) common tokens before it + 1
+    #   + min remaining after it (both docs sort shingles in the SAME
+    #   global rarity order); a pair survives if ANY shared prefix
+    #   token admits overlap >= the J>=t minimum
+    #   alpha = ceil(t/(1+t)*(|a|+|b|)) — every common prefix token
+    #   of a true pair does (its bound >= the true overlap >= alpha),
+    #   so any-match-passes keeps exactly the lossless candidate set.
+    t = float(threshold)
+    alpha = (
+        F.ceil(F.lit(t / (1.0 + t)) * (F.col("_na") + F.col("_nb"))) - 1
+    )
+    ubound = (
+        F.least(F.col("_pa"), F.col("_pb"))
+        + 1
+        + F.least(
+            F.col("_na") - F.col("_pa") - 1, F.col("_nb") - F.col("_pb") - 1
+        )
+    )
     cands = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(t) * F.greatest("_na", "_nb") - F.lit(1.0)
+        )
+        .filter(ubound >= alpha)
         .select("doc_a", "doc_b")
         .distinct()
     )
