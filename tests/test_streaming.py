@@ -1118,3 +1118,143 @@ def test_streaming_ewma_day_commits_only_past_day_end(spark, tmp_path):
         assert last.ewma == 27.5
     finally:
         q.stop()
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """The streaming incremental-dedup twin's survivors equal the
+    batch docs_incremental_dedup semantics on the same rows: dropped
+    vs the loaded corpus's fingerprints, then first-wins within the
+    stream (arrival order = doc_id order here, the batch spec's
+    framing) — including the md5(lower(trim())) normalization."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators.text import fingerprint
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_incremental_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    existing = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+
+    rows = [
+        # 10: dup of loaded corpus (normalized) -> dropped vs existing
+        {"doc_id": 10, "ts": "2024-01-01T00:00:00", "source": "web",
+         "text": "  ALPHA doc "},
+        {"doc_id": 11, "ts": "2024-01-01T01:00:00", "source": "web",
+         "text": "new A"},
+        # 12: within-stream dup of 11 after normalization -> dropped
+        {"doc_id": 12, "ts": "2024-01-01T02:00:00", "source": "api",
+         "text": " new a"},
+        {"doc_id": 13, "ts": "2024-01-01T03:00:00", "source": "api",
+         "text": "new B"},
+    ]
+    d = tmp_path / "docs_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((rows[:2], rows[2:])):
+        with open(d / f"docs_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = "doc_id long, ts timestamp, source string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_incremental_dedup(stream, existing, watermark="1 day"),
+        "incdedup_stream",
+        output_mode="append",
+    )
+    try:
+        got = {r.doc_id for r in
+               spark.sql("SELECT * FROM incdedup_stream").collect()}
+        # batch spec on the same rows: anti-join vs existing, then
+        # first-wins (min doc_id) per fingerprint
+        import datetime as dt
+
+        batch_df = spark.createDataFrame(
+            [(e["doc_id"], dt.datetime.fromisoformat(e["ts"]),
+              e["source"], e["text"]) for e in rows],
+            schema,
+        ).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        survivors = batch_df.join(existing, "fp", "left_anti")
+        want = {
+            r[0]
+            for r in survivors.groupBy("fp")
+            .agg(F.min("doc_id"))
+            .select(F.col("min(doc_id)"))
+            .collect()
+        }
+        assert got == want == {11, 13}
+    finally:
+        q.stop()
+
+
+def test_streaming_incremental_dedup_watermark_eviction_bound(spark, tmp_path):
+    """Both sides of the dropDuplicatesWithinWatermark contract: a
+    duplicate arriving in a later micro-batch INSIDE the watermark
+    window is dropped; after the watermark passes the first
+    occurrence's event time, its fingerprint state evicts and a very
+    late redelivery re-admits — the documented O(rate x watermark)
+    state bound (production closes that hole by folding committed
+    fingerprints back into the static side)."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_incremental_dedup,
+    )
+
+    chunks = [
+        [{"doc_id": 1, "ts": "2024-01-01T00:00:00", "source": "web",
+          "text": "same text"}],
+        # in-window duplicate -> dropped; the Jan-10 row advances the
+        # watermark to Jan 9
+        [{"doc_id": 2, "ts": "2024-01-01T06:00:00", "source": "web",
+          "text": "same text"},
+         {"doc_id": 3, "ts": "2024-01-10T00:00:00", "source": "web",
+          "text": "other text"}],
+        # an INTERMEDIATE batch is required for eviction to land:
+        # in-batch dedup runs before state eviction, so the batch
+        # that first sees watermark > expiry still drops a
+        # redelivery — eviction takes effect from the NEXT batch on
+        [{"doc_id": 6, "ts": "2024-01-20T00:00:00", "source": "web",
+          "text": "third text"}],
+        # past-window redelivery -> re-admitted (the contract's bound)
+        [{"doc_id": 4, "ts": "2024-01-19T01:00:00", "source": "web",
+          "text": "same text"}],
+    ]
+    d = tmp_path / "docs_wm"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        p = d / f"docs_{i}.jsonl"
+        with open(p, "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+        # the file source orders same-mtime files arbitrarily
+        # (sub-ms writes tie) — force distinct mtimes so micro-batch
+        # order IS chunk order, which this test's semantics need
+        os.utime(p, (1700000000 + i * 10, 1700000000 + i * 10))
+    schema = "doc_id long, ts timestamp, source string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    empty_fp = spark.createDataFrame([], "fp string")
+    q = run_stream_to_memory(
+        streaming_incremental_dedup(stream, empty_fp, watermark="1 day"),
+        "incdedup_wm_stream",
+        output_mode="append",
+    )
+    try:
+        got = {r.doc_id for r in
+               spark.sql("SELECT * FROM incdedup_wm_stream").collect()}
+        assert got == {1, 3, 6, 4}
+    finally:
+        q.stop()

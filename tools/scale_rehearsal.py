@@ -79,8 +79,6 @@ def main() -> int:
     big = args[1] if len(args) > 1 else "/tmp/sf1"
     names = args[2:] or DEFAULT_ENTRIES
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as m
 
     import os as _os
@@ -96,17 +94,19 @@ def main() -> int:
     # partitions with data; the fixed-32 local default starts
     # spilling around the 100x decade (SCALE.md r07 sf10 sweep) —
     # the knob separates partition pressure from algorithmic growth
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config(
-            "spark.sql.shuffle.partitions",
-            _os.environ.get("SPARK_GRAFT_REHEARSAL_PARTITIONS", "32"),
-        )
-        .config(
-            "spark.driver.memory",
-            _os.environ.get("SPARK_GRAFT_REHEARSAL_MEM", "16g"),
-        )
-        .getOrCreate()
+    # the ENGINE session (round 9): rehearsals measure get_spark's
+    # behavior — including the partitions-scale-with-data rule
+    # (initialPartitionNum + AQE coalesce) — not a hand-built config.
+    # The env knobs still override for controlled experiments.
+    from wistia_data_pipeline_project_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-rehearsal",
+        cpus=32,
+        shuffle_partitions=int(
+            _os.environ.get("SPARK_GRAFT_REHEARSAL_PARTITIONS", "32")
+        ),
+        driver_memory=_os.environ.get("SPARK_GRAFT_REHEARSAL_MEM", "16g"),
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = m.queries()

@@ -43,12 +43,33 @@ def get_spark(
     """
     cpus = cpus or default_parallelism()
     shuffle_partitions = shuffle_partitions or cpus
+    # Partitions-scale-with-data (SCALE.md r07-r09): a fixed reducer
+    # count is wrong in both directions — 32 spills at the sf10
+    # decade (market-basket exp 1.18@128p -> 0.66@256p, three decades
+    # of evidence), while hundreds of partitions over-schedule tiny
+    # exchanges. The engine rule: START every exchange wide
+    # (initialPartitionNum, default max(256, 8x cores)) and let AQE
+    # coalesce DOWN per-exchange from runtime sizes — reducer width
+    # then tracks the exchange's actual bytes, which is what "derive
+    # partitions from input volume" means when volume is only known
+    # at runtime. shuffle.partitions stays the static floor for
+    # non-AQE paths.
+    initial = int(
+        os.environ.get(
+            "SPARK_GRAFT_INITIAL_PARTITIONS",
+            str(max(256, 8 * cpus, shuffle_partitions)),
+        )
+    )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(initial),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
