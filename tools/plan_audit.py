@@ -68,7 +68,7 @@ def audit(name: str, plan: str) -> tuple[str, list[str]]:
 # annotations survive. No '|' characters (markdown cell).
 NOTES = {
     "docs_containment": "hot-shingle df cap adds a freq-agg + broadcast-anti subtree per branch; identical exchanges dedupe at runtime",
-    "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md); assignment goes two-level past 64 cells (audited plan is the driver-SF flat path)",
+    "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached), top-k pruned per (vec_id, neighbor_label) at build time (r09 - stored list O(N*labels*k)); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md); assignment goes two-level past 64 cells (audited plan is the driver-SF flat path)",
     "q2_min_cost_supplier": "SMJ is the min-cost join-back on pre-aggregated supply rows (AQE broadcasts at runtime)",
     "q11_important_parts": "BNLJ = the 1-row scalar-threshold broadcast",
     "q21_waiting_suppliers": "one shuffle computes all three per-order EXISTS facts",
@@ -88,6 +88,7 @@ NOTES = {
     "docs_winnowing": "sliding-min window + (doc,fp) distinct agg",
     "docs_zipf_fit": "global rank over aggregated vocab (user-deciles caveat); docs_zipf_fit_scalable is the bit-identical decomposed-rank swap-in",
     "docs_zipf_fit_scalable": "rank decomposed: per-cnt offsets (window over DISTINCT counts only) + row_number partitioned by cnt; offs broadcast back",
+    "emb_mmr_rerank_exact": "BNLJ = the 2-row query-vector broadcast (non-equi self-exclusion); top-16 per query via two-phase WindowGroupLimit; candidate pair join broadcast (<=256 rows per query); greedy is applyInPandas over pre-scored JVM-fold floats - zero vector math in Python",
     "emb_semdedup": "SMJ = pair join on centroid_id; flattened table localCheckpoint'ed as codegen barrier (allowlisted in the no-collect gate)",
     "emb_ivf_recall": "two top-k heaps + 10x10 overlap join",
     "emb_matryoshka_recall": "coarse pass projects 16/64 dims",

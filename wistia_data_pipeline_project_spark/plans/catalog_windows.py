@@ -1849,6 +1849,15 @@ def events_stateful_watch_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batches; the duration dim is broadcast. State per group is
     O(1); group fan-in is bounded by a visitor-day's event volume —
     the same shape the 100 TB streaming path holds in its state store.
+
+    PLAN OF RECORD at 100 TB (r09, measured across sf0.1/sf1/sf10 —
+    SCALE.md "Watch-time plan of record"): the WINDOW-LAG
+    formulation ``fact.fact_media_engagement`` — flat 14–16 s through
+    100× data (pure codegen, no Python boundary) vs 258 s
+    (partition-scan fold, linear in rows) and 1724 s (this grouped-map
+    fold) at sf10. The Python folds stay as the driver-SF choice
+    (fastest below ~10⁶ events) and the semantics cross-checks; all
+    three are pytest-pinned equivalent.
     """
     import datetime as dt
 
