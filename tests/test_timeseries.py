@@ -661,3 +661,127 @@ def test_trend_robust_known_series(spark, tmp_path):
     )
     ddf = con.sql(oracle_sql()["events_trend_robust"]).df()
     assert not compare("events_trend_robust", sdf, ddf)
+
+
+def test_holt_linear_micro_fixture(spark):
+    """Hand-computed Holt fold (alpha = beta = 1/2): x = [1.0, 2.0]
+    dollars -> l2 = 1.5, b2 = 0.25, forecast 1.75; a single-day user
+    degenerates to level = x, trend = 0."""
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    T = dt.datetime
+    from decimal import Decimal as D
+
+    rows = [
+        (1, T(2024, 1, 1), D(100)),
+        (1, T(2024, 1, 2), D(200)),
+        (2, T(2024, 1, 5), D(500)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, day timestamp, cents decimal(18,0)"
+    )
+    out = {
+        r["user_id"]: r
+        for r in holt_linear(df, "user_id", "day", "cents").collect()
+    }
+    assert out[1]["level"] == 1.5
+    assert out[1]["trend"] == 0.25
+    assert out[1]["forecast"] == 1.75
+    assert out[1]["n_days"] == 2 and out[1]["n_used"] == 2
+    assert out[2]["level"] == 5.0
+    assert out[2]["trend"] == 0.0
+    assert out[2]["forecast"] == 5.0
+    assert out[2]["last_day"] == T(2024, 1, 5)
+
+
+def test_holt_linear_truncates_to_last_24_and_clamps(spark):
+    """A 30-day constant series folds only its last 24 days (constant
+    input is a fixed point: level = x, trend = 0), and a daily total
+    beyond +-1e9 cents clamps BY DECLARATION before folding."""
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        HOLT_CLAMP_CENTS,
+        HOLT_MAX_OBS,
+        holt_linear,
+    )
+
+    T = dt.datetime
+    from decimal import Decimal as D
+
+    rows = [(1, T(2024, 1, 1 + i), D(100)) for i in range(30)]
+    # user 2: one day at 100x the clamp -> folds as exactly the clamp
+    rows.append((2, T(2024, 1, 1), D(100 * HOLT_CLAMP_CENTS)))
+    df = spark.createDataFrame(
+        rows, "user_id long, day timestamp, cents decimal(18,0)"
+    )
+    out = {
+        r["user_id"]: r
+        for r in holt_linear(df, "user_id", "day", "cents").collect()
+    }
+    assert out[1]["n_days"] == 30
+    assert out[1]["n_used"] == HOLT_MAX_OBS
+    assert out[1]["level"] == 1.0 and out[1]["trend"] == 0.0
+    assert out[2]["level"] == HOLT_CLAMP_CENTS / 100.0
+
+
+def test_holt_linear_entry_matches_oracle_micro(spark, tmp_path):
+    """Micro-fixture parity incl. the clamp branch: the entry's DuckDB
+    oracle must replay the clamp, the 24-obs truncation and the
+    micro-dollar HALF-UP quantization bit-for-bit."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    T = dt.datetime
+    rows = []
+    eid = 0
+
+    def ev(uid, ts, value):
+        nonlocal eid
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": ts,
+                "user_id": uid,
+                "event_type": "view",
+                "value": value,
+                "props": "{}",
+            }
+        )
+        eid += 1
+
+    # user 1: 30 days ramping (exercises truncation + negative trend
+    # states), user 2: one huge day (clamp branch on BOTH engines),
+    # user 3: single tiny day (degenerate), user 4: NaN-ish domain
+    for i in range(30):
+        ev(1, T(2024, 1, 1 + i) + dt.timedelta(hours=3), 100.0 - 3.0 * i)
+    ev(2, T(2024, 2, 1), 5e8)  # 5e10 cents -> clamps at 1e9
+    ev(2, T(2024, 2, 2), 1.25)
+    ev(3, T(2024, 3, 1), 0.07)
+    ev(4, T(2024, 3, 1), float("nan"))  # excluded in both engines
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/events.parquet")
+
+    sdf = QUERIES["events_holt_linear"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["events_holt_linear"]).df()
+    assert not compare("events_holt_linear", sdf, ddf)
+    by_u = {r["user_id"]: r for _, r in sdf.iterrows()}
+    assert by_u[2]["n_days"] == 2
+    assert 4 not in by_u  # NaN-only user excluded

@@ -997,3 +997,134 @@ def ewma_last(
             F.sum(F.col("_x") * wgt).cast("double") / F.lit(scale)
         ).alias("ewma"),
     )
+
+
+# Holt fold constants, shared with the catalog oracle so the two
+# engines stay bit-identical: the fold keeps at most the key's last
+# HOLT_MAX_OBS observed days (warm-started at the window head), and
+# daily totals clamp to +-HOLT_CLAMP_CENTS BY DECLARATION. Bounds the
+# clamp buys (|l_t|, |b_t| <= t * X cents unscaled, so the scaled
+# state |L_t| <= t * X * 4^t):
+#   - integer state <= 24 * 1e9 * 4^24 ~ 6.7e24 — 13+ digits of
+#     int128 headroom in the oracle's HUGEINT fold;
+#   - output micros <= 24 * 1e9 / 100 * 1e6 = 2.4e14 < 2^53, so the
+#     final int->double conversion is EXACT (no rounding, no
+#     half-ULP tie: DuckDB's HUGEINT->DOUBLE cast and Python's
+#     float(int) disagree on negative ties, measured in round 9).
+HOLT_MAX_OBS = 24
+HOLT_CLAMP_CENTS = 10**9
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    cents_col: str = "cents",
+    max_obs: int = HOLT_MAX_OBS,
+) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of per-key
+    daily totals with alpha = beta = 1/2 — the trend-aware sibling of
+    ``ewma_last`` (Holt-Winters family, no seasonality; reference
+    north-star rollup ``/root/reference/process_wistia_data_v2.py:402``
+    generalized the same way as the counter/EWMA entries). With daily
+    totals x_1..x_m on the key's observed-day order::
+
+        l_1 = x_1                ;  b_1 = 0
+        l_t = (x_t + l_{t-1} + b_{t-1}) / 2
+        b_t = (l_t - l_{t-1}) / 2 + b_{t-1} / 2
+
+    Outputs the final level, trend and one-step forecast (l + b).
+
+    Determinism: alpha = beta = 1/2 makes every state a DYADIC
+    rational — scale step t by 4^t and the recurrence is pure integer
+    arithmetic::
+
+        L_t = 2 * x_t * 4^(t-1) + 2 * L_{t-1} + 2 * B_{t-1}
+        B_t =     x_t * 4^(t-1) -     L_{t-1} + 3 * B_{t-1}
+
+    The fold runs in arbitrary-precision ints (Python) / HUGEINT
+    (the DuckDB oracle). Outputs quantize to MICRO-dollars by an
+    exact integer division with declared HALF-UP ties::
+
+        level_micro = halfup(L * 10^4, 4^m)     # L/(4^m * 100) * 1e6
+
+    where halfup(n, d) = floor(n/d) + [2 * floormod(n, d) >= d] —
+    pure integer arithmetic in both engines (no closed form exists
+    here: the Holt transition matrix has complex eigenvalues
+    5/8 +- i*sqrt(7)/8, so the sequential fold is irreducible).
+    Three declarations bound the integers: only the last ``max_obs``
+    observed days fold (warm-start l = x, b = 0 at the window head),
+    daily totals clamp to +-1e9 cents, and outputs are micro-dollar
+    quantized. The clamp keeps every output micro-int < 2^53, so the
+    final int->double conversion is exact and the one division by
+    1e6 is a single identically-rounded IEEE op on both engines
+    (a raw big-int->double cast is NOT cross-engine safe: DuckDB's
+    HUGEINT cast rounds negative half-ULP ties toward zero where
+    Python rounds half-even — measured, round 9).
+
+    Scale: daily pre-agg collapses events map-side to key x days; ONE
+    key shuffle serves the ordering window and the grouped fold. The
+    fold itself is ``applyInPandas`` over <= max_obs rows per key —
+    Arrow-batched, O(1) state, the stateful-watch-time envelope. No
+    grid fan-out; O(events) end to end.
+    """
+    daily = df.groupBy(key_col, day_col).agg(
+        F.sum(F.col(cents_col)).cast("decimal(38,0)").alias("_x0")
+    )
+    clamp = F.lit(HOLT_CLAMP_CENTS).cast("decimal(38,0)")
+    daily = daily.withColumn(
+        "_x", F.greatest(F.least(F.col("_x0"), clamp), -clamp)
+    )
+    wk = W.partitionBy(key_col)
+    r = (
+        daily.withColumn(
+            "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_rd") <= max_obs)
+        .withColumn(
+            "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
+        )
+        .withColumn("_m", F.count(F.lit(1)).over(wk))
+        .select(key_col, day_col, "_x", "_rn", "_n", "_m")
+    )
+
+    out_schema = (
+        f"{key_col} long, n_days long, n_used long, "
+        f"last_day timestamp, level double, trend double, "
+        f"forecast double"
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("_rn")
+        xs = [int(v) for v in pdf["_x"]]
+        m = len(xs)
+        L, B = 4 * xs[0], 0
+        p = 4  # 4^t carried alongside the state
+        for t in range(2, m + 1):
+            x_hat = xs[t - 1] * p  # x_t * 4^(t-1)
+            L, B = 2 * x_hat + 2 * L + 2 * B, x_hat - L + 3 * B
+            p *= 4
+
+        def micro(v):
+            # halfup(v * 10^4, p): v/(p*100) dollars at micro
+            # resolution, declared HALF-UP ties; Python divmod floors,
+            # matching the oracle's floormod construction
+            q, r = divmod(v * 10**4, p)
+            return float(q + (1 if 2 * r >= p else 0)) / 1e6
+
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "n_days": [int(pdf["_n"].iloc[0])],
+                "n_used": [m],
+                "last_day": [pdf[pdf["_rn"] == m][day_col].iloc[0]],
+                "level": [micro(L)],
+                "trend": [micro(B)],
+                "forecast": [micro(L + B)],
+            }
+        )
+
+    return r.groupBy(key_col).applyInPandas(fold, out_schema)

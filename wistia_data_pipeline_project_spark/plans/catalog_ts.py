@@ -836,3 +836,136 @@ def events_ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.ewma_last(
         prepared, key_col="user_id", day_col="day", cents_col="cents"
     )
+
+
+# The Holt fold oracle is recursive: reuse the shared cents CTE under a
+# WITH RECURSIVE head (DuckDB scopes RECURSIVE to the whole chain; only
+# the fold member actually recurses).
+_E_CENTS_REC = _E_CENTS.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+assert "WITH RECURSIVE e AS" in _E_CENTS_REC
+
+
+@query(
+    "events_holt_linear",
+    oracle=_E_CENTS_REC
+    + """,
+    d AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(cents) AS HUGEINT) AS x0
+      FROM e WHERE cents IS NOT NULL GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT user_id, day,
+             GREATEST(LEAST(x0, CAST(1000000000 AS HUGEINT)),
+                      CAST(-1000000000 AS HUGEINT)) AS x
+      FROM d
+    ),
+    r AS (
+      SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY day DESC) AS rd,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM dc
+    ),
+    w AS (
+      SELECT user_id, day, x, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS m
+      FROM r WHERE rd <= 24
+    ),
+    fold AS (
+      SELECT user_id, rn,
+             CAST(4 AS HUGEINT) * x AS L,
+             CAST(0 AS HUGEINT) AS B,
+             CAST(4 AS HUGEINT) AS p
+      FROM w WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             2 * s.x * f.p + 2 * f.L + 2 * f.B,
+             s.x * f.p - f.L + 3 * f.B,
+             f.p * 4
+      FROM fold f JOIN w s
+        ON s.user_id = f.user_id AND s.rn = f.rn + 1
+    ),
+    g AS (
+      SELECT user_id, MAX(n) AS n_days, MAX(m) AS n_used,
+             MAX(day) AS last_day
+      FROM w GROUP BY 1
+    ),
+    -- micro-dollar quantization: halfup(V * 10^4, p) in pure integer
+    -- arithmetic (floormod via double-%, floor-div exact on the
+    -- mod-subtracted numerator); the micro ints stay < 2^53 by the
+    -- clamp declaration, so the final cast is exact
+    q AS (
+      SELECT g.user_id, g.n_days, g.n_used, g.last_day,
+             f.L * 10000 AS ln, f.B * 10000 AS bn,
+             (f.L + f.B) * 10000 AS fn, f.p AS p
+      FROM g JOIN fold f ON f.user_id = g.user_id AND f.rn = g.n_used
+    ),
+    z AS (
+      SELECT user_id, n_days, n_used, last_day, p,
+             ((ln % p) + p) % p AS lr,
+             ((bn % p) + p) % p AS br,
+             ((fn % p) + p) % p AS fr,
+             ln, bn, fn
+      FROM q
+    )
+    SELECT user_id,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_used AS BIGINT) AS n_used,
+           last_day,
+           CAST((ln - lr) // p
+                + CASE WHEN 2 * lr >= p THEN 1 ELSE 0 END AS DOUBLE)
+             / 1000000.0 AS level,
+           CAST((bn - br) // p
+                + CASE WHEN 2 * br >= p THEN 1 ELSE 0 END AS DOUBLE)
+             / 1000000.0 AS trend,
+           CAST((fn - fr) // p
+                + CASE WHEN 2 * fr >= p THEN 1 ELSE 0 END AS DOUBLE)
+             / 1000000.0 AS forecast
+    FROM z
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear-trend (double exponential) smoothing of
+    daily spend — the trend-aware sibling of ``events_ewma_smoothed``
+    (Holt-Winters family without seasonality): final level, trend and
+    one-step forecast per user over the observed-day sequence.
+
+    Determinism (see ``TS.holt_linear``): alpha = beta = 1/2 makes
+    every state dyadic; the fold runs in exact integers (Python ints /
+    HUGEINT) scaled by 4^t, and every output is micro-dollar
+    quantized by an exact integer HALF-UP division — the only float
+    ops are one EXACT (< 2^53) int->double conversion and one
+    division by 1e6 per output, identical on both engines. Unlike
+    the EWMA there is NO closed form (the Holt transition matrix has
+    complex eigenvalues 5/8 +- i*sqrt(7)/8), so this entry exercises
+    the sequential-fold path over the window-sum path by necessity.
+    Declared domain: last 24 observed days per user (warm-start
+    l = x, b = 0), daily totals clamped to +-1e9 cents, micro-dollar
+    output resolution — all replayed in the oracle.
+
+    Scale: daily pre-agg collapses events map-side; ONE user_id
+    shuffle serves the ordering windows and the Arrow-batched grouped
+    fold over <= 24 rows per key (the stateful-watch-time envelope,
+    O(1) state per key). The recursive-CTE formulation exists only on
+    the oracle side; Spark never iterates driver-side.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        # declared domain, as events_ewma_smoothed: NaN / +-Inf /
+        # |value| >= 1e9 excluded in BOTH engines
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.abs(F.col("value")) < F.lit(1e9))
+    )
+    cents = F.col("value").cast("decimal(12,2)") * 100
+    prepared = e.select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        cents.cast("decimal(18,0)").alias("cents"),
+    )
+    return TS.holt_linear(
+        prepared, key_col="user_id", day_col="day", cents_col="cents"
+    )
