@@ -271,3 +271,58 @@ def test_sequence_match_patterns_micro(spark, tmp_path):
         "post_purchase_view": 1,   # user 3
         "error_then_churn": 1,     # user 4
     }
+
+
+def test_session_concurrency_hand_computed(spark, tmp_path):
+    """Sweep-line fixture with hand-checked peaks across hour buckets
+    and a midnight-spanning session:
+
+    - day 1: u1 09:00-09:40 (events at 09:00, 09:20, 09:40),
+      u2 09:30-09:55 (25-min gap, one session), u3 09:35
+      (zero-length). 09:35-09:40 has all three open -> peak 3.
+    - u4 23:50 day1 - 00:10 day2 (one session, gap 20 min): clips to
+      both days; day 2's only activity -> peak 1, busy 10min + 1us.
+    """
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    T = dt.datetime
+    rows = [
+        (1, 0, T(2024, 1, 1, 9, 0)),
+        (1, 1, T(2024, 1, 1, 9, 20)),
+        (1, 2, T(2024, 1, 1, 9, 40)),
+        (2, 3, T(2024, 1, 1, 9, 30)),
+        (2, 4, T(2024, 1, 1, 9, 55)),
+        (3, 5, T(2024, 1, 1, 9, 35)),
+        (4, 6, T(2024, 1, 1, 23, 50)),
+        (4, 7, T(2024, 1, 2, 0, 10)),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r["day"].day: r
+        for r in QUERIES["events_session_concurrency"](spark, d).collect()
+    }
+    d1, d2 = out[1], out[2]
+    assert d1["peak_concurrent"] == 3
+    assert d1["n_sessions"] == 4 and d1["n_users"] == 4
+    # busy: u1 40min+1us, u2 25min+1us, u3 1us, u4-clip 10min exact
+    assert abs(d1["busy_seconds"] - (40 * 60 + 25 * 60 + 10 * 60 + 3e-6)) < 1e-9
+    assert d2["peak_concurrent"] == 1 and d2["n_sessions"] == 1
+    assert abs(d2["busy_seconds"] - (10 * 60 + 1e-6)) < 1e-9
+    assert abs(d1["avg_concurrency"] - d1["busy_seconds"] / 86400.0) < 1e-12

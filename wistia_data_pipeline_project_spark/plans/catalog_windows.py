@@ -2374,3 +2374,221 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_total").cast("double")
         ).alias("user_share"),
     )
+
+
+@query(
+    "events_session_concurrency",
+    oracle=E_CTE
+    + """,
+    l AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM e
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                      OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS is_start
+      FROM l
+    ),
+    sq AS (
+      SELECT *, CAST(SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, session_seq,
+             MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+      FROM sq GROUP BY 1, 2
+    ),
+    segs AS (
+      SELECT user_id,
+             GREATEST(s_us, day * 86400000000) AS cs,
+             LEAST(e_us + 1, (day + 1) * 86400000000) AS ce,
+             day
+      FROM (SELECT user_id, s_us, e_us,
+                   unnest(generate_series(s_us // 86400000000,
+                                          e_us // 86400000000)) AS day
+            FROM sess)
+    ),
+    inst AS (
+      SELECT day, cs AS t, 1 AS s, 0 AS en FROM segs
+      UNION ALL
+      SELECT day, ce AS t, 0 AS s, 1 AS en FROM segs
+    ),
+    coll AS (
+      SELECT day, t, SUM(s) AS st, SUM(en) AS en
+      FROM inst GROUP BY 1, 2
+    ),
+    sweep AS (
+      SELECT day,
+             SUM(st - en) OVER (PARTITION BY day ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) + en AS cand
+      FROM coll
+    ),
+    pk AS (SELECT day, MAX(cand) AS peak_concurrent FROM sweep GROUP BY 1),
+    ag AS (
+      SELECT day, COUNT(*) AS n_sessions,
+             COUNT(DISTINCT user_id) AS n_users,
+             SUM(CAST(ce - cs AS DECIMAL(38,0))) AS busy_us
+      FROM segs GROUP BY 1
+    )
+    SELECT make_timestamp(ag.day * 86400000000) AS day,
+           CAST(ag.n_sessions AS BIGINT) AS n_sessions,
+           CAST(ag.n_users AS BIGINT) AS n_users,
+           CAST(pk.peak_concurrent AS BIGINT) AS peak_concurrent,
+           CAST(ag.busy_us AS DOUBLE) / 1000000.0 AS busy_seconds,
+           CAST(ag.busy_us AS DOUBLE) / 86400000000.0 AS avg_concurrency
+    FROM ag JOIN pk ON pk.day = ag.day
+    """,
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency rollup (sweep-line / parallel
+    prefix): per day, the PEAK number of simultaneously open user
+    sessions, plus session count, active users, total busy time and
+    time-weighted average concurrency. The interval-analytics operator
+    (overlap stabbing) that a co-viewership / capacity-planning stack
+    runs beside sessionization — computed WITHOUT the pair join (a
+    naive overlap self-join is quadratic in concurrent sessions; the
+    sweep is linear).
+
+    Semantics (declared, replayed in the oracle): sessions are the
+    30-min-gap splits of ``events_sessionization`` (boundaries depend
+    on ts only, so no event_id tiebreak can change them); each session
+    occupies the half-open microsecond range [start_us, end_us + 1) —
+    zero-length single-event sessions still count; sessions clip to
+    day boundaries; at equal instants starts count before ends
+    (touching = overlapping), made order-independent by collapsing
+    instants: with running net R_t and e_t ends at instant t, the
+    concurrency DURING t is R_t + e_t, so peak = max(R + e) needs no
+    intra-instant ordering at all. Integer-microsecond math end to
+    end; the two doubles are positive-decimal casts + one division by
+    an exact constant.
+
+    Scale: the sweep is hierarchical (two-level parallel prefix), NOT
+    one global ordered window. Level 1 sweeps each (day, hour) bucket
+    independently — day x 25 balanced partitions, each bucket emitting
+    (net, local_peak). Level 2 prefix-sums the per-bucket nets over a
+    TINY collapsed set (days x 25 rows) to get each bucket's carry-in;
+    peak(day) = max(carry + local_peak). At 100 TB the per-bucket
+    sweep stays bounded (collapse instants first: at most 2 rows per
+    distinct microsecond per bucket) and no single ordered partition
+    sees the whole day. Segments fan out O(days-spanned) per session
+    (bounded by the corpus span), generated per session — no calendar
+    join.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    wo = W.partitionBy("user_id").orderBy("us")
+    gap = F.col("us") - F.lag("us").over(wo)
+    is_start = F.when(gap.isNull() | (gap > 1800000000), 1).otherwise(0)
+    sess = (
+        e.withColumn(
+            "seq",
+            F.sum(is_start).over(wo.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "seq")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    day_us = F.lit(86400000000)
+    segs = (
+        sess.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.expr("s_us div 86400000000"),
+                    F.expr("e_us div 86400000000"),
+                )
+            ),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.greatest(F.col("s_us"), F.col("day") * day_us).alias("cs"),
+            F.least(
+                F.col("e_us") + 1, (F.col("day") + 1) * day_us
+            ).alias("ce"),
+        )
+    )
+    # one pass over segments: explode each into its +1 start / -1 end
+    # instants (NOT a self-union — the union would rebuild the whole
+    # sessionization lineage per branch; post-explode, both consumers
+    # below share one identical subtree and Spark reuses its exchange)
+    inst = segs.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cs").alias("t"),
+                    F.lit(1).alias("s"),
+                    F.lit(0).alias("en"),
+                ),
+                F.struct(
+                    F.col("ce").alias("t"),
+                    F.lit(0).alias("s"),
+                    F.lit(1).alias("en"),
+                ),
+            )
+        ).alias("ev"),
+    ).select("user_id", "day", "ev.t", "ev.s", "ev.en")
+    coll = inst.groupBy("day", "t").agg(
+        F.sum("s").alias("st"), F.sum("en").alias("en")
+    )
+    # level 1: independent sweep per (day, hour-of-day bucket); ends
+    # clipped to the day boundary land in bucket 24
+    coll = coll.withColumn(
+        "hr", (F.col("t") - F.col("day") * day_us) / F.lit(3600000000)
+    ).withColumn("hr", F.col("hr").cast("long"))
+    wb = W.partitionBy("day", "hr").orderBy("t").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = (
+        coll.withColumn("run", F.sum(F.col("st") - F.col("en")).over(wb))
+        .groupBy("day", "hr")
+        .agg(
+            F.sum(F.col("st") - F.col("en")).alias("net"),
+            F.max(F.col("run") + F.col("en")).alias("local_peak"),
+        )
+    )
+    # level 2: carry-in per bucket over the tiny collapsed (day, hr) set
+    wc = W.partitionBy("day").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    pk = (
+        local.withColumn(
+            "carry", F.coalesce(F.sum("net").over(wc), F.lit(0))
+        )
+        .groupBy("day")
+        .agg(
+            F.max(F.col("carry") + F.col("local_peak")).alias(
+                "peak_concurrent"
+            )
+        )
+    )
+    # day aggregates from the SAME instant stream (busy time telescopes:
+    # sum(ce - cs) = sum over instants of t * (en - s))
+    ag = inst.groupBy("day").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            (F.col("t") * (F.col("en") - F.col("s"))).cast("decimal(38,0)")
+        ).alias("busy_us"),
+    )
+    return ag.join(pk, "day").select(
+        F.timestamp_micros(F.col("day") * day_us).alias("day"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
+        (F.col("busy_us").cast("double") / F.lit(1000000.0)).alias(
+            "busy_seconds"
+        ),
+        (F.col("busy_us").cast("double") / F.lit(86400000000.0)).alias(
+            "avg_concurrency"
+        ),
+    )
