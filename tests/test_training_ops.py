@@ -305,3 +305,53 @@ def test_leakage_safe_split_degrades_to_plain_on_pairfree_corpus(spark, sf_dir):
     }
     want = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
     assert got == want
+
+
+def test_curriculum_manifest_stages_and_permutation_checksum(spark):
+    """All four stages populate from hand-built docs; the checksum is
+    rank-weighted so swapping two docs' positions changes it; the
+    order is stable under repartition (content-addressed, no RNG)."""
+    from wistia_data_pipeline_project_spark.operators import text as X
+
+    def doc(i, n_words, uniq=True):
+        words = (
+            [f"w{i}_{j}" for j in range(n_words)]
+            if uniq
+            else ["the"] * n_words
+        )
+        return (i, " ".join(words))
+
+    rows = [
+        doc(1, 5),     # good-length fails (<20) -> stage 0
+        doc(2, 30),    # good, short -> stage 1 (easy)
+        doc(3, 60),    # good, short -> stage 1
+        doc(4, 150),   # good, medium -> stage 2
+        doc(5, 500),   # good, long -> stage 3
+        doc(6, 50, uniq=False),  # diversity <= 0.2 -> stage 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scored = X.with_quality_score(docs)
+    out = {
+        r["stage"]: r
+        for r in TR.curriculum_manifest(scored, key_col="doc_id").collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n_docs"] == 2 and out[1]["n_docs"] == 2
+    assert out[2]["n_docs"] == 1 and out[3]["n_docs"] == 1
+    assert out[1]["total_tokens"] == 90
+    # singleton stages: first == last == the doc, checksum = residue
+    assert out[2]["first_doc_id"] == out[2]["last_doc_id"] == 4
+    assert out[3]["first_doc_id"] == 5
+    # stability under repartition
+    again = {
+        r["stage"]: r["order_checksum"]
+        for r in TR.curriculum_manifest(
+            scored.repartition(7), key_col="doc_id"
+        ).collect()
+    }
+    assert {k: v["order_checksum"] for k, v in out.items()} == again
+    # permutation sensitivity: reversing stage-1's order (rank swap of
+    # its two docs) must change the checksum unless residues collide
+    r1 = out[1]
+    assert r1["first_doc_id"] != r1["last_doc_id"]
+    assert r1["order_checksum"].isdigit()

@@ -441,3 +441,73 @@ def leakage_safe_split(
     return split_assign(
         joined.drop("_grp"), key_col="split_group", train=train, val=val
     )
+
+
+def curriculum_manifest(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    easy_max: int = 100,
+    medium_max: int = 400,
+) -> DataFrame:
+    """Curriculum ordering manifest: stage documents easy -> hard and
+    pin the exact training order per stage — the step between "filtered
+    corpus" and "dataloader" when training uses a curriculum (Bengio et
+    al. 2009; length-based staging is the standard model-free
+    difficulty proxy).
+
+    Stages (declared bands, NOT quantiles — quantile stages need a
+    global sort/percentile pass; fixed bands assign map-side):
+      0 = quality_flag 'low' (held out of the curriculum),
+      1 = easy  (n_tokens <  easy_max),
+      2 = medium(easy_max <= n_tokens <= medium_max),
+      3 = hard  (n_tokens >  medium_max).
+
+    Within a stage the training order is the content-addressed shuffle
+    ``order by (h60, key)`` where h60 is the 60-bit md5 prefix of the
+    key — stable across runs, cluster sizes and partitionings (the
+    split_assign property). The manifest pins the PERMUTATION, not
+    just membership: order_checksum = sum(rank * (h60 mod 1000003))
+    changes if any doc moves position. Exact integer sum in
+    decimal(38,0) (rank * residue < 2^63 per term), emitted as a
+    digit string so no engine ever casts it to a double.
+
+    Scale: stage assignment and hashing are codegen projections; the
+    only shuffle is one row_number window per stage (partition count =
+    4, each internally sorted — for corpora where a per-stage sort is
+    too hot, the documented swap is the two-level (stage, shard) order
+    used by ``pack_documents``: sort within content-addressed shards,
+    concatenate shards in index order; the checksum definition is
+    unchanged because rank is still well-defined).
+    """
+    h60 = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = df.select(
+        F.col(key_col),
+        F.col("n_tokens"),
+        h60.alias("_h"),
+        F.when(F.col("quality_flag") == "low", 0)
+        .when(F.col("n_tokens") < easy_max, 1)
+        .when(F.col("n_tokens") <= medium_max, 2)
+        .otherwise(3)
+        .alias("stage"),
+    )
+    w = W.partitionBy("stage").orderBy("_h", key_col)
+    ranked = staged.withColumn("rank", F.row_number().over(w))
+    # narrow operand types so the product stays inside decimal range:
+    # rank < 10^19, residue < 10^7 -> term decimal(26,0), sum (38,0)
+    term = (
+        F.col("rank").cast("decimal(19,0)")
+        * (F.col("_h") % F.lit(1000003)).cast("decimal(7,0)")
+    )
+    first_key = F.min(F.struct("rank", key_col))[key_col]
+    last_key = F.max(F.struct("rank", key_col))[key_col]
+    return ranked.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        first_key.alias("first_doc_id"),
+        last_key.alias("last_doc_id"),
+        F.sum(term).cast("decimal(38,0)").cast("string").alias(
+            "order_checksum"
+        ),
+    )

@@ -3398,3 +3398,54 @@ def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "docs_curriculum_order",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq_tokens,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+    ),
+    st AS (
+      SELECT doc_id, n_tokens, h,
+             CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000
+                            AND CAST(n_uniq_tokens AS DOUBLE) / n_tokens > 0.2)
+                  THEN 0
+                  WHEN n_tokens < 100 THEN 1
+                  WHEN n_tokens <= 400 THEN 2
+                  ELSE 3 END AS stage
+      FROM s
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY stage
+                                   ORDER BY h, doc_id) AS rank
+      FROM st
+    )
+    SELECT stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(CASE WHEN rank = 1 THEN doc_id END) AS first_doc_id,
+           MAX_BY(doc_id, rank) AS last_doc_id,
+           CAST(CAST(SUM(CAST(rank AS DECIMAL(19,0))
+                         * CAST(h % 1000003 AS DECIMAL(7,0)))
+                     AS DECIMAL(38,0)) AS VARCHAR) AS order_checksum
+    FROM r GROUP BY 1
+    """,
+)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering manifest (training-data assembly): stage the
+    corpus easy -> hard (declared length bands over quality-gated docs;
+    'low'-quality docs land in stage 0, held out) and pin each stage's
+    exact content-addressed training order with a permutation checksum.
+    See ``TR.curriculum_manifest`` for the full determinism and
+    100-TB ordering story (fixed bands instead of quantile stages; the
+    two-level (stage, shard) order swap for hot stages).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.with_quality_score(docs)
+    return TR.curriculum_manifest(scored, key_col="doc_id")
