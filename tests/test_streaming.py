@@ -1258,3 +1258,155 @@ def test_streaming_incremental_dedup_watermark_eviction_bound(spark, tmp_path):
         assert got == {1, 3, 6, 4}
     finally:
         q.stop()
+
+
+def _holt_batch(spark, rows, schema):
+    import datetime as dt
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    batch_df = spark.createDataFrame(
+        [(e["event_id"], dt.datetime.fromisoformat(e["ts"]),
+          e["user_id"], e["event_type"], e["value"], e["props"])
+         for e in rows],
+        schema,
+    )
+    prepared = batch_df.select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("decimal(18,0)")
+        .alias("cents"),
+    )
+    return {r.user_id: r for r in holt_linear(prepared).collect()}
+
+
+def test_streaming_holt_matches_batch(spark, tmp_path):
+    """The streaming Holt twin's final emission (max n_obs per user)
+    is BIT-IDENTICAL to the batch holt_linear fold on the same rows —
+    including an in-contract straggler day split across two
+    micro-batches (pending partial-sum merge)."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_holt_linear,
+    )
+
+    def ev(eid, ts, uid, v):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "view", "value": v, "props": "{}"}
+
+    # user 1 day totals 100 / 40 / 16:
+    #   l1=100 b1=0; l2=(40+100)/2=70 b2=(70-100)/2+0=-15;
+    #   l3=(16+70-15)/2=35.5 b3=(35.5-70)/2-7.5=-24.75
+    chunk1 = [
+        ev(1, "2024-01-01T09:00:00", 1, 60.0),
+        ev(2, "2024-01-01T15:00:00", 1, 40.0),   # day1 total 100
+        ev(4, "2024-01-03T11:00:00", 1, 16.0),   # day3 total 16
+        ev(5, "2024-01-02T08:00:00", 2, 7.5),    # user 2: single day
+    ]
+    chunk2 = [
+        ev(3, "2024-01-02T12:00:00", 1, 15.0),
+        ev(6, "2024-01-02T12:30:00", 1, 25.0),   # day2 total 40
+    ]
+    rows = chunk1 + chunk2
+    d = tmp_path / "holt_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((chunk1, chunk2)):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_holt_linear(stream, watermark="1 day"),
+        "holt_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM holt_stream").collect()
+        last = {}
+        for r in emitted:
+            if r.user_id not in last or r.n_obs > last[r.user_id].n_obs:
+                last[r.user_id] = r
+        batch = _holt_batch(spark, rows, schema)
+        assert set(last) == set(batch)
+        for uid, b in batch.items():
+            s = last[uid]
+            assert (s.n_days, s.level, s.trend, s.forecast) == (
+                b.n_days, b.level, b.trend, b.forecast
+            ), uid
+            assert s.last_day.replace(tzinfo=None) == b.last_day
+        assert last[1].level == 35.5
+        assert last[1].trend == -24.75
+        assert last[2].level == 7.5 and last[2].trend == 0.0
+    finally:
+        q.stop()
+
+
+def test_streaming_holt_day_commits_only_past_day_end(spark, tmp_path):
+    """Day-END commit discipline (the EWMA twin's): a row AT the
+    watermark belongs to a still-open day; its second partial must
+    merge into the SAME day total before the day ever folds."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_holt_linear,
+    )
+
+    def ev(eid, ts, v):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "view", "value": v, "props": "{}"}
+
+    chunks = [
+        [ev(1, "2024-01-01T06:00:00", 80.0),
+         ev(2, "2024-01-04T00:00:00", 10.0)],
+        [ev(3, "2024-01-03T00:00:00", 4.0)],
+        [ev(4, "2024-01-03T18:00:00", 6.0)],
+    ]
+    d = tmp_path / "holt_wm_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_holt_linear(stream, watermark="1 day"),
+        "holt_wm_stream",
+        output_mode="update",
+    )
+    try:
+        last = max(
+            spark.sql("SELECT * FROM holt_wm_stream").collect(),
+            key=lambda r: r.n_obs,
+        )
+        rows = [e for c in chunks for e in c]
+        b = _holt_batch(spark, rows, schema)[1]
+        assert (last.n_days, last.level, last.trend, last.forecast) == (
+            b.n_days, b.level, b.trend, b.forecast
+        )
+        # days Jan1=80, Jan3=10, Jan4=10 by hand:
+        #   l1=80 b1=0; l2=45 b2=-17.5; l3=(10+45-17.5)/2=18.75
+        #   b3=(18.75-45)/2-8.75=-21.875; forecast=-3.125
+        assert last.n_days == 3
+        assert last.level == 18.75 and last.trend == -21.875
+    finally:
+        q.stop()

@@ -1236,3 +1236,150 @@ def streaming_incremental_dedup(
         .dropDuplicatesWithinWatermark(["fp"])
         .select("doc_id", "source", "fp", "ts")
     )
+
+
+HOLT_STATE_SCHEMA = (
+    "n_days long, n_obs long, days array<long>, xs array<long>, "
+    "pend_days array<long>, pend_xs array<long>"
+)
+HOLT_OUTPUT_SCHEMA = (
+    "user_id long, n_days long, n_obs long, last_day timestamp, "
+    "level double, trend double, forecast double"
+)
+
+
+def _holt_fold(xs):
+    """The batch Holt fold (``timeseries.holt_linear``) replayed over
+    clamped day totals, bit-for-bit: exact dyadic integers scaled by
+    4^t, micro-dollar HALF-UP quantization."""
+    from ..operators.timeseries import HOLT_CLAMP_CENTS
+
+    xs = [max(-HOLT_CLAMP_CENTS, min(HOLT_CLAMP_CENTS, x)) for x in xs]
+    L, B = 4 * xs[0], 0
+    p = 4
+    for t in range(2, len(xs) + 1):
+        x_hat = xs[t - 1] * p
+        L, B = 2 * x_hat + 2 * L + 2 * B, x_hat - L + 3 * B
+        p *= 4
+
+    def micro(v):
+        q, r = divmod(v * 10**4, p)
+        return float(q + (1 if 2 * r >= p else 0)) / 1e6
+
+    return micro(L), micro(B), micro(L + B)
+
+
+def streaming_holt_linear(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``timeseries.holt_linear`` (alpha = beta =
+    1/2 Holt linear trend over per-day totals — the SIXTH stateful
+    hyperfunction under the strict-watermark commit discipline, and
+    the first whose batch side is itself a sequential Arrow fold:
+    twin parity here means stream-fold == batch-fold, not
+    stream-fold == closed form). The batch operator's last-24-days
+    declaration is what makes the streaming register O(1): only the
+    trailing 24 observed days ever fold, so state is a bounded
+    (day, total) deque plus the day count. The emission replays the
+    batch fold exactly — same clamped integers, same 4^t scaling,
+    same micro-dollar HALF-UP quantization — so parity is
+    bit-identical.
+
+    Commit discipline at DAY granularity, exactly the EWMA twin's:
+    a day folds into the committed deque only once the watermark
+    passes its END; open days accumulate in a pending partial-sum
+    buffer and fold provisionally on a copy, so every update-mode
+    emission reflects all data seen so far in event-time order.
+    In-contract stragglers sit at/above the watermark, so pending
+    days are always newer than every committed day and the
+    provisional fold's day order is committed-then-pending.
+
+    ``n_obs`` strictly grows with every arrival; consumers (and the
+    parity tests) pick the final emission by max ``n_obs``.
+
+    State lifecycle: one bounded deque per active user (24 day/total
+    pairs) + the watermark-bounded pending buffer; no event-time
+    eviction.
+    """
+    from ..operators.timeseries import HOLT_MAX_OBS
+
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+            & ~F.isnan(F.col("value"))
+            & (F.abs(F.col("value")) < F.lit(1e9))
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            F.unix_micros(F.date_trunc("DAY", F.col("ts"))).alias(
+                "day_us"
+            ),
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, n_obs, days, xs, p_days, p_xs = state.get
+            deque = list(zip(days, xs))
+            pending = dict(zip(p_days, p_xs))
+        else:
+            n, n_obs, deque, pending = 0, 0, [], {}
+        if state.hasTimedOut:  # pragma: no cover - no timeout is set
+            state.remove()
+            return
+        for pdf in pdfs:
+            for day_us, cents in zip(pdf["day_us"], pdf["cents"]):
+                d = int(day_us)
+                n_obs += 1
+                pending[d] = pending.get(d, 0) + int(cents)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for d, x in sorted(pending.items()):
+            if d + _DAY_US <= wm_us:
+                n += 1
+                deque.append((d, pending.pop(d)))
+        deque = deque[-HOLT_MAX_OBS:]
+        pend = sorted(pending.items())
+        state.update((
+            n,
+            n_obs,
+            [d for d, _ in deque],
+            [x for _, x in deque],
+            [d for d, _ in pend],
+            [x for _, x in pend],
+        ))
+        pn, pdq = n, list(deque)
+        for d, x in pend:
+            pn += 1
+            pdq.append((d, x))
+        pdq = pdq[-HOLT_MAX_OBS:]
+        if pn == 0:
+            return
+        level, trend, forecast = _holt_fold([x for _, x in pdq])
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0],
+                "n_days": pn,
+                "n_obs": n_obs,
+                "last_day": pd.to_datetime(pdq[-1][0], unit="us"),
+                "level": level,
+                "trend": trend,
+                "forecast": forecast,
+            }]
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        HOLT_OUTPUT_SCHEMA,
+        HOLT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
