@@ -67,6 +67,9 @@ def audit(name: str, plan: str) -> tuple[str, list[str]]:
 # into PLANS.md) so `--markdown` regenerates the WHOLE table and the
 # annotations survive. No '|' characters (markdown cell).
 NOTES = {
+    "events_holt_linear": "partition-scan fold (fold_scan pattern): repartition-by-key + sortWithinPartitions + one mapInPandas; daily pre-agg collapses map-side, <=24 rows per key reach Python",
+    "events_session_concurrency": "two-level sweep: (day,hour) bucket windows + tiny per-day carry prefix - no global ordered window; instant stream exploded once, sessionization exchange reused at runtime",
+    "docs_curriculum_order": "stage assignment and h60 hashing are codegen projections; only shuffle is the 4-partition per-stage rank window",
     "docs_containment": "hot-shingle df cap adds a freq-agg + broadcast-anti subtree per branch; identical exchanges dedupe at runtime",
     "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached), top-k pruned per (vec_id, neighbor_label) at build time (r09 - stored list O(N*labels*k)); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md); assignment goes two-level past 64 cells (audited plan is the driver-SF flat path)",
     "q2_min_cost_supplier": "SMJ is the min-cost join-back on pre-aggregated supply rows (AQE broadcasts at runtime)",
