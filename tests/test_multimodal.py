@@ -283,3 +283,31 @@ def test_shot_stats_hand_built_boundary(spark):
     assert set(got) == {1, 2}
     assert (got[1].n_frames, got[1].n_shots, got[1].max_jump) == (3, 2, 200)
     assert (got[2].n_frames, got[2].n_shots, got[2].max_jump) == (1, 1, 0)
+
+
+def test_vad_segments_hand_computed(spark):
+    """Crafted 50-char blocks: '~' frames (25 * 32382 = 809550) are
+    active, ' ' frames (25 * 8224 = 205600) are not; the trailing
+    partial frame drops; a sub-frame clip emits nothing."""
+    from wistia_data_pipeline_project_spark.operators import (
+        multimodal as M,
+    )
+
+    rows = [
+        # doc_id % 3 == 1 -> audio
+        (1, "~" * 50 + " " * 50 + "~" * 50 + "~" * 30),
+        (4, " " * 40),            # < one frame: excluded
+        (7, "~" * 100),           # two active frames, one segment
+        (2, "~" * 100),           # video: not an audio asset
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assets = M.attach_fake_assets(docs)
+    out = {r["asset_id"]: r for r in M.vad_segments(assets).collect()}
+    assert set(out) == {1, 7}
+    r1 = out[1]
+    assert (r1["n_frames"], r1["n_active"], r1["n_segments"]) == (3, 2, 2)
+    assert r1["longest_run"] == 1
+    assert abs(r1["active_ratio"] - 2 / 3) < 1e-15
+    r7 = out[7]
+    assert (r7["n_frames"], r7["n_segments"], r7["longest_run"]) == (2, 1, 2)
+    assert r7["active_ratio"] == 1.0

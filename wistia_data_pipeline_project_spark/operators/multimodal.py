@@ -661,3 +661,110 @@ def shot_stats(
         (F.sum(boundary) + 1).cast("long").alias("n_shots"),
         F.coalesce(F.max("_jump"), F.lit(0)).cast("long").alias("max_jump"),
     )
+
+
+# VAD constants shared with the catalog oracle: frames of VAD_FRAME
+# samples; a frame is ACTIVE iff its abs-sample sum exceeds
+# VAD_THRESHOLD (calibrated to the shipped corpus's median frame
+# energy so both branches populate; declared, replayed in SQL).
+VAD_FRAME = 25
+VAD_THRESHOLD = 610000
+
+VAD_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("absum", T.LongType(), False),
+    ]
+)
+
+
+def vad_frame_energy(assets: DataFrame, frame: int = VAD_FRAME) -> DataFrame:
+    """Per-frame abs-sample energy of each audio clip through the REAL
+    Arrow decode path: the waveform is cut into full ``frame``-sample
+    frames (the trailing partial frame is dropped BY DECLARATION —
+    clips shorter than one frame emit nothing) and each frame reports
+    the exact integer sum of absolute samples. Rasters/waveforms never
+    leave the Arrow batch — n_frames summary rows per clip."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list = []
+            out_f: list = []
+            out_s: list = []
+            for asset_id, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                if meta["media_type"] != "audio":
+                    continue
+                wave = decode_payload(payload, meta).astype(np.int64)
+                nf = len(wave) // frame
+                if nf == 0:
+                    continue
+                sums = (
+                    np.abs(wave[: nf * frame]).reshape(nf, frame).sum(axis=1)
+                )
+                out_a.extend([asset_id] * nf)
+                out_f.extend(range(nf))
+                out_s.extend(int(x) for x in sums)
+            yield pd.DataFrame(
+                {"asset_id": out_a, "frame_idx": out_f, "absum": out_s},
+                columns=["asset_id", "frame_idx", "absum"],
+            )
+
+    return assets.filter(F.col("meta.media_type") == "audio").mapInPandas(
+        extract, VAD_FRAME_SCHEMA
+    )
+
+
+def vad_segments(
+    assets: DataFrame,
+    frame: int = VAD_FRAME,
+    threshold: int = VAD_THRESHOLD,
+) -> DataFrame:
+    """Voice-activity-style segmentation per audio clip (the
+    silence-trim / speech-extraction pass an audio training pipeline
+    runs before transcription or clip packing): frames are ACTIVE iff
+    their exact integer energy exceeds ``threshold``; consecutive
+    active frames form segments (gaps-and-islands over the frame
+    axis). Output per clip: frame/active counts, segment count,
+    longest segment, active ratio.
+
+    Scale: the decode emits n_frames summary rows per clip (the
+    shot_stats shape on the audio axis); ONE asset-keyed shuffle
+    serves the lag window, the segment-id running sum, the unordered
+    per-(asset, segment) run-length window and the final combinable
+    aggregate. The two doubles are a <2^53 int cast + one division.
+    """
+    from pyspark.sql import Window as W
+
+    fs = vad_frame_energy(assets, frame)
+    act = fs.withColumn(
+        "active", (F.col("absum") > F.lit(threshold)).cast("int")
+    )
+    w = W.partitionBy("asset_id").orderBy("frame_idx")
+    is_start = (
+        (F.col("active") == 1)
+        & (F.coalesce(F.lag("active").over(w), F.lit(0)) == 0)
+    ).cast("int")
+    d = act.withColumn("is_start", is_start).withColumn(
+        "seg_id",
+        F.sum("is_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    # run length of the segment each ACTIVE row belongs to (inactive
+    # rows share the preceding segment's id but do not count)
+    run_len = F.sum("active").over(W.partitionBy("asset_id", "seg_id"))
+    d = d.withColumn("run_len", run_len)
+    return d.groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("active").cast("long").alias("n_active"),
+        F.sum("is_start").cast("long").alias("n_segments"),
+        F.coalesce(
+            F.max(F.when(F.col("active") == 1, F.col("run_len"))),
+            F.lit(0),
+        ).cast("long").alias("longest_run"),
+        (
+            F.sum("active").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("active_ratio"),
+    )

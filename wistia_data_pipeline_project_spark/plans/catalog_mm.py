@@ -512,3 +512,77 @@ def mm_video_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves the lag window + combinable aggregate. O(total frames).
     """
     return M.shot_stats(_assets(spark, sf_dir))
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH dd AS (
+      SELECT doc_id, text, length(text) AS len
+      FROM {DOCS_ASCII_SQL} WHERE {MT_SQL} = 'audio'
+    ),
+    chars AS (
+      -- sample j (0-based) = ascii(c[2j+1]) + 256*ascii(c[2j+2]);
+      -- ASCII chars are <= 127, so every int16 sample is positive and
+      -- |sample| telescopes to a weighted char sum. Frame f covers
+      -- chars [50f+1, 50f+50]; partial trailing frames drop.
+      SELECT doc_id,
+             CAST((i - 1) // 50 AS BIGINT) AS frame_idx,
+             ascii(substr(text, CAST(i AS INT), 1))
+               * CASE WHEN i % 2 = 1 THEN 1 ELSE 256 END AS wv,
+             len
+      FROM dd, unnest(generate_series(1, len)) AS t(i)
+    ),
+    fr AS (
+      SELECT doc_id, frame_idx, SUM(wv) AS absum
+      FROM chars WHERE frame_idx < (len // 2) // 25
+      GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, frame_idx,
+             CASE WHEN absum > 610000 THEN 1 ELSE 0 END AS active
+      FROM fr
+    ),
+    l AS (
+      SELECT *, CASE WHEN active = 1
+                      AND COALESCE(lag(active) OVER (
+                            PARTITION BY doc_id ORDER BY frame_idx), 0) = 0
+                     THEN 1 ELSE 0 END AS is_start
+      FROM act
+    ),
+    s AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                    ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM l
+    ),
+    r AS (
+      SELECT *, SUM(active) OVER (PARTITION BY doc_id, seg_id) AS run_len
+      FROM s
+    )
+    SELECT doc_id AS asset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(active) AS BIGINT) AS n_active,
+           CAST(SUM(is_start) AS BIGINT) AS n_segments,
+           CAST(COALESCE(MAX(CASE WHEN active = 1 THEN run_len END), 0)
+                AS BIGINT) AS longest_run,
+           CAST(SUM(active) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS active_ratio
+    FROM r GROUP BY 1
+    """,
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over audio payloads (the
+    silence-trim pass an audio training pipeline runs before
+    transcription / clip packing): per-frame abs-sample energy through
+    the REAL Arrow PCM decode, active = exact integer threshold,
+    segments = gaps-and-islands on the frame axis. The oracle replays
+    the waveform WITHOUT decoding: ASCII payload chars make every
+    int16 sample a positive weighted char value (lo + 256*hi), so
+    frame energy is a per-char weighted sum — the full
+    decode->frame->threshold->island pipeline is hash-exact end to
+    end (the mm_video_shot_detect precedent on the audio axis).
+    Threshold 610000 is the shipped corpus's median frame energy, so
+    both the active and inactive branches (and multi-segment runs)
+    populate. See ``M.vad_segments`` for the declarations.
+    """
+    return M.vad_segments(_assets(spark, sf_dir))
