@@ -326,3 +326,52 @@ def test_session_concurrency_hand_computed(spark, tmp_path):
     assert d2["peak_concurrent"] == 1 and d2["n_sessions"] == 1
     assert abs(d2["busy_seconds"] - (10 * 60 + 1e-6)) < 1e-9
     assert abs(d1["avg_concurrency"] - d1["busy_seconds"] / 86400.0) < 1e-12
+
+
+def test_activity_bitmap_streak_detection(spark, tmp_path):
+    """Bit-trick streak check: alternating-day users have popcount 3
+    with NO 3-streak; exactly-3-consecutive users have one. The anchor
+    is the corpus min day, so offsets are fixture-relative."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    T = dt.datetime
+    rows = []
+    eid = 0
+
+    def ev(uid, day):
+        nonlocal eid
+        rows.append((uid, eid, T(2024, 1, 1 + day, 12)))
+        eid += 1
+
+    for d in (0, 2, 4):      # user 1: alternating -> no streak
+        ev(1, d)
+    for d in (5, 6, 7):      # user 2: 3 consecutive -> streak
+        ev(2, d)
+    ev(2, 5)                 # duplicate-day event: bit_or idempotent
+    for d in (0, 1):         # user 3: 2 consecutive -> no streak
+        ev(3, d)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    out = {
+        r["n_active_days"]: r
+        for r in QUERIES["events_activity_bitmap"](spark, d).collect()
+    }
+    assert out[3]["n_users"] == 2          # users 1 and 2
+    assert out[3]["n_streak3_users"] == 1  # only user 2
+    assert out[2]["n_users"] == 1 and out[2]["n_streak3_users"] == 0

@@ -1266,3 +1266,96 @@ def events_rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+@query(
+    "events_activity_bitmap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    anchor AS (SELECT MIN(day) AS d0 FROM e),
+    o AS (
+      SELECT user_id, datediff('day', anchor.d0, day) AS off
+      FROM e, anchor
+      WHERE datediff('day', anchor.d0, day) BETWEEN 0 AND 61
+    ),
+    m AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(off AS INT)) AS mask
+      FROM o GROUP BY 1
+    ),
+    s AS (
+      SELECT user_id,
+             bit_count(mask) AS n_active_days,
+             CASE WHEN (mask & (mask >> 1) & (mask >> 2)) <> 0
+                  THEN 1 ELSE 0 END AS has_streak3
+      FROM m
+    )
+    SELECT CAST(n_active_days AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_users,
+           CAST(SUM(has_streak3) AS BIGINT) AS n_streak3_users
+    FROM s GROUP BY 1
+    """,
+)
+def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index activity rollup (the roaring/groupBitmap family a
+    retention stack runs at scale): each user's day-level activity is
+    ONE 62-bit integer mask (bit i = active on corpus day i), built
+    with the idempotent ``bit_or`` aggregate — no DISTINCT pass, no
+    per-day rows after the map-side combine. Downstream questions
+    become bit arithmetic: activity count = popcount, "3+ consecutive
+    active days" = ``mask & mask>>1 & mask>>2 != 0`` — no window, no
+    self-join, no sequence scan. Output: users histogrammed by active
+    days with the 3-day-streak count per bucket.
+
+    Determinism: the day anchor is the corpus MIN day (one-row
+    broadcast, the q11 scalar precedent); offsets outside [0, 61]
+    are excluded BY DECLARATION (the shipped corpora span 30 days, so
+    the guard is a no-op that keeps the mask inside one BIGINT on any
+    regenerated corpus). 2^off is exact for off <= 61 in both
+    engines' integer shifts.
+
+    Scale: day-distinct collapses map-side into (user, day) partials;
+    bit_or combines map-side too (it is associative/commutative), so
+    ONE user shuffle carries 8-byte masks, then a |histogram|-row
+    rollup. At 100 TB this is the cheapest possible retention shape:
+    state per user is constant regardless of event volume.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+        )
+    )
+    anchor = e.agg(F.min("day").alias("d0"))
+    o = (
+        e.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id", F.datediff(F.col("day"), F.col("d0")).alias("off")
+        )
+        .filter((F.col("off") >= 0) & (F.col("off") <= 61))
+    )
+    m = o.groupBy("user_id").agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(off AS INT))")
+        ).alias("mask")
+    )
+    streak = (
+        (
+            F.col("mask")
+            .bitwiseAND(F.expr("shiftright(mask, 1)"))
+            .bitwiseAND(F.expr("shiftright(mask, 2)"))
+        )
+        != 0
+    ).cast("int")
+    s = m.select(
+        F.bit_count("mask").alias("n_active_days"),
+        streak.alias("has_streak3"),
+    )
+    return s.groupBy(F.col("n_active_days").cast("long").alias("n_active_days")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("has_streak3").cast("long").alias("n_streak3_users"),
+    )
