@@ -785,3 +785,34 @@ def test_holt_linear_entry_matches_oracle_micro(spark, tmp_path):
     by_u = {r["user_id"]: r for _, r in sdf.iterrows()}
     assert by_u[2]["n_days"] == 2
     assert 4 not in by_u  # NaN-only user excluded
+
+
+def test_holt_backtest_hand_computed(spark):
+    """x = [1.00, 2.00, 1.50] dollars: day-2 forecast 1.00 (err 1.00),
+    day-3 forecast l2+b2 = 1.75 (err 0.25) -> mae 0.625, worst 1.00.
+    Single-day users are excluded."""
+    import datetime as dt
+    from decimal import Decimal as D
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        holt_backtest,
+    )
+
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1), D(100)),
+        (1, T(2024, 1, 2), D(200)),
+        (1, T(2024, 1, 3), D(150)),
+        (2, T(2024, 1, 5), D(500)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, day timestamp, cents decimal(18,0)"
+    )
+    out = {
+        r["user_id"]: r
+        for r in holt_backtest(df, "user_id", "day", "cents").collect()
+    }
+    assert set(out) == {1}
+    assert out[1]["n_steps"] == 2
+    assert out[1]["mae"] == 0.625
+    assert out[1]["worst_err"] == 1.0

@@ -1172,3 +1172,120 @@ def holt_linear(
         .sortWithinPartitions(key_col, "_rn")
         .mapInPandas(scan, out_schema)
     )
+
+
+def holt_backtest(
+    df: DataFrame,
+    key_col: str = "user_id",
+    day_col: str = "day",
+    cents_col: str = "cents",
+    max_obs: int = HOLT_MAX_OBS,
+) -> DataFrame:
+    """One-step-ahead backtest of the Holt fold (``holt_linear``):
+    walking each key's observed-day sequence, the state at day t-1
+    issues a forecast for day t; the entry reports per-key forecast
+    error (MAE and worst step) over the same declared window — the
+    eval surface next to the fit, the way the recall self-evals sit
+    next to the ANN entries.
+
+    Determinism: identical integer fold; each step's forecast and the
+    actual both quantize to micro-dollars by the same HALF-UP integer
+    division, so the per-step error is an EXACT integer. MAE is one
+    <2^53 int cast and one division by the exact double
+    n_steps * 1e6. Keys with a single observed day have no step and
+    are excluded BY DECLARATION (both engines).
+
+    Scale: identical shape to ``holt_linear`` — daily pre-agg, one
+    key shuffle, partition-scan mapInPandas.
+    """
+    daily = df.groupBy(key_col, day_col).agg(
+        F.sum(F.col(cents_col)).cast("decimal(38,0)").alias("_x0")
+    )
+    clamp = F.lit(HOLT_CLAMP_CENTS).cast("decimal(38,0)")
+    daily = daily.withColumn(
+        "_x", F.greatest(F.least(F.col("_x0"), clamp), -clamp)
+    )
+    wk = W.partitionBy(key_col)
+    r = (
+        daily.withColumn(
+            "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
+        )
+        .filter(F.col("_rd") <= max_obs)
+        .withColumn(
+            "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
+        )
+        .select(key_col, "_x", "_rn")
+    )
+
+    out_schema = (
+        f"{key_col} long, n_steps long, mae double, worst_err double"
+    )
+
+    def _halfup(n, d):
+        q, rem = divmod(n, d)
+        return q + (1 if 2 * rem >= d else 0)
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        def fold_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+            ks = pdf[key_col].values
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            bounds = np.r_[starts, len(pdf)]
+            xs_all = pdf["_x"].values
+            out = []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                xs = [int(v) for v in xs_all[a:b]]
+                if len(xs) < 2:
+                    continue
+                L, B, p = 4 * xs[0], 0, 4
+                err_sum, err_max = 0, 0
+                for t in range(2, len(xs) + 1):
+                    fc = _halfup((L + B) * 10**4, p)
+                    actual = xs[t - 1] * 10**4
+                    err = abs(actual - fc)
+                    err_sum += err
+                    err_max = max(err_max, err)
+                    x_hat = xs[t - 1] * p
+                    L, B = (
+                        2 * x_hat + 2 * L + 2 * B,
+                        x_hat - L + 3 * B,
+                    )
+                    p *= 4
+                n_steps = len(xs) - 1
+                out.append(
+                    {
+                        key_col: ks[a],
+                        "n_steps": n_steps,
+                        "mae": float(err_sum) / (n_steps * 1e6),
+                        "worst_err": float(err_max) / 1e6,
+                    }
+                )
+            return pd.DataFrame(out)
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            ks = pdf[key_col].values
+            tail = int(np.flatnonzero(ks == ks[-1])[0])
+            carry = pdf.iloc[tail:]
+            if tail:
+                yield fold_groups(pdf.iloc[:tail])
+        if carry is not None and len(carry):
+            yield fold_groups(carry)
+
+    sc = df.sparkSession.sparkContext
+    n_part = min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        max(sc.defaultParallelism, 1) * 4,
+    )
+    return (
+        r.repartition(n_part, F.col(key_col))
+        .sortWithinPartitions(key_col, "_rn")
+        .mapInPandas(scan, out_schema)
+    )

@@ -969,3 +969,96 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.holt_linear(
         prepared, key_col="user_id", day_col="day", cents_col="cents"
     )
+
+
+@query(
+    "events_holt_backtest",
+    oracle=_E_CENTS_REC
+    + """,
+    d AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(cents) AS HUGEINT) AS x0
+      FROM e WHERE cents IS NOT NULL GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT user_id, day,
+             GREATEST(LEAST(x0, CAST(1000000000 AS HUGEINT)),
+                      CAST(-1000000000 AS HUGEINT)) AS x
+      FROM d
+    ),
+    r AS (
+      SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY day DESC) AS rd
+      FROM dc
+    ),
+    w AS (
+      SELECT user_id, day, x,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM r WHERE rd <= 24
+    ),
+    fold AS (
+      SELECT user_id, rn,
+             CAST(4 AS HUGEINT) * x AS L,
+             CAST(0 AS HUGEINT) AS B,
+             CAST(4 AS HUGEINT) AS p
+      FROM w WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             2 * s.x * f.p + 2 * f.L + 2 * f.B,
+             s.x * f.p - f.L + 3 * f.B,
+             f.p * 4
+      FROM fold f JOIN w s
+        ON s.user_id = f.user_id AND s.rn = f.rn + 1
+    ),
+    bt AS (
+      SELECT f.user_id,
+             s.x * 10000 AS actual,
+             (f.L + f.B) * 10000 AS fn, f.p AS p
+      FROM fold f JOIN w s
+        ON s.user_id = f.user_id AND s.rn = f.rn + 1
+    ),
+    e2 AS (
+      SELECT user_id,
+             abs(actual - (((fn - (((fn % p) + p) % p)) // p)
+                 + CASE WHEN 2 * (((fn % p) + p) % p) >= p
+                        THEN 1 ELSE 0 END)) AS err
+      FROM bt
+    )
+    SELECT user_id,
+           COUNT(*) AS n_steps,
+           CAST(SUM(err) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mae,
+           CAST(MAX(err) AS DOUBLE) / 1000000.0 AS worst_err
+    FROM e2 GROUP BY 1
+    """,
+)
+def events_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the Holt fold: per user, the MAE and
+    worst absolute error of forecasting each day from the previous
+    day's state — the forecast-eval surface beside
+    ``events_holt_linear`` (the way recall self-evals sit beside the
+    ANN entries). Same declared window/clamp; per-step errors are
+    EXACT integers (both the actual and the forecast quantize to
+    micro-dollars by the same HALF-UP integer division), so the only
+    float ops are two <2^53 casts and two divisions by exact doubles.
+    Single-day users have no step and are excluded in both engines.
+
+    Scale: identical to ``events_holt_linear`` — daily pre-agg, one
+    key shuffle, partition-scan mapInPandas fold.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & (F.abs(F.col("value")) < F.lit(1e9))
+    )
+    cents = F.col("value").cast("decimal(12,2)") * 100
+    prepared = e.select(
+        "user_id",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        cents.cast("decimal(18,0)").alias("cents"),
+    )
+    return TS.holt_backtest(
+        prepared, key_col="user_id", day_col="day", cents_col="cents"
+    )
