@@ -1410,3 +1410,103 @@ def test_streaming_holt_day_commits_only_past_day_end(spark, tmp_path):
         assert last.level == 18.75 and last.trend == -21.875
     finally:
         q.stop()
+
+
+def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
+    """The bitmap twin needs NO commit discipline: bit-OR state is
+    commutative and idempotent, so out-of-order delivery and a
+    duplicate-day redelivery across micro-batches still reproduce the
+    batch histogram exactly (final emission = max n_obs per user,
+    rolled up and compared against the batch entry on the same rows)."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_activity_bitmap,
+    )
+
+    def ev(eid, ts, uid):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "view", "value": 1.0, "props": "{}"}
+
+    # user 1: days 0,2,4 (no streak); user 2: days 5,6,7 (streak),
+    # day 5 redelivered in chunk 2 (idempotent); user 3: days 0,1
+    chunk1 = [
+        ev(1, "2024-01-01T09:00:00", 1),
+        ev(2, "2024-01-05T09:00:00", 1),
+        ev(3, "2024-01-06T10:00:00", 2),
+        ev(4, "2024-01-07T10:00:00", 2),
+        ev(5, "2024-01-01T11:00:00", 3),
+    ]
+    chunk2 = [
+        ev(6, "2024-01-03T09:00:00", 1),   # out-of-order vs chunk 1
+        ev(7, "2024-01-06T23:00:00", 2),   # duplicate day
+        ev(8, "2024-01-08T10:00:00", 2),
+        ev(9, "2024-01-02T11:00:00", 3),
+    ]
+    rows = chunk1 + chunk2
+    d = tmp_path / "bm_in"
+    os.makedirs(d)
+    for i, chunk in enumerate((chunk1, chunk2)):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    import datetime as dt
+
+    q = run_stream_to_memory(
+        streaming_activity_bitmap(stream, dt.datetime(2024, 1, 1)),
+        "bm_stream",
+        output_mode="update",
+    )
+    try:
+        emitted = spark.sql("SELECT * FROM bm_stream").collect()
+        last = {}
+        for r in emitted:
+            if r.user_id not in last or r.n_obs > last[r.user_id].n_obs:
+                last[r.user_id] = r
+        # stream-side histogram rollup
+        hist = {}
+        for r in last.values():
+            k = r.n_active_days
+            n, s = hist.get(k, (0, 0))
+            hist[k] = (n + 1, s + r.has_streak3)
+        # batch entry on the same rows (anchor = corpus min = Jan 1)
+        pdir = tmp_path / "bm_batch"
+        os.makedirs(pdir)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e["event_id"] for e in rows], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime.fromisoformat(e["ts"]) for e in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([e["user_id"] for e in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(str(pdir), "events.parquet"))
+        batch = {
+            r["n_active_days"]: (r["n_users"], r["n_streak3_users"])
+            for r in QUERIES["events_activity_bitmap"](
+                spark, str(pdir)
+            ).collect()
+        }
+        assert hist == batch
+        assert last[2].has_streak3 == 1 and last[1].has_streak3 == 0
+        assert last[2].n_active_days == 3  # duplicate day OR-ed once
+    finally:
+        q.stop()

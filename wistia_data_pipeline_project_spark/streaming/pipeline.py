@@ -1383,3 +1383,90 @@ def streaming_holt_linear(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+BITMAP_STATE_SCHEMA = "mask long, n_obs long"
+BITMAP_OUTPUT_SCHEMA = (
+    "user_id long, n_obs long, n_active_days long, has_streak3 int"
+)
+
+
+def streaming_activity_bitmap(
+    events_stream: DataFrame,
+    anchor_day,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of ``events_activity_bitmap`` (the EIGHTH
+    stateful surface) — and the simplest possible state shape in the
+    family: the day-activity mask is a COMMUTATIVE, IDEMPOTENT monoid
+    (bit OR), so unlike every fold twin there is NO commit discipline,
+    no pending buffer and no deque — any event, however late or
+    re-delivered, merges by OR-ing one bit, and every emission is
+    final-correct for the data seen so far. The watermark exists only
+    for state eviction policy, not correctness. State per user: one
+    8-byte mask + the n_obs emission counter.
+
+    ``anchor_day`` is the day-0 anchor (the batch entry derives it as
+    the corpus MIN day; a stream cannot know the corpus minimum, so
+    the deployment pins it — the stream-static parameter precedent of
+    ``streaming_incremental_dedup``'s loaded fingerprints). Offsets
+    outside [0, 61] are excluded BY DECLARATION, as in batch.
+
+    Emission per update: the user's popcount and the shift-AND 3-day
+    streak flag; the batch histogram is a stateless rollup consumers
+    run over final emissions (max n_obs per user — the parity test's
+    shape).
+    """
+    anchor_us = int(pd.Timestamp(anchor_day).value // 1000)
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            (
+                (
+                    F.unix_micros(F.date_trunc("DAY", F.col("ts")))
+                    - F.lit(anchor_us)
+                )
+                / F.lit(_DAY_US)
+            )
+            .cast("long")
+            .alias("off"),
+        )
+        .filter((F.col("off") >= 0) & (F.col("off") <= 61))
+    )
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            mask, n_obs = state.get
+        else:
+            mask, n_obs = 0, 0
+        if state.hasTimedOut:  # pragma: no cover - no timeout is set
+            state.remove()
+            return
+        for pdf in pdfs:
+            for off in pdf["off"]:
+                mask |= 1 << int(off)
+                n_obs += 1
+        state.update((mask, n_obs))
+        yield pd.DataFrame(
+            [{
+                "user_id": key[0],
+                "n_obs": n_obs,
+                "n_active_days": bin(mask).count("1"),
+                "has_streak3": int((mask & (mask >> 1) & (mask >> 2)) != 0),
+            }]
+        )
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        BITMAP_OUTPUT_SCHEMA,
+        BITMAP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
