@@ -955,3 +955,51 @@ def test_taxonomy_classify_single_rule_and_empty(spark):
     assert r.topic == "only"
     with _pytest.raises(ValueError):
         X.taxonomy_classify(df, [])
+
+
+def test_pii_redact_replaces_and_matches_oracle(spark, tmp_path):
+    """Real redaction branch (the shipped corpus is PII-free, so the
+    catalog entry pins pass-through): emails/phones/IPs replaced with
+    typed placeholders, identically in both engines including the
+    md5 of the redacted text."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import oracle_sql
+    from tools.check_oracle import compare
+    from wistia_data_pipeline_project_spark.operators import text as X
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 today"),
+        (2, "server at 10.0.0.1 and 192.168.254.254 replied"),
+        (3, "no pii here at all"),
+        (4, "a@b.io mailed c.d+x@e-f.org from 8.8.8.8"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "t"
+    pdf["n_chars"] = pdf["text"].str.len()
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(f"{sf_dir}/documents.parquet")
+
+    sdf = QUERIES["docs_pii_redact"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    ddf = con.sql(oracle_sql()["docs_pii_redact"]).df()
+    assert not compare("docs_pii_redact", sdf, ddf)
+    by_id = {r["doc_id"]: r for _, r in sdf.iterrows()}
+    assert by_id[1]["redacted_len"] != by_id[1]["orig_len"]
+    assert by_id[3]["redacted_len"] == by_id[3]["orig_len"]
+    # the actual redacted strings, via the operator directly
+    docs = spark.createDataFrame(pdf)
+    red = {
+        r["doc_id"]: r["redacted"]
+        for r in X.with_pii_redaction(docs).collect()
+    }
+    assert red[1] == "contact <EMAIL> or <PHONE> today"
+    assert red[2] == "server at <IPV4> and <IPV4> replied"
+    assert red[4] == "<EMAIL> mailed <EMAIL> from <IPV4>"

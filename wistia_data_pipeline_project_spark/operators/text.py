@@ -663,3 +663,17 @@ def taxonomy_classify(
         else F.lit(rules[-1][0])
     )
     return df.withColumn("topic", route)
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redacted-text column: every PII pattern hit replaced with its
+    typed placeholder (``<EMAIL>`` etc.) — the WRITE side of the
+    scan/redact pair, one chained codegen'd ``regexp_replace`` per
+    pattern, no UDF. Replacement order is the declared pattern-pack
+    order (a placeholder contains no digits or '@', so later patterns
+    cannot re-match inside an earlier redaction); both engines apply
+    leftmost non-overlapping global replacement."""
+    out = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    return df.withColumn("redacted", out)

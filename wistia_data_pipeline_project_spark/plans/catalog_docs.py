@@ -3449,3 +3449,48 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = X.with_quality_score(docs)
     return TR.curriculum_manifest(scored, key_col="doc_id")
+
+
+def _pii_redact_oracle() -> str:
+    """Generated from the SAME pattern pack as with_pii_redaction:
+    the identical replace chain in the identical order, with the
+    redacted text pinned by md5 so the entry is bit-exact, not just
+    count-exact."""
+    expr = "text"
+    for name, pat in X.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"""
+    SELECT doc_id,
+           length(text) AS orig_len,
+           length({expr}) AS redacted_len,
+           md5({expr}) AS redacted_md5
+    FROM documents WHERE text IS NOT NULL
+    """
+
+
+@query("docs_pii_redact", oracle=_pii_redact_oracle())
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the write side of ``docs_pii_scan``): every
+    pattern hit replaced with its typed placeholder, in declared
+    pattern-pack order, as chained codegen regexp_replace projections.
+    The redacted text is pinned by md5 on both engines — bit-exact
+    redaction, not just matching counts. NULL-text docs are out of
+    domain on both sides. (The shipped corpora contain no PII hits,
+    so at driver SF the entry pins exact pass-through; the REPLACE
+    branch is pinned by the micro-fixture parity test with real
+    emails/phones/IPs, ``test_pii_redact_replaces_and_matches_oracle``.)
+
+    Scale: a pure projection — no shuffle at all before the driver's
+    ordering; redacted text never needs to leave the scan stage in a
+    real pipeline (the write is a partitioned sink map).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    r = X.with_pii_redaction(docs)
+    return r.select(
+        "doc_id",
+        F.length("text").cast("long").alias("orig_len"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
