@@ -894,3 +894,165 @@ def test_ewma_last_exact_branches(spark):
     assert got[3].n_days == 26
     assert got[3].ewma == 200.0
     assert got[3].last_total == 400.0
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user
+            st.integers(min_value=0, max_value=29),     # day offset
+            st.integers(min_value=-10**6, max_value=10**6),  # cents
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_holt_fold_matches_float_reference(spark, obs):
+    """The exact-integer Holt fold agrees with a naive float
+    recurrence to quantization tolerance (1 micro-dollar + float
+    drift), and n_used never exceeds the declared window."""
+    from decimal import Decimal as D
+
+    from wistia_data_pipeline_project_spark.operators.timeseries import (
+        HOLT_MAX_OBS,
+        holt_linear,
+    )
+
+    rows = [
+        (u, dt.datetime(2024, 1, 1) + dt.timedelta(days=d), D(c))
+        for u, d, c in obs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, day timestamp, cents decimal(18,0)"
+    )
+    out = {
+        r["user_id"]: r
+        for r in holt_linear(df, "user_id", "day", "cents").collect()
+    }
+    # float reference over per-(user, day) summed cents
+    daily: dict = {}
+    for u, d, c in obs:
+        daily[(u, d)] = daily.get((u, d), 0) + c
+    by_user: dict = {}
+    for (u, d), x in sorted(daily.items()):
+        by_user.setdefault(u, []).append(x)
+    for u, xs in by_user.items():
+        xs = xs[-HOLT_MAX_OBS:]
+        l, b = float(xs[0]), 0.0
+        for x in xs[1:]:
+            l_new = (x + l + b) / 2.0
+            b = (l_new - l) / 2.0 + b / 2.0
+            l = l_new
+        r = out[u]
+        assert r["n_used"] == len(xs) <= HOLT_MAX_OBS
+        assert r["level"] == pytest.approx(l / 100.0, abs=2e-6, rel=1e-9)
+        assert r["trend"] == pytest.approx(b / 100.0, abs=2e-6, rel=1e-9)
+        assert r["forecast"] == pytest.approx(
+            (l + b) / 100.0, abs=4e-6, rel=1e-9
+        )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # user
+            st.integers(min_value=0, max_value=3 * 86400 - 1),  # second
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_session_concurrency_matches_brute_force(spark, evs, tmp_path):
+    """The two-level sweep equals a brute-force per-microsecond-free
+    reference: sessions rebuilt in Python (30-min gap), clipped
+    half-open to days, peak computed by sorting raw boundary events —
+    starts before ends at equal instants."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(evs)
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = {
+        r["day"]: r
+        for r in QUERIES["events_session_concurrency"](spark, d).collect()
+    }
+
+    # Python reference
+    DAY = 86400 * 10**6
+    per_user: dict = {}
+    for _, u, ts in rows:
+        per_user.setdefault(u, []).append(
+            int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 10**6)
+        )
+    segs = []  # (day, cs, ce)
+    for u, tss in per_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        sess = []
+        for t in tss[1:]:
+            if t - prev > 1800 * 10**6:
+                sess.append((start, prev))
+                start = t
+            prev = t
+        sess.append((start, prev))
+        for s, e in sess:
+            for day in range(s // DAY, e // DAY + 1):
+                cs = max(s, day * DAY)
+                ce = min(e + 1, (day + 1) * DAY)
+                if ce > cs:
+                    segs.append((day, cs, ce, u))
+    days = sorted({x[0] for x in segs})
+    for day in days:
+        evs_d = []
+        busy = 0
+        users = set()
+        n_sess = 0
+        for dd, cs, ce, u in segs:
+            if dd != day:
+                continue
+            evs_d.append((cs, 0))   # start sorts before end at equal t
+            evs_d.append((ce, 1))
+            busy += ce - cs
+            users.add(u)
+            n_sess += 1
+        evs_d.sort()
+        run = peak = 0
+        for _, kind in evs_d:
+            run += 1 if kind == 0 else -1
+            peak = max(peak, run)
+        key = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=day * DAY)
+        r = got[key]
+        assert r["peak_concurrent"] == peak, (day, evs_d)
+        assert r["n_sessions"] == n_sess
+        assert r["n_users"] == len(users)
+        assert r["busy_seconds"] == pytest.approx(busy / 1e6)
+    assert len(got) == len(days)
