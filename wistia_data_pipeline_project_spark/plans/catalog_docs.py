@@ -3494,3 +3494,76 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("redacted").cast("long").alias("redacted_len"),
         F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
     )
+
+
+@query(
+    "docs_dedup_threshold_curve",
+    oracle="WITH "
+    + JACCARD_PAIR_CTES
+    + """,
+    taus AS (SELECT unnest([0.8, 0.9, 0.95]) AS tau)
+    SELECT taus.tau AS threshold,
+           CAST(COALESCE(SUM(CASE WHEN p.jaccard >= taus.tau
+                                  THEN 1 END), 0) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.jaccard >= taus.tau
+                                    THEN p.da END)
+                + COUNT(DISTINCT CASE WHEN p.jaccard >= taus.tau
+                                      THEN p.db END) AS BIGINT)
+             AS n_doc_slots
+    FROM taus LEFT JOIN pairs p ON true
+    GROUP BY 1
+    """,
+)
+def docs_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold sensitivity (the tuning table an operator reads
+    before picking a near-dup cutoff): pair volume and touched-doc
+    slots at tau in {0.8, 0.9, 0.95}, from ONE pass over the shared
+    scored-pair checkpoint — no re-join per threshold. ``n_doc_slots``
+    counts distinct docs per pair side (a-side + b-side), an upper
+    bound on removable docs that needs no per-threshold clustering.
+    Thresholds below the checkpoint's 0.8 build floor would need a
+    pair rebuild — deliberately out of scope (the checkpoint IS the
+    production artifact being tuned over).
+
+    Determinism: jaccard is the same integer-derived double in both
+    engines, compared against the same literals; counts are exact.
+
+    Scale: the pair list is near-dup-volume; the curve is one
+    explode(x3) + grouped count over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs_cached(spark, sf_dir, docs)
+    taus = F.array(F.lit(0.8), F.lit(0.9), F.lit(0.95))
+    ex = pairs.select(
+        "doc_a", "doc_b", "jaccard", F.explode(taus).alias("threshold")
+    )
+    per_tau = ex.groupBy("threshold").agg(
+        F.sum(
+            F.when(F.col("jaccard") >= F.col("threshold"), 1)
+        ).alias("_np"),
+        (
+            F.count_distinct(
+                F.when(
+                    F.col("jaccard") >= F.col("threshold"), F.col("doc_a")
+                )
+            )
+            + F.count_distinct(
+                F.when(
+                    F.col("jaccard") >= F.col("threshold"), F.col("doc_b")
+                )
+            )
+        ).alias("n_doc_slots"),
+    )
+    # LEFT-join against the full tau list so a tau with zero
+    # surviving pairs still emits a row (matching the oracle's
+    # LEFT JOIN ... ON true shape)
+    tau_df = docs.sparkSession.range(1).select(
+        F.explode(taus).alias("threshold")
+    )
+    return tau_df.join(per_tau, "threshold", "left").select(
+        "threshold",
+        F.coalesce(F.col("_np"), F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce(F.col("n_doc_slots"), F.lit(0)).cast("long").alias(
+            "n_doc_slots"
+        ),
+    )
