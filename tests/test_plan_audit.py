@@ -143,6 +143,9 @@ MATERIALIZING = {
     "docs_editdist_verify",
     "docs_minhash_estimate_error",
     "docs_source_overlap",
+    # tenth consumer of the shared jaccard pair checkpoint (the
+    # threshold-sensitivity curve reads the scored list once)
+    "docs_dedup_threshold_curve",
     # pagerank's per-round checkpointed rank table (two columns,
     # graph-node-sized) — the iterative-plan pin, not a collect
     "docs_pagerank",
