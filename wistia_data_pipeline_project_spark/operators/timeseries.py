@@ -1089,8 +1089,7 @@ def holt_linear(
         .withColumn(
             "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
         )
-        .withColumn("_m", F.count(F.lit(1)).over(wk))
-        .select(key_col, day_col, "_x", "_rn", "_n", "_m")
+        .select(key_col, day_col, "_x", "_rn", "_n")
     )
 
     out_schema = (
