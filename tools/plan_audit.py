@@ -70,6 +70,7 @@ NOTES = {
     "mm_audio_vad_segments": "decode emits n_frames energy rows per clip; one asset shuffle serves lag + island windows + aggregate",
     "events_activity_bitmap": "bit_or combines map-side - the user shuffle carries 8-byte masks; anchor is a 1-row broadcast",
     "events_rolling_hll_7d": "sliding merge shuffles |days|x7 sketch blobs; exact twin exists only to gate the estimate",
+    "emb_ivf_nprobe_curve": "one shared cell assignment; each arm adds a probe-filtered top-k scan; 3-arm union",
     "docs_dedup_threshold_curve": "tenth consumer of the shared jaccard pair checkpoint; explode(x3) + grouped count",
     "docs_pii_redact": "pure projection - chained regexp_replace, no shuffle before output",
     "events_holt_backtest": "same shape as events_holt_linear: daily pre-agg, one key shuffle, partition-scan fold",

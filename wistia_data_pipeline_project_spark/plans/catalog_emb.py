@@ -2649,3 +2649,112 @@ def emb_ood_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("thr_cosine"),
         )
     )
+
+
+def _ivf_nprobe_curve_oracle(probes=(1, 2, 4)) -> str:
+    """Single-sourced generator for the nprobe tuning curve: the
+    emb_ivf_recall CTE chain with one probe/ivf arm per nprobe,
+    unioned — recall@10 as a function of how many cells are probed."""
+    shared = """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    exact AS (
+      SELECT e.vec_id
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               e.vec_id
+      LIMIT 10
+    ),
+    c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.embedding::DOUBLE[], c.cv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e, c
+      WHERE e.vec_id <> 0
+    ),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )"""
+    arms = []
+    for p in probes:
+        shared += f""",
+    probe{p} AS (
+      SELECT centroid_id FROM c, q
+      ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               centroid_id
+      LIMIT {p}
+    ),
+    ivf{p} AS (
+      SELECT e.vec_id
+      FROM embeddings e
+      JOIN best b ON e.vec_id = b.vec_id
+      JOIN probe{p} pr ON b.centroid_id = pr.centroid_id, q
+      ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+               e.vec_id
+      LIMIT 10
+    )"""
+        arms.append(f"""
+    SELECT {p} AS n_probe,
+           (SELECT COUNT(*) FROM exact JOIN ivf{p} USING (vec_id))
+             AS n_overlap,
+           CAST((SELECT COUNT(*) FROM exact JOIN ivf{p} USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """)
+    return shared + " UNION ALL ".join(arms)
+
+
+@query("emb_ivf_nprobe_curve", oracle=_ivf_nprobe_curve_oracle())
+def emb_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve: recall@10 at n_probe in {1, 2, 4}
+    cells of 8, from ONE cell assignment — the accuracy/cost knob an
+    ANN deployment tunes, as a catalog entry (the
+    ``docs_dedup_threshold_curve`` symmetry on the retrieval side;
+    ``emb_ivf_recall`` is the single point at n_probe = 2). Recall is
+    non-decreasing in n_probe by construction; each arm's id-set is
+    deterministic (declared blocking + unique tie-breaks), so every
+    point is hash-exact, not a statistical bound.
+
+    Scale: the assignment (the expensive part) is computed once and
+    shared; each arm adds only a probe-filtered top-k scan. At
+    production scale the arms share the cell-pruned scan too — the
+    curve costs barely more than its most expensive point.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    body = emb.filter(F.col("vec_id") != 0)
+    exact = S.topk_cosine(body, q, k=10).select("vec_id")
+    cents = _centroids(emb)
+    arms = []
+    for p in (1, 2, 4):
+        ivf = S.ivf_topk_cosine(
+            body, q, k=10, n_probe_centroids=p, centroids=cents
+        ).select("vec_id")
+        arms.append(
+            exact.join(ivf, "vec_id").agg(
+                F.lit(p).cast("integer").alias("n_probe"),
+                F.count(F.lit(1)).alias("n_overlap"),
+                (F.count(F.lit(1)).cast("double") / 10).alias("recall"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out
