@@ -79,16 +79,23 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
     from wistia_data_pipeline_project_spark.session import get_spark
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[2:])
+    only = set(argv[1:])
     spark = get_spark("oracle-check")
     con = duck_connection(sf_dir)
     failed, passed, weak = [], [], []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -97,31 +104,50 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:
             failed.append(name)
+            report[name] = {"status": "fail", "err": f"spark error: {exc}"[:500]}
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
             weak.append(name)
+            report[name] = {"status": "weak", "rows": len(sdf)}
             print(f"weak  {name}: rows={len(sdf)} (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as exc:
             failed.append(name)
+            report[name] = {"status": "fail", "err": f"duckdb error: {exc}"[:500]}
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         issues = compare(name, sdf, ddf)
+        elapsed = round(time.time() - t0, 2)
         if issues:
             failed.append(name)
-            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            report[name] = {"status": "fail", "issues": issues[:5], "sec": elapsed}
+            print(f"FAIL  {name} [{elapsed:.1f}s]")
             for i in issues:
                 print(f"      {i}")
         else:
             passed.append(name)
-            print(f"ok    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            report[name] = {"status": "ok", "rows": len(sdf), "sec": elapsed}
+            print(f"ok    {name}: rows={len(sdf)} [{elapsed:.1f}s]")
     print(
         f"\n{len(passed)} ok, {len(weak)} weak (rows-only), {len(failed)} failed"
         + (f": {failed}" if failed else "")
     )
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "ok": len(passed),
+            "weak": len(weak),
+            "failed": len(failed),
+            "entries": report,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 

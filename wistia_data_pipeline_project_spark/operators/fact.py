@@ -419,15 +419,10 @@ def fact_media_engagement_fold_scan(
 
     # explicit partition count: a bare repartition(cols) exchange is
     # fair game for AQE coalescing, which at small SF collapses to ONE
-    # partition and serializes the Python fold — pin the session's
-    # configured shuffle width, capped at 4× the cluster parallelism
-    # so an untuned default (200) doesn't fan a small input into
-    # hundreds of near-empty Python workers
-    sc = events.sparkSession.sparkContext
-    n_part = min(
-        int(events.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        max(sc.defaultParallelism, 1) * 4,
-    )
+    # partition and serializes the Python fold (see _scan.py)
+    from ._scan import pinned_partitions
+
+    n_part = pinned_partitions(events)
     sort_cols: list = [*keys, "received_at", "event_key"]
     if dedup_event_rows:
         # nulls-last pinned explicitly: Spark defaults asc nulls FIRST

@@ -1015,6 +1015,93 @@ HOLT_MAX_OBS = 24
 HOLT_CLAMP_CENTS = 10**9
 
 
+def _halfup(n: int, d: int) -> int:
+    """floor(n/d) + [2*floormod(n,d) >= d] — the declared HALF-UP
+    integer quantization, matching the oracle's floormod construction
+    (Python divmod floors)."""
+    q, rem = divmod(n, d)
+    return q + (1 if 2 * rem >= d else 0)
+
+
+def holt_fold_xs(xs, on_step=None):
+    """THE exact dyadic-integer Holt fold (see ``holt_linear`` for the
+    derivation). Single definition shared by ``holt_linear``,
+    ``holt_backtest`` and the streaming twin
+    (``streaming.pipeline._holt_fold``) — the documented bit-parity
+    guarantee across all three surfaces holds because they all call
+    this one function.
+
+    ``xs``: the key's clamped daily-total cents in observed-day order.
+    Returns micro-dollar-quantized ``(level, trend, forecast)``
+    doubles. ``on_step(forecast_micro_int, actual_micro_int)``, when
+    given, fires once per transition t=2..m BEFORE the state update
+    with the one-step-ahead forecast and the actual, both as EXACT
+    micro-dollar integers (the backtest consumer).
+    """
+    L, B, p = 4 * xs[0], 0, 4  # p = 4^t carried alongside the state
+    for t in range(2, len(xs) + 1):
+        if on_step is not None:
+            on_step(_halfup((L + B) * 10**4, p), xs[t - 1] * 10**4)
+        x_hat = xs[t - 1] * p  # x_t * 4^(t-1)
+        L, B = 2 * x_hat + 2 * L + 2 * B, x_hat - L + 3 * B
+        p *= 4
+
+    def micro(v):
+        # halfup(v * 10^4, p): v/(p*100) dollars at micro resolution
+        return float(_halfup(v * 10**4, p)) / 1e6
+
+    return micro(L), micro(B), micro(L + B)
+
+
+def _holt_prepared(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    cents_col: str,
+    max_obs: int,
+) -> DataFrame:
+    """Shared fit/backtest input prep: daily pre-agg (map-side
+    combine), +-1e9-cent clamp, last-``max_obs``-observed-days window,
+    observed-day rank ``_rn`` and total day count ``_n``."""
+    daily = df.groupBy(key_col, day_col).agg(
+        F.sum(F.col(cents_col)).cast("decimal(38,0)").alias("_x0")
+    )
+    clamp = F.lit(HOLT_CLAMP_CENTS).cast("decimal(38,0)")
+    daily = daily.withColumn(
+        "_x", F.greatest(F.least(F.col("_x0"), clamp), -clamp)
+    )
+    wk = W.partitionBy(key_col)
+    return (
+        daily.withColumn(
+            "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wk))
+        .filter(F.col("_rd") <= max_obs)
+        .withColumn(
+            "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
+        )
+        .select(key_col, day_col, "_x", "_rn", "_n")
+    )
+
+
+def _holt_scan(
+    prepared: DataFrame, key_col: str, fold_groups, out_schema: str
+) -> DataFrame:
+    """Shared physical plan tail: pinned-width key repartition,
+    within-partition (key, _rn) sort, one ``mapInPandas`` pass with
+    the group-carry iterator (``_scan.group_carry_scan``)."""
+    from ._scan import group_carry_scan, pinned_partitions
+
+    def scan(batches):
+        yield from group_carry_scan(batches, key_col, fold_groups)
+
+    return (
+        prepared.repartition(pinned_partitions(prepared), F.col(key_col))
+        .sortWithinPartitions(key_col, "_rn")
+        .mapInPandas(scan, out_schema)
+    )
+
+
 def holt_linear(
     df: DataFrame,
     key_col: str = "user_id",
@@ -1072,25 +1159,7 @@ def holt_linear(
     conversion dominated the fold ~5x (measured sf1 -> sf10, round 9).
     O(1) state per key, O(events) end to end, no grid fan-out.
     """
-    daily = df.groupBy(key_col, day_col).agg(
-        F.sum(F.col(cents_col)).cast("decimal(38,0)").alias("_x0")
-    )
-    clamp = F.lit(HOLT_CLAMP_CENTS).cast("decimal(38,0)")
-    daily = daily.withColumn(
-        "_x", F.greatest(F.least(F.col("_x0"), clamp), -clamp)
-    )
-    wk = W.partitionBy(key_col)
-    r = (
-        daily.withColumn(
-            "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
-        )
-        .withColumn("_n", F.count(F.lit(1)).over(wk))
-        .filter(F.col("_rd") <= max_obs)
-        .withColumn(
-            "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
-        )
-        .select(key_col, day_col, "_x", "_rn", "_n")
-    )
+    r = _holt_prepared(df, key_col, day_col, cents_col, max_obs)
 
     out_schema = (
         f"{key_col} long, n_days long, n_used long, "
@@ -1098,79 +1167,34 @@ def holt_linear(
         f"forecast double"
     )
 
-    def _fold_xs(xs):
-        L, B = 4 * xs[0], 0
-        p = 4  # 4^t carried alongside the state
-        for t in range(2, len(xs) + 1):
-            x_hat = xs[t - 1] * p  # x_t * 4^(t-1)
-            L, B = 2 * x_hat + 2 * L + 2 * B, x_hat - L + 3 * B
-            p *= 4
-
-        def micro(v):
-            # halfup(v * 10^4, p): v/(p*100) dollars at micro
-            # resolution, declared HALF-UP ties; Python divmod floors,
-            # matching the oracle's floormod construction
-            q, r = divmod(v * 10**4, p)
-            return float(q + (1 if 2 * r >= p else 0)) / 1e6
-
-        return micro(L), micro(B), micro(L + B)
-
-    def scan(batches):
+    def fold_groups(pdf):
         import numpy as np
         import pandas as pd
 
-        def fold_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            ks = pdf[key_col].values
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-            bounds = np.r_[starts, len(pdf)]
-            days = pdf[day_col].values
-            xs_all = pdf["_x"].values
-            ns = pdf["_n"].values
-            out = []
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                xs = [int(v) for v in xs_all[a:b]]
-                level, trend, forecast = _fold_xs(xs)
-                out.append(
-                    {
-                        key_col: ks[a],
-                        "n_days": int(ns[a]),
-                        "n_used": b - a,
-                        "last_day": days[b - 1],
-                        "level": level,
-                        "trend": trend,
-                        "forecast": forecast,
-                    }
-                )
-            return pd.DataFrame(out)
+        ks = pdf[key_col].values
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        bounds = np.r_[starts, len(pdf)]
+        days = pdf[day_col].values
+        xs_all = pdf["_x"].values
+        ns = pdf["_n"].values
+        out = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            xs = [int(v) for v in xs_all[a:b]]
+            level, trend, forecast = holt_fold_xs(xs)
+            out.append(
+                {
+                    key_col: ks[a],
+                    "n_days": int(ns[a]),
+                    "n_used": b - a,
+                    "last_day": days[b - 1],
+                    "level": level,
+                    "trend": trend,
+                    "forecast": forecast,
+                }
+            )
+        return pd.DataFrame(out)
 
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            ks = pdf[key_col].values
-            tail = int(np.flatnonzero(ks == ks[-1])[0])
-            carry = pdf.iloc[tail:]
-            if tail:
-                yield fold_groups(pdf.iloc[:tail])
-        if carry is not None and len(carry):
-            yield fold_groups(carry)
-
-    # pin the repartition width (fold_scan precedent): a bare
-    # repartition(cols) is fair game for AQE coalescing to ONE
-    # partition at small SF, serializing the Python fold
-    sc = df.sparkSession.sparkContext
-    n_part = min(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        max(sc.defaultParallelism, 1) * 4,
-    )
-    return (
-        r.repartition(n_part, F.col(key_col))
-        .sortWithinPartitions(key_col, "_rn")
-        .mapInPandas(scan, out_schema)
-    )
+    return _holt_scan(r, key_col, fold_groups, out_schema)
 
 
 def holt_backtest(
@@ -1195,96 +1219,44 @@ def holt_backtest(
     are excluded BY DECLARATION (both engines).
 
     Scale: identical shape to ``holt_linear`` — daily pre-agg, one
-    key shuffle, partition-scan mapInPandas.
+    key shuffle, partition-scan mapInPandas (shared ``_holt_prepared``
+    / ``_holt_scan`` plumbing; the fold itself is the one shared
+    ``holt_fold_xs`` with the per-step ``on_step`` hook).
     """
-    daily = df.groupBy(key_col, day_col).agg(
-        F.sum(F.col(cents_col)).cast("decimal(38,0)").alias("_x0")
-    )
-    clamp = F.lit(HOLT_CLAMP_CENTS).cast("decimal(38,0)")
-    daily = daily.withColumn(
-        "_x", F.greatest(F.least(F.col("_x0"), clamp), -clamp)
-    )
-    wk = W.partitionBy(key_col)
-    r = (
-        daily.withColumn(
-            "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
-        )
-        .filter(F.col("_rd") <= max_obs)
-        .withColumn(
-            "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
-        )
-        .select(key_col, "_x", "_rn")
-    )
+    r = _holt_prepared(df, key_col, day_col, cents_col, max_obs)
 
     out_schema = (
         f"{key_col} long, n_steps long, mae double, worst_err double"
     )
 
-    def _halfup(n, d):
-        q, rem = divmod(n, d)
-        return q + (1 if 2 * rem >= d else 0)
-
-    def scan(batches):
+    def fold_groups(pdf):
         import numpy as np
         import pandas as pd
 
-        def fold_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-            ks = pdf[key_col].values
-            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-            bounds = np.r_[starts, len(pdf)]
-            xs_all = pdf["_x"].values
-            out = []
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                xs = [int(v) for v in xs_all[a:b]]
-                if len(xs) < 2:
-                    continue
-                L, B, p = 4 * xs[0], 0, 4
-                err_sum, err_max = 0, 0
-                for t in range(2, len(xs) + 1):
-                    fc = _halfup((L + B) * 10**4, p)
-                    actual = xs[t - 1] * 10**4
-                    err = abs(actual - fc)
-                    err_sum += err
-                    err_max = max(err_max, err)
-                    x_hat = xs[t - 1] * p
-                    L, B = (
-                        2 * x_hat + 2 * L + 2 * B,
-                        x_hat - L + 3 * B,
-                    )
-                    p *= 4
-                n_steps = len(xs) - 1
-                out.append(
-                    {
-                        key_col: ks[a],
-                        "n_steps": n_steps,
-                        "mae": float(err_sum) / (n_steps * 1e6),
-                        "worst_err": float(err_max) / 1e6,
-                    }
-                )
-            return pd.DataFrame(out)
-
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
+        ks = pdf[key_col].values
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        bounds = np.r_[starts, len(pdf)]
+        xs_all = pdf["_x"].values
+        out = []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            xs = [int(v) for v in xs_all[a:b]]
+            if len(xs) < 2:
                 continue
-            ks = pdf[key_col].values
-            tail = int(np.flatnonzero(ks == ks[-1])[0])
-            carry = pdf.iloc[tail:]
-            if tail:
-                yield fold_groups(pdf.iloc[:tail])
-        if carry is not None and len(carry):
-            yield fold_groups(carry)
+            errs = []
 
-    sc = df.sparkSession.sparkContext
-    n_part = min(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-        max(sc.defaultParallelism, 1) * 4,
-    )
-    return (
-        r.repartition(n_part, F.col(key_col))
-        .sortWithinPartitions(key_col, "_rn")
-        .mapInPandas(scan, out_schema)
-    )
+            def on_step(fc, actual):
+                errs.append(abs(actual - fc))
+
+            holt_fold_xs(xs, on_step)
+            n_steps = len(xs) - 1
+            out.append(
+                {
+                    key_col: ks[a],
+                    "n_steps": n_steps,
+                    "mae": float(sum(errs)) / (n_steps * 1e6),
+                    "worst_err": float(max(errs)) / 1e6,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return _holt_scan(r, key_col, fold_groups, out_schema)

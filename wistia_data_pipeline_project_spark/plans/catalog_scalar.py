@@ -756,11 +756,31 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tol_gate(est, exact, tol: float = 0.05):
+    """Structural sketch-accuracy gate as a SELF-DIAGNOSING column:
+    ``'ok'`` when ``|est - exact| <= tol * exact``, else the actual
+    numbers (``est=.../exact=...``). The oracle asserts the literal
+    ``'ok'``, so a gate trip surfaces in the comparator's value diff
+    WITH the estimate and exact count inline — a tolerance diagnostic,
+    not an opaque boolean hash mismatch (ADVICE r09)."""
+    est, exact = F.col(est), F.col(exact)
+    return F.when(
+        F.abs(est - exact) <= tol * exact, F.lit("ok")
+    ).otherwise(
+        F.concat(
+            F.lit("est="),
+            F.round(est, 1).cast("string"),
+            F.lit("/exact="),
+            exact.cast("string"),
+        )
+    )
+
+
 @query(
     "events_hll_rollup",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS merged_within_tol
+           'ok' AS merge_gate
     FROM events WHERE event_type IS NOT NULL GROUP BY 1
     """,
 )
@@ -799,10 +819,7 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(merged, "event_type").select(
         "event_type",
         "exact_users",
-        (
-            F.abs(F.col("_est") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
-        ).alias("merged_within_tol"),
+        _tol_gate("_est", "exact_users").alias("merge_gate"),
     )
 
 
@@ -1361,6 +1378,11 @@ def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one-slot-per-corpus checkpoint of the distinct (user, day) frame
+# (see _pair_cache.cached_pair_checkpoint)
+_USER_DAY_CACHE: dict = {}
+
+
 @query(
     "events_rolling_hll_7d",
     oracle="""
@@ -1375,7 +1397,7 @@ def events_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(days.day AS TIMESTAMP) AS day,
            COUNT(DISTINCT user_id) AS exact_wau_7d,
-           TRUE AS merged_within_tol
+           'ok' AS merge_gate
     FROM cover JOIN days ON cover.day7 = days.day
     GROUP BY 1
     """,
@@ -1398,15 +1420,29 @@ def events_rolling_hll_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-day table — at 100 TB the exact branch is the one you drop,
     and the entry records exactly how much accuracy that costs.
     """
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
-    )
-    ud = (
-        e.select(
-            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    import os as _os
+
+    from ._pair_cache import cached_pair_checkpoint
+
+    # the distinct (user, day) frame feeds three consumers (day list,
+    # daily sketches, exact cover); a bare .cache() here pinned
+    # executor storage for the rest of a 203-entry bench session
+    # (ADVICE r09) — route through the one-slot-per-corpus checkpoint
+    # helper instead: bounded, spill-friendly, replaced when the
+    # corpus file changes
+    def _build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
         )
-        .distinct()
-        .cache()
+        return e.select(
+            "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).distinct()
+
+    ud = cached_pair_checkpoint(
+        spark,
+        _os.path.join(sf_dir, "events.parquet"),
+        _USER_DAY_CACHE,
+        _build,
     )
     days = ud.select("day").distinct()
     daily_sk = ud.groupBy("day").agg(
@@ -1438,8 +1474,5 @@ def events_rolling_hll_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(merged, "day7").select(
         F.col("day7").cast("timestamp").alias("day"),
         F.col("exact_wau_7d").cast("long").alias("exact_wau_7d"),
-        (
-            F.abs(F.col("_est") - F.col("exact_wau_7d"))
-            <= 0.05 * F.col("exact_wau_7d")
-        ).alias("merged_within_tol"),
+        _tol_gate("_est", "exact_wau_7d").alias("merge_gate"),
     )

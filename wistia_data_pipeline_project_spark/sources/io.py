@@ -115,6 +115,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``div`` — a double division would lose precision at 1e18 nanos).
     Micros-generation files read natively.
     """
+    from ..session import autoscale_exchange_width
+
+    # Exchange width tracks the corpus size the moment it is known
+    # (clamp(dir_bytes/4MiB, cores, 2048)); see session.py docstring.
+    autoscale_exchange_width(spark, sf_dir)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events" and _events_ts_is_nanos(path):
         # session-level legacy conf (no per-read option exists for it);

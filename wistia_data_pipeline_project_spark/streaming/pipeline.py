@@ -1249,24 +1249,14 @@ HOLT_OUTPUT_SCHEMA = (
 
 
 def _holt_fold(xs):
-    """The batch Holt fold (``timeseries.holt_linear``) replayed over
-    clamped day totals, bit-for-bit: exact dyadic integers scaled by
-    4^t, micro-dollar HALF-UP quantization."""
-    from ..operators.timeseries import HOLT_CLAMP_CENTS
+    """The batch Holt fold replayed over clamped day totals,
+    bit-for-bit — by construction: it IS ``timeseries.holt_fold_xs``,
+    the single shared exact-integer fold, after the batch side's
+    clamp (which the batch plan applies in SQL before its fold)."""
+    from ..operators.timeseries import HOLT_CLAMP_CENTS, holt_fold_xs
 
     xs = [max(-HOLT_CLAMP_CENTS, min(HOLT_CLAMP_CENTS, x)) for x in xs]
-    L, B = 4 * xs[0], 0
-    p = 4
-    for t in range(2, len(xs) + 1):
-        x_hat = xs[t - 1] * p
-        L, B = 2 * x_hat + 2 * L + 2 * B, x_hat - L + 3 * B
-        p *= 4
-
-    def micro(v):
-        q, r = divmod(v * 10**4, p)
-        return float(q + (1 if 2 * r >= p else 0)) / 1e6
-
-    return micro(L), micro(B), micro(L + B)
+    return holt_fold_xs(xs)
 
 
 def streaming_holt_linear(
