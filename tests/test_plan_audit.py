@@ -241,6 +241,45 @@ def test_knn_family_pair_join_broadcasts(spark, sf_dir):
     )
 
 
+def test_exchange_counts_pinned(plans, sf_dir):
+    """Structural plan-cost pin (VERDICT r09 next-round 3): every
+    entry's exchange count and join strategies must match the
+    committed snapshot (``tests/plan_pins.json``, regenerated by
+    ``python tools/plan_audit.py --pins tests/plan_pins.json`` at the
+    test SF — join strategies legitimately differ between SFs, so the
+    pin is same-SF while PLANS.md stays the sf0.01 audit). An entry
+    that silently gains an exchange (or trades a broadcast join for a
+    shuffle join) fails HERE, not three rounds later in a bench-map
+    diff — the r09 ``initialPartitionNum`` tax was only caught that
+    slow way. A legitimate plan change is made visible by
+    regenerating the snapshot so the diff is reviewed in the commit."""
+    import json
+    import os
+
+    from tools.plan_audit import counters
+
+    path = os.path.join(os.path.dirname(__file__), "plan_pins.json")
+    with open(path) as fh:
+        snap = json.load(fh)
+    assert snap["sf_dir"] == sf_dir, (
+        f"plan_pins.json was generated at {snap['sf_dir']}, tests run "
+        f"at {sf_dir} — regenerate with SPARK_GRAFT_SF_DIR={sf_dir}"
+    )
+    pinned = snap["pins"]
+    missing = set(plans) - set(pinned)
+    assert not missing, f"entries without a pin: {sorted(missing)}"
+    drift = {}
+    for name, plan in plans.items():
+        c = counters(plan)
+        got = [c["n_exchange"], c["n_reused"], c["joins"]]
+        if got != pinned[name]:
+            drift[name] = {"plan": got, "pinned": pinned[name]}
+    assert not drift, (
+        "plan structure drifted from tests/plan_pins.json "
+        f"(exchanges, reused, joins): {drift}"
+    )
+
+
 def test_plan_audit_notes_keys_are_catalog_entries():
     """Every curated PLANS.md note must name a live catalog entry —
     a rename would otherwise silently drop its note from the next

@@ -169,11 +169,47 @@ def audit_row(name: str, plan: str) -> str:
     )
 
 
+_PLANS_MD = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
+)
+
+
+def parse_plans_md(path: str = _PLANS_MD) -> dict[str, dict]:
+    """Parse the committed PLANS.md table back into the counters that
+    ``audit_row`` rendered — the CI pin (VERDICT r09 next-round 3)
+    compares each entry's live plan against these. Returns
+    ``{name: {"n_exchange": int, "n_reused": int, "joins": [...]}}``.
+    """
+    out: dict[str, dict] = {}
+    row = re.compile(
+        r"^\| (\w+) \| (\d+) \((\d+) reused\) \| ([^|]*) \|"
+    )
+    with open(path) as fh:
+        for line in fh:
+            m = row.match(line)
+            if not m or m.group(1) == "query":
+                continue
+            joins = m.group(4).strip()
+            out[m.group(1)] = {
+                "n_exchange": int(m.group(2)),
+                "n_reused": int(m.group(3)),
+                "joins": [] if joins == "—" else sorted(
+                    j.strip() for j in joins.split(",")
+                ),
+            }
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as m
 
     argv = sys.argv[1:]
     markdown = "--markdown" in argv
+    pins_out = None
+    if "--pins" in argv:
+        i = argv.index("--pins")
+        pins_out = argv[i + 1]
+        del argv[i : i + 2]
     argv = [a for a in argv if a != "--markdown"]
 
     spark = get_spark(app_name="plan-audit")
@@ -185,12 +221,17 @@ def main() -> None:
     # checkpoint consumers' plans depend on which entry materialized
     # the checkpoint first — sorted order keeps the generated table
     # reproducible run-to-run
-    names = argv or (sorted(qs) if markdown else list(qs))
+    names = argv or (sorted(qs) if (markdown or pins_out) else list(qs))
+    pins: dict[str, list] = {}
     for name in names:
         try:
             plan = formatted_plan(qs[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: EXPLAIN FAILED: {exc}")
+            continue
+        if pins_out:
+            c = counters(plan)
+            pins[name] = [c["n_exchange"], c["n_reused"], c["joins"]]
             continue
         if markdown:
             print(audit_row(name, plan))
@@ -199,6 +240,12 @@ def main() -> None:
         print(summary)
         for w in warns:
             print(f"  WARN {w}")
+    if pins_out:
+        import json
+
+        with open(pins_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "pins": pins}, fh, indent=1, sort_keys=True)
+        print(f"wrote {pins_out} ({len(pins)} entries at {sf_dir})")
 
 
 if __name__ == "__main__":
