@@ -1399,3 +1399,80 @@ def test_label_drift_drops_labels_missing_a_half(spark):
     assert set(out) == {1}
     assert (out[1].n_a, out[1].n_b) == (1, 1)
     assert abs(out[1].centroid_cosine - 1.0) < 1e-12
+
+
+def test_ivf_incremental_merge_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+    """The mergeability property the whole incremental-maintenance
+    design rests on: merged (existing + batch) moment state must equal
+    ivf_cell_stats over the full corpus — decimal partials are exact,
+    so the updated mean the drift gate sees IS the from-scratch mean."""
+    import wistia_data_pipeline_project_spark.operators.similarity as S
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    o = S.ivf_cell_stats(existing, cents)
+    b = S.ivf_cell_stats(batch, cents)
+    merged = {
+        (r.centroid_id, r.i): (r.s_sum, r.n_sum)
+        for r in o.select("centroid_id", "i", "s", "n")
+        .unionAll(b.select("centroid_id", "i", "s", "n"))
+        .groupBy("centroid_id", "i")
+        .agg(F.sum("s").alias("s_sum"), F.sum("n").alias("n_sum"))
+        .collect()
+    }
+    full = {
+        (r.centroid_id, r.i): (r.s, r.n)
+        for r in S.ivf_cell_stats(emb, cents).collect()
+    }
+    assert merged == full
+
+
+def test_ivf_incremental_drift_gate_trips_on_moved_batch(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+    """A batch that lands far from a cell's existing mass must flip
+    needs_recluster for that cell and leave undrifted cells alone; a
+    brand-new cell (no existing members) reports NULL cosine + TRUE."""
+    import wistia_data_pipeline_project_spark.operators.similarity as S
+
+    dim = 4
+    mk = lambda v: [float(v)] * dim  # noqa: E731
+    cents = spark.createDataFrame(
+        [(0, mk(1.0)), (1, [0.0] * (dim - 1) + [1.0]), (2, mk(-1.0))],
+        "centroid_id int, cv array<float>",
+    )
+    # cell 0: tight existing cluster; cell 1: existing cluster; cell 2
+    # gets NO existing members
+    existing = spark.createDataFrame(
+        [(10, mk(0.9)), (11, mk(1.1)), (12, [0.1] * (dim - 1) + [2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    # batch: one vector near cell 0's mean (no drift), one vector that
+    # joins cell 1 but points elsewhere (drift), one opposite vector
+    # opening cell 2
+    batch = spark.createDataFrame(
+        [
+            (20, mk(1.0)),
+            (21, [0.0, 0.0, 1.5, 2.0]),
+            (22, mk(-1.0)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    stats = S.ivf_cell_stats(existing, cents)
+    out = {
+        r.centroid_id: r
+        for r in S.ivf_incremental_update(stats, batch, cents).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert (out[0].n_existing, out[0].n_batch) == (2, 1)
+    assert not out[0].needs_recluster
+    assert out[0].centroid_cosine > 0.9999
+    assert out[1].needs_recluster and out[1].centroid_cosine < 0.9999
+    assert out[2].n_existing == 0 and out[2].n_batch == 1
+    assert out[2].centroid_cosine is None and out[2].needs_recluster

@@ -155,6 +155,7 @@ NOTES = {
     "emb_ivfpq_adc_topk": "FAISS-IVFPQ shape: 2-row probe broadcast prunes cells; codes-vs-candidates semi-join is the one SMJ (AQE broadcasts it at driver SFs; at scale candidates are N*probe/k rows - SMJ is correct); both approximations declared + SQL-replayed",
     "emb_near_dup_cascade": "bit-identical vector collapse (map-combinable agg on the vector key) to representatives BEFORE the IVF-blocked verify; rep pair volume bounded by DISTINCT vectors - viral-copy immune (the image-cascade pattern)",
     "events_user_deciles_approx": "mergeable GK sketch bounds combiner state regardless of DISTINCT totals (the percentile_disc merge-map killer); 1-row bounds broadcast + one combinable gate agg",
+    "emb_ivf_incremental": "O(batch) index maintenance: batch-only broadcast assignment + explode collapses map-side to cells x dim moment rows; existing-corpus state read from the one-slot checkpoint (never re-scanned); drift cosine is centroid-table-sized",
 }
 
 

@@ -368,6 +368,118 @@ def ivf_topk_cosine(
     )
 
 
+def ivf_cell_stats(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Persisted IVF index state: per (cell, dim) quantized moment
+    sums plus the cell's member count — the mergeable sufficient
+    statistic behind incremental index maintenance. Assign via the
+    broadcast argmax (``centroid_assign``), explode dims, and collapse
+    map-side to |cells| x dim rows of ``(centroid_id, i, s, n)`` where
+    ``s = SUM(DECIMAL(18,6)-quantized element)`` — the
+    ``emb_label_drift`` determinism discipline, so any engine replays
+    the sums bit-exactly. At 100 TB this table is KB-sized regardless
+    of corpus volume, and a daily ingest updates it by ADDING the
+    batch's partials (see ``ivf_incremental_update``) instead of
+    retraining centroids from scratch.
+    """
+    assigned = centroid_assign(
+        df.select(key_col, vec_col), centroids, vec_col, key_col
+    )
+    d = df.join(assigned.select(key_col, "centroid_id"), key_col).select(
+        "centroid_id",
+        F.posexplode(as_double(F.col(vec_col))).alias("i", "x"),
+    )
+    return d.groupBy("centroid_id", "i").agg(
+        F.sum(F.round("x", 6).cast("decimal(18,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def ivf_incremental_update(
+    existing_stats: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    drift_threshold: float = 0.9999,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental ANN index maintenance, O(batch) regardless of
+    corpus size: assign ONLY the incoming batch into the EXISTING
+    cells (stream-static-style broadcast join against the persisted
+    centroid table — the ``docs_incremental_dedup`` pattern on the
+    vector axis), merge the batch's per-(cell, dim) moment partials
+    into the persisted ``ivf_cell_stats`` state by exact decimal
+    addition, and emit the drift-triggered recluster gate: per cell,
+    the cosine between the OLD running mean and the UPDATED running
+    mean (``emb_label_drift``'s centroid-cosine machinery). A cell
+    whose mean moved past ``drift_threshold`` — or that is brand-new
+    (no existing members, NULL cosine) — flags ``needs_recluster``;
+    everything else keeps serving the existing index untouched.
+
+    Determinism: moment sums are DECIMAL(18,6) partials (exact
+    addition, < 2^53 after scaling so the double cast is exact); the
+    two means divide identically on both engines; cosine terms
+    quantize products to DECIMAL(28,9) (the label-drift discipline).
+    Cost: the corpus never re-scans — batch assignment is
+    O(|batch| x cells) broadcast work and the merge touches
+    |cells| x dim rows.
+    """
+    bs = ivf_cell_stats(batch, centroids, vec_col, key_col)
+    o = existing_stats.select(
+        "centroid_id",
+        "i",
+        F.col("s").alias("s_o"),
+        F.col("n").alias("n_o"),
+    )
+    b = bs.select(
+        "centroid_id",
+        "i",
+        F.col("s").alias("s_b"),
+        F.col("n").alias("n_b"),
+    )
+    m = o.join(b, ["centroid_id", "i"], "full_outer").select(
+        "centroid_id",
+        "i",
+        "n_o",
+        "n_b",
+        F.when(
+            F.col("n_o") > 0, F.col("s_o").cast("double") / F.col("n_o")
+        ).alias("om"),
+        (
+            (
+                F.coalesce(F.col("s_o"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(18,6)"))
+            ).cast("double")
+            / (
+                F.coalesce(F.col("n_o"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0))
+            )
+        ).alias("nm"),
+    )
+    q9 = lambda c: F.round(c, 9).cast("decimal(28,9)")  # noqa: E731
+    s = m.groupBy("centroid_id").agg(
+        F.max("n_o").cast("long").alias("n_existing"),
+        F.max("n_b").cast("long").alias("n_batch"),
+        F.sum(q9(F.col("om") * F.col("nm"))).cast("double").alias("_dot"),
+        F.sum(q9(F.col("om") * F.col("om"))).cast("double").alias("_na"),
+        F.sum(q9(F.col("nm") * F.col("nm"))).cast("double").alias("_nb"),
+    )
+    cos = F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+    return s.select(
+        "centroid_id",
+        F.coalesce("n_existing", F.lit(0)).alias("n_existing"),
+        F.coalesce("n_batch", F.lit(0)).alias("n_batch"),
+        cos.alias("centroid_cosine"),
+        F.coalesce(cos < F.lit(drift_threshold), F.lit(True)).alias(
+            "needs_recluster"
+        ),
+    )
+
+
 def mean_vectors(
     df: DataFrame,
     group_col: str,

@@ -2758,3 +2758,126 @@ def emb_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionAll(a)
     return out
+
+
+# one-slot-per-corpus checkpoint of the persisted IVF index state
+# (per-(cell, dim) moment sums — see similarity.ivf_cell_stats)
+_IVF_STATS_CACHE: dict = {}
+
+
+def _ivf_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index-state table for ``emb_ivf_incremental``:
+    ``ivf_cell_stats`` over the EXISTING corpus (vec_id % 10 != 0),
+    checkpointed once per corpus (the pair-checkpoint slot pattern).
+    |cells| x dim rows — KB-sized at any corpus scale. A production
+    deployment stores exactly this table next to the centroid table
+    and never re-scans the corpus on ingest."""
+    import os
+
+    from ._pair_cache import cached_pair_checkpoint
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        existing = emb.filter(F.col("vec_id") % 10 != 0)
+        return S.ivf_cell_stats(existing, _centroids(emb))
+
+    return cached_pair_checkpoint(
+        spark,
+        os.path.join(sf_dir, "embeddings.parquet"),
+        _IVF_STATS_CACHE,
+        build,
+    )
+
+
+@query(
+    "emb_ivf_incremental",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    best AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.embedding::DOUBLE[]", "c.cv")} DESC,
+                          c.centroid_id
+               ) AS rn
+        FROM embeddings e, c
+      ) WHERE rn = 1
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    d AS (
+      SELECT b.centroid_id, (e.vec_id % 10 = 0) AS is_batch, dims.i,
+             CAST(ROUND(CAST(e.embedding[dims.i] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS xq
+      FROM embeddings e JOIN best b ON b.vec_id = e.vec_id, dims
+    ),
+    cent AS (
+      SELECT centroid_id, i,
+             SUM(CASE WHEN NOT is_batch THEN xq END) AS s_o,
+             COUNT(CASE WHEN NOT is_batch THEN 1 END) AS n_o,
+             SUM(CASE WHEN is_batch THEN xq END) AS s_b,
+             COUNT(CASE WHEN is_batch THEN 1 END) AS n_b
+      FROM d GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT centroid_id, n_o, n_b,
+             CASE WHEN n_o > 0 THEN CAST(s_o AS DOUBLE) / n_o END AS om,
+             CAST(COALESCE(s_o, 0) + COALESCE(s_b, 0) AS DOUBLE)
+               / (n_o + n_b) AS nm
+      FROM cent
+    ),
+    s AS (
+      SELECT centroid_id,
+             MAX(n_o) AS n_existing, MAX(n_b) AS n_batch,
+             CAST(SUM(CAST(ROUND(om * nm, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS dot,
+             CAST(SUM(CAST(ROUND(om * om, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS na,
+             CAST(SUM(CAST(ROUND(nm * nm, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS nb
+      FROM m GROUP BY 1
+    )
+    SELECT centroid_id,
+           CAST(COALESCE(n_existing, 0) AS BIGINT) AS n_existing,
+           CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
+           dot / (sqrt(na) * sqrt(nb)) AS centroid_cosine,
+           COALESCE(dot / (sqrt(na) * sqrt(nb)) < 0.9999, TRUE)
+             AS needs_recluster
+    FROM s
+    """,
+)
+def emb_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (VERDICT r09 next-round 4):
+    a 10% ingest batch (vec_id % 10 == 0 — the deterministic stand-in
+    for a daily crawl delta) is assigned INTO the existing IVF cells
+    by the stream-static broadcast argmax, its per-(cell, dim) moment
+    partials merge into the persisted ``ivf_cell_stats`` state by
+    exact decimal addition, and each cell reports the drift gate:
+    cosine(old running mean, updated running mean) with
+    ``needs_recluster`` when it crosses 0.9999 (or the cell is new).
+    The corpus is NEVER re-scanned and the centroids NEVER retrain —
+    cells that didn't drift keep serving the old index; cells that
+    did are the recluster worklist (``emb_label_drift``'s trigger
+    machinery on the index axis).
+
+    Determinism: the label-drift decimal discipline end to end —
+    DECIMAL(18,6) element partials (exact sums, exact double casts),
+    identical mean divisions, DECIMAL(28,9) product quantization in
+    the cosine.
+
+    Scale: the persisted state is |cells| x dim rows (KB at any
+    corpus size); per-ingest work is O(|batch| x cells) broadcast
+    assignment + a state-table merge. The SCALE.md rehearsal measures
+    the update at FIXED batch size across growing corpora — flat,
+    because nothing here touches the existing corpus (the oracle
+    replays the state build only because DuckDB has no session to
+    persist it in).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    return S.ivf_incremental_update(
+        _ivf_stats_cached(spark, sf_dir), batch, _centroids(emb)
+    )
