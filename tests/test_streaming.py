@@ -1510,3 +1510,187 @@ def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
         assert last[2].n_active_days == 3  # duplicate day OR-ed once
     finally:
         q.stop()
+
+
+def _drain_sink(spark, q, table, min_rows, timeout_s=60):
+    """Wait for the memory sink to reach min_rows: the final timeout
+    flush rides a trailing NO-DATA micro-batch that Spark schedules
+    asynchronously after the last data batch commits its watermark."""
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {table}").collect()
+        if len(rows) >= min_rows:
+            return rows
+        _time.sleep(0.5)
+    return spark.sql(f"SELECT * FROM {table}").collect()
+
+
+def _conc_events(uid, times):
+    return [
+        {"event_id": 1000 * uid + i, "ts": t, "user_id": uid,
+         "event_type": "view", "value": 1.0, "props": "{}"}
+        for i, t in enumerate(times)
+    ]
+
+
+def test_streaming_session_concurrency_matches_batch(spark, tmp_path):
+    """NINTH twin parity: the shared sweep (concurrency_from_segments)
+    over the twin's finalized segment emissions equals the batch
+    events_session_concurrency entry on the same rows — including a
+    midnight-spanning session, overlapping sessions (peak 2), a
+    zero-length single-event session, and out-of-order arrival split
+    across micro-batches. Each segment must emit exactly once."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.operators import timeseries as TS
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_session_concurrency,
+    )
+
+    # user 1: 09:00-09:10 session; 23:50 -> 00:05 midnight-spanning
+    # user 2: 09:05 single event (zero-length, overlaps user 1 -> peak 2)
+    # user 3 (sentinel): far-future event to push the watermark
+    rows = (
+        _conc_events(1, ["2024-01-01T09:00:00", "2024-01-01T09:10:00",
+                         "2024-01-01T23:50:00", "2024-01-02T00:05:00"])
+        + _conc_events(2, ["2024-01-01T09:05:00"])
+        + _conc_events(3, ["2024-02-15T00:00:00"])
+    )
+    # out-of-order across micro-batches: the 09:10 extension arrives
+    # AFTER the 23:50 event; the sentinel rides the last file
+    chunks = [
+        [rows[0], rows[2]],
+        [rows[1], rows[4]],
+        [rows[3]],
+        [rows[5]],
+    ]
+    d = tmp_path / "conc_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_session_concurrency(stream, watermark="1 day"),
+        "conc_stream",
+        output_mode="update",
+    )
+    try:
+        # 4 segments: two user-1 sessions (one spanning midnight -> 3
+        # day-clipped rows) + user-2's zero-length session
+        segs = _drain_sink(spark, q, "conc_stream", 4)
+    finally:
+        q.stop()
+    # exactly-once emission per (user, day, cs, ce)
+    keys = [(r.user_id, r.day, r.cs, r.ce) for r in segs]
+    assert len(keys) == len(set(keys)), keys
+    # real days only: the sentinel's own session is still open
+    cutoff = 19750  # epoch-day past Jan 2024 (19723-24), before Feb 15
+    got = {
+        str(r.day): r
+        for r in TS.concurrency_from_segments(
+            spark.createDataFrame(
+                [k for k in keys if k[1] < cutoff],
+                "user_id long, day long, cs long, ce long",
+            )
+        ).collect()
+    }
+
+    batch_dir = tmp_path / "conc_batch"
+    os.makedirs(batch_dir)
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"].replace("T", " "), r["user_id"],
+             r["event_type"], r["value"], r["props"])
+            for r in rows
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.parquet(os.path.join(batch_dir, "events.parquet"))
+    want = {
+        str(r.day): r
+        for r in QUERIES["events_session_concurrency"](
+            spark, str(batch_dir)
+        ).collect()
+        if r.day.strftime("%Y-%m") == "2024-01"
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_sessions, g.n_users, g.peak_concurrent) == (
+            w.n_sessions, w.n_users, w.peak_concurrent
+        ), k
+        assert g.busy_seconds == w.busy_seconds, k
+        assert g.avg_concurrency == w.avg_concurrency, k
+    # hand-checked shape: Jan 1 has 3 sessions (two user-1 + user-2),
+    # peak 2 at 09:05; Jan 2 carries the midnight spill
+    assert want["2024-01-01 00:00:00"].n_sessions == 3
+    assert want["2024-01-01 00:00:00"].peak_concurrent == 2
+    assert want["2024-01-02 00:00:00"].n_sessions == 1
+
+
+def test_streaming_session_concurrency_boundary_straggler(spark, tmp_path):
+    """Commit discipline: an event AT the watermark stays pending (a
+    strictly-earlier tiebreak could still arrive), and a same-session
+    extension arriving in a later micro-batch must merge into the OPEN
+    session, not open a new one — the segment list shows ONE session
+    covering both events."""
+    import json as _json
+    import os
+
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_session_concurrency,
+    )
+
+    chunks = [
+        _conc_events(1, ["2024-01-01T10:00:00"]),
+        # arrives later but extends the same session (gap 20 min)
+        _conc_events(1, ["2024-01-01T10:20:00"]),
+        # sentinel pushes the watermark far past 10:50
+        _conc_events(9, ["2024-03-01T00:00:00"]),
+    ]
+    d = tmp_path / "strag_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_session_concurrency(stream, watermark="1 day"),
+        "strag_stream",
+        output_mode="update",
+    )
+    try:
+        segs = [r for r in _drain_sink(spark, q, "strag_stream", 1)
+                if r.user_id == 1]
+    finally:
+        q.stop()
+    assert len(segs) == 1, segs
+    s = segs[0]
+    base = 1704067200000000  # 2024-01-01T00:00:00Z in micros
+    assert s.cs == base + 10 * 3600 * 1000000
+    assert s.ce == base + (10 * 3600 + 20 * 60) * 1000000 + 1

@@ -575,6 +575,104 @@ def open_interval_backlog(
     )
 
 
+def concurrency_from_segments(segs: DataFrame) -> DataFrame:
+    """Per-day interval-overlap concurrency rollup over day-clipped
+    session segments ``(user_id, day, cs, ce)`` — the sweep-line /
+    two-level parallel-prefix half of ``events_session_concurrency``,
+    extracted so the BATCH catalog entry and the STREAMING twin's
+    stateless consumer run the SAME implementation (the shared-Holt-
+    fold discipline: parity by construction, not by parallel copies).
+
+    Contract: ``day`` is the epoch-day integer, ``[cs, ce)`` the
+    segment's half-open microsecond range already clipped to the day
+    (``cs >= day*86400e6``, ``ce <= (day+1)*86400e6``), one row per
+    (session, day) — exactly what the batch sessionizer and the
+    streaming twin's finalized emissions both produce.
+
+    Scale: see ``events_session_concurrency`` — level-1 sweeps per
+    (day, hour) bucket, level-2 carry over the tiny (day, hr) set; no
+    global ordered window at any scale.
+    """
+    day_us = F.lit(86400000000)
+    # one pass over segments: explode each into its +1 start / -1 end
+    # instants (NOT a self-union — the union would rebuild the whole
+    # upstream lineage per branch; post-explode, both consumers below
+    # share one identical subtree and Spark reuses its exchange)
+    inst = segs.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cs").alias("t"),
+                    F.lit(1).alias("s"),
+                    F.lit(0).alias("en"),
+                ),
+                F.struct(
+                    F.col("ce").alias("t"),
+                    F.lit(0).alias("s"),
+                    F.lit(1).alias("en"),
+                ),
+            )
+        ).alias("ev"),
+    ).select("user_id", "day", "ev.t", "ev.s", "ev.en")
+    coll = inst.groupBy("day", "t").agg(
+        F.sum("s").alias("st"), F.sum("en").alias("en")
+    )
+    # level 1: independent sweep per (day, hour-of-day bucket); ends
+    # clipped to the day boundary land in bucket 24
+    coll = coll.withColumn(
+        "hr", (F.col("t") - F.col("day") * day_us) / F.lit(3600000000)
+    ).withColumn("hr", F.col("hr").cast("long"))
+    wb = W.partitionBy("day", "hr").orderBy("t").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    local = (
+        coll.withColumn("run", F.sum(F.col("st") - F.col("en")).over(wb))
+        .groupBy("day", "hr")
+        .agg(
+            F.sum(F.col("st") - F.col("en")).alias("net"),
+            F.max(F.col("run") + F.col("en")).alias("local_peak"),
+        )
+    )
+    # level 2: carry-in per bucket over the tiny collapsed (day, hr) set
+    wc = W.partitionBy("day").orderBy("hr").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    pk = (
+        local.withColumn(
+            "carry", F.coalesce(F.sum("net").over(wc), F.lit(0))
+        )
+        .groupBy("day")
+        .agg(
+            F.max(F.col("carry") + F.col("local_peak")).alias(
+                "peak_concurrent"
+            )
+        )
+    )
+    # day aggregates from the SAME instant stream (busy time telescopes:
+    # sum(ce - cs) = sum over instants of t * (en - s))
+    ag = inst.groupBy("day").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(
+            (F.col("t") * (F.col("en") - F.col("s"))).cast("decimal(38,0)")
+        ).alias("busy_us"),
+    )
+    return ag.join(pk, "day").select(
+        F.timestamp_micros(F.col("day") * day_us).alias("day"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("peak_concurrent").cast("long").alias("peak_concurrent"),
+        (F.col("busy_us").cast("double") / F.lit(1000000.0)).alias(
+            "busy_seconds"
+        ),
+        (F.col("busy_us").cast("double") / F.lit(86400000000.0)).alias(
+            "avg_concurrency"
+        ),
+    )
+
+
 def counter_delta(
     df: DataFrame,
     key_col: str = "user_id",

@@ -1460,3 +1460,139 @@ def streaming_activity_bitmap(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min — events_sessionization's gap
+
+SEGMENTS_STATE_SCHEMA = "open_s long, open_e long, pending array<long>"
+SEGMENTS_OUTPUT_SCHEMA = "user_id long, day long, cs long, ce long"
+
+
+def streaming_session_concurrency(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``events_session_concurrency`` (the NINTH
+    stateful surface). The batch operator factors into a stateful
+    half (per-user 30-min-gap sessionization, day-clipped segments)
+    and a stateless half (the two-level sweep-line rollup,
+    ``timeseries.concurrency_from_segments``); the twin streams the
+    STATEFUL half and emits each finalized session's day-clipped
+    segments ``(user_id, day, cs, ce)`` EXACTLY ONCE — consumers (and
+    the parity test) run the same shared sweep over the emitted
+    segments, so stream/batch parity is by construction, not by a
+    parallel copy of the rollup.
+
+    Commit discipline at EVENT granularity (the watch-time twin's
+    strict bound): an event folds into the session chain only once
+    its timestamp is STRICTLY below the watermark (Spark still
+    delivers rows AT the watermark); later events stay in the pending
+    buffer, bounded by arrival rate x watermark. A session FINALIZES
+    — and its segments emit — when the watermark passes its last
+    committed event by more than the gap (``wm > e_us + 30min``):
+    every event any future micro-batch can admit has
+    ``ts >= wm > e_us + gap`` and must start a NEW session, so the
+    emission can never be contradicted. Out-of-order arrivals within
+    the watermark re-sort inside pending before committing, so the
+    gap splits are computed on event-time order exactly as batch.
+
+    State per user: the open session's ``(start, last-event)`` pair
+    (-1 sentinels when none) + the pending buffer — O(rate x
+    watermark), independent of history. An idle user's last session
+    flushes via EventTimeTimeout at ``last_seen + gap`` (clamped past
+    the current watermark), then the state is REMOVED — a later event
+    necessarily opens a fresh session, so eviction loses nothing.
+    """
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", F.unix_micros(F.col("ts")).alias("us"))
+    )
+
+    def segments(uid: int, s_us: int, e_us: int) -> list[dict]:
+        ce_open = e_us + 1  # half-open [s, e+1): zero-length counts
+        out = []
+        for day in range(s_us // _DAY_US, e_us // _DAY_US + 1):
+            out.append(
+                {
+                    "user_id": uid,
+                    "day": day,
+                    "cs": max(s_us, day * _DAY_US),
+                    "ce": min(ce_open, (day + 1) * _DAY_US),
+                }
+            )
+        return out
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            open_s, open_e, pending = state.get
+            pending = list(pending)
+        else:
+            open_s, open_e, pending = -1, -1, []
+        uid = key[0]
+        rows: list[dict] = []
+
+        if state.hasTimedOut:
+            # wm passed everything this user has by more than the gap:
+            # pending is all committable and nothing can extend the tail
+            for u in sorted(pending):
+                if open_s < 0:
+                    open_s = open_e = u
+                elif u - open_e <= _SESSION_GAP_US:
+                    open_e = u
+                else:
+                    rows.extend(segments(uid, open_s, open_e))
+                    open_s = open_e = u
+            if open_s >= 0:
+                rows.extend(segments(uid, open_s, open_e))
+            state.remove()
+            if rows:
+                yield pd.DataFrame(rows)
+            return
+
+        for pdf in pdfs:
+            pending.extend(int(u) for u in pdf["us"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pending.sort()
+        n_commit = 0
+        while n_commit < len(pending) and pending[n_commit] < wm_us:
+            n_commit += 1
+        for u in pending[:n_commit]:
+            if open_s < 0:
+                open_s = open_e = u
+            elif u - open_e <= _SESSION_GAP_US:
+                open_e = u
+            else:
+                rows.extend(segments(uid, open_s, open_e))
+                open_s = open_e = u
+        pending = pending[n_commit:]
+        # finalize the open session once nothing admissible can extend
+        # it (wm already past its end by more than the gap) AND no
+        # buffered event precedes that bound
+        if (
+            open_s >= 0
+            and wm_us > open_e + _SESSION_GAP_US
+            and (not pending or pending[0] > open_e + _SESSION_GAP_US)
+        ):
+            rows.extend(segments(uid, open_s, open_e))
+            open_s, open_e = -1, -1
+        state.update((open_s, open_e, pending))
+        last_seen = max([open_e] + pending) if (pending or open_e >= 0) else -1
+        if last_seen >= 0:
+            flush_at_ms = (last_seen + _SESSION_GAP_US) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        SEGMENTS_OUTPUT_SCHEMA,
+        SEGMENTS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
