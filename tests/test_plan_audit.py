@@ -331,3 +331,21 @@ def test_knn_two_level_assignment_plan_shape(spark, sf_dir):
 
     joins = set(re.findall(r"(\w*Join\w*)", plan))
     assert joins <= {"BroadcastHashJoin", "BroadcastNestedLoopJoin"}, joins
+
+
+def test_dpp_scan_prunes_partitions(spark, sf_dir):
+    """events_dpp_weekend_scan must carry a DPP subquery in the
+    partitioned fact scan's PartitionFilters (VERDICT r09 next-round
+    8): the dim-side comparison predicate plants
+    dynamicpruningexpression(event_date IN dynamicpruning#N), so only
+    the matching date partitions' files are listed/read at runtime."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    df = QUERIES["events_dpp_weekend_scan"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = [
+        line for line in plan.splitlines()
+        if "dynamicpruningexpression(event_date" in line
+    ]
+    assert lines, f"no DPP subquery on the fact scan:\n{plan[:2000]}"
+    assert any("PartitionFilters" in line for line in lines)

@@ -156,6 +156,7 @@ NOTES = {
     "emb_near_dup_cascade": "bit-identical vector collapse (map-combinable agg on the vector key) to representatives BEFORE the IVF-blocked verify; rep pair volume bounded by DISTINCT vectors - viral-copy immune (the image-cascade pattern)",
     "events_user_deciles_approx": "mergeable GK sketch bounds combiner state regardless of DISTINCT totals (the percentile_disc merge-map killer); 1-row bounds broadcast + one combinable gate agg",
     "emb_ivf_incremental": "O(batch) index maintenance: batch-only broadcast assignment + explode collapses map-side to cells x dim moment rows; existing-corpus state read from the one-slot checkpoint (never re-scanned); drift cosine is centroid-table-sized",
+    "events_dpp_weekend_scan": "DPP demo: dynamicpruningexpression in the partitioned fact scan's PartitionFilters (CI-pinned, test_dpp_scan_prunes_partitions); dim broadcast doubles as the runtime filter",
 }
 
 
