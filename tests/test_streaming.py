@@ -1694,3 +1694,94 @@ def test_streaming_session_concurrency_boundary_straggler(spark, tmp_path):
     base = 1704067200000000  # 2024-01-01T00:00:00Z in micros
     assert s.cs == base + 10 * 3600 * 1000000
     assert s.ce == base + (10 * 3600 + 20 * 60) * 1000000 + 1
+
+
+def test_streaming_rolling_hll_matches_batch_sketch(spark, tmp_path):
+    """TENTH twin parity: the append-mode windowed sketch estimate per
+    closed window equals the batch entry's merged-daily-sketch
+    estimate for the same day — register-exact, because HLL union is
+    commutative and idempotent so direct aggregation and daily-merge
+    see identical final registers regardless of arrival order. Feeds
+    out-of-order chunks + duplicate redelivery to prove it."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_rolling_hll_7d,
+    )
+
+    def ev(eid, ts, uid):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": "view", "value": 1.0, "props": "{}"}
+
+    rows = (
+        [ev(i, "2024-01-01T10:00:00", i) for i in range(5)]
+        + [ev(100 + i, "2024-01-03T10:00:00", i + 3) for i in range(4)]
+        + [ev(200 + i, "2024-01-12T10:00:00", i) for i in range(2)]
+    )
+    chunks = [
+        rows[5:9],            # Jan 3 arrives first (out of order)
+        rows[0:5] + rows[5:6],  # Jan 1 + a redelivered Jan 3 row
+        rows[9:11],           # Jan 12
+        [ev(999, "2024-03-01T00:00:00", 999)],  # sentinel closes all
+    ]
+    d = tmp_path / "hll_in"
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_rolling_hll_7d(stream, watermark="1 day"),
+        "hll_twin_stream",
+        output_mode="append",
+    )
+    try:
+        emitted = _drain_sink(spark, q, "hll_twin_stream", 1)
+    finally:
+        q.stop()
+    got = {str(r.day): r.wau_7d_est for r in emitted}
+
+    batch = spark.createDataFrame(
+        [(r["ts"].replace("T", " "), r["user_id"]) for r in rows],
+        "ts string, user_id long",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    ud = batch.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    daily = ud.groupBy("day").agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    cover = daily.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("d7"),
+        "sk",
+    )
+    days = ud.select("day").distinct()
+    want = {
+        str(r.d7): r.est
+        for r in cover.join(days, cover["d7"] == days["day"])
+        .groupBy("d7")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .collect()
+    }
+    # streaming emits every slide-grain day in the span; the batch
+    # entry restricts to corpus days — compare on that domain
+    want_keys = {k.split(" ")[0] for k in want}
+    got_days = {k.split(" ")[0]: v for k, v in got.items()}
+    missing = want_keys - set(got_days)
+    assert not missing, f"corpus days never emitted: {missing} (got {got})"
+    for k, est in want.items():
+        assert got_days[k.split(" ")[0]] == est, (k, got_days, want)
+    # hand-check: Jan 3's trailing week = users 0..6 -> 8... actually
+    # {0..4} ∪ {3..6} = 7 distinct; Jan 12 window sees only {0,1}
+    assert got_days["2024-01-03"] == 7
+    assert got_days["2024-01-12"] == 2

@@ -1596,3 +1596,50 @@ def streaming_session_concurrency(
         "update",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_rolling_hll_7d(
+    events_stream: DataFrame, watermark: str = "1 day", lg_k: int = 12
+) -> DataFrame:
+    """Streaming twin of ``events_rolling_hll_7d`` (the TENTH
+    streaming surface) — sliding 7-day distinct users as a NATIVE
+    windowed sketch aggregation: ``hll_sketch_agg`` over
+    ``window(ts, '7 days', '1 day')`` in APPEND mode, so a window
+    emits exactly once, when the watermark passes its end and no
+    admissible event can change it. No Python state machine at all:
+    the sketch union is commutative and idempotent (register maxima),
+    so like the activity-bitmap twin there is no commit discipline —
+    arrival order and redelivery cannot change the final registers,
+    and the engine's own watermark close IS the finalization.
+
+    Emission ``day`` matches the batch entry's keying: the trailing
+    window ENDING on day d covers [d-6, d], i.e. window.end - 1 day.
+    The batch entry additionally gates the merged estimate against
+    the exact cover-explode twin and restricts to days present in the
+    corpus; consumers of the stream apply the day restriction on
+    read (the parity test's shape — a stream cannot know the corpus
+    day domain).
+
+    State: one KB-sized sketch per OPEN window — at most 7 + lateness
+    per slide grain, independent of user cardinality; the 100 TB
+    story of the batch entry (KB blobs, not user-day rows) carried
+    into the stream.
+    """
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+    )
+    return (
+        e.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", lg_k)
+            ).alias("wau_7d_est")
+        )
+        .select(
+            (F.col("w.end") - F.expr("INTERVAL 1 DAY")).alias("day"),
+            "wau_7d_est",
+        )
+    )
