@@ -16,6 +16,15 @@ from wistia_data_pipeline_project_spark.plans import QUERIES
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # audit the COLD structural plans: entries that .cache() an
+    # intermediate get cache-manager plan substitution
+    # (InMemoryTableScan + an extra exchange) when an earlier test in
+    # the shared session happened to execute them — which made the
+    # exchange-count pin order-dependent (measured: running
+    # test_catalog_oracle first drifted 10 entries by +1 exchange).
+    # SQL-cache eviction is a perf-only operation; the one-slot
+    # localCheckpoint slots are RDD storage and are not touched.
+    spark.catalog.clearCache()
     out = {}
     for name, fn in QUERIES.items():
         out[name] = formatted_plan(fn(spark, sf_dir))
@@ -174,6 +183,14 @@ MATERIALIZING = {
     # executor-local, never a driver collect (the image-cascade
     # precedent)
     "emb_near_dup_cascade",
+    # the persisted IVF index state (_ivf_stats_cached, cells x dim
+    # moment rows) is the one-slot checkpoint the incremental update
+    # merges into — KB-sized, executor-local, never a driver collect
+    "emb_ivf_incremental",
+    # the rolling-HLL distinct (user, day) frame routes through the
+    # same one-slot checkpoint helper (three consumers; was a bare
+    # session-pinned .cache() before r10 — ADVICE r09)
+    "events_rolling_hll_7d",
 }
 
 

@@ -1512,19 +1512,25 @@ def test_streaming_activity_bitmap_matches_batch(spark, tmp_path):
         q.stop()
 
 
-def _drain_sink(spark, q, table, min_rows, timeout_s=60):
-    """Wait for the memory sink to reach min_rows: the final timeout
-    flush rides a trailing NO-DATA micro-batch that Spark schedules
-    asynchronously after the last data batch commits its watermark."""
+def _drain_sink(spark, q, table, min_rows, timeout_s=240):
+    """Wait for the memory sink to reach min_rows AND go quiet: final
+    flushes ride trailing NO-DATA micro-batches that Spark schedules
+    asynchronously after data batches commit their watermarks — under
+    CPU contention several can still be pending when the row count
+    first crosses min_rows, so drain until the count is stable across
+    three consecutive polls."""
     import time as _time
 
     deadline = _time.time() + timeout_s
+    stable, last = 0, -1
     while _time.time() < deadline:
         q.processAllAvailable()
         rows = spark.sql(f"SELECT * FROM {table}").collect()
-        if len(rows) >= min_rows:
+        stable = stable + 1 if len(rows) == last else 0
+        last = len(rows)
+        if len(rows) >= min_rows and stable >= 2:
             return rows
-        _time.sleep(0.5)
+        _time.sleep(1.0)
     return spark.sql(f"SELECT * FROM {table}").collect()
 
 
