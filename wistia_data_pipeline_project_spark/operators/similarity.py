@@ -393,9 +393,18 @@ def ivf_cell_stats(
         "centroid_id",
         F.posexplode(as_double(F.col(vec_col))).alias("i", "x"),
     )
-    return d.groupBy("centroid_id", "i").agg(
-        F.sum(F.round("x", 6).cast("decimal(18,6)")).alias("s"),
-        F.count(F.lit(1)).alias("n"),
+    # the state table is |cells| x dim rows (KB) — collapse it to ONE
+    # partition so a persisted copy never inherits the corpus scan's
+    # width (measured r10: a 2M-vector build left the 512-row
+    # checkpoint spread over ~800 near-empty partitions, taxing every
+    # later O(batch) update with their scheduling)
+    return (
+        d.groupBy("centroid_id", "i")
+        .agg(
+            F.sum(F.round("x", 6).cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .repartition(1)
     )
 
 
