@@ -366,3 +366,29 @@ def test_dpp_scan_prunes_partitions(spark, sf_dir):
     ]
     assert lines, f"no DPP subquery on the fact scan:\n{plan[:2000]}"
     assert any("PartitionFilters" in line for line in lines)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """events_bucketed_cohort_join's 100 TB plan: with broadcast
+    disabled (at scale BOTH sides are fact-sized), the user-keyed
+    join must ride the bucket layout — SortMergeJoin over bucket
+    scans with ZERO exchange on either input; the only exchange in
+    the whole query is the final cohort rollup. At the tiny test SF
+    the natural plan broadcasts the profile side instead (also
+    correct — the bucketing is a strict superset: it costs nothing
+    when broadcast wins)."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["events_bucketed_cohort_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan, "join inputs are not bucket scans"
+    n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchange == 1, (
+        f"expected ONLY the rollup exchange, got {n_exchange}:\n{plan[:1500]}"
+    )

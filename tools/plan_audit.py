@@ -157,6 +157,7 @@ NOTES = {
     "events_user_deciles_approx": "mergeable GK sketch bounds combiner state regardless of DISTINCT totals (the percentile_disc merge-map killer); 1-row bounds broadcast + one combinable gate agg",
     "emb_ivf_incremental": "O(batch) index maintenance: batch-only broadcast assignment + explode collapses map-side to cells x dim moment rows; existing-corpus state read from the one-slot checkpoint (never re-scanned); drift cosine is centroid-table-sized",
     "events_dpp_weekend_scan": "DPP demo: dynamicpruningexpression in the partitioned fact scan's PartitionFilters (CI-pinned, test_dpp_scan_prunes_partitions); dim broadcast doubles as the runtime filter",
+    "events_bucketed_cohort_join": "co-located bucketed join: both sides bucketBy(8, user_id) - with broadcast off the SMJ needs ZERO join-side exchange (CI-pinned, test_bucketed_join_is_shuffle_free); at driver SF the profile side broadcasts instead (bucketing costs nothing when broadcast wins)",
 }
 
 

@@ -1601,3 +1601,125 @@ def events_dpp_weekend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# session-local record of bucketed tables already declared/written
+_BUCKETED_READY: set = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per corpus generation) the CO-LOCATED join
+    layout: the events fact and its per-user cohort profile both
+    written ``bucketBy(8, user_id).sortBy(user_id)`` — the §2.2 K2
+    write surface arranged so the join needs NO exchange on either
+    side. Files live under spark-warehouse/bucketed/<tag>; a fresh
+    session (in-memory catalog) re-DECLARES the bucket spec over the
+    existing files with CREATE TABLE ... CLUSTERED BY ... LOCATION —
+    exactly how production declares bucketed external tables."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
+    fact, prof = f"bkt_events_{tag}", f"bkt_users_{tag}"
+    if fact in _BUCKETED_READY:
+        return fact, prof
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "spark-warehouse",
+        "bucketed",
+        tag,
+    )
+    floc, ploc = os.path.join(root, "fact"), os.path.join(root, "prof")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "value", F.to_date("ts").alias("day"))
+    )
+    have_files = os.path.exists(os.path.join(ploc, "_SUCCESS"))
+    if not have_files:
+        (
+            e.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", floc)
+            .saveAsTable(fact)
+        )
+        prof_df = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+        (
+            prof_df.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", ploc)
+            .saveAsTable(prof)
+        )
+    else:
+        for name, loc, schema in (
+            (fact, floc, "user_id BIGINT, value DOUBLE, day DATE"),
+            (prof, ploc, "user_id BIGINT, cohort_day DATE"),
+        ):
+            if not spark.catalog.tableExists(name):
+                spark.sql(
+                    f"CREATE TABLE {name} ({schema}) USING PARQUET "
+                    f"CLUSTERED BY (user_id) SORTED BY (user_id) "
+                    f"INTO 8 BUCKETS LOCATION '{loc}'"
+                )
+    _BUCKETED_READY.add(fact)
+    return fact, prof
+
+
+@query(
+    "events_bucketed_cohort_join",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, value, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    p AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+    SELECT CAST(p.cohort_day AS TIMESTAMP) AS cohort_day,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM e JOIN p ON e.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def events_bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join demo (the shuffle-elimination sibling
+    of ``events_dpp_weekend_scan``): the events fact and its per-user
+    cohort profile are both stored ``bucketBy(8, user_id)`` +
+    ``sortBy``, so the fact-sized join runs as a SortMergeJoin over
+    bucket-aligned scans with ZERO exchange on either input — the
+    only shuffle in the whole query is the final cohort rollup
+    (plan CI-pinned, ``test_bucketed_join_is_shuffle_free``). At
+    100 TB this is the difference between re-shuffling the fact on
+    every user-keyed join and paying the shuffle ONCE at write time:
+    every downstream user-grain join (attribution, LTV, profile
+    enrichment) rides the same bucketing.
+
+    Determinism: cohort = MIN(day) per user; aggregates are the
+    standard count / distinct / DECIMAL(18,2)-quantized sum.
+    """
+    fact, prof = _bucketed_tables(spark, sf_dir)
+    f, p = spark.table(fact), spark.table(prof)
+    return (
+        f.join(p, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+            "n_users",
+            "n_events",
+            "sum_value",
+        )
+    )
