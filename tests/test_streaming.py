@@ -1575,6 +1575,11 @@ def test_streaming_session_concurrency_matches_batch(spark, tmp_path):
         [rows[1], rows[4]],
         [rows[3]],
         [rows[5]],
+        # SECOND sentinel: the batch that runs AFTER the watermark
+        # jump performs the timeout flush — a real data batch, so the
+        # test never depends on Spark scheduling a no-data micro-batch
+        # (observed flaky in long-lived suite sessions)
+        _conc_events(3, ["2024-02-16T00:00:00"]),
     ]
     d = tmp_path / "conc_in"
     os.makedirs(d)
@@ -1582,6 +1587,11 @@ def test_streaming_session_concurrency_matches_batch(spark, tmp_path):
         with open(d / f"events_{i}.jsonl", "w") as f:
             for e in chunk:
                 f.write(_json.dumps(e) + "\n")
+        # FileStreamSource orders by modification time: chunks written
+        # within one clock tick can process out of order, and if the
+        # far-future watermark sentinel runs FIRST every real event is
+        # dropped as late — pin strictly increasing mtimes
+        os.utime(d / f"events_{i}.jsonl", (1000000 + i, 1000000 + i))
     schema = ("event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
     stream = (
@@ -1671,6 +1681,7 @@ def test_streaming_session_concurrency_boundary_straggler(spark, tmp_path):
         _conc_events(1, ["2024-01-01T10:20:00"]),
         # sentinel pushes the watermark far past 10:50
         _conc_events(9, ["2024-03-01T00:00:00"]),
+        _conc_events(9, ["2024-03-02T00:00:00"]),
     ]
     d = tmp_path / "strag_in"
     os.makedirs(d)
@@ -1678,6 +1689,7 @@ def test_streaming_session_concurrency_boundary_straggler(spark, tmp_path):
         with open(d / f"events_{i}.jsonl", "w") as f:
             for e in chunk:
                 f.write(_json.dumps(e) + "\n")
+        os.utime(d / f"events_{i}.jsonl", (1000000 + i, 1000000 + i))
     schema = ("event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
     stream = (
@@ -1732,6 +1744,11 @@ def test_streaming_rolling_hll_matches_batch_sketch(spark, tmp_path):
         rows[0:5] + rows[5:6],  # Jan 1 + a redelivered Jan 3 row
         rows[9:11],           # Jan 12
         [ev(999, "2024-03-01T00:00:00", 999)],  # sentinel closes all
+        # second sentinel: append-mode windows closed by the first
+        # sentinel's watermark emit in the NEXT batch — make that
+        # batch a real data batch (no-data micro-batches are flaky in
+        # long-lived suite sessions)
+        [ev(1000, "2024-03-02T00:00:00", 999)],
     ]
     d = tmp_path / "hll_in"
     os.makedirs(d)
@@ -1739,6 +1756,7 @@ def test_streaming_rolling_hll_matches_batch_sketch(spark, tmp_path):
         with open(d / f"events_{i}.jsonl", "w") as f:
             for e in chunk:
                 f.write(_json.dumps(e) + "\n")
+        os.utime(d / f"events_{i}.jsonl", (1000000 + i, 1000000 + i))
     schema = ("event_id long, ts timestamp, user_id long, "
               "event_type string, value double, props string")
     stream = (
