@@ -172,37 +172,6 @@ def audit_row(name: str, plan: str) -> str:
     )
 
 
-_PLANS_MD = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"
-)
-
-
-def parse_plans_md(path: str = _PLANS_MD) -> dict[str, dict]:
-    """Parse the committed PLANS.md table back into the counters that
-    ``audit_row`` rendered — the CI pin (VERDICT r09 next-round 3)
-    compares each entry's live plan against these. Returns
-    ``{name: {"n_exchange": int, "n_reused": int, "joins": [...]}}``.
-    """
-    out: dict[str, dict] = {}
-    row = re.compile(
-        r"^\| (\w+) \| (\d+) \((\d+) reused\) \| ([^|]*) \|"
-    )
-    with open(path) as fh:
-        for line in fh:
-            m = row.match(line)
-            if not m or m.group(1) == "query":
-                continue
-            joins = m.group(4).strip()
-            out[m.group(1)] = {
-                "n_exchange": int(m.group(2)),
-                "n_reused": int(m.group(3)),
-                "joins": [] if joins == "—" else sorted(
-                    j.strip() for j in joins.split(",")
-                ),
-            }
-    return out
-
-
 def main() -> None:
     import __spark_entry__ as m
 
@@ -211,6 +180,8 @@ def main() -> None:
     pins_out = None
     if "--pins" in argv:
         i = argv.index("--pins")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: plan_audit.py [--markdown | --pins OUT] [query ...]")
         pins_out = argv[i + 1]
         del argv[i : i + 2]
     argv = [a for a in argv if a != "--markdown"]

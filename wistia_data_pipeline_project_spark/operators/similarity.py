@@ -477,7 +477,15 @@ def ivf_incremental_update(
         F.sum(q9(F.col("om") * F.col("om"))).cast("double").alias("_na"),
         F.sum(q9(F.col("nm") * F.col("nm"))).cast("double").alias("_nb"),
     )
-    cos = F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb")))
+    # guard the 0/0 case explicitly: an all-zero mean vector gives
+    # _na = 0, and Spark (ANSI off) yields NULL for 0.0/0.0 while
+    # DuckDB yields NaN (which DuckDB orders GREATER than any value,
+    # flipping the gate) — declare NULL cosine -> needs_recluster in
+    # both engines instead (review r10)
+    cos = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        F.col("_dot") / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+    )
     return s.select(
         "centroid_id",
         F.coalesce("n_existing", F.lit(0)).alias("n_existing"),

@@ -1157,10 +1157,14 @@ def _holt_prepared(
     day_col: str,
     cents_col: str,
     max_obs: int,
+    with_meta: bool = True,
 ) -> DataFrame:
     """Shared fit/backtest input prep: daily pre-agg (map-side
     combine), +-1e9-cent clamp, last-``max_obs``-observed-days window,
-    observed-day rank ``_rn`` and total day count ``_n``."""
+    observed-day rank ``_rn``. ``with_meta`` adds the day column and
+    the total-day-count window ``_n`` the FIT surface reports; the
+    backtest passes False and skips that count aggregate plus two
+    columns through the key shuffle and every Arrow batch."""
     daily = df.groupBy(key_col, day_col).agg(
         F.sum(F.col(cents_col)).cast("decimal(38,0)").alias("_x0")
     )
@@ -1169,17 +1173,20 @@ def _holt_prepared(
         "_x", F.greatest(F.least(F.col("_x0"), clamp), -clamp)
     )
     wk = W.partitionBy(key_col)
-    return (
-        daily.withColumn(
-            "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
-        )
-        .withColumn("_n", F.count(F.lit(1)).over(wk))
-        .filter(F.col("_rd") <= max_obs)
-        .withColumn(
-            "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
-        )
-        .select(key_col, day_col, "_x", "_rn", "_n")
+    r = daily.withColumn(
+        "_rd", F.row_number().over(wk.orderBy(F.col(day_col).desc()))
     )
+    if with_meta:
+        r = r.withColumn("_n", F.count(F.lit(1)).over(wk))
+    r = r.filter(F.col("_rd") <= max_obs).withColumn(
+        "_rn", F.row_number().over(wk.orderBy(F.col(day_col)))
+    )
+    cols = (
+        [key_col, day_col, "_x", "_rn", "_n"]
+        if with_meta
+        else [key_col, "_x", "_rn"]
+    )
+    return r.select(*cols)
 
 
 def _holt_scan(
@@ -1321,7 +1328,9 @@ def holt_backtest(
     / ``_holt_scan`` plumbing; the fold itself is the one shared
     ``holt_fold_xs`` with the per-step ``on_step`` hook).
     """
-    r = _holt_prepared(df, key_col, day_col, cents_col, max_obs)
+    r = _holt_prepared(
+        df, key_col, day_col, cents_col, max_obs, with_meta=False
+    )
 
     out_schema = (
         f"{key_col} long, n_steps long, mae double, worst_err double"

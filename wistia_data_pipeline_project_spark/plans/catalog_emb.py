@@ -2843,9 +2843,11 @@ def _ivf_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT centroid_id,
            CAST(COALESCE(n_existing, 0) AS BIGINT) AS n_existing,
            CAST(COALESCE(n_batch, 0) AS BIGINT) AS n_batch,
-           dot / (sqrt(na) * sqrt(nb)) AS centroid_cosine,
-           COALESCE(dot / (sqrt(na) * sqrt(nb)) < 0.9999, TRUE)
-             AS needs_recluster
+           CASE WHEN na > 0 AND nb > 0
+                THEN dot / (sqrt(na) * sqrt(nb)) END AS centroid_cosine,
+           COALESCE(CASE WHEN na > 0 AND nb > 0
+                         THEN dot / (sqrt(na) * sqrt(nb)) END < 0.9999,
+                    TRUE) AS needs_recluster
     FROM s
     """,
 )

@@ -1624,7 +1624,13 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         f"_{st.st_mtime_ns}_{st.st_size}"
     )
     fact, prof = f"bkt_events_{tag}", f"bkt_users_{tag}"
-    if fact in _BUCKETED_READY:
+    # memo is per Spark application: the in-memory catalog dies with
+    # the session, so a table-name-only memo would short-circuit past
+    # the re-declaration after an in-process session restart and
+    # spark.table() would fail (review r10; the _pair_cache
+    # applicationId-keyed slot is the same rule)
+    memo_key = (spark.sparkContext.applicationId, fact)
+    if memo_key in _BUCKETED_READY:
         return fact, prof
     root = os.path.join(
         os.path.dirname(
@@ -1634,6 +1640,16 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         "bucketed",
         tag,
     )
+    # drop stale corpus generations (the _dpp_base_dir discipline):
+    # each rebuild gets a new tag; the old ones are a full fact copy
+    import shutil
+
+    parent = os.path.dirname(root)
+    prefix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + "_"
+    if os.path.isdir(parent):
+        for stale in os.listdir(parent):
+            if stale != tag and stale.startswith(prefix):
+                shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
     floc, ploc = os.path.join(root, "fact"), os.path.join(root, "prof")
     e = (
         load_table(spark, sf_dir, "events")
@@ -1668,7 +1684,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                     f"CLUSTERED BY (user_id) SORTED BY (user_id) "
                     f"INTO 8 BUCKETS LOCATION '{loc}'"
                 )
-    _BUCKETED_READY.add(fact)
+    _BUCKETED_READY.add(memo_key)
     return fact, prof
 
 

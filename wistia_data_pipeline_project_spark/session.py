@@ -131,16 +131,41 @@ def autoscale_exchange_width(spark: SparkSession, sf_dir: str) -> int:
     env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     if env:
         return int(env)
-    total = _DIR_BYTES.get(sf_dir)
+    # memo keyed on the directory's mtime too: an in-place corpus
+    # rebuild replaces files (which bumps the dir mtime), so a live
+    # session re-measures instead of keeping the stale width — the
+    # _pair_cache/_nvec staleness rule (review r10)
+    try:
+        dir_mtime = os.stat(sf_dir).st_mtime_ns
+    except OSError:
+        dir_mtime = 0
+    memo_key = (sf_dir, dir_mtime)
+    total = _DIR_BYTES.get(memo_key)
     if total is None:
         total = 0
         try:
             for entry in os.scandir(sf_dir):
-                if entry.name.endswith(".parquet") and entry.is_file():
+                if not entry.name.endswith(".parquet"):
+                    continue
+                if entry.is_file():
                     total += entry.stat().st_size
+                elif entry.is_dir():
+                    # Spark-written tables are DIRECTORIES named
+                    # *.parquet — sum their part files (one level is
+                    # enough for unpartitioned writes; partitioned
+                    # layouts nest one more level)
+                    for root_, _dirs, files in os.walk(entry.path):
+                        for fn in files:
+                            if not fn.startswith(("_", ".")):
+                                try:
+                                    total += os.stat(
+                                        os.path.join(root_, fn)
+                                    ).st_size
+                                except OSError:
+                                    pass
         except OSError:
             pass
-        _DIR_BYTES[sf_dir] = total
+        _DIR_BYTES[memo_key] = total
     floor = spark.sparkContext.defaultParallelism
     initial = min(max(total // _BYTES_PER_PARTITION, floor), _MAX_INITIAL)
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
