@@ -51,6 +51,39 @@ from ..sources.io import load_table
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+# Entry-local cache registry (ADVICE r09/r10: bare ``.cache()`` inside a
+# catalog entry pinned executor storage for the rest of a 206-entry
+# session — the doc-family bench regressions of r10 tracked back to
+# exactly this). ``shared()`` caches an intermediate that several
+# branches of ONE entry consume; the registry releases every such cache
+# when the NEXT entry builds (the driver/bench/tests all run
+# build→materialize per entry, so by then the previous entry's collect
+# is done). Unpersisting a never-materialized plan is a no-op in Spark,
+# so an unusual build-all-then-collect driver merely loses the shared
+# scan, never correctness. Cross-entry caches (the scored-pair
+# checkpoints) stay on ``_pair_cache`` and are NOT registered here.
+_ENTRY_CACHES: list[DataFrame] = []
+_BUILD_DEPTH = 0
+
+
+def shared(df: DataFrame) -> DataFrame:
+    """Cache an intermediate consumed by multiple branches of the
+    CURRENT catalog entry; released automatically when the next entry
+    builds."""
+    df = df.cache()
+    _ENTRY_CACHES.append(df)
+    return df
+
+
+def release_entry_caches() -> None:
+    """Unpersist every entry-local cache (called at entry build)."""
+    while _ENTRY_CACHES:
+        df = _ENTRY_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # session already stopped — nothing to free
+            pass
+
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
@@ -60,7 +93,25 @@ def query(name: str, oracle: str | None = None):
         # the wrong implementation (caught live in round 9 when a new
         # entry reused an existing name)
         assert name not in QUERIES, f"duplicate catalog entry: {name}"
-        QUERIES[name] = fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Re-entrancy guard: recall/eval entries compose other
+            # entries via QUERIES — only the top-level build reaps,
+            # or the nested call would drop the outer entry's caches
+            # mid-build.
+            global _BUILD_DEPTH
+            if _BUILD_DEPTH == 0:
+                release_entry_caches()
+            _BUILD_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _BUILD_DEPTH -= 1
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -19,7 +19,7 @@ from ..operators import dedup as D
 from ..operators import text as X
 from ..operators import training as TR
 from ..sources.io import load_table
-from .catalog import query
+from .catalog import query, shared
 
 # DuckDB mirror of text.tokens(): [] (not ['']) for empty/whitespace
 # text. JACCARD_SQL and the contamination/assembly oracles keep the
@@ -801,7 +801,7 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation the broadcast subtree re-runs the tokenizing corpus
     # scan a second time. `f` is doc_id + a few longs — ~16 B/row at
     # any scale, halving the corpus scans while keeping the plan lazy.
-    f = f.cache()
+    f = shared(f)
     stats = f.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *[
@@ -913,7 +913,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # shared by the stats row and the scored projection (tfidf
     # precedent: halve the tokenizing corpus scans)
-    f = f.cache()
+    f = shared(f)
     stats = f.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1686,7 +1686,7 @@ def docs_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InMemory relation the broadcast subtree re-runs the tokenize +
     # vocab-join corpus scan a second time (the docs_tfidf_topk
     # precedent). (doc_id, 2 numbers) — ~24 B/row at any scale.
-    base = X.unigram_nll(docs).cache()
+    base = shared(X.unigram_nll(docs))
     bounds = base.agg(
         F.expr(
             "percentile_disc(0.3333333333333333) WITHIN GROUP (ORDER BY avg_nll)"

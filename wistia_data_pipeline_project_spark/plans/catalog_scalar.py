@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.io import load_table
-from .catalog import query
+from .catalog import query, shared
 
 
 @query(
@@ -668,7 +668,7 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     k = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    k = k.cache()  # totals + top-10 both derive from k: one scan
+    k = shared(k)  # totals + top-10 both derive from k: one scan (released at next entry build)
     tot = k.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("n_events").alias("n_total")
     )
@@ -1257,10 +1257,9 @@ def events_rolling_actives_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three independent consumers, and without the shared InMemory
     # relation each re-runs the events scan + distinct (the
     # docs_tfidf_topk cache precedent; (user_id, day) is ~12 B/row)
-    ud = (
+    ud = shared(
         e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .distinct()
-        .cache()
     )
     days = ud.select("day").distinct()
     cover = ud.select(

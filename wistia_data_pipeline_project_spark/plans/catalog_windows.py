@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from ..operators import incremental as INC
 from ..operators import timeseries as TS
 from ..sources.io import load_table
-from .catalog import dec, query
+from .catalog import dec, query, shared
 
 # Shared oracle CTE: ts normalized to Spark's microsecond precision.
 E_CTE = """
@@ -701,9 +701,9 @@ def events_user_deciles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate and the assignment join consume it (the
     # docs_perplexity_buckets precedent — without the shared relation
     # the broadcast subtree re-runs the event-grain aggregation)
-    u = e.groupBy("user_id").agg(
-        F.sum(dec("value", 18, 2)).alias("total")
-    ).cache()
+    u = shared(
+        e.groupBy("user_id").agg(F.sum(dec("value", 18, 2)).alias("total"))
+    )
     bounds = u.agg(
         *[
             F.expr(
@@ -779,11 +779,10 @@ def events_user_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & F.col("value").isNotNull()
     )
-    u = (
+    u = shared(
         e.groupBy("user_id")
         .agg(F.sum(dec("value", 18, 2)).alias("total"))
         .select(F.col("total").cast("double").alias("total"))
-        .cache()
     )
     ps = ", ".join(f"0.{i}" for i in range(1, 10))
     b = u.agg(
@@ -1040,7 +1039,8 @@ def orders_rfm_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r_days"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice", 18, 2)).alias("monetary"),
-    ).cache()
+    )
+    m = shared(m)
     bounds = m.agg(
         *[
             F.expr(
