@@ -1434,6 +1434,41 @@ def test_ivf_incremental_merge_equals_full_recompute(spark, sf_dir):
     assert merged == full
 
 
+def test_ivf_merged_state_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+    """The production-loop contract (ADVICE r10): ivf_merged_state is
+    the ADVANCED persisted state — schema-identical to ivf_cell_stats
+    and bit-equal to the from-scratch build over (existing ∪ batch),
+    so replacing the persisted table with it after each ingest
+    compounds across successive batches."""
+    import wistia_data_pipeline_project_spark.operators.similarity as S
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("integer").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+    )
+    existing = emb.filter(F.col("vec_id") % 10 > 1)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    state = S.ivf_cell_stats(existing, cents)
+    # two successive ingests, each replacing the persisted state
+    state = S.ivf_merged_state(state, b1, cents)
+    assert state.columns == ["centroid_id", "i", "s", "n"]
+    state = S.ivf_merged_state(state, b2, cents)
+    got = {
+        (r.centroid_id, r.i): (r.s, r.n) for r in state.collect()
+    }
+    full = {
+        (r.centroid_id, r.i): (r.s, r.n)
+        for r in S.ivf_cell_stats(emb, cents).collect()
+    }
+    assert got == full
+    # persisted-state shape: collapsed to one partition
+    assert state.rdd.getNumPartitions() == 1
+
+
 def test_ivf_incremental_drift_gate_trips_on_moved_batch(spark):
     from pyspark.sql import functions as F  # noqa: F401
     """A batch that lands far from a cell's existing mass must flip

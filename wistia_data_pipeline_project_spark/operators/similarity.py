@@ -421,7 +421,7 @@ def ivf_incremental_update(
     cells (stream-static-style broadcast join against the persisted
     centroid table — the ``docs_incremental_dedup`` pattern on the
     vector axis), merge the batch's per-(cell, dim) moment partials
-    into the persisted ``ivf_cell_stats`` state by exact decimal
+    with the persisted ``ivf_cell_stats`` state by exact decimal
     addition, and emit the drift-triggered recluster gate: per cell,
     the cosine between the OLD running mean and the UPDATED running
     mean (``emb_label_drift``'s centroid-cosine machinery). A cell
@@ -436,6 +436,10 @@ def ivf_incremental_update(
     Cost: the corpus never re-scans — batch assignment is
     O(|batch| x cells) broadcast work and the merge touches
     |cells| x dim rows.
+
+    This function returns the GATE; the production loop persists the
+    advanced state from the companion ``ivf_merged_state`` (same
+    batch, same centroids) after each ingest.
     """
     bs = ivf_cell_stats(batch, centroids, vec_col, key_col)
     o = existing_stats.select(
@@ -494,6 +498,42 @@ def ivf_incremental_update(
         F.coalesce(cos < F.lit(drift_threshold), F.lit(True)).alias(
             "needs_recluster"
         ),
+    )
+
+
+def ivf_merged_state(
+    existing_stats: DataFrame,
+    batch: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """The UPDATED persisted state for a production ingest loop: the
+    batch's per-(cell, dim) moment partials merged into
+    ``existing_stats`` by exact decimal addition — same schema as
+    ``ivf_cell_stats`` (``centroid_id, i, s, n``), so the caller
+    replaces the persisted table with this result after each batch and
+    the next ``ivf_incremental_update`` call sees the advanced state
+    (ADVICE r10: the drift gate alone discarded the merge, so
+    successive ingests never compounded).
+
+    Mergeability is the pinned invariant: this output equals
+    ``ivf_cell_stats`` over (existing ∪ batch) bit-for-bit
+    (``test_ivf_merged_state_equals_full_recompute``). Collapsed to
+    ONE partition like the from-scratch build, so persisted state
+    never inherits a scan's width. Cost is O(batch): one broadcast
+    assignment plus a |cells| x dim merge.
+    """
+    bs = ivf_cell_stats(batch, centroids, vec_col, key_col)
+    return (
+        existing_stats.select("centroid_id", "i", "s", "n")
+        .unionAll(bs.select("centroid_id", "i", "s", "n"))
+        .groupBy("centroid_id", "i")
+        .agg(
+            F.sum("s").cast("decimal(18,6)").alias("s"),
+            F.sum("n").cast("long").alias("n"),
+        )
+        .repartition(1)
     )
 
 

