@@ -1809,3 +1809,208 @@ def test_streaming_rolling_hll_matches_batch_sketch(spark, tmp_path):
     # {0..4} ∪ {3..6} = 7 distinct; Jan 12 window sees only {0,1}
     assert got_days["2024-01-03"] == 7
     assert got_days["2024-01-12"] == 2
+
+
+def _funnel_events(uid, pairs):
+    return [
+        {"event_id": 10_000 * uid + i, "ts": t, "user_id": uid,
+         "event_type": et, "value": 1.0, "props": "{}"}
+        for i, (t, et) in enumerate(pairs)
+    ]
+
+
+def _funnel_chunks_to_dir(tmp_path, name, chunks):
+    import json as _json
+    import os
+
+    d = tmp_path / name
+    os.makedirs(d)
+    for i, chunk in enumerate(chunks):
+        with open(d / f"events_{i}.jsonl", "w") as f:
+            for e in chunk:
+                f.write(_json.dumps(e) + "\n")
+        os.utime(d / f"events_{i}.jsonl", (1000000 + i, 1000000 + i))
+    return d
+
+
+_FUNNEL_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+
+
+def test_streaming_window_funnel_matches_batch(spark, tmp_path):
+    """ELEVENTH twin parity: per-user max level over the twin's
+    finalized per-start emissions equals the batch
+    events_window_funnel histogram on the same rows — covering a full
+    level-3 chain, a second start that only reaches level 2, a
+    click-less purchase (stays level 1), and out-of-order arrival
+    split across micro-batches. Exactly one emission per (user, t_v)."""
+    import os
+
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_window_funnel,
+    )
+
+    u1 = _funnel_events(1, [
+        ("2024-01-01T00:00:00", "view"),
+        ("2024-01-02T00:00:00", "click"),
+        ("2024-01-03T00:00:00", "purchase"),
+        # second start: click follows (Jan 6) but no purchase after
+        # that click inside [Jan 5, Jan 12] -> level 2
+        ("2024-01-05T00:00:00", "view"),
+        ("2024-01-06T00:00:00", "click"),
+    ])
+    u2 = _funnel_events(2, [("2024-01-01T06:00:00", "view")])
+    u4 = _funnel_events(4, [
+        ("2024-01-01T00:00:00", "view"),
+        ("2024-01-02T00:00:00", "purchase"),  # no click: level 1
+    ])
+    sentinel = _funnel_events(3, [("2024-02-15T00:00:00", "view")])
+    sentinel2 = _funnel_events(3, [("2024-02-16T00:00:00", "view")])
+    # out-of-order: user 1's click arrives BEFORE its view; the
+    # sentinel rides its own later files
+    chunks = [
+        [u1[1], u4[0]],
+        [u1[0], u1[2], u2[0]],
+        [u1[3], u1[4], u4[1]],
+        sentinel,
+        sentinel2,
+    ]
+    d = _funnel_chunks_to_dir(tmp_path, "funnel_in", chunks)
+    stream = (
+        spark.readStream.schema(_FUNNEL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_window_funnel(stream, watermark="1 day"),
+        "funnel_stream",
+        output_mode="update",
+    )
+    try:
+        # 4 finalized starts: u1 x2, u2 x1, u4 x1 — and none for the
+        # sentinel (its own window never closes)
+        rows = _drain_sink(spark, q, "funnel_stream", 4)
+    finally:
+        q.stop()
+    keys = [(r.user_id, r.t_v) for r in rows]
+    assert len(keys) == len(set(keys)), keys
+    assert all(r.user_id != 3 for r in rows)
+    per_user = {}
+    for r in rows:
+        per_user[r.user_id] = max(per_user.get(r.user_id, 0), r.level)
+    assert per_user == {1: 3, 2: 1, 4: 1}
+    # the level-2 second start emitted as its own row
+    got_levels = sorted(
+        (r.t_v, r.level) for r in rows if r.user_id == 1
+    )
+    assert [lv for _, lv in got_levels] == [3, 2]
+
+    # batch histogram over the same (non-sentinel) rows
+    batch_dir = tmp_path / "funnel_batch"
+    os.makedirs(batch_dir)
+    spark.createDataFrame(
+        [
+            (r["event_id"], r["ts"].replace("T", " "), r["user_id"],
+             r["event_type"], r["value"], r["props"])
+            for r in u1 + u2 + u4
+        ],
+        _FUNNEL_SCHEMA.replace("ts timestamp", "ts string"),
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.parquet(os.path.join(batch_dir, "events.parquet"))
+    want = {
+        r.level: r.n_users
+        for r in QUERIES["events_window_funnel"](
+            spark, str(batch_dir)
+        ).collect()
+    }
+    got = {}
+    for lv in per_user.values():
+        got[lv] = got.get(lv, 0) + 1
+    assert got == want
+
+
+def test_streaming_window_funnel_boundary_straggler(spark, tmp_path):
+    """Commit discipline: a start finalizes only when the watermark
+    passes STRICTLY beyond t_v + 7d, so a click delivered in a later
+    micro-batch — while the window was still open — must land in the
+    chain: the emitted level is 2, never a premature 1."""
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_window_funnel,
+    )
+
+    v = _funnel_events(1, [("2024-01-01T00:00:00", "view")])
+    # wm after this sentinel = Jan 8 00:00 - 1d = Jan 7 00:00 < window
+    # close Jan 8: start NOT finalizable yet
+    s1 = _funnel_events(3, [("2024-01-08T00:00:00", "view")])
+    # straggler click inside the window, delivered after s1
+    c = _funnel_events(1, [("2024-01-07T12:00:00", "click")])
+    # pushes wm past Jan 8 -> finalize at level 2
+    s2 = _funnel_events(3, [("2024-02-15T00:00:00", "view")])
+    s3 = _funnel_events(3, [("2024-02-16T00:00:00", "view")])
+    d = _funnel_chunks_to_dir(
+        tmp_path, "funnel_strag", [v, s1, c, s2, s3]
+    )
+    stream = (
+        spark.readStream.schema(_FUNNEL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_window_funnel(stream, watermark="1 day"),
+        "funnel_strag_stream",
+        output_mode="update",
+    )
+    try:
+        rows = [r for r in _drain_sink(spark, q, "funnel_strag_stream", 1)
+                if r.user_id == 1]
+    finally:
+        q.stop()
+    assert len(rows) == 1, rows
+    assert rows[0].level == 2
+
+
+def test_streaming_window_funnel_redelivered_events(spark, tmp_path):
+    """At-least-once delivery: the full chain redelivered in a later
+    micro-batch must not double-emit the start nor corrupt the level —
+    one (user, t_v) row, level 3."""
+    from wistia_data_pipeline_project_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        streaming_window_funnel,
+    )
+
+    chain = _funnel_events(1, [
+        ("2024-01-01T00:00:00", "view"),
+        ("2024-01-02T00:00:00", "click"),
+        ("2024-01-03T00:00:00", "purchase"),
+    ])
+    d = _funnel_chunks_to_dir(
+        tmp_path, "funnel_redeliver",
+        [
+            chain,
+            chain,  # verbatim redelivery
+            _funnel_events(3, [("2024-02-15T00:00:00", "view")]),
+            _funnel_events(3, [("2024-02-16T00:00:00", "view")]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(_FUNNEL_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = run_stream_to_memory(
+        streaming_window_funnel(stream, watermark="1 day"),
+        "funnel_rd_stream",
+        output_mode="update",
+    )
+    try:
+        rows = [r for r in _drain_sink(spark, q, "funnel_rd_stream", 1)
+                if r.user_id == 1]
+    finally:
+        q.stop()
+    assert len(rows) == 1, rows
+    assert rows[0].level == 3

@@ -71,8 +71,20 @@ def get_spark(
     # VERDICT r10 next-round #2). Everything the engine ships to
     # executors must survive pickling, which local[n] cannot falsify.
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # Executor Python workers in cluster modes start with a fresh
+    # sys.path (local[n] forks them from the driver, which hides a
+    # missing module); ship the package root explicitly so Arrow-UDF
+    # stages import the engine on real executors. On a multi-host
+    # cluster this would be a --py-files archive; the path form covers
+    # every shared-filesystem deployment (local-cluster, standalone
+    # on NFS, YARN with a mounted repo).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exec_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in exec_pp.split(os.pathsep):
+        exec_pp = f"{pkg_root}{os.pathsep}{exec_pp}" if exec_pp else pkg_root
     builder = (
         SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", exec_pp)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1652,3 +1652,144 @@ def streaming_rolling_hll_7d(
             "wau_7d_est",
         )
     )
+
+
+_FUNNEL_WINDOW_US = 7 * 86_400_000_000  # events_window_funnel's 7 days
+_FUNNEL_CODES = {"view": 0, "click": 1, "purchase": 2}
+
+FUNNEL_STATE_SCHEMA = "pending array<long>"
+FUNNEL_OUTPUT_SCHEMA = "user_id long, t_v long, level integer"
+
+
+def streaming_window_funnel(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of ``events_window_funnel`` (the ELEVENTH
+    stateful surface): per-user sliding-window funnel levels under the
+    strict-watermark commit discipline. Each VIEW opens a 7-day
+    chain window; the emitted level is the greedy
+    view → earliest-click → purchase chain inside it — exactly the
+    batch entry's per-start computation, emitted as one
+    ``(user_id, t_v, level)`` row per start EXACTLY ONCE, when the
+    start FINALIZES. The batch histogram (max level per user,
+    shares) is a stateless rollup consumers run over the finalized
+    emissions — the session-concurrency twin's factoring: stream the
+    stateful half, share the rollup.
+
+    Commit discipline at START granularity: a start finalizes only
+    when ``wm > t_v + 7d`` — every event a future micro-batch can
+    deliver has ``ts >= wm > t_v + 7d``, outside the window, so the
+    emitted level can never be contradicted. Until then the start and
+    every event that might join its chain sit in the pending buffer;
+    out-of-order arrivals within the watermark re-sort before any
+    level is computed, so chains see event-time order exactly as
+    batch.
+
+    State per user: ONE packed-long array (``us * 4 + code``) pruned
+    each step to events that can still matter — when unfinalized
+    starts exist, events newer than ``wm - 7d`` (an unfinalized start
+    has ``t_v >= wm - 7d`` and chain events are strictly later);
+    otherwise only the not-yet-admissible tail (``ts >= wm``). Bound:
+    O(arrival rate x (window + lateness)), independent of history —
+    the sessionization envelope with a 7-day horizon. An idle user
+    drains via EventTimeTimeout at the earliest unfinalized start's
+    ``t_v + 7d`` (clamped past the current watermark); when nothing
+    pending remains the state row is REMOVED.
+    """
+    e = (
+        events_stream.filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin(*_FUNNEL_CODES)
+        )
+        .withWatermark("ts", watermark)
+        .select(
+            "user_id",
+            "ts",
+            (
+                F.unix_micros(F.col("ts")) * F.lit(4)
+                + F.element_at(
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for kv in _FUNNEL_CODES.items()
+                            for x in kv
+                        ]
+                    ),
+                    F.col("event_type"),
+                )
+            ).alias("packed"),
+        )
+    )
+
+    def _finalize(
+        uid: int, pending: list[int], wm_us: int
+    ) -> tuple[list[dict], list[int], int]:
+        """Emit every start with a fully-closed window; return
+        (rows, kept pending, earliest unfinalized start us or -1).
+
+        ``set()`` collapses redelivered events (identical packed
+        us+code): the batch entry's GROUP BY start / DISTINCT user
+        shape is insensitive to duplicate rows, so the twin dedups in
+        the buffer to keep per-start emission exactly-once under
+        at-least-once delivery."""
+        pending = sorted(set(pending))
+        evs = [(p >> 2, p & 3) for p in pending]
+        rows: list[dict] = []
+        v_open = -1
+        for us, code in evs:
+            if code != 0:
+                continue
+            if us + _FUNNEL_WINDOW_US < wm_us:
+                end = us + _FUNNEL_WINDOW_US
+                c1 = next(
+                    (u for u, c in evs if c == 1 and us < u <= end), -1
+                )
+                if c1 < 0:
+                    level = 1
+                elif any(c == 2 and c1 < u <= end for u, c in evs):
+                    level = 3
+                else:
+                    level = 2
+                rows.append({"user_id": uid, "t_v": us, "level": level})
+            elif v_open < 0:
+                v_open = us
+        cutoff = wm_us - _FUNNEL_WINDOW_US if v_open >= 0 else wm_us
+        keep = [p for p in pending if (p >> 2) >= cutoff]
+        return rows, keep, v_open
+
+    def step(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pending = list(state.get[0]) if state.exists else []
+        uid = key[0]
+        for pdf in pdfs:
+            pending.extend(int(p) for p in pdf["packed"])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows, keep, v_open = _finalize(uid, pending, wm_us)
+        if state.hasTimedOut and not keep:
+            state.remove()
+        elif not keep and state.exists:
+            # nothing open, nothing admissible later: drop the register
+            # (the sessionizer's defensive-removal rule)
+            state.remove()
+        elif keep:
+            state.update((keep,))
+            # wake when the earliest unfinalized start's window closes;
+            # with no open start, garbage-collect once the buffer's
+            # tail is a full window old
+            anchor = v_open if v_open >= 0 else (keep[-1] >> 2)
+            flush_at_ms = (anchor + _FUNNEL_WINDOW_US) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(flush_at_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        step,
+        FUNNEL_OUTPUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
