@@ -927,6 +927,58 @@ def test_knn_pair_prune_lossless(spark):
     assert pruned.count() < pairs.count()
 
 
+def test_knn_pair_build_partial_prune_lossless(spark, sf_dir):
+    """The round-11 TRANSIENT-shuffle prune: ``prune_k`` plants a
+    dense_rank partial BEFORE the build's terminal distinct, so the
+    exchange never carries the full candidate volume. dense_rank (not
+    row_number) keeps it lossless under the duplicate rows the
+    distinct collapses — a pair co-resident in two probed cells ties
+    with itself and shares one rank. The pruned build must yield the
+    IDENTICAL stored checkpoint: same rows after the round-9 stored
+    prune, on the real corpus (n_assign=4 guarantees co-residency
+    duplicates exist)."""
+    from pyspark.sql import functions as F
+    import wistia_data_pipeline_project_spark.operators.similarity as S
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _centroids_scaled,
+        _nvec,
+        _query_vec,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(
+        n_assign=4,
+        dim=len(_query_vec(spark, sf_dir, 0)),
+        label_col="label",
+        carry_labels=True,
+        n_rows=_nvec(sf_dir, emb),
+        n_centroids=max(8, _nvec(sf_dir, emb) // 250),
+    )
+    cents = _centroids_scaled(sf_dir, emb)
+    raw = S.knn_candidate_pairs(emb, cents, **kw)
+    pruned_build = S.knn_candidate_pairs(emb, cents, **kw, prune_k=3)
+    # the raw build really contains co-residency duplicates pre-distinct
+    # (the case dense_rank exists for) — count before the distinct by
+    # rebuilding without it is overkill; instead assert the partial
+    # dropped candidate rows while the final checkpoints agree
+    want = set(map(tuple, S.prune_pairs_group_topk(raw, k=3).collect()))
+    got = set(map(tuple, S.prune_pairs_group_topk(pruned_build, k=3).collect()))
+    assert want and got == want
+    # and the partial genuinely prunes: the pruned pair list is a
+    # strict subset of the raw one whenever any group exceeds k
+    n_raw, n_pruned = raw.count(), pruned_build.count()
+    assert n_pruned <= n_raw
+    big_groups = (
+        raw.groupBy("vec_id", "neighbor_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 3)
+        .count()
+    )
+    if big_groups:
+        assert n_pruned < n_raw
+
+
 def test_knn_pair_prune_compiles_to_window_group_limit(spark):
     """The build-time prune must compile to the TWO-PHASE
     WindowGroupLimit (partial per-mapper limit BEFORE the exchange):

@@ -392,3 +392,46 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert n_exchange == 1, (
         f"expected ONLY the rollup exchange, got {n_exchange}:\n{plan[:1500]}"
     )
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
+    """events_skew_join_topvalues' runtime story (VERDICT r10
+    next-round 7): under production-scaled skew thresholds AQE must
+    mark the hot-key SortMergeJoin ``skew=true`` — the hot partition
+    (70% of events on k = 0) splits into advisory-sized chunks with
+    the matching dim rows replicated — and the result must be
+    IDENTICAL to the default-threshold run (the split moves work,
+    never rows). The entry's terminal TakeOrdered has no required
+    distribution, so AQE applies the split without
+    forceOptimizeSkewedJoin."""
+    from wistia_data_pipeline_project_spark.plans import QUERIES
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        # without this floor (default 1MB) the upstream distinct
+        # coalesces to ONE partition and the join's hot partition has
+        # single-mapper provenance — unsplittable by construction,
+        # since skew splitting works at map-output granularity
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    baseline = QUERIES["events_skew_join_topvalues"](spark, sf_dir).collect()
+    prev = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        df = QUERIES["events_skew_join_topvalues"](spark, sf_dir)
+        split = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, (
+        f"AQE did not split the skewed join:\n{plan[:2000]}"
+    )
+    assert split == baseline

@@ -80,6 +80,7 @@ NOTES = {
     "docs_containment": "hot-shingle df cap adds a freq-agg + broadcast-anti subtree per branch; identical exchanges dedupe at runtime",
     "emb_knn_join": "ranks the shared scored-pair checkpoint (_knn_pairs_cached), top-k pruned per (vec_id, neighbor_label) at build time (r09 - stored list O(N*labels*k)); pair-join broadcast pinned inside the builder (small-N regime; see SCALE.md); assignment goes two-level past 64 cells (audited plan is the driver-SF flat path)",
     "q2_min_cost_supplier": "SMJ is the min-cost join-back on pre-aggregated supply rows (AQE broadcasts at runtime)",
+    "events_skew_join_topvalues": "planted hot key (70% on k=1); merge hint keeps the SMJ so AQE splits the skewed partition at runtime (skew=true pinned by test); distinct sits BELOW the join shuffle (an agg between shuffle and join makes AQE decline) and terminal TakeOrdered has no distribution requirement",
     "q11_important_parts": "BNLJ = the 1-row scalar-threshold broadcast",
     "q21_waiting_suppliers": "one shuffle computes all three per-order EXISTS facts",
     "orders_market_basket": "order-local pair expansion, TakeOrdered top-25",

@@ -1143,11 +1143,37 @@ def knn_candidate_pairs(
     coarse_threshold: int = 64,
     coarse_probe: int = 2,
     tier_branch: int | None = None,
+    prune_k: int | None = None,
 ) -> DataFrame:
     """The scored candidate-pair stage of ``knn_join_blocked``: every
     ordered pair of distinct vectors co-resident in at least one
     probed IVF cell, with its exact cosine — (``vec_id``,
     ``neighbor_id``, ``cosine_sim``), distinct.
+
+    ``prune_k`` (round 11): cut the TRANSIENT build shuffle, not just
+    the stored list. The round-9 prune (``prune_pairs_group_topk``)
+    bounded the checkpoint, but it ranks AFTER this function's
+    terminal ``distinct`` — whose exchange still carried the full
+    Σ cells |cell|² candidate volume (~100 KB/vector; the 200 GB
+    transient that made the sf100 build a host-disk bound, SCALE.md
+    r10). With ``prune_k`` set, a ``dense_rank() <= prune_k`` filter
+    over the consumers' exact rank order runs BEFORE the distinct and
+    compiles to the two-phase ``WindowGroupLimit``: each mapper keeps
+    at most the per-(vec_id[, neighbor_label]) top-``prune_k``
+    DISTINCT scores it produced, so the exchange carries
+    O(occurrences · groups · k) rows per vector instead of the
+    candidate volume. dense_rank — not row_number — is what keeps the
+    partial LOSSLESS under the duplicate rows the distinct exists to
+    collapse: a pair co-resident in two probed cells appears twice
+    with an identical (cosine_sim, neighbor_id) key, ties share one
+    dense rank, and the order is total on distinct rows (neighbor_id
+    tie-break), so ``dense_rank <= k`` keeps exactly the distinct
+    top-k plus its duplicates — per mapper a superset of that
+    mapper's contribution to the global top-k, hence
+    rank_k(distinct(partial(raw))) = rank_k(distinct(raw)) (pinned by
+    ``test_knn_pair_prune_lossless``). Downstream consumers MUST
+    (and do) end in a per-group top-j with j <= prune_k — the same
+    contract as the stored prune.
 
     Split out so SEVERAL consumers can rank the SAME pair list (the
     ``_jaccard_pairs_cached`` pattern on the documents side): the pair
@@ -1281,20 +1307,29 @@ def knn_candidate_pairs(
         if label_col and carry_labels
         else []
     )
-    return (
-        a.join(b, pair_pred)
-        .select(
-            F.col(f"a.{key_col}").alias("vec_id"),
-            F.col(f"b.{key_col}").alias("neighbor_id"),
-            pair_sim.alias("cosine_sim"),
-            *carried,
-        )
-        # a pair co-resident in BOTH probed cells appears twice with the
-        # identical fold-computed sim — exact-duplicate rows, one survives
-        # (labels, when carried, are functions of the keys, so the wider
-        # distinct keeps exactly the same pair set)
-        .distinct()
+    out = a.join(b, pair_pred).select(
+        F.col(f"a.{key_col}").alias("vec_id"),
+        F.col(f"b.{key_col}").alias("neighbor_id"),
+        pair_sim.alias("cosine_sim"),
+        *carried,
     )
+    if prune_k is not None:
+        grp = ["vec_id"] + (
+            ["neighbor_label"] if (label_col and carry_labels) else []
+        )
+        w = Window.partitionBy(*grp).orderBy(
+            F.desc("cosine_sim"), F.asc("neighbor_id")
+        )
+        out = (
+            out.withColumn("_dr", F.dense_rank().over(w))
+            .filter(F.col("_dr") <= prune_k)
+            .drop("_dr")
+        )
+    # a pair co-resident in BOTH probed cells appears twice with the
+    # identical fold-computed sim — exact-duplicate rows, one survives
+    # (labels, when carried, are functions of the keys, so the wider
+    # distinct keeps exactly the same pair set)
+    return out.distinct()
 
 
 def knn_topk_from_pairs(

@@ -116,6 +116,12 @@ def _knn_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             # driver SF stays below the threshold on the UNCHANGED
             # flat path
             n_centroids=max(8, _nvec(sf_dir, emb) // 250),
+            # map-side dense_rank partial BEFORE the distinct (round
+            # 11): the build's transient shuffle carries per-mapper
+            # group top-3s instead of the full candidate volume — the
+            # 200 GB sf100 transient (SCALE.md r10) collapses to
+            # O(N·labels·k); losslessness proof in the docstring
+            prune_k=3,
         )
         # build-time lossless prune (round 9): the stored list is
         # O(N·labels·3) rows, not the full candidate volume — kills

@@ -1759,3 +1759,87 @@ def events_bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "events_skew_join_topvalues",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT
+             CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END AS k,
+             event_id, value
+      FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    )
+    SELECT e.k, e.event_id, e.value, c.c_mktsegment
+    FROM e JOIN customer c ON e.k = c.c_custkey
+    ORDER BY e.value DESC, e.event_id ASC
+    LIMIT 10
+    """,
+)
+def events_skew_join_topvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE skew-join demonstration (VERDICT r10 next-round 7; the
+    runtime complement of the DPP and bucketed physical-layout demos):
+    a sort-merge join whose probe side carries a PLANTED hot key —
+    ~70% of events collapse onto the house account k = 1, the
+    bot-traffic shape ``events_key_skew`` diagnoses — joined to the
+    customer dim on that key. ``hint("merge")`` keeps the join a
+    shuffle SMJ (the 100 TB shape: a billion-row customer dim is NOT
+    broadcastable; this corpus's tiny dim would otherwise broadcast
+    and hide the skew), and AQE's skew-join rule splits the hot
+    partition into advisory-sized chunks at runtime, replicating the
+    matching dim rows — ``test_aqe_skew_join_splits_hot_key``
+    executes the plan under production-scaled thresholds and asserts
+    ``skew=true`` on the SortMergeJoin, plus result-invariance vs the
+    unsplit run.
+
+    Two structural requirements make the split REACHABLE, and both
+    are the documented design rules for skew-prone joins:
+
+    * both join inputs are plain ENSURE_REQUIREMENTS shuffles —
+      ``OptimizeSkewedJoin`` only rewrites Sort-over-bare-shuffle
+      inputs, so an aggregate (or an explicit ``repartition``, whose
+      partitioning is a user contract) BETWEEN shuffle and join makes
+      AQE decline (measured here: the per-key-profile formulation
+      never split at ANY threshold). The exactly-once full-row
+      ``distinct`` sits BELOW the join's shuffle, which also gives
+      the hot partition multi-mapper provenance — skew splitting
+      works at map-output granularity, so a single-mapper input
+      (one-row-group parquet at the test SF; never the case at
+      production scale) is unsplittable, and the test accordingly
+      floors ``coalescePartitions.minPartitionSize`` so the upstream
+      stage keeps its width;
+    * the terminal operator is a global top-10 (TakeOrdered — no
+      required hash distribution): a post-join re-aggregation on k
+      would again make AQE decline rather than insert a recovery
+      shuffle (``forceOptimizeSkewedJoin`` stays off).
+
+    Determinism: top-10 tie-breaks on the unique event_id.
+
+    Scale: the hot key's reducer would otherwise serialize 70% of the
+    fact — the r07 salting entry (``events_salted_user_totals``)
+    solves this for AGGREGATES by rewriting the query; this entry is
+    the zero-rewrite runtime answer for JOINS. Both sides shuffle
+    once on k.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 10 < 7, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("k"),
+            "event_id",
+            "value",
+        )
+        .distinct()
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"), "c_mktsegment"
+    )
+    return (
+        e.join(c.hint("merge"), "k")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(10)
+        .select("k", "event_id", "value", "c_mktsegment")
+    )
