@@ -767,6 +767,13 @@ def rrf_fuse(
     )
 
 
+# Candidate-pair bytes per merge-regime join task (~64 B/pair row):
+# sized so the prune_k partial's local sort stays in task memory
+# (32 cores sharing a 16-32 g heap → ~0.5-1 g each) with spills that
+# are small and freed fast — see the width pin in knn_candidate_pairs.
+_PAIR_TASK_BYTES = 256 * 1024 * 1024
+
+
 def _parse_size_bytes(raw: str) -> int:
     """Parse a Spark size conf string ('10MB', '10485760', '1g',
     '-1') into bytes, mirroring Spark's byteStringAs suffixes."""
@@ -1274,15 +1281,37 @@ def knn_candidate_pairs(
     # small exchange — acceptable, since that regime is exactly where
     # broadcasting would OOM the driver.
     par = df.sparkSession.sparkContext.defaultParallelism
-    a = assigned.repartition(par).alias("a")
     # both regimes PINNED by hint: without one, the planner's static
     # estimate and AQE's runtime size can disagree near the threshold
     # and the strategy flips run-to-run (the measured 3.8s <-> 15s)
-    b = (
-        F.broadcast(assigned.alias("b"))
-        if broadcast_pairs
-        else assigned.alias("b").hint("merge")
-    )
+    if broadcast_pairs:
+        a = assigned.repartition(par).alias("a")
+        b = F.broadcast(assigned.alias("b"))
+    else:
+        # Merge regime: pin the join width from the estimated
+        # CANDIDATE volume, not the input volume. AQE's coalescing
+        # sizes reduce tasks from the MAP bytes, and this join
+        # EXPANDS ~|cell|-fold — measured r11 at 2M vectors: AQE
+        # coalesced the pair stage to 110 tasks whose per-task local
+        # sort (the prune_k partial) spilled ~2.7 GB each, 32
+        # concurrently — a host-disk cliff that narrow tasks remove
+        # entirely. Explicit same-width co-partitioning on the
+        # equi-key doubles as the join distribution (zero further
+        # exchange; a cell's pairs stay in one task, bounded because
+        # cell occupancy is bounded by construction — which is also
+        # why forgoing AQE skew-split on the user repartition costs
+        # nothing here).
+        width = par
+        if n_rows is not None:
+            cells = n_centroids or max(8, n_rows // 250)
+            cand_rows = (n_rows * n_assign) ** 2 // max(cells, 1)
+            width = int(
+                min(max(cand_rows * 64 // _PAIR_TASK_BYTES, par), 4096)
+            )
+        a = assigned.repartition(width, "centroid_id").alias("a")
+        b = assigned.repartition(width, "centroid_id").alias("b").hint(
+            "merge"
+        )
     if dim is not None:
         pair_dot: Column = F.lit(0.0)
         for i in range(dim):
@@ -1491,6 +1520,10 @@ def knn_join_blocked(
         coarse_threshold=coarse_threshold,
         coarse_probe=coarse_probe,
         tier_branch=tier_branch,
+        # the sole consumer is the per-vector top-k below, so the
+        # map-side dense_rank partial (round 11) is lossless here by
+        # the same argument as the shared-checkpoint build
+        prune_k=k,
     )
     return knn_topk_from_pairs(pairs, k=k)
 
