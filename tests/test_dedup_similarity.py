@@ -979,6 +979,41 @@ def test_knn_pair_build_partial_prune_lossless(spark, sf_dir):
         assert n_pruned < n_raw
 
 
+def test_knn_merge_regime_matches_broadcast_regime(spark, sf_dir):
+    """The production pair-join regime (merge SMJ, candidate-volume
+    width pin — the r11 change that made the sf100 build fit
+    in-host) must be row-identical to the broadcast regime every
+    driver SF actually runs: same pairs, same sims, same top-k, with
+    and without the dense_rank partial."""
+    import wistia_data_pipeline_project_spark.operators.similarity as S
+    from wistia_data_pipeline_project_spark.plans.catalog_emb import (
+        _centroids_scaled,
+        _nvec,
+        _query_vec,
+    )
+    from wistia_data_pipeline_project_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(
+        n_assign=4,
+        dim=len(_query_vec(spark, sf_dir, 0)),
+        label_col="label",
+        carry_labels=True,
+        n_rows=_nvec(sf_dir, emb),
+        n_centroids=max(8, _nvec(sf_dir, emb) // 250),
+        prune_k=3,
+    )
+    cents = _centroids_scaled(sf_dir, emb)
+    bc = S.knn_candidate_pairs(emb, cents, broadcast_pairs=True, **kw)
+    mg = S.knn_candidate_pairs(emb, cents, broadcast_pairs=False, **kw)
+    rb = set(map(tuple, bc.collect()))
+    rm = set(map(tuple, mg.collect()))
+    assert rb and rm == rb
+    # the merge regime really is the co-partitioned SMJ
+    plan = mg._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+
+
 def test_knn_pair_prune_compiles_to_window_group_limit(spark):
     """The build-time prune must compile to the TWO-PHASE
     WindowGroupLimit (partial per-mapper limit BEFORE the exchange):
