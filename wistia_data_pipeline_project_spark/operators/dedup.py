@@ -513,35 +513,33 @@ def simhash_fingerprints(
     # of tokens). 17 agg buffers instead of 65 cuts the
     # generated hash-agg code ~4× (measured: ~7 s of per-session
     # Janino compile down to ~2 s) with identical semantics.
+    # both the 16 packed aggregates and the 64-branch assembly are
+    # built as PARSED SQL strings: the Column-operator form cost ~650
+    # py4j round trips (~1.5-2 s of pure plan-build latency billed to
+    # every build of every simhash entry — r11 optimization); the
+    # strings parse to the identical expression trees
     def packed(j: int):
-        lanes = [
-            F.shiftleft(
-                F.shiftrightunsigned("_h", 4 * j + lane).bitwiseAND(F.lit(1)),
-                16 * lane,
-            )
+        lanes = " + ".join(
+            f"shiftleft(shiftrightunsigned(_h, {4 * j + lane}) & 1, "
+            f"{16 * lane})"
             for lane in range(4)
-        ]
-        expr = lanes[0]
-        for l in lanes[1:]:
-            expr = expr + l
-        return F.sum(expr).alias(f"_p{j}")
+        )
+        return F.expr(f"sum({lanes})").alias(f"_p{j}")
 
     votes = hashed.groupBy(key_col).agg(
         F.count("_h").alias("_n"), *[packed(j) for j in range(16)]
     )
-    simhash = F.lit(0).cast("long")
+    parts = ["CAST(0 AS BIGINT)"]
     for i in range(64):
         j, lane = divmod(i, 4)
-        count_i = F.shiftrightunsigned(F.col(f"_p{j}"), 16 * lane).bitwiseAND(
-            F.lit(0xFFFF)
-        )
         # 1<<63 overflows signed long; its bit pattern is long MIN_VALUE
         mask = (1 << i) if i < 63 else -(1 << 63)
-        simhash = simhash.bitwiseOR(
-            F.when(
-                count_i * 2 > F.col("_n"), F.lit(mask).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+        parts.append(
+            f"CASE WHEN (shiftrightunsigned(_p{j}, {16 * lane}) & 65535)"
+            f" * 2 > _n THEN CAST({mask} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
+    simhash = F.expr(" | ".join(parts))
     return votes.select(F.col(key_col), simhash.alias("simhash"))
 
 

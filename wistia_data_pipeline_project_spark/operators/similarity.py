@@ -36,7 +36,21 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """The :func:`dot_unrolled` chain as ONE SQL string over SQL
+    column references — for embedding in a larger ``F.expr``. Building
+    the chain with Column operators costs ~3 py4j round trips per dim
+    (measured 0.4–1.4 s of pure driver↔JVM chatter per 64-dim chain,
+    billed to every plan BUILD); one parsed string is ~1 ms and yields
+    the identical left-associated tree (r11 optimization)."""
+    terms = "".join(
+        f" + element_at({a}, {i}) * element_at({b}, {i})"
+        for i in range(1, dim + 1)
+    )
+    return f"0.0D{terms}"
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product UNROLLED to a left-associated arithmetic chain —
     bit-identical to the sequential fold (0.0 + a₁b₁ + a₂b₂ + …) but
     pure codegen. ``zip_with``/``aggregate`` lambdas evaluate on
@@ -45,7 +59,13 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     whole kNN-join (167 s at sf0.1). The unrolled chain whole-stage-
     compiles to straight-line multiply-adds (~10×+ faster) while
     preserving the exact summation order the DuckDB oracle
-    (list_dot_product) uses. Requires a statically-known ``dim``."""
+    (list_dot_product) uses. Requires a statically-known ``dim``.
+
+    Pass BOTH operands as SQL reference strings to build the chain as
+    one parsed expression (:func:`dot_sql`) instead of ~3·dim py4j
+    calls — same tree, ~500× cheaper plan build."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b, dim))
     s: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         s = s + F.element_at(a, i) * F.element_at(b, i)
@@ -601,56 +621,134 @@ def kmeans_fit(
     break on any non-unit-norm corpus). Cosine assignment is
     scale-invariant, so normalizing changes nothing else.
     """
+    import math
+
+    spark = df.sparkSession
     v = as_double(F.col(vec_col))
     nrm = F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
         )
     )
+    # The normalized+cast member table is MATERIALIZED once
+    # (spill_checkpoint — the semdedup codegen-barrier pattern):
+    # every iteration's unrolled dot chain references the vector ~130
+    # times per pair, and without the barrier CollapseProject inlines
+    # the interpreted normalization fold into every element_at site
+    # (measured: 2.2 s per assignment job at sf0.1 vs ~0.3 s against
+    # the materialized column). The per-row norm of the normalized
+    # vector is precomputed as a column for the same reason.
     df = df.select(
         F.col(key_col),
         F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v).alias(
             vec_col
         ),
     )
-    centroids = (
-        df.orderBy(key_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(key_col)) - 1)
-            .cast("integer")
-            .alias("centroid_id"),
-            as_double(F.col(vec_col)).alias("cv"),
+    df = spill_checkpoint(
+        df.select(
+            key_col,
+            vec_col,
+            F.sqrt(
+                F.aggregate(
+                    F.transform(as_double(F.col(vec_col)), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ).alias("_vnorm"),
         )
-        .localCheckpoint()
     )
+    # Seeds collected driver-side: k rows of MODEL state (not data) —
+    # the centroid table lives on the driver between iterations, so no
+    # localCheckpoint jobs and no join-back for the empty-cluster
+    # guard. Each iteration ships the k×dim floats back out as a
+    # LocalRelation (values, not literal expressions, so the generated
+    # code is shape-stable across iterations and codegen caches hit).
+    seed_rows = df.orderBy(key_col).limit(k).select(vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[0]]) for i, r in enumerate(seed_rows)
+    ]
+    dim = len(cents[0][1]) if cents else 0
     history: list[float] = []
-
-    def objective(assigned: DataFrame) -> float:
-        return float(assigned.agg(F.avg("sim").alias("m")).head()["m"])
-
+    # ONE job per Lloyd iteration (r11 optimization — was assign +
+    # objective + join-back + posexplode-mean + checkpoint, ~6 jobs a
+    # fit): the argmax-by-struct CARRIES the member vector (the struct
+    # comparator never reaches it — (sim, neg_id) is already unique),
+    # so the per-centroid mean, member count, and objective partial
+    # sums all come out of the same aggregate, collected as k rows.
+    # The objective is Σ per-centroid sim sums / Σ counts — same
+    # quantity as the old avg(sim), same fp-noise class (Lloyd's
+    # monotonicity tolerance is 1e-9; double accumulation order was
+    # never deterministic in the hash aggregate either way). The
+    # cosine is the UNROLLED codegen form (dim is known from the
+    # seeds) over materialized columns; the centroid norm is computed
+    # driver-side and shipped as a column (one multiply per pair
+    # instead of a 64-term chain).
+    # one parsed expression (dot_sql rationale); the checkpointed
+    # member vector is already array<double>, so no cast is needed
+    sim_expr = F.expr(
+        f"({dot_sql(vec_col, 'cv', dim)}) / (_vnorm * _cnorm)"
+    )
     for it in range(max_iter):
-        assigned = centroid_assign(df, centroids, vec_col, key_col)
+        cdf = spark.createDataFrame(
+            [
+                # sequential left-fold sum — the exact summation order
+                # of the Spark-side sqrt(fold) it replaces
+                (i, cvec, math.sqrt(sum(x * x for x in cvec)))
+                for i, cvec in cents
+            ],
+            "centroid_id int, cv array<double>, _cnorm double",
+        )
+        scored = df.crossJoin(F.broadcast(cdf)).select(
+            key_col,
+            F.col("centroid_id"),
+            sim_expr.alias("sim"),
+            F.col(vec_col).alias("_v"),
+        )
+        best = F.max(
+            F.struct(
+                F.col("sim"),
+                (-F.col("centroid_id")).alias("neg_id"),
+                F.col("_v").alias("v"),
+            )
+        ).alias("best")
+        assigned = scored.groupBy(key_col).agg(best).select(
+            (-F.col("best.neg_id")).cast("integer").alias("centroid_id"),
+            F.col("best.sim").alias("sim"),
+            F.col("best.v").alias("_v"),
+        )
+        ex = assigned.select("centroid_id", "sim", F.posexplode("_v"))
+        stats = (
+            ex.groupBy("centroid_id", "pos")
+            .agg(
+                F.avg("col").alias("v"),
+                F.sum("sim").alias("s"),
+                F.count("sim").alias("n"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cv"),
+                F.max(F.when(F.col("pos") == 0, F.col("s"))).alias("s"),
+                F.max(F.when(F.col("pos") == 0, F.col("n"))).alias("n"),
+            )
+        )
+        rows = stats.collect()
+        tot_n = sum(r["n"] for r in rows)
         if track_history or it in (0, max_iter - 1):
-            history.append(objective(assigned))
+            history.append(
+                float(sum(r["s"] for r in rows) / tot_n) if tot_n else 0.0
+            )
         if it == max_iter - 1:
             break
-        joined = df.select(key_col, vec_col).join(
-            assigned.select(key_col, "centroid_id"), key_col
-        )
-        new = mean_vectors(joined, "centroid_id", vec_col).select(
-            F.col("centroid_id").cast("integer").alias("centroid_id"), "cv"
-        )
         # empty-cluster guard: a centroid that receives zero members
         # disappears from the groupBy — carry its previous position
         # forward so exactly k centroids always survive (emptied seeds
         # from duplicate vectors would otherwise shrink the model)
-        centroids = (
-            centroids.select("centroid_id", F.col("cv").alias("_prev"))
-            .join(new, "centroid_id", "left")
-            .select("centroid_id", F.coalesce("cv", "_prev").alias("cv"))
-            .localCheckpoint()
-        )
+        new = {int(r["centroid_id"]): [float(x) for x in r["cv"]] for r in rows}
+        cents = [(i, new.get(i, prev)) for i, prev in cents]
+    centroids = spark.createDataFrame(cents, "centroid_id int, cv array<double>")
     return centroids, history
 
 
@@ -1259,13 +1357,16 @@ def knn_candidate_pairs(
         # left-associated summation order — bit-identical to the
         # oracle's sequential list_dot_product. Norms are computed once
         # per (vector, cell) row, not twice per pair.
+        # selectExpr: ONE py4j call for the dim+2-column projection —
+        # the Column-chain form paid ~3 py4j round trips per dim of
+        # pure plan-build latency (see dot_sql)
         vd = as_double(F.col(vec_col))
-        assigned = assigned.withColumn("_vd", vd).select(
+        assigned = assigned.withColumn("_vd", vd).selectExpr(
             "centroid_id",
             key_col,
             *label_cols,
-            F.sqrt(dot_unrolled(F.col("_vd"), F.col("_vd"), dim)).alias("_norm"),
-            *[F.col("_vd")[i].alias(f"_e{i}") for i in range(dim)],
+            f"sqrt({dot_sql('_vd', '_vd', dim)}) AS _norm",
+            *[f"_vd[{i}] AS _e{i}" for i in range(dim)],
         )
     # The per-pair projection below is the operator's hot loop; AQE
     # coalesces the tiny assigned exchange (N·n_assign rows) to ONE
@@ -1313,10 +1414,14 @@ def knn_candidate_pairs(
             "merge"
         )
     if dim is not None:
-        pair_dot: Column = F.lit(0.0)
-        for i in range(dim):
-            pair_dot = pair_dot + F.col(f"a._e{i}") * F.col(f"b._e{i}")
-        pair_sim = pair_dot / (F.col("a._norm") * F.col("b._norm"))
+        # one parsed expression — the Column-op loop was ~2·dim py4j
+        # round trips of plan-build latency (see dot_sql); the string
+        # parses to the identical left-associated tree
+        pair_sim = F.expr(
+            "(0.0D"
+            + "".join(f" + a._e{i} * b._e{i}" for i in range(dim))
+            + ") / (a._norm * b._norm)"
+        )
     else:
         pair_sim = cosine(
             as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))
@@ -1717,14 +1822,15 @@ def semdedup_stats(
         tier_branch=tier_branch,
     )
     if dim is not None:
+        # selectExpr: one py4j call, one parsed projection (see
+        # dot_sql — the Column-chain form cost ~3 py4j trips per dim
+        # of plan-build latency per rep)
         vd = as_double(F.col(vec_col))
-        flat = assigned.withColumn("_vd", vd).select(
+        flat = assigned.withColumn("_vd", vd).selectExpr(
             "centroid_id",
             key_col,
-            F.sqrt(dot_unrolled(F.col("_vd"), F.col("_vd"), dim)).alias(
-                "_norm"
-            ),
-            *[F.col("_vd")[i].alias(f"_e{i}") for i in range(dim)],
+            f"sqrt({dot_sql('_vd', '_vd', dim)}) AS _norm",
+            *[f"_vd[{i}] AS _e{i}" for i in range(dim)],
         )
         # Codegen barrier: without it the window filter + 64 casts +
         # norm chain + pair products fuse into one generated method
@@ -1760,10 +1866,12 @@ def semdedup_stats(
     a = flat.repartition(par).alias("a")
     b = flat.alias("b")
     if dim is not None:
-        pair_dot: Column = F.lit(0.0)
-        for i in range(dim):
-            pair_dot = pair_dot + F.col(f"a._e{i}") * F.col(f"b._e{i}")
-        pair_sim = pair_dot / (F.col("a._norm") * F.col("b._norm"))
+        # one parsed expression instead of ~2·dim py4j calls (dot_sql)
+        pair_sim = F.expr(
+            "(0.0D"
+            + "".join(f" + a._e{i} * b._e{i}" for i in range(dim))
+            + ") / (a._norm * b._norm)"
+        )
     else:
         pair_sim = cosine(
             as_double(F.col(f"a.{vec_col}")), as_double(F.col(f"b.{vec_col}"))
