@@ -78,7 +78,11 @@ def connected_components(
         .agg(F.min("v").alias("_mv"))
         .select("u", F.least(F.col("u"), F.col("_mv")).alias("component"))
     )
-    labels = spill_checkpoint(labels, eager=True)
+    # LAZY checkpoints, materialized BY the convergence-sum action
+    # (r11): eager=True ran one job to build the blocks and a second
+    # to read the sum — the sum action itself populates the cache, so
+    # each round is ONE job instead of two (same blocks, same plan).
+    labels = spill_checkpoint(labels)
 
     def _label_sum(lbl: DataFrame):
         # labels only ever decrease, so sum-unchanged ⇔ fixpoint;
@@ -121,7 +125,7 @@ def connected_components(
                 F.col("component"), F.coalesce(F.col("_c2"), F.col("component"))
             ).alias("component"),
         )
-        labels = spill_checkpoint(hop, eager=True)
+        labels = spill_checkpoint(hop)
         s = _label_sum(labels)
         if s == prev_sum:
             return labels.select(F.col("u").alias("node"), "component")
@@ -190,22 +194,24 @@ def pagerank(
     # (e.g. a near-dup pair join) would otherwise re-execute per
     # round — measured 28 s -> ~4 s on the docs_pagerank entry.
     # Executor-local, edge-list-sized (two keys/row), disk-spillable.
-    edges = spill_checkpoint(edges.select(src_col, dst_col), eager=True)
+    # LAZY checkpoints throughout (r11): the first consuming action
+    # (the node count / each round's dangling-mass scalar) populates
+    # the blocks, so every round is ONE job instead of two — same
+    # blocks, same plans.
+    edges = spill_checkpoint(edges.select(src_col, dst_col))
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
         .distinct()
     )
-    nodes = spill_checkpoint(nodes, eager=True)
+    nodes = spill_checkpoint(nodes)
     n_nodes = nodes.count()
     if n_nodes == 0:  # empty graph: empty ranks, not a ZeroDivisionError
         return nodes.withColumn("rank", F.lit(0.0))
     outdeg = edges.groupBy(F.col(src_col).alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    ranks = spill_checkpoint(
-        nodes.withColumn("rank", F.lit(1.0 / n_nodes)), eager=True
-    )
+    ranks = spill_checkpoint(nodes.withColumn("rank", F.lit(1.0 / n_nodes)))
     base = (1.0 - damping) / n_nodes
     # quantize: round each per-edge contribution (and the dangling
     # terms) to that many decimals and sum in DECIMAL — the hash-gated
@@ -248,7 +254,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = spill_checkpoint(ranks, eager=True)
+        ranks = spill_checkpoint(ranks)
     return ranks
 
 
@@ -387,10 +393,9 @@ def k_core(
         # materialize the survivor list ONCE: the count() fixpoint
         # check and both semi-joins read the checkpointed blocks
         # instead of re-running the degree aggregate per consumer
-        # (review r07 pass 2)
-        keep = spill_checkpoint(
-            deg.filter(F.col("_d") >= k).select("u"), eager=True
-        )
+        # (review r07 pass 2). The checkpoint is LAZY — the count()
+        # action populates the blocks, one job instead of two (r11).
+        keep = spill_checkpoint(deg.filter(F.col("_d") >= k).select("u"))
         n_now = keep.count()
         if n_now == n_prev:
             return und.groupBy("u").agg(
@@ -399,8 +404,7 @@ def k_core(
         und = spill_checkpoint(
             und.join(keep, "u", "left_semi").join(
                 keep.select(F.col("u").alias("v")), "v", "left_semi"
-            ),
-            eager=True,
+            )
         )
         n_prev = n_now
     raise RuntimeError(

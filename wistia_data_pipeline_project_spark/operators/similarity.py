@@ -669,76 +669,72 @@ def kmeans_fit(
     ]
     dim = len(cents[0][1]) if cents else 0
     history: list[float] = []
-    # ONE job per Lloyd iteration (r11 optimization — was assign +
-    # objective + join-back + posexplode-mean + checkpoint, ~6 jobs a
-    # fit): the argmax-by-struct CARRIES the member vector (the struct
-    # comparator never reaches it — (sim, neg_id) is already unique),
-    # so the per-centroid mean, member count, and objective partial
-    # sums all come out of the same aggregate, collected as k rows.
-    # The objective is Σ per-centroid sim sums / Σ counts — same
-    # quantity as the old avg(sim), same fp-noise class (Lloyd's
-    # monotonicity tolerance is 1e-9; double accumulation order was
-    # never deterministic in the hash aggregate either way). The
-    # cosine is the UNROLLED codegen form (dim is known from the
-    # seeds) over materialized columns; the centroid norm is computed
-    # driver-side and shipped as a column (one multiply per pair
-    # instead of a 64-term chain).
-    # one parsed expression (dot_sql rationale); the checkpointed
-    # member vector is already array<double>, so no cast is needed
-    sim_expr = F.expr(
-        f"({dot_sql(vec_col, 'cv', dim)}) / (_vnorm * _cnorm)"
+    # ONE job with ONE exchange per Lloyd iteration (r11 optimization —
+    # was assign + objective + join-back + posexplode-mean +
+    # checkpoint, ~6 jobs and 3 exchanges a fit): the whole centroid
+    # model ships as a single-row broadcast carrying an
+    # array<struct<id, cv, cn>>, each member row argmaxes over that
+    # array LOCALLY (array_max over (sim, -id) structs — the same
+    # comparator as the old max-by-struct aggregate, no per-key
+    # shuffle), and the per-(centroid, pos) mean/count/objective
+    # partials come from one map-combinable aggregate collected as
+    # k·dim model rows. The objective is Σ per-centroid sim sums /
+    # Σ counts — the same quantity as the old avg(sim), same fp-noise
+    # class (Lloyd's monotonicity tolerance is 1e-9; double
+    # accumulation order was never deterministic in the hash aggregate
+    # either way). The per-pair cosine is the sequential left-fold
+    # order (dot_sql) over the materialized member vector; the
+    # centroid norm is precomputed driver-side (one multiply per pair).
+    # The expensive array_max is projected BELOW the posexplode
+    # Generate, so it runs once per member row, not per dimension.
+    best_sql = (
+        "array_max(transform(cents, c -> struct("
+        f"({dot_sql(vec_col, 'c.cv', dim)}) / (_vnorm * c.cn) AS sim, "
+        "-c.id AS neg_id)))"
     )
     for it in range(max_iter):
         cdf = spark.createDataFrame(
             [
-                # sequential left-fold sum — the exact summation order
-                # of the Spark-side sqrt(fold) it replaces
-                (i, cvec, math.sqrt(sum(x * x for x in cvec)))
-                for i, cvec in cents
+                (
+                    [
+                        # sequential left-fold sum — the exact summation
+                        # order of the Spark-side sqrt(fold) it replaces
+                        (i, cvec, math.sqrt(sum(x * x for x in cvec)))
+                        for i, cvec in cents
+                    ],
+                )
             ],
-            "centroid_id int, cv array<double>, _cnorm double",
+            "cents array<struct<id:int,cv:array<double>,cn:double>>",
         )
-        scored = df.crossJoin(F.broadcast(cdf)).select(
-            key_col,
-            F.col("centroid_id"),
-            sim_expr.alias("sim"),
-            F.col(vec_col).alias("_v"),
+        assigned = df.crossJoin(F.broadcast(cdf)).selectExpr(
+            f"{best_sql} AS _best", f"{vec_col} AS _v"
         )
-        best = F.max(
-            F.struct(
-                F.col("sim"),
-                (-F.col("centroid_id")).alias("neg_id"),
-                F.col("_v").alias("v"),
-            )
-        ).alias("best")
-        assigned = scored.groupBy(key_col).agg(best).select(
-            (-F.col("best.neg_id")).cast("integer").alias("centroid_id"),
-            F.col("best.sim").alias("sim"),
-            F.col("best.v").alias("_v"),
+        ex = assigned.select(
+            (-F.col("_best.neg_id")).cast("integer").alias("centroid_id"),
+            F.col("_best.sim").alias("sim"),
+            F.posexplode("_v"),
         )
-        ex = assigned.select("centroid_id", "sim", F.posexplode("_v"))
-        stats = (
-            ex.groupBy("centroid_id", "pos")
-            .agg(
-                F.avg("col").alias("v"),
-                F.sum("sim").alias("s"),
-                F.count("sim").alias("n"),
-            )
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: s["v"],
-                ).alias("cv"),
-                F.max(F.when(F.col("pos") == 0, F.col("s"))).alias("s"),
-                F.max(F.when(F.col("pos") == 0, F.col("n"))).alias("n"),
-            )
+        stats = ex.groupBy("centroid_id", "pos").agg(
+            F.avg("col").alias("v"),
+            F.sum("sim").alias("s"),
+            F.count("sim").alias("n"),
         )
-        rows = stats.collect()
-        tot_n = sum(r["n"] for r in rows)
+        rows = stats.collect()  # k·dim rows of MODEL state
+        ssum = {}
+        ns = {}
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            cid = int(r["centroid_id"])
+            means.setdefault(cid, {})[r["pos"]] = r["v"]
+            if r["pos"] == 0:
+                ssum[cid] = float(r["s"]) if r["s"] is not None else 0.0
+                ns[cid] = int(r["n"])
+        tot_n = sum(ns.values())
         if track_history or it in (0, max_iter - 1):
             history.append(
-                float(sum(r["s"] for r in rows) / tot_n) if tot_n else 0.0
+                float(sum(ssum[c] for c in sorted(ssum)) / tot_n)
+                if tot_n
+                else 0.0
             )
         if it == max_iter - 1:
             break
@@ -746,7 +742,9 @@ def kmeans_fit(
         # disappears from the groupBy — carry its previous position
         # forward so exactly k centroids always survive (emptied seeds
         # from duplicate vectors would otherwise shrink the model)
-        new = {int(r["centroid_id"]): [float(x) for x in r["cv"]] for r in rows}
+        new = {
+            cid: [float(d[p]) for p in sorted(d)] for cid, d in means.items()
+        }
         cents = [(i, new.get(i, prev)) for i, prev in cents]
     centroids = spark.createDataFrame(cents, "centroid_id int, cv array<double>")
     return centroids, history
