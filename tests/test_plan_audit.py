@@ -143,6 +143,16 @@ MATERIALIZING = {
     # inherits connected_components' per-iteration localCheckpoint
     # (cluster-label table of the near-dup subset, not the corpus)
     "docs_leakage_safe_split",
+    # prefix table + candidate list spill-checkpoints (r11): both
+    # feed multiple consumers (self-join sides, verify semi-joins) —
+    # prefix-shingle/pair-volume, executor-local, not a driver collect
+    "docs_prefix_jaccard",
+    # the capped shingle table checkpoint in _pair_intersections
+    # (r11) — feeds both self-join sides and the sizes aggregate
+    "docs_containment",
+    # the window-fingerprint stream checkpoint in
+    # remove_duplicated_spans (r11) — feeds df-count and covered join
+    "docs_span_removal",
     # consume the shared _jaccard_pairs_cached checkpoint (the scored
     # near-dup pair list reused across seven entries — pair-volume,
     # executor-local, not a driver collect)

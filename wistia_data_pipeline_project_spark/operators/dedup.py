@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
+
 from .text import fingerprint, shingle_array, tokens
 
 
@@ -117,7 +119,16 @@ def _pair_intersections(
             F.coalesce(F.sum("_df"), F.lit(0)).alias("n_dropped_shingle_rows"),
             F.coalesce(F.max("_df"), F.lit(0)).alias("max_doc_freq_seen"),
         )
-    sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    # materialize the capped shingle table ONCE (lazy spill
+    # checkpoint, r11): it feeds BOTH self-join sides and the sizes
+    # aggregate, and the un-checkpointed plan inlined the whole
+    # tokenize+shingle+df-count+anti-join chain into each consumer —
+    # 3 full shingle pipelines per metric (32 scans in
+    # docs_containment's static plan). Shingle rows are corpus-scaled:
+    # serialized, disk-evictable.
+    sh = spill_checkpoint(
+        sh.join(hot.select("shingle"), "shingle", "left_anti")
+    )
     sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -682,13 +693,20 @@ def remove_duplicated_spans(
     txt = F.coalesce(F.col(text_col), F.lit(""))
     t = df.select(F.col(key_col), tokens(txt).alias("_toks"))
     n = F.size("_toks")
-    wins = df.select(
-        F.col(key_col),
-        tokens(txt).alias("_toks"),
-        F.posexplode(
-            F.transform(shingle_array(txt, width), F.md5)
-        ).alias("pos", "wfp"),
-    ).filter(F.size("_toks") >= width).select(key_col, "pos", "wfp")
+    # materialized once (lazy spill checkpoint, r11): the window
+    # stream feeds BOTH the document-frequency aggregate and the
+    # covered-index join, and the un-checkpointed plan inlined the
+    # tokenize+shingle+md5 pipeline into each consumer. 16-byte
+    # fingerprints + positions — compact, serialized, disk-evictable.
+    wins = spill_checkpoint(
+        df.select(
+            F.col(key_col),
+            tokens(txt).alias("_toks"),
+            F.posexplode(
+                F.transform(shingle_array(txt, width), F.md5)
+            ).alias("pos", "wfp"),
+        ).filter(F.size("_toks") >= width).select(key_col, "pos", "wfp")
+    )
     docfreq = (
         wins.select(key_col, "wfp")
         .distinct()
@@ -784,10 +802,18 @@ def prefix_jaccard_pairs(
         - F.ceil(F.lit(float(threshold)) * F.col("_n")).cast("long")
         + 1
     )
-    pre = ranked.select(
-        F.col(key_col),
-        F.col("_n"),
-        F.posexplode(F.slice("_sorted", 1, p_len)).alias("_pos", "shingle"),
+    # materialize the ranked prefix table ONCE (lazy spill checkpoint,
+    # r11): it feeds BOTH sides of the prefix self-join, and the
+    # un-checkpointed plan inlined the whole shingle+df-count+sort
+    # chain into each side (and again under the verify's semi-join) —
+    # 44 parquet scans / 126 exchanges in the static plan at sf0.1.
+    # Prefix rows are ~20% of shingle volume, serialized-disk-evictable.
+    pre = spill_checkpoint(
+        ranked.select(
+            F.col(key_col),
+            F.col("_n"),
+            F.posexplode(F.slice("_sorted", 1, p_len)).alias("_pos", "shingle"),
+        )
     )
     a = pre.select(
         F.col(key_col).alias("doc_a"),
@@ -827,7 +853,9 @@ def prefix_jaccard_pairs(
             F.col("_na") - F.col("_pa") - 1, F.col("_nb") - F.col("_pb") - 1
         )
     )
-    cands = (
+    # candidate list consumed three times (both verify sides' semi-join
+    # and the final pair join) — pair-volume, checkpoint it too (r11)
+    cands = spill_checkpoint(
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(

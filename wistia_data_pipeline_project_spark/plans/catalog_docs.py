@@ -2326,8 +2326,14 @@ def docs_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
-    big = pairs.select(
-        "doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2")
+    # the bigram stream feeds the bigram counts, the context counts,
+    # AND the final per-doc join — shared() so the tokenize+explode
+    # pass runs once instead of three times (r11; entry-local cache,
+    # released when the next entry builds)
+    big = shared(
+        pairs.select(
+            "doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2")
+        )
     )
     v = toks.select(F.explode("tk").alias("_t")).agg(
         F.count_distinct("_t").alias("vsz")
