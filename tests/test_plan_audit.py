@@ -201,6 +201,15 @@ MATERIALIZING = {
     # same one-slot checkpoint helper (three consumers; was a bare
     # session-pinned .cache() before r10 — ADVICE r09)
     "events_rolling_hll_7d",
+    # the per-order basket array spill-checkpoint (r11): one lineitem
+    # scan + one orderkey collect_set shuffle feeds the item
+    # frequencies, the order totals AND the pair expansion —
+    # basket-volume, executor-local, not a driver collect
+    "orders_basket_lift",
+    # the distinct (group, token) table spill-checkpoint (r11): one
+    # tokenize+distinct pass feeds the per-group sizes and both sides
+    # of the intersection self-join — token-volume, executor-local
+    "docs_vocab_overlap",
 }
 
 

@@ -907,11 +907,15 @@ def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("_parts")
+    # item frequency, the order total AND the pair expansion ride the
+    # SAME basket table — shared() (r11) so the lineitem scan + the
+    # orderkey collect_set shuffle run once instead of three times.
+    from ..ckpt import spill_checkpoint as _sc
+    baskets = _sc(
+        li.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("_parts")
+        )
     )
-    # item frequency and the order total ride the SAME basket table
-    # (one lineitem scan, one orderkey shuffle, reused three ways).
     freq = (
         baskets.select(F.explode("_parts").alias("l_partkey"))
         .groupBy("l_partkey")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import spill_checkpoint
 from ..operators import clustering as C
 from ..operators import dedup as D
 from ..operators import text as X
@@ -1572,12 +1573,17 @@ def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pair expansion anywhere (contrast the Jaccard join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    w = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(X.shingle_array(F.col("text"), 32))
-        ).alias("_w"),
-    ).select("doc_id", F.md5("_w").alias("wfp"))
+    # the window-fingerprint table feeds the document-frequency
+    # aggregate AND the final per-doc join — shared() so the
+    # 32-token shingle+md5 pass runs once, not twice (r11)
+    w = shared(
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(X.shingle_array(F.col("text"), 32))
+            ).alias("_w"),
+        ).select("doc_id", F.md5("_w").alias("wfp"))
+    )
     freq = w.groupBy("wfp").agg(F.count(F.lit(1)).alias("df"))
     dup = F.sum(F.when(F.col("df") >= 2, 1)).cast("long")
     return (
@@ -2115,28 +2121,33 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-row table, not a model artifact.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tk")
-    ).select(
-        "doc_id",
-        "lang",
-        F.conv(F.substring(F.md5("tk"), 31, 2), 16, 10)
-        .cast("int")
-        .alias("b"),
+    # the hashed token stream feeds the bucket counts AND the final
+    # per-doc weight join — shared() so tokenize+md5 runs once, not
+    # four times (r11); the two bucket LMs and the corpus totals all
+    # come from ONE map-combinable aggregate over it (na and nt fused
+    # into a single groupBy — a missing target bucket is nt=0, the
+    # exact value the old left-join COALESCE produced)
+    tok = shared(
+        docs.select(
+            "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tk")
+        ).select(
+            "doc_id",
+            "lang",
+            F.conv(F.substring(F.md5("tk"), 31, 2), 16, 10)
+            .cast("int")
+            .alias("b"),
+        )
     )
-    allc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("na"))
-    tgtc = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("nt"))
+    bucket = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("nt"),
     )
-    tot = tok.agg(
-        F.count(F.lit(1)).alias("na_tot"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("nt_tot"),
+    tot = bucket.agg(
+        F.sum("na").alias("na_tot"),
+        F.sum("nt").alias("nt_tot"),
     )
     terms = (
-        allc.join(tgtc, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bucket.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
@@ -2225,15 +2236,20 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast 1-row aggregate — no fixture-side count() job before
     # the query (this was the catalog's only pre-query side job)
     cnt = docs.agg(F.count(F.lit(1)).alias("_n"))
-    ex = docs.select(X.fingerprint(F.col("text")).alias("fp"))
-    batch = docs.crossJoin(F.broadcast(cnt)).select(
-        (F.col("doc_id") + F.col("_n")).alias("doc_id"),
-        "source",
-        X.fingerprint(
-            F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
-                F.concat(F.col("text"), F.lit(" v2"))
-            )
-        ).alias("fp"),
+    # both fingerprint tables feed multiple joins below (ex: semi +
+    # anti; batch: size agg + semi + anti/window) — shared() so each
+    # md5-fingerprint pass over the text runs once, not 2-3 times (r11)
+    ex = shared(docs.select(X.fingerprint(F.col("text")).alias("fp")))
+    batch = shared(
+        docs.crossJoin(F.broadcast(cnt)).select(
+            (F.col("doc_id") + F.col("_n")).alias("doc_id"),
+            "source",
+            X.fingerprint(
+                F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" v2"))
+                )
+            ).alias("fp"),
+        )
     )
     n_batch = batch.groupBy("source").agg(F.count(F.lit(1)).alias("n_batch"))
     survivors = batch.join(ex, "fp", "left_anti")
@@ -2841,10 +2857,15 @@ def docs_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_a", "group_b", "est_a", "est_b", "est_union",
         "est_intersection",
     )
-    d = docs.select(
-        F.col("source").alias("g"),
-        F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("tk"),
-    ).distinct()
+    # the distinct (group, token) table feeds the per-group sizes AND
+    # both sides of the intersection self-join — shared() so the
+    # tokenize+distinct pass runs once, not three times (r11)
+    d = spill_checkpoint(
+        docs.select(
+            F.col("source").alias("g"),
+            F.explode(F.array_distinct(X.tokens(F.col("text")))).alias("tk"),
+        ).distinct()
+    )
     sz = d.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         d.alias("x")

@@ -1776,11 +1776,23 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     label.
 
     Scale: the explode collapses in map-side partial aggregates (the
-    mean_vectors shuffle carries |labels|*dim values); scoring joins a
-    640-row broadcast centroid-dim table against the per-dim stream;
-    everything downstream of the one (vec, label) aggregate is tiny.
+    mean_vectors shuffle carries |labels|*dim values); the whole
+    classifier then ships as a SINGLE-ROW broadcast model
+    ``array<struct<clabel, carr, cc>>`` (the kmeans_fit r11 pattern)
+    and every vector argmaxes locally — no per-dim scoring join, no
+    N×k dot-partial shuffle, no per-vector window; the only
+    data-scale exchanges left are the centroid-build aggregate and
+    the final per-label rollup.
+
+    Determinism is unchanged: the dot/norm terms are the same
+    per-term DECIMAL(28,9) quantization summed exactly (decimal
+    addition is associative, so the unrolled chain equals the old
+    hash-aggregate sum bit-for-bit), and the argmax comparator
+    ``array_max(struct(sim, -clabel))`` reproduces the window's
+    (sim DESC, clabel ASC) tie-break.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(_query_vec(spark, sf_dir, 0))
     d = emb.select(
         "vec_id", "label", F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x")
     )
@@ -1790,47 +1802,47 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("c")
     )
-    cc = cent.groupBy("clabel").agg(
-        F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)"))
-        .cast("double")
-        .alias("cc")
-    )
-    vv = d.groupBy("vec_id").agg(
-        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)"))
-        .cast("double")
-        .alias("vv")
-    )
-    dots = (
-        d.join(F.broadcast(cent), "i")
-        .groupBy("vec_id", "clabel")
+    model = (
+        cent.groupBy("clabel")
         .agg(
-            F.sum(F.round(F.col("x") * F.col("c"), 9).cast("decimal(28,9)"))
+            F.array_sort(F.collect_list(F.struct("i", "c"))).alias("_sc"),
+            F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)"))
             .cast("double")
-            .alias("dot")
+            .alias("cc"),
+        )
+        .select(
+            "clabel", F.expr("transform(_sc, s -> s.c)").alias("carr"), "cc"
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("clabel", "carr", "cc"))
+            ).alias("model")
         )
     )
-    from pyspark.sql import Window as W
-
-    scored = (
-        dots.join(vv, "vec_id")
-        .join(F.broadcast(cc), "clabel")
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    F.desc(
-                        F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))
-                    ),
-                    F.asc("clabel"),
-                )
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "clabel")
+    # one parsed string per kernel (the aa95161 py4j-chatter rule)
+    vv_terms = " + ".join(
+        f"CAST(ROUND(element_at(_v,{j}) * element_at(_v,{j}), 9)"
+        " AS DECIMAL(28,9))"
+        for j in range(1, dim + 1)
+    )
+    dot_terms = " + ".join(
+        f"CAST(ROUND(element_at(_v,{j}) * element_at(m.carr,{j}), 9)"
+        " AS DECIMAL(28,9))"
+        for j in range(1, dim + 1)
+    )
+    best_sql = (
+        "array_max(transform(model, m -> struct("
+        f"CAST(({dot_terms}) AS DOUBLE) / (SQRT(_vv) * SQRT(m.cc)) AS sim, "
+        "-m.clabel AS neg)))"
     )
     return (
-        emb.select("vec_id", "label")
-        .join(scored, "vec_id")
+        emb.select(
+            "label", S.as_double(F.col("embedding")).alias("_v")
+        )
+        .withColumn("_vv", F.expr(f"CAST(({vv_terms}) AS DOUBLE)"))
+        .crossJoin(F.broadcast(model))
+        .withColumn("_best", F.expr(best_sql))
+        .select("label", (-F.col("_best.neg")).alias("clabel"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -924,31 +924,42 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: the 25 most-frequent part pairs
     bought in the same order (association-rule support counting).
 
-    Scale: the pair space is generated ORDER-LOCALLY — distinct parts
-    per order first (one map-side-combinable distinct), then a
-    self-equi-join on the order key whose fan-out is bounded by
-    order size squared (TPC-H orders hold ≤7 lines; a pathological
-    mega-order would be the hot key, same class as the shingle cap —
-    order size is naturally bounded here). Support counting is one
-    shuffle on the pair; the top-25 is a TakeOrdered heap, not a
-    global sort.
+    Scale: the pair space is generated ORDER-LOCALLY — the distinct
+    part set per order is collected into a basket array (one
+    map-side-combinable collect_set shuffle on the order key) and
+    C(m,2) pairs expand with an array comprehension, exactly the
+    ``orders_basket_lift``/``bucket_pairs`` shape. No part-key
+    self-join ever happens (the r11 rewrite: the old distinct +
+    self-equi-join scanned lineitem twice and paid the distinct
+    exchange twice before re-shuffling for the join); support
+    counting is one shuffle on the pair; the top-25 is a TakeOrdered
+    heap, not a global sort. Identical pair multiset: collect_set ==
+    per-order DISTINCT, and part_a < part_b enumerates each
+    unordered pair exactly once.
     """
-    op = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
     )
-    a = op.alias("a")
-    b = op.alias("b")
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_parts"),
+                lambda x: F.transform(
+                    F.col("_parts"),
+                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                ),
+            )
+        ),
+        lambda p: p["part_a"] < p["part_b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        baskets.select(F.explode(pair).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
         )
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
