@@ -258,3 +258,70 @@ def test_unknown_media_no_watch_time(spark, events_df, dim_media):
         assert r.total_watch_time == 0.0
         assert r.play_rate == 0.0
         assert r.play_count == 1  # progress fallback
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_fold_groups_arrays_matches_fold_group(legacy):
+    """The array fast path of the partition-scan fold (r11) must be
+    BIT-IDENTICAL to the per-group pandas fold on key-sorted input —
+    randomized over NaN pct/duration, missing ip/country, jitter-sized
+    timestamp deltas and 1-5 row groups (wider input space than the
+    Spark fixture; the Spark-level pin is
+    test_fact_fold_scan_matches_fold_bitexact)."""
+    import numpy as np
+    import pandas as pd
+
+    from wistia_data_pipeline_project_spark.operators.fact import (
+        _fold_group,
+        _fold_groups_arrays,
+    )
+
+    rng = np.random.default_rng(11)
+    names_pool = ["play", "percent", "pause", "seek", "end"]
+    rows = []
+    for g in range(500):
+        m = int(rng.integers(0, 7))
+        ts0 = pd.Timestamp("2024-01-01") + pd.Timedelta(
+            seconds=int(rng.integers(0, 86400))
+        )
+        dur = float(120.0 + 60 * m) if rng.random() > 0.1 else np.nan
+        for i in range(int(rng.integers(1, 6))):
+            rows.append(
+                dict(
+                    media_id=f"m{m}",
+                    visitor_id=f"v{g}",
+                    date=dt.date(2024, 1, 1),
+                    received_at=ts0
+                    + pd.Timedelta(seconds=int(rng.integers(0, 600))),
+                    event_key=f"e{g}_{i}",
+                    pct=float(rng.random())
+                    if rng.random() > 0.2
+                    else np.nan,
+                    event_name=str(rng.choice(names_pool)),
+                    duration=dur,
+                    ip="1.2.3.4" if rng.random() > 0.7 else None,
+                    country="US" if rng.random() > 0.6 else None,
+                )
+            )
+    pdf = pd.DataFrame(rows).sort_values(
+        ["media_id", "visitor_id", "date", "received_at", "event_key"],
+        ignore_index=True,
+    )
+    codes = pd.MultiIndex.from_arrays(
+        [pdf[k] for k in ("media_id", "visitor_id", "date")]
+    ).factorize()[0]
+    starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    bounds = np.r_[starts, len(pdf)]
+    old = pd.DataFrame(
+        [
+            _fold_group(pdf.iloc[a:b], RUN_TS, legacy)
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+    )
+    new = _fold_groups_arrays(pdf, bounds, RUN_TS, legacy)
+    assert list(old.columns) == list(new.columns)
+    for c in old.columns:
+        eq = (old[c].values == new[c].values) | (
+            old[c].isna().values & new[c].isna().values
+        )
+        assert eq.all(), f"col {c} diverged"

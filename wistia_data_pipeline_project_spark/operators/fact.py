@@ -312,6 +312,142 @@ def _fold_group(
     }
 
 
+def _fold_groups_arrays(
+    pdf: pd.DataFrame,
+    bounds,
+    run_ts: dt.datetime,
+    legacy: bool,
+) -> pd.DataFrame:
+    """Array fast path of the per-group fold for KEY-SORTED batches
+    (the partition-scan formulation only): the same state-machine
+    operation sequence as ``_fold_group``, executed over numpy arrays
+    extracted ONCE per batch instead of a pandas slice per group.
+
+    ``_fold_group``'s per-group cost is ~1.2 ms of pandas fixed
+    overhead (a stable sort, ``.iloc`` frame construction, Series ops
+    on 2-3 element groups) — at visitor-day grain that is ~50
+    CPU-seconds per 100k events (measured, r11). This path drops it
+    ~40× by never constructing a per-group object.
+
+    Semantics notes (each pinned by the three-formulation equivalence
+    tests and the driver oracle):
+
+    - No per-group re-sort: the scan's exchange already sorted rows
+      by (…, received_at, event_key), so ``_fold_group``'s stable
+      mergesort is an identity there — and trusting the EXCHANGE's
+      ordering is exactly what the window formulation's
+      ``orderBy("received_at", "event_key")`` does, so the two
+      formulations now share one ordering authority.
+    - ``elapsed`` replicates ``Timedelta.total_seconds`` exactly: the
+      integer tick delta divided (one correctly-rounded int/int true
+      division) by the timestamp unit's per-second factor.
+    - The output frame is assembled from the same row-dict list as
+      before (same dtype inference, same None/NaN surface), only the
+      dict VALUES come from arrays.
+    """
+    import numpy as np
+
+    media = pdf["media_id"].to_numpy(dtype=object)
+    visitor = pdf["visitor_id"].to_numpy(dtype=object)
+    datev = pdf["date"].to_numpy(dtype=object)
+    recv = pdf["received_at"].to_numpy()
+    unit = np.datetime_data(recv.dtype)[0]
+    div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    recv_i = recv.view("int64")
+    recv_nat = np.isnat(recv)
+    pct = pdf["pct"].to_numpy(dtype="float64")
+    names = pdf["event_name"].to_numpy(dtype=object)
+    ips = pdf["ip"].to_numpy(dtype=object)
+    countries = pdf["country"].to_numpy(dtype=object)
+    dur = pdf["duration"].to_numpy(dtype="float64")
+
+    rows = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        duration = float(dur[a])
+        has_duration = duration == duration  # pd.notna on a float
+
+        n_play = 0
+        any_progress = False
+        pmax = None
+        for i in range(a, b):
+            if names[i] == "play":
+                n_play += 1
+            p = pct[i]
+            if p == p:  # not NaN — Series.max / (pcts > 0) skip NaN
+                if p > 0:
+                    any_progress = True
+                if pmax is None or p > pmax:
+                    pmax = float(p)
+        play_count = n_play if n_play > 0 else (1 if any_progress else 0)
+
+        total = 0.0
+        last_i = -1
+        last_pct = 0.0
+        if has_duration and duration > 0:
+            for i in range(a, b):
+                if recv_nat[i] or pct[i] != pct[i]:
+                    continue
+                p = float(pct[i])
+                if last_i < 0 and (p > 0 or names[i] == "play"):
+                    last_i = i
+                    last_pct = p
+                elif last_i >= 0:
+                    elapsed = (int(recv_i[i]) - int(recv_i[last_i])) / div
+                    if elapsed > 0 and p > last_pct:
+                        if names[i] not in ("pause", "end"):
+                            change = p - last_pct
+                            expected = (
+                                change / 100.0 if legacy else change
+                            ) * duration
+                            total += min(elapsed, expected)
+                        last_pct = p
+                        last_i = i
+                    elif p > last_pct + 0.01:
+                        last_pct = p
+                        last_i = i
+                    elif elapsed > 0 and p <= last_pct:
+                        last_pct = p
+                        last_i = i
+        if has_duration:
+            total = min(total, duration)
+
+        play_rate = 0.0
+        if has_duration and duration > 0 and total > 0:
+            play_rate = _round2(total / duration)
+        if play_count == 0:
+            total = 0.0
+            play_rate = 0.0
+
+        ip = None
+        country = None
+        for i in range(a, b):
+            i_, c_ = ips[i], countries[i]
+            if ip is None and isinstance(i_, str) and i_:
+                ip = i_
+            if country is None and isinstance(c_, str) and c_:
+                country = c_
+            if ip is not None and country is not None:
+                break
+
+        rows.append(
+            {
+                "media_id": media[a],
+                "visitor_id": visitor[a],
+                "date": datev[a],
+                "play_count": play_count,
+                "total_watch_time": _round2(total),
+                "max_percent_viewed": pmax,
+                "play_rate": play_rate,
+                "event_timestamp": pd.Timestamp(recv[a]),
+                "last_event_timestamp": pd.Timestamp(recv[b - 1]),
+                "ip": ip,
+                "country": country,
+                "ingestion_timestamp": run_ts,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def fact_media_engagement_fold(
     events: DataFrame,
     dim_media: DataFrame,
@@ -387,12 +523,10 @@ def fact_media_engagement_fold_scan(
         def fold_groups(pdf: pd.DataFrame, codes: np.ndarray) -> pd.DataFrame:
             starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
             bounds = np.r_[starts, len(pdf)]
-            return pd.DataFrame(
-                [
-                    _fold_group(pdf.iloc[a:b], run_ts, legacy)
-                    for a, b in zip(bounds[:-1], bounds[1:])
-                ]
-            )
+            # array fast path: batches arrive key-sorted, so the
+            # per-group pandas fold's stable re-sort is an identity —
+            # see _fold_groups_arrays for the equivalence argument
+            return _fold_groups_arrays(pdf, bounds, run_ts, legacy)
 
         carry = None
         for pdf in batches:

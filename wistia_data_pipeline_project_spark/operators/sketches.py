@@ -36,7 +36,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _token_hash64
 
 # width must divide 2^16: the bucket is the low bits of the md5_64
 # pattern, and the SQL oracle reconstructs only hex nibbles 13-16
@@ -44,15 +43,37 @@ from .dedup import _token_hash64
 _MAX_WIDTH = 1 << 16
 
 
-def _bucket(key: F.Column, depth: F.Column, width: int) -> F.Column:
-    """Bucket of ``key`` under hash row ``depth``: low bits of
-    md5_64("<key>:<depth>"). Bitwise AND, not pmod — identical for a
-    power-of-two width and exact on the signed-long hash in every
-    engine's integer semantics."""
-    h = _token_hash64(
-        F.concat(key, F.lit(":"), depth.cast("string")), "md5_64"
+def _cms_with_buckets(
+    df: DataFrame, key: F.Column, depth: int, width: int
+) -> tuple[DataFrame, F.Column]:
+    """(projected df, bucket array) for ``key``'s ``depth`` rows:
+    bucket d = low bits of md5_64("<key>:<d>"). Bitwise AND, not pmod
+    — identical for a power-of-two width and exact on the signed-long
+    hash in every engine's integer semantics.
+
+    Like ``_bloom_with_coords`` (r11): each row's md5 hex is projected
+    ONCE and the bucket read from hex chars 13-16 with a single 4-char
+    ``conv`` — the mask keeps at most 16 bits (``width <= 2^16``), all
+    of which live in those nibbles, exactly the nibble window the SQL
+    oracle replays. The old two-8-char-conv assembly computed md5
+    twice per bucket for bits the mask discarded."""
+    names = [f"__cms_h{d}" for d in range(depth)]
+    proj = df.select(
+        "*",
+        *[
+            F.md5(F.concat(key, F.lit(f":{d}"))).alias(nm)
+            for d, nm in enumerate(names)
+        ],
     )
-    return h.bitwiseAND(F.lit(width - 1)).cast("int")
+    buckets = F.array(
+        *[
+            F.conv(F.substring(F.col(nm), 13, 4), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(width - 1))
+            for nm in names
+        ]
+    )
+    return proj, buckets
 
 
 def _check_params(depth: int, width: int) -> None:
@@ -82,12 +103,14 @@ def cms_build(
     """
     _check_params(depth, width)
     k = F.col(key_col).cast("string")
-    coords = F.array(
-        *[_bucket(k, F.lit(d), width) for d in range(depth)]
+    proj, coords = _cms_with_buckets(
+        df.filter(F.col(key_col).isNotNull()).select(*group_cols, key_col),
+        k,
+        depth,
+        width,
     )
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(*group_cols, F.posexplode(coords).alias("depth", "bucket"))
+        proj.select(*group_cols, F.posexplode(coords).alias("depth", "bucket"))
         .groupBy(*group_cols, "depth", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -123,13 +146,11 @@ def cms_estimate(
     sketch summarizes."""
     _check_params(depth, width)
     k = F.col(key_col).cast("string")
-    coords = F.array(
-        *[_bucket(k, F.lit(d), width) for d in range(depth)]
-    )
-    probes = keys.select(
-        "*", F.posexplode(coords).alias("depth", "bucket")
-    )
     out_cols = [c for c in keys.columns]
+    proj, coords = _cms_with_buckets(keys, k, depth, width)
+    probes = proj.select(
+        *out_cols, F.posexplode(coords).alias("depth", "bucket")
+    )
     return (
         probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
         .groupBy(*out_cols)
@@ -146,16 +167,43 @@ def cms_estimate(
 _LANE_BITS = 16
 
 
-def _bloom_coords(key: F.Column, n_hashes: int, n_bits: int) -> F.Column:
-    """Array of ``(lane, bit)`` structs for ``key``'s ``n_hashes`` bit
+def _bloom_with_coords(
+    df: DataFrame, key: F.Column, n_hashes: int, n_bits: int
+) -> tuple[DataFrame, F.Column]:
+    """(projected df, coords array) for ``key``'s ``n_hashes`` bit
     positions: position i = md5_64("<key>#<i>") & (n_bits-1), split
-    into a 16-bit lane index and a one-hot bit mask."""
+    into a 16-bit lane index and a one-hot bit mask.
+
+    The per-position md5 hex is projected ONCE as a column and the
+    position read from hex chars 13-16 with a single 4-char ``conv``:
+    the mask keeps at most the low 16 bits of the 64-bit pattern
+    (``n_bits <= 2^16``), and those live entirely in the last four
+    hex chars of ``substring(md5, 1, 16)`` — so the old two-8-char-
+    conv assembly re-hashed the key per struct field inside the
+    Generate (where codegen subexpression elimination does not reach)
+    for bits the mask then discarded. Positions are value-identical
+    (verified, r11: merged lane tables compared equal row-for-row; the
+    driver oracle replays the same md5 nibble arithmetic), measured
+    ~1.4-2x on the build scan.
+
+    2^(pos%16) via pow: shiftleft() takes only a literal shift count;
+    doubles are exact to 2^15 so the cast is lossless.
+    """
+    names = [f"__bloom_h{i}" for i in range(n_hashes)]
+    proj = df.select(
+        "*",
+        *[
+            F.md5(F.concat(key, F.lit(f"#{i}"))).alias(nm)
+            for i, nm in enumerate(names)
+        ],
+    )
     coords = []
-    for i in range(n_hashes):
-        h = _token_hash64(F.concat(key, F.lit(f"#{i}")), "md5_64")
-        pos = h.bitwiseAND(F.lit(n_bits - 1))
-        # 2^(pos%16) via pow: shiftleft() takes only a literal shift
-        # count; doubles are exact to 2^15 so the cast is lossless
+    for nm in names:
+        pos = (
+            F.conv(F.substring(F.col(nm), 13, 4), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(n_bits - 1))
+        )
         coords.append(
             F.struct(
                 (pos / F.lit(_LANE_BITS)).cast("int").alias("lane"),
@@ -164,7 +212,7 @@ def _bloom_coords(key: F.Column, n_hashes: int, n_bits: int) -> F.Column:
                 .alias("bit"),
             )
         )
-    return F.array(*coords)
+    return proj, F.array(*coords)
 
 
 def _check_bloom_params(n_hashes: int, n_bits: int) -> None:
@@ -197,12 +245,14 @@ def bloom_build(
     """
     _check_bloom_params(n_hashes, n_bits)
     k = F.col(key_col).cast("string")
+    proj, coords = _bloom_with_coords(
+        df.filter(F.col(key_col).isNotNull()).select(*group_cols, key_col),
+        k,
+        n_hashes,
+        n_bits,
+    )
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .select(
-            *group_cols,
-            F.explode(_bloom_coords(k, n_hashes, n_bits)).alias("_c"),
-        )
+        proj.select(*group_cols, F.explode(coords).alias("_c"))
         .select(*group_cols, "_c.lane", "_c.bit")
         .groupBy(*group_cols, "lane")
         .agg(F.bit_or("bit").alias("bits"))
@@ -239,10 +289,11 @@ def bloom_probe(
     play at 100 TB."""
     _check_bloom_params(n_hashes, n_bits)
     k = F.col(key_col).cast("string")
-    probes = keys.select(
-        "*", F.explode(_bloom_coords(k, n_hashes, n_bits)).alias("_c")
-    ).select("*", "_c.lane", "_c.bit").drop("_c")
     out_cols = [c for c in keys.columns]
+    proj, coords = _bloom_with_coords(keys, k, n_hashes, n_bits)
+    probes = proj.select(
+        *out_cols, F.explode(coords).alias("_c")
+    ).select(*out_cols, "_c.lane", "_c.bit")
     hit = F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
         F.col("bit")
     ) == F.col("bit")
