@@ -50,6 +50,40 @@ def dot_sql(a: str, b: str, dim: int) -> str:
     return f"0.0D{terms}"
 
 
+def dot_lit_sql(a: str, q: list[float]) -> str:
+    """:func:`dot_sql` with a LITERAL query vector inlined per term —
+    the same left-fold summation order, one parsed string. The ``D``
+    suffix forces DOUBLE literals and ``repr`` round-trips doubles
+    exactly (the pq_codes VALUES precedent)."""
+    terms = "".join(
+        f" + element_at({a}, {i}) * {float(x)!r}D"
+        for i, x in enumerate(q, 1)
+    )
+    return f"0.0D{terms}"
+
+
+def cosine_to_query(vec_ref: str, query_vec: list[float]) -> Column:
+    """``cosine(vec, literal query)`` as ONE parsed expression —
+    bit-identical to :func:`cosine`: the dot and the vector norm keep
+    the interpreted fold's left-association (:func:`dot_sql`), and the
+    query's own norm folds DRIVER-side in that same order (the
+    kmeans_fit ``cn`` precedent), so the constant is the exact double
+    the per-row fold produced. Removes both the ~25 py4j lambda
+    round-trips per cosine at plan build and the CodegenFallback
+    interpretation at execution (r11)."""
+    import math
+
+    qs = [float(x) for x in query_vec]
+    acc = 0.0
+    for x in qs:
+        acc = acc + x * x
+    qn = math.sqrt(acc)
+    return F.expr(
+        f"({dot_lit_sql(vec_ref, qs)}) / "
+        f"(SQRT({dot_sql(vec_ref, vec_ref, len(qs))}) * {qn!r}D)"
+    )
+
+
 def dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product UNROLLED to a left-associated arithmetic chain —
     bit-identical to the sequential fold (0.0 + a₁b₁ + a₂b₂ + …) but
@@ -85,10 +119,11 @@ def topk_cosine(
     per-partition heaps, driver merges k·partitions rows). The query
     vector is a literal folded into codegen, not a join.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine(as_double(F.col(vec_col)), q).alias("cosine_sim")
     return (
-        df.select(key_col, sim)
+        df.select(key_col, as_double(F.col(vec_col)).alias("_v"))
+        .select(
+            key_col, cosine_to_query("_v", query_vec).alias("cosine_sim")
+        )
         .orderBy(F.desc("cosine_sim"), F.asc(key_col))
         .limit(k)
     )
@@ -101,6 +136,7 @@ def centroid_assign(
     key_col: str = "vec_id",
     centroid_key: str = "centroid_id",
     centroid_vec: str = "cv",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF building block: assign each vector to its nearest centroid.
 
@@ -108,8 +144,19 @@ def centroid_assign(
     — an aggregation, not a window, so it map-side combines. At scale
     the assignment becomes the partition key for bucketed ANN search
     (probe only the query's nearest centroid partitions).
+
+    ``dim`` is accepted for signature stability but the cosine stays
+    on the interpreted HOF fold deliberately (r11, measured): the
+    assignment evaluates |rows|·|centroids| pairs — ~16k at the bench
+    SF — where an unrolled 3·dim-term codegen chain costs more in
+    Janino compile time per plan than the fold's 21 µs/pair ever
+    reaches (emb_centroid_assign 0.57 → 1.0 s regression, reverted).
+    The unrolled form wins only at the million-pair scale of the kNN
+    kernels (aa95161), which build it via :func:`dot_sql` directly.
     """
-    sim = cosine(as_double(F.col(vec_col)), as_double(F.col(centroid_vec)))
+    sim = cosine(
+        as_double(F.col(vec_col)), as_double(F.col(centroid_vec))
+    )
     scored = df.crossJoin(F.broadcast(centroids)).select(
         key_col,
         F.col(centroid_key),
@@ -359,6 +406,7 @@ def ivf_topk_cosine(
     centroids: DataFrame | None = None,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: search only the partitions of the query's nearest
     centroids (IVF-style). Approximate — recall depends on n_probe.
@@ -366,23 +414,39 @@ def ivf_topk_cosine(
     At 100 TB: vectors are stored partitioned by assigned centroid;
     a query prunes to n_probe partitions (partition pruning on the
     centroid column), turning a full scan into a targeted read.
+
+    ``assigned`` lets a caller sweeping n_probe (the recall-curve
+    entry) compute the corpus assignment ONCE and share it across
+    arms instead of re-assigning per arm (r11).
     """
     if centroids is None:
         raise ValueError("centroids DataFrame required (centroid_key, cv)")
-    assigned = centroid_assign(df.select(key_col, vec_col), centroids, vec_col, key_col)
+    if assigned is None:
+        assigned = centroid_assign(
+            df.select(key_col, vec_col),
+            centroids,
+            vec_col,
+            key_col,
+            dim=len(query_vec),
+        )
     data = df.join(assigned.select(key_col, "centroid_id"), key_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    csim = cosine(as_double(F.col("cv")), q)
     probe = (
-        centroids.select("centroid_id", csim.alias("qsim"))
+        centroids.select(
+            "centroid_id", as_double(F.col("cv")).alias("_cv")
+        )
+        .select(
+            "centroid_id", cosine_to_query("_cv", query_vec).alias("qsim")
+        )
         .orderBy(F.desc("qsim"), F.asc("centroid_id"))
         .limit(n_probe_centroids)
         .select("centroid_id")
     )
     pruned = data.join(F.broadcast(probe), "centroid_id", "left_semi")
-    sim = cosine(as_double(F.col(vec_col)), q).alias("cosine_sim")
     return (
-        pruned.select(key_col, sim)
+        pruned.select(key_col, as_double(F.col(vec_col)).alias("_v"))
+        .select(
+            key_col, cosine_to_query("_v", query_vec).alias("cosine_sim")
+        )
         .orderBy(F.desc("cosine_sim"), F.asc(key_col))
         .limit(k)
     )
@@ -1637,6 +1701,7 @@ def pq_codes(
     n_subspaces: int = 8,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    codebook_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization codes: split each vector into
     ``n_subspaces`` contiguous sub-vectors and assign each to its
@@ -1675,7 +1740,10 @@ def pq_codes(
     driver-side in the same order; min(struct(dist, code)) breaks
     exact-tie distances toward the lower code in both engines.
     """
-    rows = sorted(
+    # codebook_rows: pre-collected [(key, [floats])] seed rows (the
+    # catalog memoizes them per corpus file — r11); collected here
+    # only when the caller has none
+    rows = codebook_rows or sorted(
         df.filter(F.col(key_col) < n_codes).select(key_col, vec_col).collect(),
         key=lambda r: r[0],
     )

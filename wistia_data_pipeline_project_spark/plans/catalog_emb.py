@@ -52,6 +52,38 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+_SEED_CACHE: dict[tuple, list] = {}
+
+
+def _seed_vecs(
+    spark: SparkSession, sf_dir: str, n: int
+) -> list[tuple[int, list[float]]]:
+    """First-``n`` seed vectors ``[(vec_id, [floats]), ...]`` sorted
+    by id, memoized with the ``_query_vec`` staleness key (path,
+    mtime, size): the PQ-codebook consumers (``pq_codes`` and
+    ``_adc_scores``) each re-collected the SAME 16 rows on every plan
+    build — two ~0.25 s driver jobs per build, per rep (r11)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size, n)
+    except OSError:
+        key = (sf_dir, 0, 0, n)
+    if key not in _SEED_CACHE:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < n)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        _SEED_CACHE[key] = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in rows
+        )
+    return _SEED_CACHE[key]
+
+
 _NVEC_CACHE: dict[tuple[str, int, int], int] = {}
 
 
@@ -220,7 +252,9 @@ def emb_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = _centroids(emb)
-    assigned = S.centroid_assign(emb, centroids)
+    assigned = S.centroid_assign(
+        emb, centroids, dim=len(_query_vec(spark, sf_dir, 0))
+    )
     return assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_assigned")
     )
@@ -1014,7 +1048,12 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     in whole-stage codegen (see similarity.pq_codes).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_codes(emb, n_codes=16, n_subspaces=8)
+    return S.pq_codes(
+        emb,
+        n_codes=16,
+        n_subspaces=8,
+        codebook_rows=_seed_vecs(spark, sf_dir, 16),
+    )
 
 
 @query(
@@ -1106,14 +1145,13 @@ def _adc_scores(
     ``restrict`` (a vec_id candidate list) semi-joins the CODE table
     before the lookup so pruning happens at the scan side, not after
     scoring — the IVFPQ read order."""
-    pq = S.pq_codes(emb, n_codes=16, n_subspaces=8)
+    cb_rows = _seed_vecs(spark, sf_dir, 16)
+    pq = S.pq_codes(
+        emb, n_codes=16, n_subspaces=8, codebook_rows=cb_rows
+    )
     if restrict is not None:
         pq = pq.join(restrict, "vec_id", "left_semi")
     q = _query_vec(spark, sf_dir, 0)
-    cb_rows = sorted(
-        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
-        key=lambda r: r[0],
-    )
     dsub = len(q) // 8
 
     def fold_dot(a, b):
@@ -1133,12 +1171,16 @@ def _adc_scores(
             row.append(fold_dot(qs, qs) - 2 * fold_dot(qs, cs) + fold_dot(cs, cs))
         dtab.append(row)
 
+    # ONE parsed string for the 128-entry literal lookup array (the
+    # aa95161 py4j-chatter rule); 'D' forces DOUBLE literals and
+    # repr() round-trips doubles exactly
+    flat = ", ".join(repr(float(v)) + "D" for s in dtab for v in s)
     lut = pq.select(
         "vec_id",
         "subspace",
-        F.element_at(
-            F.array(*[F.lit(float(x)) for x in [v for s in dtab for v in s]]),
-            (F.col("subspace") * 16 + F.col("code") + 1).cast("int"),
+        F.expr(
+            f"element_at(array({flat}), "
+            "cast(subspace * 16 + code + 1 as int))"
         ).alias("_qd"),
     )
     pivoted = lut.groupBy("vec_id").pivot("subspace", list(range(8))).agg(
@@ -1260,13 +1302,14 @@ def emb_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
     rest = emb.filter(F.col("vec_id") != 0)
     assigned = S.centroid_assign(
-        rest.select("vec_id", "embedding"), centroids
+        rest.select("vec_id", "embedding"), centroids, dim=len(q)
     )
-    qa = F.array(*[F.lit(float(x)) for x in q])
     probe = (
         centroids.select(
-            "centroid_id",
-            S.cosine(S.as_double(F.col("cv")), qa).alias("qsim"),
+            "centroid_id", S.as_double(F.col("cv")).alias("_cv")
+        )
+        .select(
+            "centroid_id", S.cosine_to_query("_cv", q).alias("qsim")
         )
         .orderBy(F.desc("qsim"), F.asc("centroid_id"))
         .limit(2)
@@ -2763,10 +2806,25 @@ def emb_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = emb.filter(F.col("vec_id") != 0)
     exact = S.topk_cosine(body, q, k=10).select("vec_id")
     cents = _centroids(emb)
+    # ONE assignment DataFrame passed to every arm: the plan builds
+    # once (~0.2 s of py4j per arm saved) even though the subtree
+    # appears under each union branch. An entry-local cache was ALSO
+    # tried and measured WORSE (3.7 vs 3.2 s median — InMemoryRelation
+    # materialization costs more than recomputing the cheap
+    # assignment three times at this volume), so the arms share the
+    # BUILD, not a materialization (r11).
+    assigned = S.centroid_assign(
+        body.select("vec_id", "embedding"), cents, dim=len(q)
+    )
     arms = []
     for p in (1, 2, 4):
         ivf = S.ivf_topk_cosine(
-            body, q, k=10, n_probe_centroids=p, centroids=cents
+            body,
+            q,
+            k=10,
+            n_probe_centroids=p,
+            centroids=cents,
+            assigned=assigned,
         ).select("vec_id")
         arms.append(
             exact.join(ivf, "vec_id").agg(
