@@ -281,9 +281,13 @@ def test_exchange_counts_pinned(plans, sf_dir):
     """Structural plan-cost pin (VERDICT r09 next-round 3): every
     entry's exchange count and join strategies must match the
     committed snapshot (``tests/plan_pins.json``, regenerated by
-    ``python tools/plan_audit.py --pins tests/plan_pins.json`` at the
-    test SF — join strategies legitimately differ between SFs, so the
-    pin is same-SF while PLANS.md stays the sf0.01 audit). An entry
+    ``SPARK_GRAFT_CPUS=8 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001
+    python tools/plan_audit.py --pins tests/plan_pins.json`` — join
+    strategies legitimately differ between SFs AND, since
+    preferSortMergeJoin=false (r11), with the session core count
+    (shuffled-hash eligibility scales with advisory×partitions), so
+    the pin must be generated under the TEST session's config:
+    sf0.001 at 8 cores, while PLANS.md stays the sf0.01 audit). An entry
     that silently gains an exchange (or trades a broadcast join for a
     shuffle join) fails HERE, not three rounds later in a bench-map
     diff — the r09 ``initialPartitionNum`` tax was only caught that

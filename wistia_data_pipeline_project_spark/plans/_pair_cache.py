@@ -41,8 +41,16 @@ def cached_pair_checkpoint(
             return cached[1]
     # scored-pair tables scale with the corpus: serialized spill-
     # friendly storage, not deserialized heap rows (SCALE.md r07 —
-    # this checkpoint is what wanted a 48g JVM at sf3)
-    df = spill_checkpoint(build())
+    # this checkpoint is what wanted a 48g JVM at sf3).
+    # EAGER (r11): a lazy slot leaves the RDD's size stats unknown
+    # until some consumer acts, so join-strategy selection (SHJ vs
+    # SMJ under preferSortMergeJoin=false) flipped with CONSUMER
+    # ORDER — the plan pins caught docs_triangle_stats planning SMJ
+    # cold and SHJ after any CC entry had materialized the slot.
+    # Materializing at first build makes every consumer plan against
+    # the same (known) stats; the job itself ran anyway on the first
+    # consuming action.
+    df = spill_checkpoint(build(), eager=True)
     if meta is not None:
         cache[path] = (meta, df)
     return df

@@ -94,6 +94,20 @@ def get_spark(
             str(initial),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let the planner use shuffled-hash join where its build side
+        # fits (guide-§3.1 baseline; env-overridable): SMJ pays a
+        # per-partition SORT of both sides that the hash build skips —
+        # measured on the 16 SMJ entries at sf0.1: 22.9 -> 15.6 s
+        # (docs_dup_clusters 7.6 -> 3.9, emb_ivfpq_* -20-25%), same
+        # rows. Not a local-only win: the sort is O(n log n) work at
+        # every scale, the planner still requires the per-partition
+        # build side to fit (falling back to SMJ otherwise), and
+        # partition widths stay AQE/bytes-scaled (autoscale_exchange_
+        # width), which is what bounds the hash build at 100 TB.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
