@@ -104,6 +104,13 @@ def get_spark(
         # build side to fit (falling back to SMJ otherwise), and
         # partition widths stay AQE/bytes-scaled (autoscale_exchange_
         # width), which is what bounds the hash build at 100 TB.
+        # Skew under SHJ (the build side cannot spill): AQE's
+        # skew-join rule splits oversized partitions of
+        # ShuffledHashJoinExec too (supported since Spark 3.2) —
+        # pinned by test_aqe_skew_join_splits_hot_key_shuffled_hash
+        # (plan evidence: plans/r12/skew_shj_skewsplit.txt — the
+        # planted-hot-key join plans SHJ, gets skew=true at runtime,
+        # rows identical to the merge-hinted plan).
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
