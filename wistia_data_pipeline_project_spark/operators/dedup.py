@@ -219,32 +219,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """k min-hash values per document, computed JVM-side.
 
-    Shape: explode shingles → hash once per shingle → explode k seeds
-    → xxhash64(h, seed) remix → min per (doc, seed) → assemble the
-    k-array per doc. Everything before the groupBy is plain codegen'd
-    expressions over generated rows — deliberately NOT nested
+    Shape: explode shingles → hash once per shingle → ONE groupBy(doc)
+    carrying k ``min(xxhash64(_h, seed))`` aggregate lanes assembled
+    into the signature array. Each shingle row updates its doc's k
+    lanes in a single hash-aggregate slot — the r11 formulation
+    exploded a k-seed sequence per shingle (k× the rows, k× the
+    aggregate-map lookups, a (doc, seed) shuffle of k rows per doc
+    followed by a second collect_list aggregation to assemble the
+    array); this one evaluates the SAME k hash expressions per shingle
+    with no row blowup, shuffles ONE k-long row per doc, and needs no
+    assembly pass (guide §2.3 aggregate-before-shuffle / §2.4 one
+    exchange instead of two). Values are identical by construction:
+    min over the same shingle set of xxhash64(_h, seed) with the same
+    int seed, lane s at signature[s] in both formulations. Everything
+    stays plain codegen'd expressions — deliberately NOT nested
     higher-order-function lambdas over arrays, which fall back to
     interpreted evaluation (measured 20 s vs <1 s at sf0.01 for the
-    same 1.5M hash evaluations). The k-fold row blowup collapses in
-    the map-side partial min before the exchange, so the shuffle
-    carries k rows per document, not k×|shingles|.
+    same 1.5M hash evaluations); the lane list is one parsed F.expr
+    string (the aa95161 plan-build rule).
     """
     sh_tab = df.select(
         F.col(key_col), F.explode(shingles(text_col, width)).alias("_g")
     )
-    seeded = sh_tab.select(
-        key_col,
-        F.xxhash64("_g").alias("_h"),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("_seed"),
+    hashed = sh_tab.select(key_col, F.xxhash64("_g").alias("_h"))
+    lanes = ",".join(
+        f"min(xxhash64(_h, {s}))" for s in range(num_hashes)
     )
-    minh = seeded.groupBy(key_col, "_seed").agg(
-        F.min(F.xxhash64("_h", "_seed")).alias("_mh")
-    )
-    return minh.groupBy(key_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_seed", "_mh"))),
-            lambda s: s["_mh"],
-        ).alias("signature")
+    return hashed.groupBy(key_col).agg(
+        F.expr(f"array({lanes})").alias("signature")
     )
 
 
