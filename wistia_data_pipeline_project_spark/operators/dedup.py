@@ -33,7 +33,12 @@ from wistia_data_pipeline_project_spark.ckpt import spill_checkpoint
 from .text import fingerprint, shingle_array, tokens
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Keep one row per distinct text: the min-key row (deterministic
     first-wins, the engine-wide replacement for the reference's
     iteration-order dedup, SURVEY §2 A6).
@@ -49,8 +54,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     pre-aggregates to one row per mapper before AQE ever sees it.
     (Measured vs the window form at sf0.1: ~30% faster warm, same
     exchange count, no sort.)
+
+    ``keep_cols`` narrows the carried row to the named columns (which
+    must include ``key_col``): the min_by struct otherwise ships EVERY
+    input column — including the text payload the fingerprint already
+    summarizes — through the exchange (guide §2.3 shuffle keys and
+    metadata, not payloads). Survivor choice is unaffected (it is
+    keyed on ``key_col`` alone), so this is a projection pushed below
+    the shuffle, never a semantic change.
     """
-    cols = df.columns
+    cols = keep_cols if keep_cols is not None else df.columns
+    if keep_cols is not None and key_col not in keep_cols:
+        raise ValueError(f"keep_cols must include key_col {key_col!r}")
     return (
         df.withColumn("_fp", fingerprint(F.col(text_col)))
         .groupBy("_fp")

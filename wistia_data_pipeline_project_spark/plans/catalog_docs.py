@@ -1106,10 +1106,19 @@ def training_data_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (min-key survivor per fingerprint) → join document
     embeddings → emit the training-record projection. One window
     shuffle for dedup + one join shuffle; the text column is dropped
-    before the join so the shuffle carries metadata only."""
-    docs = X.with_quality_score(load_table(spark, sf_dir, "documents"))
+    before the join so the shuffle carries metadata only. The input
+    is projected to the three columns the pipeline touches BEFORE the
+    opaque-ish score/dedup operators (guide §6: the un-projected form
+    read source and n_chars into the scan's ReadSchema for nothing —
+    column pruning can't see through the downstream fingerprint
+    window)."""
+    docs = X.with_quality_score(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     good = docs.filter(F.col("quality_flag") == "good")
-    kept = D.exact_dedup(good).select("doc_id", "lang", "n_tokens", "n_uniq_tokens")
+    kept = D.exact_dedup(
+        good, keep_cols=["doc_id", "lang", "n_tokens", "n_uniq_tokens"]
+    )
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "label", F.size("embedding").alias("dim")
     )

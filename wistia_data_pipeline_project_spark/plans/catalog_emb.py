@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..sources.io import load_table
-from .catalog import query
+from .catalog import query, shared
 
 
 _QVEC_CACHE: dict[tuple, list[float]] = {}
@@ -2655,11 +2655,20 @@ def emb_ood_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(S.as_double(F.col("embedding"))).alias("i", "x"),
     )
-    cent = d.groupBy("label", "i").agg(
-        (
-            F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("c")
+    # the centroid table (|labels| x dim = 640 rows) has TWO consumers
+    # (its own norm aggregate and the broadcast join into the per-dim
+    # stream) and the scored table has two more (the percentile pick
+    # and the flag aggregate); without the entry-local caches each
+    # consumer re-ran the corpus posexplode from the scan — measured
+    # 16 static Exchanges / 6 scans collapsing to 7 / 2 (r12,
+    # plans/r12/emb_ood_detect_{before,after}.txt)
+    cent = shared(
+        d.groupBy("label", "i").agg(
+            (
+                F.sum(F.round("x", 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
     )
     cc = cent.groupBy("label").agg(
         F.sum(F.round(F.col("c") * F.col("c"), 9).cast("decimal(28,9)"))
@@ -2682,7 +2691,7 @@ def emb_ood_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vv"),
         )
     )
-    scored = (
+    scored = shared(
         dots.join(F.broadcast(cc), "label")
         .select(
             "label",

@@ -942,25 +942,32 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("_parts"))
+        # single-part baskets emit no pairs either way; dropping them
+        # before the Generates skips their rows entirely
+        .filter(F.size("_parts") >= 2)
     )
-    pair = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("_parts"),
-                lambda x: F.transform(
-                    F.col("_parts"),
-                    lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-                ),
-            )
-        ),
-        lambda p: p["part_a"] < p["part_b"],
-    )
+    # pair expansion as TWO codegen'd Generates — anchor each element
+    # by position, then explode the strictly-later suffix of the
+    # sorted-distinct array. Same C(m,2) pair multiset as the previous
+    # nested transform/flatten/filter form (sorted distinct parts ⇒
+    # suffix elements are exactly the part_b > part_a set), but
+    # higher-order-function lambdas evaluate INTERPRETED and allocate
+    # the full m×m struct array per basket before filtering; the
+    # Generate form allocates nothing and stays in whole-stage codegen
+    # (measured r12: entry 1.78 → see OPTIMIZATION_r12.md).
     return (
-        baskets.select(F.explode(pair).alias("p"))
-        .groupBy(
-            F.col("p.part_a").alias("part_a"),
-            F.col("p.part_b").alias("part_b"),
+        baskets.select(
+            "_parts", F.posexplode("_parts").alias("_i", "part_a")
         )
+        .select(
+            "part_a",
+            F.explode(
+                F.slice(
+                    "_parts", F.col("_i") + F.lit(2), F.size("_parts")
+                )
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .orderBy(F.desc("support"), "part_a", "part_b")
         .limit(25)
@@ -998,14 +1005,21 @@ def nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis; growth = (rev - prev) / prev (NULL for each nation's first
     year, in both engines).
 
-    Determinism: the yearly revenue is an exact decimal sum; the
-    lag/subtraction stay in decimal and ONE double division computes
-    the ratio identically in both engines.
+    Determinism: the yearly revenue is an exact decimal sum; decimal
+    addition is exact and associative, so pre-aggregating per
+    (custkey, year) and re-summing per (nation, year) is bit-identical
+    to the one-shot sum; the lag/subtraction stay in decimal and ONE
+    double division computes the ratio identically in both engines.
 
-    Scale: lineitem⋈orders is the only fact-sized shuffle;
-    customer⋈nation is a broadcast chain; the trend window partitions
-    by nation over the AGGREGATED (nation, year) table — tiny. The
-    yearly agg is map-side combinable.
+    Scale: lineitem⋈orders is the only fact-sized join and orders
+    broadcasts under it at driver SFs; revenue is PRE-AGGREGATED to
+    (custkey, year) BEFORE the customer join (guide §2.3 — the r12
+    rewrite: the previous shape shuffled the full lineitem-grain rows
+    into a customer SortMergeJoin; now the join input is bounded by
+    |customers|×|years| partials, 4 exchanges → 3 with the fact-grain
+    one gone), customer⋈nation is a broadcast chain; the trend window
+    partitions by nation over the AGGREGATED (nation, year) table —
+    tiny. Both aggs are map-side combinable.
     """
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
@@ -1017,13 +1031,17 @@ def nation_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     l = load_table(spark, sf_dir, "lineitem")
-    rev = (
+    cust_rev = (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
-            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+            "o_custkey", F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.sum(_volume()).alias("rev"))
+        .agg(F.sum(_volume()).alias("_crev"))
+    )
+    rev = (
+        cust_rev.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_crev").alias("rev"))
     )
     from pyspark.sql import Window as W
 
